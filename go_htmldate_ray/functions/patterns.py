@@ -1,0 +1,251 @@
+"""Free-text date-pattern scanners.
+
+Each scanner reimplements, with Python ``re``, one of the original published
+patterns documented in the re2go file headers of the reference
+(/root/reference/internal/re2go/*.re "Original pattern" comments).  The
+reference compiles these to re2c DFAs; the *semantics* (leftmost match,
+consumed trailing delimiter, capture layout) are preserved here.
+
+Trailing ``\\D`` delimiters also match end-of-string (the DFAs append a
+terminating NUL byte that the ``[^0-9]`` class matches); we encode that as
+``(?:\\D|$)``.  Leading ``\\D`` requires a real character, as in the DFAs.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+from typing import Iterator, Optional
+
+_YEAR = r"199[0-9]|20[0-3][0-9]"
+
+# --- finditer-style scanners (return re.Match iterators) --------------------
+# Used by plausible_year_filter: candidate string = group(1) if the pattern
+# captures, else the whole match (validators.go:135-141).
+
+# search-pattern.re:5 — case-SENSITIVE (base template default)
+COPYRIGHT_PATTERN = re.compile(
+    rf"(?:©|&copy;|Copyright|\(c\))\D*(?:{_YEAR})?-?({_YEAR})(?:\D|$)"
+)
+
+# search-pattern.re:42
+THREE_PATTERN = re.compile(r"/([0-9]{4}/[0-9]{2}/[0-9]{2})[01/]")
+
+# search-pattern.re:76
+THREE_LOOSE_PATTERN = re.compile(r"\D([0-9]{4}[/.-][0-9]{2}[/.-][0-9]{2})(?:\D|$)")
+
+# plausible-year.re:4
+SELECT_YMD_PATTERN = re.compile(r"\D([0-3]?[0-9][/.-][01]?[0-9][/.-][0-9]{4})(?:\D|$)")
+
+# search-pattern.re:110 — note: the captured group includes the delimiters.
+DATE_STRINGS_PATTERN = re.compile(
+    r"(\D19[0-9]{2}[01][0-9][0-3][0-9](?:\D|$)|\D20[0-9]{2}[01][0-9][0-3][0-9](?:\D|$))"
+)
+
+# plausible-year.re:38
+SLASHES_PATTERN = re.compile(
+    r"\D([0-3]?[0-9]/[01]?[0-9]/[0129][0-9]|[0-3][0-9]\.[01][0-9]\.[0129][0-9])(?:\D|$)"
+)
+
+# search-pattern.re:144
+YYYY_MM_PATTERN = re.compile(r"\D([12][0-9]{3}[/.-](?:1[0-2]|0[1-9]))(?:\D|$)")
+
+# plausible-year.re:72
+MM_YYYY_PATTERN = re.compile(r"\D([01]?[0-9][/.-][12][0-9]{3})(?:\D|$)")
+
+# search-pattern.re:179
+SIMPLE_PATTERN = re.compile(rf"\D({_YEAR})(?:\D|$)")
+
+
+def finditer(pattern: re.Pattern, s: str) -> Iterator[re.Match]:
+    return pattern.finditer(s)
+
+
+# --- first-match submatch scanners ------------------------------------------
+
+# regex-pattern-search.re:11 — (?i)((year)-(month)-(day)).HH:MM:SS
+TIMESTAMP_PATTERN = re.compile(
+    rf"(?i)((?:{_YEAR})-(?:[0-1]?[0-9])-(?:[0-3]?[0-9])).[0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}}"
+)
+
+
+def timestamp_pattern_submatch(s: str) -> tuple[list[str], int]:
+    """First timestamp match: ([full, date], start) or ([], -1)."""
+    m = TIMESTAMP_PATTERN.search(s)
+    if m is None:
+        return [], -1
+    return [m.group(0), m.group(1)], m.start()
+
+
+# idiosyncrasies-search.re:4-10 — EN/DE/TR author-written date idioms.
+_IDIOSYNCRASY_PATTERNS = [
+    re.compile(
+        r"(?i)(?:date[^0-9\"]{0,20}|updated|published|on)"
+        r"(?:[ :])*?([0-9]{1,4})[./]([0-9]{1,2})[./]([0-9]{2,4})"
+    ),
+    re.compile(
+        r"(?i)(?:Datum|Stand|Ver[öÖ]ffentlicht am):? ?"
+        r"([0-9]{1,2})\.([0-9]{1,2})\.([0-9]{2,4})"
+    ),
+    re.compile(
+        r"(?i)(?:g[üÜ]ncellen?me|yay[ıI][mn]lan?ma) *?(?:tarihi)? *?:? *?"
+        r"([0-9]{1,2})[./]([0-9]{1,2})[./]([0-9]{2,4})"
+    ),
+    re.compile(
+        r"(?i)([0-9]{1,2})[./]([0-9]{1,2})[./]([0-9]{2,4}) *"
+        r"(?:['’](?:de|da|te|ta)|tarihinde) *"
+        r"(?:g[üÜ]ncellendi|yay[ıI][mn]land[ıI])"
+    ),
+]
+
+
+def idiosyncrasy_pattern_submatch(s: str) -> tuple[list[str], int]:
+    """Earliest match across the four idiom patterns (DFA-race semantics):
+    minimum start position wins; ties break by pattern order.
+    Returns ([full, g1, g2, g3], start) or ([], -1)."""
+    best: Optional[re.Match] = None
+    for pat in _IDIOSYNCRASY_PATTERNS:
+        m = pat.search(s)
+        if m is not None and (best is None or m.start() < best.start()):
+            best = m
+    if best is None:
+        return [], -1
+    return [best.group(0), best.group(1), best.group(2), best.group(3)], best.start()
+
+
+# regex-parse.re:4-16 — multilingual long-form dates (LONG_TEXT_PATTERN).
+_MONTH_ALT = (
+    r"January?|February?|March|A[pv]ril|Ma[iy]|Jun[ei]|Jul[iy]|August|"
+    r"September|O[ck]tober|November|De[csz]ember|Jan|Feb|M[aä]r|Apr|Jun|Jul|"
+    r"Aug|Sep|O[ck]t|Nov|De[cz]|Januari|Februari|Maret|Mei|Agustus|J[äÄ]nner|"
+    r"Feber|M[äÄ]rz|janvier|f[éÉ]vrier|mars|juin|juillet|aout|septembre|"
+    r"octobre|novembre|d[éÉ]cembre|Ocak|[şŞ]ubat|Mart|Nisan|May[ıI]s|Haziran|"
+    r"Temmuz|A[ğĞ]ustos|Eyl[üÜ]l|Ekim|Kas[ıI]m|Aral[ıI]k|Oca|[şŞ]ub|Mar|Nis|"
+    r"Haz|Tem|A[ğĞ]u|Eyl|Eki|Kas|Ara"
+)
+_WS = r"[\t\n\f\r ]"
+_MDY_PATTERN = re.compile(
+    rf"(?i)({_MONTH_ALT}){_WS}([0-3]?[0-9])(?:st|nd|rd|th)?,?{_WS}({_YEAR})"
+)
+_DMY_PATTERN = re.compile(
+    rf"(?i)([0-3]?[0-9])(?:st|nd|rd|th|\.)?{_WS}(?:of{_WS})?({_MONTH_ALT})[,.]?{_WS}({_YEAR})"
+)
+
+
+def find_long_text_pattern(s: str) -> Optional[tuple[str, str, str]]:
+    """Earliest MDY-or-DMY long-form match → (year, month, day) strings."""
+    m_mdy = _MDY_PATTERN.search(s)
+    m_dmy = _DMY_PATTERN.search(s)
+    if m_mdy is not None and (m_dmy is None or m_mdy.start() <= m_dmy.start()):
+        return m_mdy.group(3), m_mdy.group(1), m_mdy.group(2)
+    if m_dmy is not None:
+        return m_dmy.group(3), m_dmy.group(2), m_dmy.group(1)
+    return None
+
+
+# --- lenient absolute parse (stand-in for the external dateparser) ----------
+# The reference's last-resort parser (extractors.go:193-207) delegates to
+# go-dateparser (CustomFormat+AbsoluteTime parsers, StrictParsing on).  This
+# engine implements the same contract with a token-based absolute parser:
+# strict = a full (year, month-name, day) triple must be present; weekday
+# names, ordinal suffixes, times-of-day and unknown words are skipped, as the
+# external library's tokenizer does.
+
+# Month names beyond the reference's long-text table that go-dateparser's
+# locale data recognises and the web corpus exercises.
+_EXTRA_MONTHS = {
+    "sept": 9, "août": 8, "aoû": 8, "fév": 2, "févr": 2, "janv": 1,
+    "juil": 7, "déc": 12, "avr": 4,
+    # Spanish / Italian / Dutch / Portuguese common forms
+    "enero": 1, "febrero": 2, "marzo": 3, "abril": 4, "mayo": 5, "junio": 6,
+    "julio": 7, "agosto": 8, "septiembre": 9, "octubre": 10, "noviembre": 11,
+    "diciembre": 12, "gennaio": 1, "febbraio": 2, "aprile": 4, "maggio": 5,
+    "giugno": 6, "luglio": 7, "settembre": 9, "ottobre": 10, "dicembre": 12,
+    "januari": 1, "februari": 2, "maart": 3, "juni": 6, "juli": 7,
+    "augustus": 8, "oktober": 10, "december": 12,
+}
+
+_ORDINAL_SUFFIXES = frozenset({"st", "nd", "rd", "th"})
+_WEEKDAYS = frozenset({
+    "monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday",
+    "mon", "tue", "tues", "wed", "thu", "thur", "thurs", "fri", "sat", "sun",
+    "montag", "dienstag", "mittwoch", "donnerstag", "freitag", "samstag",
+    "sonntag", "mo", "di", "mi", "do", "fr", "sa", "so",
+    "lundi", "mardi", "mercredi", "jeudi", "vendredi", "samedi", "dimanche",
+    "pazartesi", "salı", "çarşamba", "perşembe", "cuma", "cumartesi", "pazar",
+    "senin", "selasa", "rabu", "kamis", "jumat", "sabtu", "minggu",
+})
+_SKIP_WORDS = frozenset({
+    "of", "the", "at", "on", "in", "a", "an", "den", "der", "die", "das",
+    "am", "pm", "um", "uhr", "le", "la", "du", "el", "und", "and", "et",
+})
+_TIME_OF_DAY = re.compile(r"\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?")
+_TOKEN = re.compile(r"[^\W\d_]+|\d+", re.UNICODE)
+
+
+def lenient_absolute_parse(s: str) -> Optional[datetime]:
+    """Strict absolute parse: needs year + month-name + day; weekdays,
+    ordinal suffixes, skip-words and timezone abbreviations are tolerated,
+    any other word token rejects the string (strict-parsing contract)."""
+    from .constants import MONTH_NUMBER
+    from .tz_data import TIMEZONE_OFFSETS
+
+    s = _TIME_OF_DAY.sub(" ", s)
+    tokens = _TOKEN.findall(s)
+    if not tokens or len(tokens) > 24:
+        return None
+
+    month = None
+    month_idx = -1
+    year = None
+    digit_indices: list[tuple[int, int]] = []  # (token index, value)
+
+    for i, tok in enumerate(tokens):
+        if tok.isdigit():
+            if not tok.isascii():
+                return None  # e.g. superscript digits: reject like the reference
+            if len(tok) == 4 and year is None:
+                year = int(tok)
+            elif len(tok) <= 2:
+                digit_indices.append((i, int(tok)))
+            elif len(tok) > 4:
+                return None  # long digit runs are not dates (dateparser #685)
+        else:
+            key = tok.lower()
+            if month is None:
+                m = MONTH_NUMBER.get(key) or _EXTRA_MONTHS.get(key)
+                if m is not None:
+                    month = m
+                    month_idx = i
+                    continue
+            if (
+                key in _WEEKDAYS
+                or key in _SKIP_WORDS
+                or key in _ORDINAL_SUFFIXES
+                or tok in TIMEZONE_OFFSETS
+                or (tok.isupper() and 2 <= len(tok) <= 5)  # tz-abbrev shaped
+            ):
+                continue
+            return None  # unrecognized word: strict parse fails
+
+    if month is None or year is None or not 1 <= year <= 9999:
+        return None
+
+    # Day: prefer the digit token adjacent to the month name
+    day = None
+    for idx, val in digit_indices:
+        if 1 <= val <= 31 and abs(idx - month_idx) == 1:
+            day = val
+            break
+    if day is None:
+        for _idx, val in digit_indices:
+            if 1 <= val <= 31:
+                day = val
+                break
+    if day is None:
+        return None  # strict parsing: incomplete date
+
+    try:
+        return datetime(year, month, day, tzinfo=timezone.utc)
+    except ValueError:
+        return None

@@ -1,0 +1,215 @@
+"""Unit tests for the scalar kernels — ported from the reference's Go test
+tables (extractors_test.go, validators_test.go, timezone_test.go)."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from go_htmldate_ray.functions.kernels import (
+    Options,
+    external_date_parser,
+    fast_parse,
+    find_time,
+    normalize_spaces,
+    regex_parse,
+    try_date_expr,
+    validate_date,
+)
+
+UTC = timezone.utc
+
+
+def _opts(**kw) -> Options:
+    return Options(**kw).with_defaults()
+
+
+def _fmt(dt) -> str:
+    return f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}" if dt is not None else ""
+
+
+# --- tryDateExpr (extractors_test.go:36-77) ---------------------------------
+
+TRY_CASES_EXTENSIVE = [
+    ("", ""),
+    ("Friday, September 01, 2017", "2017-09-01"),
+    ("Fr, 1 Sep 2017 16:27:51 MESZ", "2017-09-01"),
+    ("Freitag, 01. September 2017", "2017-09-01"),
+    ("Am 1. September 2017 um 15:36 Uhr schrieb", "2017-09-01"),
+    ("Fri - September 1 - 2017", "2017-09-01"),
+    ("1.9.2017", "2017-09-01"),
+    ("1/9/17", "2017-09-01"),
+    ("201709011234", "2017-09-01"),
+    ("201", ""),
+    ("14:35:10", ""),
+    ("12:00 h", ""),
+    ("2005-2006", ""),
+    ("发布时间: 2022-02-25 14:34", "2022-02-25"),
+    ("Fri, Sept 1, 2017", "2017-09-01"),
+]
+
+
+@pytest.mark.parametrize("s,expected", TRY_CASES_EXTENSIVE)
+def test_try_date_expr_extensive(s, expected):
+    _, dt = try_date_expr(s, _opts())
+    assert _fmt(dt) == expected
+
+
+def test_try_date_expr_fast_mode():
+    _, dt = try_date_expr("Fri, Sept 1, 2017", _opts(skip_extensive_search=True))
+    assert dt is None
+
+
+# --- fastParse (extractors_test.go:79-121) ----------------------------------
+
+FAST_CASES = [
+    ("20041212", "2004-12-12"),
+    ("12.12.2004", "2004-12-12"),
+    ("2004-12-12", "2004-12-12"),
+    ("12.01.2004", "2004-01-12"),
+    ("12.01.20", "2020-01-12"),
+    ("3/14/2016", "2016-03-14"),
+    ("2020-1", "2020-01-01"),
+    ("2020.01", "2020-01-01"),
+    ("1998-01", "1998-01-01"),
+    ("10.10.98", "1998-10-10"),
+    ("abcd 20041212 efgh", "2004-12-12"),
+    ("abcd 2004-2-12 efgh", "2004-02-12"),
+    ("abcd 2004-2 efgh", "2004-02-01"),
+    ("2020.13", ""),
+    ("12122004", ""),
+    ("1212-20-04", ""),
+    ("33.20.2004", ""),
+    ("36/14/2016", ""),
+    ("2019 28 meh", ""),
+    ("January 12 1098", ""),
+    ("abcd 32. Januar 2020 efgh", ""),
+    ("February 29 2008", "2008-02-29"),
+    ("February 30 2008", ""),
+    ("XXTag, den 29. Februar 2008", "2008-02-29"),
+    ("XXTag, den 30. Februar 2008", ""),
+]
+
+
+@pytest.mark.parametrize("s,expected", FAST_CASES)
+def test_fast_parse(s, expected):
+    assert _fmt(fast_parse(s, _opts())) == expected
+
+
+# --- regexParse (extractors_test.go:123-273) --------------------------------
+
+REGEX_CASES = [
+    ("3. Dezember 2008", "2008-12-03"),
+    ("33. Dezember 2008", ""),
+    ("3. Dez 2008", "2008-12-03"),
+    ("3 dez 2008", "2008-12-03"),
+    ("3 Aralık 2008 Çarşamba", "2008-12-03"),
+    ("3 Aralık 2008", "2008-12-03"),
+    ("Tuesday, March 26th, 2019", "2019-03-26"),
+    ("March 26, 2019", "2019-03-26"),
+    ("3rd Tuesday in March", ""),
+    ("Mart 26, 2019", "2019-03-26"),
+    ("Salı, Mart 26, 2019", "2019-03-26"),
+    ("36/14/2016", ""),
+    ("January 36 1998", ""),
+    ("January 1st, 1998", "1998-01-01"),
+    ("May 1st, 1998", "1998-05-01"),
+    ("October 1st, 1998", "1998-10-01"),
+    ("Jan 1st, 1998", "1998-01-01"),
+    ("Dec 1st, 1998", "1998-12-01"),
+    ("Jänner 1, 1998", "1998-01-01"),
+    ("Feber 1, 1998", "1998-02-01"),
+    ("März 1, 1998", "1998-03-01"),
+    ("1. Okt. 1998", "1998-10-01"),
+    ("Ocak 1, 1998", "1998-01-01"),
+    ("Şubat 1, 1998", "1998-02-01"),
+    ("Mayıs 1, 1998", "1998-05-01"),
+    ("Ağustos 1, 1998", "1998-08-01"),
+    ("Eylül 1, 1998", "1998-09-01"),
+    ("Kasım 1, 1998", "1998-11-01"),
+    ("Aralık 1, 1998", "1998-12-01"),
+    ("1 January 1998", "1998-01-01"),
+    ("1 May 1998", "1998-05-01"),
+    ("1 Dec 1998", "1998-12-01"),
+    ("1 Jänner 1998", "1998-01-01"),
+    ("1 Mai 1998", "1998-05-01"),
+    ("1 Ocak 1998", "1998-01-01"),
+    ("1 Şub 1998", "1998-02-01"),
+    ("1 Ağu 1998", "1998-08-01"),
+    ("1 Ara 1998", "1998-12-01"),
+]
+
+
+@pytest.mark.parametrize("s,expected", REGEX_CASES)
+def test_regex_parse(s, expected):
+    assert _fmt(regex_parse(s, _opts())) == expected
+
+
+# --- externalDateParser (extractors_test.go:275-303) ------------------------
+
+EXTERNAL_CASES = [
+    ("Wednesday, January 1st 2020", "2020-01-01"),
+    ("Random text with 2020", ""),
+    ("1 January 0002", "0002-01-01"),
+    ("1 January 1900", "1900-01-01"),
+    ("12345678912 days", ""),
+    ("2.2250738585072011e-308", ""),
+    ("⁰⁴⁵₀₁₂", ""),
+    ("Fri | September 1 | 2017", "2017-09-01"),
+]
+
+
+@pytest.mark.parametrize("s,expected", EXTERNAL_CASES)
+def test_external_date_parser(s, expected):
+    # The Go test uses zero Options (no min/max window)
+    opts = Options()
+    assert _fmt(external_date_parser(s, opts)) == expected
+
+
+# --- validateDate (validators_test.go:27-79) --------------------------------
+
+def test_validate_date_window():
+    opts = _opts()
+    assert validate_date(datetime(2017, 9, 1, tzinfo=UTC), opts)
+    assert not validate_date(datetime(1992, 7, 30, tzinfo=UTC), opts)
+    assert not validate_date(None, opts)
+
+    opts = Options(
+        min_date=datetime(1990, 1, 1, tzinfo=UTC),
+        max_date=datetime(1995, 1, 1, tzinfo=UTC),
+    )
+    assert validate_date(datetime(1991, 1, 2, tzinfo=UTC), opts)
+    assert not validate_date(datetime(1999, 1, 1, tzinfo=UTC), opts)
+
+
+# --- findTime + timezone (core_test.go:703-782, timezone_test.go) -----------
+
+def test_find_time_iso():
+    h, m, s, tz, found = find_time("2017-09-01T09:08:57+02:00")
+    assert found and (h, m, s) == (9, 8, 57)
+    assert tz is not None and tz.utcoffset(None).total_seconds() == 7200
+
+
+def test_find_time_common():
+    h, m, s, tz, found = find_time("Published: 5:30 pm")
+    assert found and (h, m) == (17, 30)
+    assert tz is None
+
+
+def test_find_time_french():
+    h, m, s, tz, found = find_time("publié le 7h08")
+    assert found and (h, m) == (7, 8)
+
+
+def test_find_time_named_tz():
+    h, m, s, tz, found = find_time("Fr, 1 Sep 2017 16:27:51 MESZ")
+    assert found and (h, m, s) == (16, 27, 51)
+
+
+def test_find_time_negative_offset():
+    h, m, s, tz, found = find_time("2017-09-01T09:08:57-04:30")
+    assert found
+    assert tz.utcoffset(None).total_seconds() == -(4 * 3600 + 30 * 60)
+
+
+def test_normalize_spaces():
+    assert normalize_spaces("  a \t b\n c  ") == "a b c"
