@@ -18,6 +18,7 @@ from typing import Iterator, Optional
 
 ELEMENT = 0
 TEXT = 1
+COMMENT = 2
 
 VOID_ELEMENTS = frozenset({
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
@@ -124,6 +125,8 @@ class Node:
 
 
 def _render(node: Node) -> str:
+    if node.type == COMMENT:
+        return f"<!--{node.data}-->"
     if node.type == TEXT:
         if node.parent is not None and node.parent.tag in ("script", "style"):
             return node.data
@@ -172,8 +175,14 @@ class _TreeBuilder(HTMLParser):
         if data:
             self.stack[-1].append(Node(TEXT, data=data))
 
-    def handle_comment(self, data: str) -> None:  # comments kept out of the tree
-        pass
+    def handle_comment(self, data: str) -> None:
+        # Comments stay in the tree: the reference keeps them (its comment
+        # removal is disabled, utils.go:36-38) and the serialized-HTML regex
+        # stages (core.go:212-227) must see comment content.
+        self.stack[-1].append(Node(COMMENT, data=data))
+
+    def handle_pi(self, data: str) -> None:
+        self.stack[-1].append(Node(COMMENT, data="?" + data))
 
     def handle_decl(self, decl: str) -> None:
         pass

@@ -131,5 +131,36 @@ def main() -> None:
     print(f"extracted {len(cases)} cases: {kinds}; {len(mock_map)} mock files")
 
 
+
+
+def extract_comparison() -> None:
+    """Extract the 1000-entry golden corpus (URL, file, golden date, and the
+    reference's own fast/extensive outputs) from scripts/comparison/data-*.go."""
+    entries = []
+    for fname, source in (
+        ("data-mediacloud.go", "mediacloud"),
+        ("data-default.go", "default"),
+    ):
+        src = (REF / "scripts" / "comparison" / fname).read_text()
+        for m in re.finditer(
+            r'URL:\s*"([^"]*)",\s*File:\s*"([^"]*)",\s*Date:\s*"([^"]*)",'
+            r'\s*Fast:\s*"([^"]*)",\s*Extensive:\s*"([^"]*)",',
+            src,
+        ):
+            entries.append(
+                {
+                    "url": m.group(1),
+                    "file": m.group(2),
+                    "date": m.group(3),
+                    "fast": m.group(4),
+                    "extensive": m.group(5),
+                    "source": source,
+                }
+            )
+    (OUT / "comparison_corpus.json").write_text(json.dumps(entries, indent=0))
+    print(f"extracted {len(entries)} comparison entries")
+
+
 if __name__ == "__main__":
+    extract_comparison()
     main()
