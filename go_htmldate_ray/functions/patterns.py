@@ -163,6 +163,19 @@ _EXTRA_MONTHS = {
     "giugno": 6, "luglio": 7, "settembre": 9, "ottobre": 10, "dicembre": 12,
     "januari": 1, "februari": 2, "maart": 3, "juni": 6, "juli": 7,
     "augustus": 8, "oktober": 10, "december": 12,
+    # Arabic (Gregorian month names, as go-dateparser's ar locale)
+    "يناير": 1, "فبراير": 2, "مارس": 3, "أبريل": 4, "ابريل": 4, "مايو": 5,
+    "يونيو": 6, "يوليو": 7, "أغسطس": 8, "اغسطس": 8, "سبتمبر": 9,
+    "أكتوبر": 10, "اكتوبر": 10, "نوفمبر": 11, "ديسمبر": 12,
+    # Russian (nominative + genitive) and Ukrainian (genitive)
+    "январь": 1, "января": 1, "февраль": 2, "февраля": 2, "март": 3,
+    "марта": 3, "апрель": 4, "апреля": 4, "май": 5, "мая": 5, "июнь": 6,
+    "июня": 6, "июль": 7, "июля": 7, "август": 8, "августа": 8,
+    "сентябрь": 9, "сентября": 9, "октябрь": 10, "октября": 10,
+    "ноябрь": 11, "ноября": 11, "декабрь": 12, "декабря": 12,
+    "січня": 1, "лютого": 2, "березня": 3, "квітня": 4, "травня": 5,
+    "червня": 6, "липня": 7, "серпня": 8, "вересня": 9, "жовтня": 10,
+    "листопада": 11, "грудня": 12,
 }
 
 _ORDINAL_SUFFIXES = frozenset({"st", "nd", "rd", "th"})
@@ -174,10 +187,17 @@ _WEEKDAYS = frozenset({
     "lundi", "mardi", "mercredi", "jeudi", "vendredi", "samedi", "dimanche",
     "pazartesi", "salı", "çarşamba", "perşembe", "cuma", "cumartesi", "pazar",
     "senin", "selasa", "rabu", "kamis", "jumat", "sabtu", "minggu",
+    "lunes", "martes", "miércoles", "jueves", "viernes", "sábado", "domingo",
+    "lunedì", "martedì", "mercoledì", "giovedì", "venerdì", "sabato", "domenica",
+    "maandag", "dinsdag", "woensdag", "donderdag", "vrijdag", "zaterdag", "zondag",
+    "الأحد", "الاثنين", "الإثنين", "الثلاثاء", "الأربعاء", "الخميس",
+    "الجمعة", "السبت",
 })
 _SKIP_WORDS = frozenset({
     "of", "the", "at", "on", "in", "a", "an", "den", "der", "die", "das",
     "am", "pm", "um", "uhr", "le", "la", "du", "el", "und", "and", "et",
+    "de", "del", "los", "las", "il", "lo",
+    "م", "ص",  # Arabic am/pm markers
 })
 _TIME_OF_DAY = re.compile(r"\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?")
 _TOKEN = re.compile(r"[^\W\d_]+|\d+", re.UNICODE)
@@ -227,6 +247,21 @@ def lenient_absolute_parse(s: str) -> Optional[datetime]:
             ):
                 continue
             return None  # unrecognized word: strict parse fails
+
+    if year is not None and 1 <= year <= 9999 and month is None:
+        # Numeric-triple fallback: "4. 2. 2022", "26 | 01 | 2022" — the
+        # external library parses these with MDY preference, swapping
+        # day/month when the month slot exceeds 12.
+        if len(digit_indices) >= 2:
+            m_val, d_val = digit_indices[0][1], digit_indices[1][1]
+            if m_val > 12 and d_val <= 12:
+                m_val, d_val = d_val, m_val
+            if 1 <= m_val <= 12 and 1 <= d_val <= 31:
+                try:
+                    return datetime(year, m_val, d_val, tzinfo=timezone.utc)
+                except ValueError:
+                    return None
+        return None
 
     if month is None or year is None or not 1 <= year <= 9999:
         return None
