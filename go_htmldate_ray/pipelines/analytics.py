@@ -1,0 +1,201 @@
+"""Dataset-level analytics operators (SURVEY.md §2.7): aggregations,
+broadcast joins, sorts/limits over the star-schema tables.  These are the
+engine's generic groupby/join building blocks, each with a DuckDB oracle
+in ``__ray_entry__``."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _round2(col):
+    return pc.round(col, ndigits=2)
+
+
+def events_by_type(sf_dir: str):
+    """events → (event_type, n_events, sum_value): partial per-batch
+    aggregation inside map_batches, then a tiny groupby — the
+    combiner-before-shuffle shape."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("event_type").aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "part_sum": t.column("value_sum"),
+                "part_count": t.column("value_count"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("event_type").aggregate(*_sum_aggs())
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_events": pc.cast(batch.column("sum(part_count)"), pa.int64()),
+                "sum_value": _round2(batch.column("sum(part_sum)")),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sum_aggs():
+    from ray.data.aggregate import Sum
+
+    return Sum("part_sum"), Sum("part_count")
+
+
+def top_users_by_value(sf_dir: str, n: int = 10):
+    """events → top-N users by total value (groupby → sort → limit)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    from ray.data.aggregate import Sum
+
+    agg = ds.groupby("user_id").aggregate(Sum("value"))
+    top = agg.sort(["sum(value)", "user_id"], descending=[True, False]).limit(n)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "total_value": _round2(b.column("sum(value)")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def orders_by_segment(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) → per-segment totals.
+
+    The customer→segment map is built once, shipped once via ``ray.put``
+    and read inside every task — no shuffle join for a small dimension
+    table, the idiomatic 100 TB shape."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
+    )
+    seg_ref = ray.put(seg_map)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mapping = ray.get(seg_ref)
+        segs = [mapping.get(k) for k in batch.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        orders.map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(), Sum("o_totalprice"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_mktsegment": b.column("c_mktsegment"),
+                "n_orders": pc.cast(b.column("count()"), pa.int64()),
+                "total_price": _round2(b.column("sum(o_totalprice)")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pricing_summary(sf_dir: str):
+    """lineitem pricing summary (TPC-H Q1 shape): per-flag/status sums."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import datetime
+
+        mask = pc.less_equal(batch.column("l_shipdate"), pa.scalar(datetime.date(1998, 9, 2)))
+        batch = batch.filter(mask)
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        # Money sums as integer cents: exact and order-independent, so the
+        # distributed sum matches the oracle bit-for-bit.  half_towards_infinity
+        # mirrors SQL round() (pyarrow defaults to banker's rounding).
+        to_cents = lambda col: pc.cast(
+            pc.round(pc.multiply(col, pa.scalar(100.0)), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        batch = batch.append_column("disc_cents", to_cents(disc_price))
+        batch = batch.append_column("price_cents", to_cents(batch.column("l_extendedprice")))
+        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("price_cents", "sum"), ("disc_cents", "sum"), ("l_quantity", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "p_qty": t.column("l_quantity_sum"),
+                "p_price": t.column("price_cents_sum"),
+                "p_disc": t.column("disc_cents_sum"),
+                "p_count": t.column("l_quantity_count"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_qty"), Sum("p_price"), Sum("p_disc"), Sum("p_count"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cents_to_float = lambda col: pc.divide(pc.cast(col, pa.float64()), pa.scalar(100.0))
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": _round2(batch.column("sum(p_qty)")),
+                "sum_base_price": cents_to_float(batch.column("sum(p_price)")),
+                "sum_disc_price": cents_to_float(batch.column("sum(p_disc)")),
+                "count_order": pc.cast(batch.column("sum(p_count)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )

@@ -1,0 +1,77 @@
+"""Flagship pipeline: pages → publication dates.
+
+``read_parquet(documents) → synthesize pages → map_batches(HtmldateExtractor
+actor pool) → (date columns)``.  Streaming end to end: no stage
+materialises the corpus; the extract stage is the CPU-bound hot spot and
+is sized with an actor pool.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.pages import read_pages
+from ..stages.extract_stage import HtmldateExtractor
+
+
+def extract_dates(
+    sf_dir: str,
+    *,
+    skip_extensive_search: bool = True,
+    concurrency=(1, 8),
+    batch_size: int = 64,
+):
+    """Dataset of (doc_id, url, date_str, ...) for the sf dir's pages."""
+    pages = read_pages(sf_dir)
+    extracted = pages.map_batches(
+        HtmldateExtractor,
+        fn_constructor_kwargs={
+            "use_original_date": True,
+            "skip_extensive_search": skip_extensive_search,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return extracted.select_columns(["doc_id", "url", "date_str"])
+
+
+def url_dates(sf_dir: str):
+    """Vectorized URL-date fast path: a single ``pyarrow.compute``
+    regex over the url column — no DOM, no Python loop (the M1 stage,
+    extractors.go:50-69, as a pure Arrow kernel)."""
+    pages = read_pages(sf_dir)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        urls = pc.cast(batch.column("url"), pa.string())
+        m = pc.extract_regex(
+            urls, r"[^0-9](?P<y>199[0-9]|20[0-3][0-9])[/_-](?P<m>[0-1]?[0-9])[/_-](?P<d>[0-3]?[0-9])(?:[^0-9]|$)"
+        )
+        y = pc.struct_field(m, "y")
+        mo = pc.struct_field(m, "m")
+        d = pc.struct_field(m, "d")
+        pad2 = lambda a: pc.utf8_lpad(a, 2, "0")
+        date = pc.binary_join_element_wise(y, pad2(mo), pad2(d), "-")
+        return pa.table({"doc_id": batch.column("doc_id"), "url_date": date})
+
+    return pages.map_batches(extract, batch_format="pyarrow")
+
+
+def host_page_counts(sf_dir: str):
+    """Per-host page counts — the crawl-stats groupby (shuffle key: host)."""
+    pages = read_pages(sf_dir)
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = [u.split("/")[2] for u in urls]
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()), "doc_id": batch.column("doc_id")}
+        )
+
+    counts = pages.map_batches(add_host, batch_format="pyarrow").groupby("host").count()
+    return counts.map_batches(
+        lambda b: pa.table({"host": b.column("host"), "n_pages": b.column("count()")}),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,104 @@
+"""Ray Data actor-pool stage for publication-date extraction.
+
+The reference's whole extraction cascade (core.go:136-271) is per-document,
+so it maps to ONE vectorized batch transform: a callable class whose
+``__init__`` holds the expensive state (compiled regex banks, language
+tables — all module-level in :mod:`go_htmldate_ray.functions`) once per
+actor, and whose ``__call__`` processes a zero-copy Arrow batch, appending
+the four ``Result`` columns (result.go:8-18).
+
+Usage::
+
+    ds.map_batches(
+        HtmldateExtractor,
+        fn_constructor_kwargs={"use_original_date": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(2, 16),
+        num_cpus=1,
+    )
+"""
+
+from __future__ import annotations
+
+from datetime import timezone
+from typing import Optional
+
+import pyarrow as pa
+
+from ..extract import from_html
+from ..functions.kernels import Options
+
+
+def extract_batch(batch: pa.Table, opts: Options) -> pa.Table:
+    """Append date_str / datetime_iso / has_time / has_timezone / src_string
+    columns to a pages batch.  Total per row: any per-document failure
+    yields nulls, never poisons the block."""
+    urls = batch.column("url").to_pylist() if "url" in batch.column_names else [""] * batch.num_rows
+    htmls = batch.column("html")
+
+    date_strs: list[Optional[str]] = []
+    iso_strs: list[Optional[str]] = []
+    has_times: list[bool] = []
+    has_tzs: list[bool] = []
+    src_strings: list[str] = []
+
+    for i in range(batch.num_rows):
+        raw = htmls[i].as_py()
+        url = urls[i] or ""
+        try:
+            res = from_html(raw or b"", Options(
+                extract_time=opts.extract_time,
+                use_original_date=opts.use_original_date,
+                url=url,
+                min_date=opts.min_date,
+                max_date=opts.max_date,
+                skip_extensive_search=opts.skip_extensive_search,
+                defer_url_extractor=opts.defer_url_extractor,
+            ))
+        except Exception:
+            res = None
+        if res is None or res.date_time is None:
+            date_strs.append(None)
+            iso_strs.append(None)
+            has_times.append(False)
+            has_tzs.append(False)
+            src_strings.append("" if res is None else res.src_string)
+        else:
+            date_strs.append(res.format())
+            iso_strs.append(res.date_time.isoformat())
+            has_times.append(res.has_time)
+            has_tzs.append(res.has_timezone)
+            src_strings.append(res.src_string)
+
+    out = batch
+    for name, arr in (
+        ("date_str", pa.array(date_strs, pa.string())),
+        ("datetime_iso", pa.array(iso_strs, pa.string())),
+        ("has_time", pa.array(has_times, pa.bool_())),
+        ("has_timezone", pa.array(has_tzs, pa.bool_())),
+        ("src_string", pa.array(src_strings, pa.string())),
+    ):
+        out = out.append_column(name, arr)
+    return out
+
+
+class HtmldateExtractor:
+    """Stateful actor-pool callable: options resolved once per actor."""
+
+    def __init__(
+        self,
+        use_original_date: bool = True,
+        skip_extensive_search: bool = True,
+        extract_time: bool = False,
+        defer_url_extractor: bool = False,
+    ):
+        self.opts = Options(
+            use_original_date=use_original_date,
+            skip_extensive_search=skip_extensive_search,
+            extract_time=extract_time,
+            defer_url_extractor=defer_url_extractor,
+        ).with_defaults()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_batch(batch, self.opts)

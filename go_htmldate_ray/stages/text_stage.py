@@ -1,0 +1,101 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Vectorized batch transforms over the ``documents`` table: token counting,
+quality scoring, fingerprinting, and a stopword-profile language
+identifier.  All are pure batch functions usable directly in
+``ds.map_batches(..., batch_format="pyarrow")``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens — whitespace token count (str.split semantics)."""
+    texts = batch.column("text").to_pylist()
+    counts = [len(t.split()) if t else 0 for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_chars_calc, n_tokens, n_uniq_tokens — quality signals."""
+    texts = batch.column("text").to_pylist()
+    n_chars, n_tokens, n_uniq = [], [], []
+    for t in texts:
+        t = t or ""
+        toks = t.split()
+        n_chars.append(len(t))
+        n_tokens.append(len(toks))
+        n_uniq.append(len(set(toks)))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars_calc": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, fingerprint — md5 of whitespace-normalized lowercased text,
+    first 16 hex chars (mirrors the SQL ``substr(md5(...),1,16)``)."""
+    texts = batch.column("text").to_pylist()
+    fps = []
+    for t in texts:
+        norm = " ".join((t or "").split()).lower()
+        fps.append(hashlib.md5(norm.encode("utf-8")).hexdigest()[:16])
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fps, pa.string()),
+        }
+    )
+
+
+# Minimal stopword profiles for the n-gram-free heuristic language ID.
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "a"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "ein", "nicht"},
+    "fr": {"le", "la", "les", "et", "de", "est", "pour", "dans", "une", "que"},
+    "es": {"el", "la", "los", "de", "y", "es", "para", "con", "una", "por"},
+    "id": {"yang", "dan", "di", "ini", "itu", "dengan", "untuk", "dari", "pada", "ke"},
+}
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, pred_lang, lang_score — stopword-profile argmax; 'und'
+    (undetermined) when no profile scores."""
+    texts = batch.column("text").to_pylist()
+    preds, scores = [], []
+    for t in texts:
+        toks = (t or "").lower().split()
+        if not toks:
+            preds.append("und")
+            scores.append(0.0)
+            continue
+        tokset = toks  # count every occurrence, not just unique
+        best_lang, best = "und", 0
+        for lang, profile in _LANG_PROFILES.items():
+            hits = sum(1 for tok in tokset if tok in profile)
+            if hits > best:
+                best, best_lang = hits, lang
+        preds.append(best_lang)
+        scores.append(best / len(toks))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(preds, pa.string()),
+            "lang_score": pa.array(scores, pa.float64()),
+        }
+    )
