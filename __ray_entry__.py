@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(
             _embeddings(sf), query_ids=list(range(8)), k=5
         ),
+        "crawl_reachable": _crawl_reachable,
         "events_by_type": analytics.events_by_type,
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_segment": analytics.orders_by_segment,
@@ -88,6 +89,12 @@ def _embeddings(sf_dir):
     import ray.data
 
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _crawl_reachable(sf_dir):
+    from go_htmldate_ray.pipelines.crawl import crawl_reachable
+
+    return crawl_reachable(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -160,6 +167,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank
             FROM ranked WHERE rnk <= 5""",
+        # Crawl oracle: the converged robots-respecting visited set equals
+        # the reachable set of the deterministic link graph (seeds = docs
+        # 0..9, edges doc → (13d+1)%N and (29d+7)%N, hosts with index%13==0
+        # disallow /article/ paths) — recomputed here with a recursive CTE.
+        "crawl_reachable": f"""
+            WITH RECURSIVE reach(id) AS (
+                SELECT doc_id FROM documents WHERE doc_id < 10
+                  AND NOT ((doc_id % 97) % 13 = 0 AND doc_id % 4 != 2)
+                UNION
+                SELECT t.target FROM reach r
+                JOIN (
+                    SELECT doc_id,
+                           (doc_id*13+1) % (SELECT count(*) FROM documents) AS target
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id,
+                           (doc_id*29+7) % (SELECT count(*) FROM documents) AS target
+                    FROM documents
+                ) t ON t.doc_id = r.id
+                WHERE NOT ((t.target % 97) % 13 = 0 AND t.target % 4 != 2)
+            )
+            SELECT id AS doc_id,
+                   {_URL_SQL.replace('doc_id', 'id')} AS url
+            FROM reach""",
         "events_by_type": """
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value

@@ -1,0 +1,509 @@
+"""URL-frontier crawl scheduler — brand-new Ray-Data design (no reference
+counterpart; mandated by the north rule).
+
+The crawl runs as repeated **fetch waves** over a frontier Dataset:
+
+    frontier_w (parquet)
+      → groupby(url_hash).map_groups(first)          # exact within-wave dedup
+      → map_batches(seen-shard check_and_add)        # semi-join vs actor pool
+      → map_batches(robots filter, broadcast rules)  # small-side lookup
+      → groupby(host).map_groups(politeness rank)    # per-host budget, shuffle key = host
+      → fetch_now / deferred split
+      → fetch_now.map_batches(CrawlFetcher actors)   # fetch + date extract + link discovery
+      → visited_w.parquet  +  frontier_{w+1} = deferred ∪ new links
+
+Every stage is a Dataset transform; the driver only sequences waves and
+checkpoints.  Politeness is **logical-time**: each host may fetch at most
+``politeness_budget`` URLs per wave, making crawl ordering a pure function
+of (seed list, budget) — the determinism the north rule requires.  Wave
+state (frontier parquet, seen-shard dumps, visited log, lineage manifest)
+is checkpointed per wave; ``resume=True`` restarts from the latest
+complete wave.
+
+Scale notes: the frontier lives in parquet between waves (never
+materialised on the driver); the seen set is sharded by
+``sha1(url) % n_shards``; hot hosts are bounded by the budget itself
+(a host contributes ≤ budget fetches/wave regardless of frontier skew);
+the within-wave dedup shuffle keys on the uniform url_hash.
+
+In this sandbox the fetch is a deterministic synthetic store (pages
+rebuilt from the documents table); the stage boundary is exactly where a
+real HTTP fetcher would sit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..sources.pages import build_page_html, count_documents, page_url
+from ..state.robots import allowed
+from ..state.urls import canonicalize, host_of, url_hash
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_hash", pa.int64()),
+        ("host", pa.string()),
+        ("depth", pa.int64()),
+        ("discovered_wave", pa.int64()),
+    ]
+)
+
+
+def _frontier_table(urls, depth, wave) -> pa.Table:
+    canon = [canonicalize(u) for u in urls]
+    return pa.table(
+        {
+            "url": pa.array(canon, pa.string()),
+            "url_hash": pa.array([url_hash(u) for u in canon], pa.int64()),
+            "host": pa.array([host_of(u) for u in canon], pa.string()),
+            "depth": pa.array(
+                depth if isinstance(depth, list) else [depth] * len(canon), pa.int64()
+            ),
+            "discovered_wave": pa.array([wave] * len(canon), pa.int64()),
+        }
+    )
+
+
+class CrawlFetcher:
+    """Actor-pool fetch+extract stage.
+
+    __init__ loads the synthetic page store (documents text/lang) once per
+    actor — the slot where a real fetcher would build HTTP sessions and
+    where the extractor's regex state lives.  __call__ "fetches" each URL,
+    extracts the publication date and outlinks from the parsed DOM.
+    """
+
+    def __init__(self, sf_dir: str):
+        from ..functions.kernels import Options
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+        self.texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+        self.langs = dict(zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist()))
+        self.n_docs = len(self.texts)
+        self.opts = Options(use_original_date=True, skip_extensive_search=True).with_defaults()
+
+    def _fetch(self, url: str) -> Optional[tuple[int, bytes]]:
+        doc_id = doc_id_of_url(url)
+        if doc_id is None or doc_id not in self.texts:
+            return None
+        html = build_page_html(
+            doc_id, self.texts[doc_id] or "", self.langs[doc_id] or "en", self.n_docs
+        )
+        return doc_id, html
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import dom
+        from ..extract import from_document
+
+        urls = batch.column("url").to_pylist()
+        doc_ids, dates, links_col = [], [], []
+        for url in urls:
+            fetched = self._fetch(url)
+            if fetched is None:
+                doc_ids.append(None)
+                dates.append(None)
+                links_col.append([])
+                continue
+            doc_id, html = fetched
+            tree = dom.parse_html(html)
+            links = []
+            for el in tree.iter_elements():
+                if el.tag == "a":
+                    href = el.attr("href")
+                    if href.startswith("http"):
+                        links.append(canonicalize(href))
+            result = from_document(tree, self.opts)
+            doc_ids.append(doc_id)
+            dates.append(result.format() or None)
+            links_col.append(links)
+        out = batch.select(["url", "host", "depth", "discovered_wave", "fetch_rank"])
+        out = out.append_column("doc_id", pa.array(doc_ids, pa.int64()))
+        out = out.append_column("date_str", pa.array(dates, pa.string()))
+        out = out.append_column("links", pa.array(links_col, pa.list_(pa.string())))
+        return out
+
+
+def doc_id_of_url(url: str) -> Optional[int]:
+    tail = url.rsplit("/", 1)[-1]
+    for prefix in ("post-", ""):
+        if tail.startswith(prefix) and tail.endswith(".html"):
+            body = tail[len(prefix) : -5]
+            if body.isdigit():
+                return int(body)
+    return None
+
+
+def default_seeds(n: int = 10) -> list[str]:
+    return [page_url(i) for i in range(n)]
+
+
+def _dedup_first(group: pa.Table) -> pa.Table:
+    order = pa.compute.sort_indices(
+        group, sort_keys=[("depth", "ascending"), ("discovered_wave", "ascending"), ("url", "ascending")]
+    )
+    return group.take(order[:1])
+
+
+def _politeness_rank(group: pa.Table, budget: int) -> pa.Table:
+    order = pa.compute.sort_indices(
+        group, sort_keys=[("depth", "ascending"), ("url", "ascending")]
+    )
+    g = group.take(order)
+    n = g.num_rows
+    ranks = list(range(n))
+    defer = [r >= budget for r in ranks]
+    g = g.append_column("fetch_rank", pa.array(ranks, pa.int64()))
+    return g.append_column("deferred", pa.array(defer, pa.bool_()))
+
+
+def crawl(
+    sf_dir: str,
+    seeds: Optional[list[str]] = None,
+    *,
+    max_waves: int = 64,
+    politeness_budget: int = 4,
+    n_shards: int = 8,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    namespace: str = "crawl",
+    fetch_concurrency=(1, 8),
+    small_wave_threshold: int = 100_000,
+):
+    """Run the crawl; returns (visited Dataset, stats dict).
+
+    The visited log has one row per fetched page with its wave, per-host
+    fetch rank, extracted date and discovered link count — (wave, host,
+    fetch_rank) is the total crawl order.
+    """
+    import ray
+    import ray.data
+
+    from ..state.robots import RobotsCache
+    from ..state.seen_filter import SeenSet
+
+    if seeds is None:
+        seeds = default_seeds()
+
+    own_ckpt = checkpoint_dir is None
+    if own_ckpt:
+        import tempfile
+
+        checkpoint_dir = tempfile.mkdtemp(prefix="crawl-ckpt-")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    seen = SeenSet(n_shards=n_shards, namespace=namespace)
+    robots = RobotsCache.options(name=f"{namespace}-robots", get_if_exists=True).remote()
+
+    start_wave = 0
+    manifest_path = os.path.join(checkpoint_dir, "manifest.json")
+    if resume and os.path.exists(manifest_path):
+        manifest = json.loads(open(manifest_path).read())
+        start_wave = manifest["next_wave"]
+        seen.load(
+            json.loads(open(os.path.join(checkpoint_dir, "seen.json")).read())
+        )
+        ray.get(
+            robots.load.remote(
+                {
+                    h: [tuple(r) for r in rules]
+                    for h, rules in json.loads(
+                        open(os.path.join(checkpoint_dir, "robots.json")).read()
+                    ).items()
+                }
+            )
+        )
+    else:
+        pq.write_table(
+            _frontier_table(seeds, 0, 0),
+            os.path.join(checkpoint_dir, "frontier_0.parquet"),
+        )
+
+    shard_handles = seen.shards
+    n_sh = seen.n_shards
+
+    def check_new(batch: pa.Table) -> pa.Table:
+        hashes = batch.column("url_hash").to_pylist()
+        by_shard: dict[int, list[int]] = {}
+        pos: dict[int, list[int]] = {}
+        for i, h in enumerate(hashes):
+            s = h % n_sh
+            by_shard.setdefault(s, []).append(h)
+            pos.setdefault(s, []).append(i)
+        flags = [False] * len(hashes)
+        futs = {s: shard_handles[s].check_and_add.remote(hs) for s, hs in by_shard.items()}
+        for s, f in futs.items():
+            for i, is_new in zip(pos[s], ray.get(f)):
+                flags[i] = is_new
+        return batch.append_column("is_new", pa.array(flags, pa.bool_()))
+
+    stats = {"waves": 0, "fetched": 0, "robots_denied": 0, "dedup_dropped": 0}
+    lineage: list[dict] = []
+
+    _EMPTY_VISITED = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "host": pa.array([], pa.string()),
+            "depth": pa.array([], pa.int64()),
+            "discovered_wave": pa.array([], pa.int64()),
+            "fetch_rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "date_str": pa.array([], pa.string()),
+            "links": pa.array([], pa.list_(pa.string())),
+        }
+    )
+
+    fetch_pool: list = []
+
+    def local_fetch(tbl: pa.Table) -> pa.Table:
+        """Small-wave fetch through a persistent actor pool (created once,
+        reused across waves — actor startup amortised)."""
+        if tbl.num_rows == 0:
+            return _EMPTY_VISITED
+        if not fetch_pool:
+            remote_cls = ray.remote(num_cpus=1)(CrawlFetcher)
+            n_actors = (
+                fetch_concurrency[1]
+                if isinstance(fetch_concurrency, tuple)
+                else fetch_concurrency
+            )
+            fetch_pool.extend(remote_cls.remote(sf_dir) for _ in range(n_actors))
+        futs = [
+            fetch_pool[(i // 64) % len(fetch_pool)].__call__.remote(tbl.slice(i, 64))
+            for i in range(0, tbl.num_rows, 64)
+        ]
+        return pa.concat_tables(ray.get(futs))
+
+    def run_wave_local(t: pa.Table) -> tuple[pa.Table, list[pa.Table]]:
+        """Driver-side wave ops for small frontiers: the same dedup → seen →
+        robots → politeness semantics, pure pyarrow, no cluster shuffles."""
+        idx = pa.compute.sort_indices(
+            t,
+            sort_keys=[
+                ("url_hash", "ascending"),
+                ("depth", "ascending"),
+                ("discovered_wave", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        hashes = t.column("url_hash").to_pylist()
+        keep = [i for i, h in enumerate(hashes) if i == 0 or h != hashes[i - 1]]
+        stats["dedup_dropped"] += t.num_rows - len(keep)
+        t = t.take(pa.array(keep, pa.int64()))
+
+        flags = seen.check_and_add(t.column("url_hash").to_pylist())
+        t = t.filter(pa.array(flags, pa.bool_()))
+
+        hosts = t.column("host").to_pylist()
+        rules = ray.get(robots.get_rules.remote(sorted(set(hosts))))
+        keep_r = []
+        for url, host in zip(t.column("url").to_pylist(), hosts):
+            path = url.split(host, 1)[-1] if host else "/"
+            keep_r.append(allowed(path, rules.get(host, [])))
+        stats["robots_denied"] += keep_r.count(False)
+        t = t.filter(pa.array(keep_r, pa.bool_()))
+
+        idx = pa.compute.sort_indices(
+            t,
+            sort_keys=[
+                ("host", "ascending"),
+                ("depth", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        hosts = t.column("host").to_pylist()
+        ranks, defer = [], []
+        prev, r = None, 0
+        for h in hosts:
+            r = r + 1 if h == prev else 0
+            prev = h
+            ranks.append(r)
+            defer.append(r >= politeness_budget)
+        t = t.append_column("fetch_rank", pa.array(ranks, pa.int64()))
+        defer_arr = pa.array(defer, pa.bool_())
+        fetch_now = t.filter(pa.compute.invert(defer_arr))
+        deferred_tbl = t.filter(defer_arr).drop_columns(["fetch_rank"])
+        return local_fetch(fetch_now), [deferred_tbl.select(FRONTIER_SCHEMA.names)]
+
+    def run_wave_dataset(frontier_path: str) -> tuple[pa.Table, list[pa.Table]]:
+        """Full Ray-Data wave: shuffles on url_hash (dedup) and host
+        (politeness), actor-pool fetch — the 10^10-frontier path."""
+        frontier = ray.data.read_parquet(frontier_path)
+        deduped = frontier.groupby("url_hash").map_groups(
+            _dedup_first, batch_format="pyarrow"
+        )
+        fresh = deduped.map_batches(check_new, batch_format="pyarrow").filter(
+            lambda r: r["is_new"]
+        )
+        fresh_parts = [
+            p
+            for p in (ray.get(r) for r in fresh.to_arrow_refs())
+            if p.num_rows and "host" in p.column_names
+        ]
+        wave_hosts = set()
+        for part in fresh_parts:
+            wave_hosts.update(part.column("host").to_pylist())
+        rules = ray.get(robots.get_rules.remote(sorted(wave_hosts)))
+        rules_ref = ray.put(rules)
+
+        def robots_filter(batch: pa.Table) -> pa.Table:
+            table = ray.get(rules_ref)
+            keep = []
+            for url, host in zip(
+                batch.column("url").to_pylist(), batch.column("host").to_pylist()
+            ):
+                path = url.split(host, 1)[-1] if host else "/"
+                keep.append(allowed(path, table.get(host, [])))
+            return batch.filter(pa.array(keep, pa.bool_()))
+
+        candidates = ray.data.from_arrow(
+            pa.concat_tables([p.drop_columns(["is_new"]) for p in fresh_parts])
+            if fresh_parts
+            else pa.table({f.name: pa.array([], f.type) for f in FRONTIER_SCHEMA})
+        ).map_batches(robots_filter, batch_format="pyarrow")
+
+        ranked = candidates.groupby("host").map_groups(
+            lambda g: _politeness_rank(g, politeness_budget), batch_format="pyarrow"
+        )
+        fetch_now = ranked.filter(lambda r: not r["deferred"]).drop_columns(
+            ["deferred"]
+        )
+        deferred = ranked.filter(lambda r: r["deferred"]).drop_columns(
+            ["deferred", "fetch_rank"]
+        )
+        fetched = fetch_now.map_batches(
+            CrawlFetcher,
+            fn_constructor_kwargs={"sf_dir": sf_dir},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=fetch_concurrency,
+            num_cpus=1,
+        )
+        fetched_parts = [
+            p
+            for p in (ray.get(r) for r in fetched.to_arrow_refs())
+            if p.num_rows and "links" in p.column_names
+        ]
+        visited = pa.concat_tables(fetched_parts) if fetched_parts else _EMPTY_VISITED
+        deferred_parts = [
+            p.select(FRONTIER_SCHEMA.names)
+            for p in (ray.get(r) for r in deferred.to_arrow_refs())
+            if p.num_rows and "host" in p.column_names
+        ]
+        return visited, deferred_parts
+
+    for wave in range(start_wave, max_waves):
+        frontier_path = os.path.join(checkpoint_dir, f"frontier_{wave}.parquet")
+        n_frontier = pq.ParquetFile(frontier_path).metadata.num_rows
+        if n_frontier == 0:
+            break
+        if n_frontier <= small_wave_threshold:
+            visited_tbl, deferred_parts = run_wave_local(pq.read_table(frontier_path))
+        else:
+            visited_tbl, deferred_parts = run_wave_dataset(frontier_path)
+        visited_tbl = visited_tbl.append_column(
+            "wave", pa.array([wave] * visited_tbl.num_rows, pa.int64())
+        )
+        pq.write_table(
+            visited_tbl.drop_columns(["links"]),
+            os.path.join(checkpoint_dir, f"visited_{wave}.parquet"),
+        )
+
+        # Next frontier: deferred ∪ discovered links
+        links: list[str] = []
+        for chunk in visited_tbl.column("links").to_pylist():
+            links.extend(chunk)
+        link_tbl = _frontier_table(links, None, wave + 1) if links else None
+        if link_tbl is not None:
+            depths = pa.array([1] * link_tbl.num_rows, pa.int64())
+            # depth of a discovered link = parent depth + 1; parents are in
+            # visited order so expand per-row
+            parent_depths = []
+            for d, chunk in zip(
+                visited_tbl.column("depth").to_pylist(),
+                visited_tbl.column("links").to_pylist(),
+            ):
+                parent_depths.extend([d + 1] * len(chunk))
+            link_tbl = link_tbl.set_column(
+                link_tbl.schema.get_field_index("depth"),
+                "depth",
+                pa.array(parent_depths, pa.int64()),
+            )
+        next_parts = [p for p in deferred_parts if p.num_rows] + (
+            [link_tbl] if link_tbl is not None else []
+        )
+        next_frontier = (
+            pa.concat_tables([p.select(FRONTIER_SCHEMA.names) for p in next_parts])
+            if next_parts
+            else pa.table({f.name: pa.array([], f.type) for f in FRONTIER_SCHEMA})
+        )
+        pq.write_table(
+            next_frontier, os.path.join(checkpoint_dir, f"frontier_{wave + 1}.parquet")
+        )
+
+        # Checkpoint: seen dumps + robots + manifest (atomic rename)
+        open(os.path.join(checkpoint_dir, "seen.json"), "w").write(
+            json.dumps(seen.dump())
+        )
+        open(os.path.join(checkpoint_dir, "robots.json"), "w").write(
+            json.dumps(ray.get(robots.all_rules.remote()))
+        )
+        lineage.append(
+            {
+                "wave": wave,
+                "frontier_rows": pq.ParquetFile(frontier_path).metadata.num_rows,
+                "fetched": visited_tbl.num_rows,
+                "next_frontier_rows": next_frontier.num_rows,
+            }
+        )
+        tmp = manifest_path + ".tmp"
+        open(tmp, "w").write(json.dumps({"next_wave": wave + 1, "lineage": lineage}))
+        os.replace(tmp, manifest_path)
+
+        stats["waves"] += 1
+        stats["fetched"] += visited_tbl.num_rows
+
+    for actor in fetch_pool:  # release the pool's CPU reservations
+        ray.kill(actor)
+    fetch_pool.clear()
+
+    import glob
+
+    visited_files = sorted(glob.glob(os.path.join(checkpoint_dir, "visited_*.parquet")))
+    if visited_files:
+        visited = ray.data.read_parquet(visited_files)
+    else:
+        visited = ray.data.from_arrow(
+            pa.table({"url": pa.array([], pa.string())})
+        )
+    stats["seen_total"] = seen.total()
+    stats["checkpoint_dir"] = checkpoint_dir
+    return visited, stats
+
+
+def crawl_reachable(sf_dir: str, namespace: str = "crawlq"):
+    """Oracle-checkable crawl: converged visited set → (doc_id, url).
+
+    With enough waves the visited set equals the robots-respecting
+    reachable set of the deterministic link graph — independently
+    recomputable in SQL with a recursive CTE (see __ray_entry__)."""
+    import uuid
+
+    visited, stats = crawl(
+        sf_dir,
+        namespace=f"{namespace}-{uuid.uuid4().hex[:8]}",
+        politeness_budget=1000,
+        max_waves=64,
+    )
+    # Materialise the (small) result before dropping its backing checkpoint.
+    out = visited.select_columns(["doc_id", "url"]).materialize()
+    shutil.rmtree(stats["checkpoint_dir"], ignore_errors=True)
+    return out

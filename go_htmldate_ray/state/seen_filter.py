@@ -1,0 +1,94 @@
+"""Sharded URL-seen set: the crawl's incremental membership state.
+
+A pool of ``SeenShard`` actors, each owning the keys with
+``url_hash % n_shards == shard_id``.  Candidate batches are hash-
+partitioned driver-side (one round-trip per shard per wave, not per
+URL).  Each shard fronts its exact set with a cuckoo filter: the filter
+answers the common "definitely new" case from ~1 byte/key; the exact set
+arbitrates positives, so membership semantics are exact and independent
+of shard count (SURVEY.md §2.6/§7).
+
+Checkpoint: ``dump()`` returns the sorted key list per shard; ``load()``
+restores it — written per wave next to the frontier snapshot.
+"""
+
+from __future__ import annotations
+
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+@ray.remote
+class SeenShard:
+    def __init__(self, shard_id: int, filter_capacity: int = 1 << 18):
+        self.shard_id = shard_id
+        self.exact: set[int] = set()
+        self.filter = CuckooFilter(capacity=filter_capacity)
+
+    def check_and_add(self, hashes: list[int]) -> list[bool]:
+        """For each hash: True if newly added (not seen before)."""
+        out = []
+        for h in hashes:
+            if self.filter.might_contain(h) and h in self.exact:
+                out.append(False)
+            else:
+                self.exact.add(h)
+                self.filter.add(h)
+                out.append(True)
+        return out
+
+    def contains(self, hashes: list[int]) -> list[bool]:
+        return [h in self.exact for h in hashes]
+
+    def dump(self) -> list[int]:
+        return sorted(self.exact)
+
+    def load(self, keys: list[int]) -> int:
+        for h in keys:
+            if h not in self.exact:
+                self.exact.add(h)
+                self.filter.add(h)
+        return len(self.exact)
+
+    def size(self) -> int:
+        return len(self.exact)
+
+
+class SeenSet:
+    """Driver-side handle over the shard pool."""
+
+    def __init__(self, n_shards: int = 8, namespace: str = "seen"):
+        self.n_shards = n_shards
+        self.shards = [
+            SeenShard.options(name=f"{namespace}-{i}", get_if_exists=True).remote(i)
+            for i in range(n_shards)
+        ]
+
+    def check_and_add(self, hashes: list[int]) -> list[bool]:
+        """Batch membership-test-and-insert, preserving input order."""
+        by_shard: dict[int, list[int]] = {}
+        positions: dict[int, list[int]] = {}
+        for pos, h in enumerate(hashes):
+            s = h % self.n_shards
+            by_shard.setdefault(s, []).append(h)
+            positions.setdefault(s, []).append(pos)
+        futures = {
+            s: self.shards[s].check_and_add.remote(hs) for s, hs in by_shard.items()
+        }
+        out = [False] * len(hashes)
+        for s, fut in futures.items():
+            for pos, is_new in zip(positions[s], ray.get(fut)):
+                out[pos] = is_new
+        return out
+
+    def dump(self) -> list[list[int]]:
+        return ray.get([s.dump.remote() for s in self.shards])
+
+    def load(self, dumps: list[list[int]]) -> None:
+        ray.get(
+            [s.load.remote(keys) for s, keys in zip(self.shards, dumps)]
+        )
+
+    def total(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))

@@ -1,0 +1,62 @@
+"""URL canonicalization + hashing for the frontier.
+
+Canonical form: lowercase scheme/host, default ports stripped, fragment
+removed, empty path → "/", dot-segments resolved.  The frontier's
+identity key is ``sha1(canonical_url)`` truncated to a signed 63-bit int —
+membership is therefore independent of shard count or wave order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urlsplit, urlunsplit
+
+
+def canonicalize(url: str) -> str:
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return url.strip()
+    scheme = parts.scheme.lower()
+    host = parts.hostname or ""
+    port = None
+    try:
+        port = parts.port
+    except ValueError:
+        pass
+    if port and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        netloc = f"{host}:{port}"
+    else:
+        netloc = host
+    path = _resolve_dots(parts.path) or "/"
+    return urlunsplit((scheme, netloc, path, parts.query, ""))
+
+
+def _resolve_dots(path: str) -> str:
+    if "." not in path:
+        return path
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1]:
+                out.pop()
+            continue
+        out.append(seg)
+    return "/".join(out)
+
+
+def url_hash(canonical: str) -> int:
+    return int.from_bytes(
+        hashlib.sha1(canonical.encode("utf-8")).digest()[:8], "big"
+    ) >> 1
+
+
+def host_of(canonical: str) -> str:
+    try:
+        return urlsplit(canonical).hostname or ""
+    except ValueError:
+        return ""

@@ -1,0 +1,108 @@
+"""Frontier crawl scheduler tests: determinism, politeness, robots,
+seen-set exactness, checkpoint/resume equivalence (north-rule criteria)."""
+
+import uuid
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _ns():
+    return f"test-{uuid.uuid4().hex[:8]}"
+
+
+def _run(tmp_path=None, **kw):
+    from go_htmldate_ray.pipelines.crawl import crawl
+
+    kw.setdefault("namespace", _ns())
+    kw.setdefault("max_waves", 40)
+    visited, stats = crawl(SF, **kw)
+    rows = visited.take_all()
+    rows.sort(key=lambda r: (r["wave"], r["host"], r["fetch_rank"]))
+    return rows, stats
+
+
+def test_crawl_deterministic_ordering():
+    rows1, _ = _run()
+    rows2, _ = _run()
+    assert [
+        (r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in rows1
+    ] == [(r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in rows2]
+
+
+def test_no_url_visited_twice():
+    rows, stats = _run()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls))
+    assert stats["seen_total"] >= len(urls)
+
+
+def test_politeness_budget_respected():
+    budget = 2
+    rows, _ = _run(politeness_budget=budget)
+    from collections import Counter
+
+    per_wave_host = Counter((r["wave"], r["host"]) for r in rows)
+    assert max(per_wave_host.values()) <= budget
+
+
+def test_robots_disallowed_never_fetched():
+    rows, stats = _run()
+    for r in rows:
+        host_idx = int(r["host"].split(".")[0].removeprefix("site"))
+        if host_idx % 13 == 0:
+            assert "/article/" not in r["url"], r
+    assert stats["robots_denied"] > 0
+
+
+def test_dates_extracted_during_crawl():
+    rows, _ = _run(max_waves=3)
+    from go_htmldate_ray.sources.pages import page_date
+
+    assert rows
+    for r in rows:
+        assert r["date_str"] == page_date(r["doc_id"]).isoformat()
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    from go_htmldate_ray.pipelines.crawl import crawl
+
+    # Uninterrupted reference run
+    full_rows, full_stats = _run()
+
+    # Interrupted run: stop after 3 waves, then resume from checkpoint
+    ckpt = str(tmp_path / "ckpt")
+    ns = _ns()
+    crawl(SF, namespace=ns, max_waves=3, checkpoint_dir=ckpt)
+    visited, stats = crawl(
+        SF, namespace=ns, max_waves=40, checkpoint_dir=ckpt, resume=True
+    )
+    rows = visited.take_all()
+    rows.sort(key=lambda r: (r["wave"], r["host"], r["fetch_rank"]))
+
+    assert [
+        (r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in rows
+    ] == [(r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in full_rows]
+    assert stats["seen_total"] == full_stats["seen_total"]
+
+
+def test_resume_across_actor_loss(tmp_path):
+    """Resume must rebuild seen/robots state from the checkpoint files even
+    when the actors are gone (fresh namespace = simulated restart)."""
+    from go_htmldate_ray.pipelines.crawl import crawl
+
+    full_rows, _ = _run()
+
+    ckpt = str(tmp_path / "ckpt2")
+    crawl(SF, namespace=_ns(), max_waves=3, checkpoint_dir=ckpt)
+    visited, _ = crawl(
+        SF, namespace=_ns(), max_waves=40, checkpoint_dir=ckpt, resume=True
+    )
+    rows = visited.take_all()
+    assert sorted(r["url"] for r in rows) == sorted(r["url"] for r in full_rows)
