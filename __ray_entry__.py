@@ -111,7 +111,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN doc_id % 4 = 2
                         THEN strftime({_DATE_SQL}, '%Y-%m-%d')
-                        ELSE NULL END AS url_date
+                        ELSE '' END AS url_date
             FROM documents""",
         "host_page_counts": """
             SELECT 'site' || (doc_id % 97) || '.example.org' AS host,

@@ -1,0 +1,99 @@
+"""CLI entry point (mirrors the reference's cmd surface, SURVEY.md §2.9).
+
+Usage:
+    python -m go_htmldate_ray extract FILE [--original] [--fast] [--time]
+    python -m go_htmldate_ray pipeline SF_DIR OUT_DIR [--extensive]
+    python -m go_htmldate_ray crawl SF_DIR [--budget N] [--max-waves N]
+                                    [--checkpoint DIR] [--resume]
+
+``extract`` runs the per-document extractor on a local HTML file and
+prints the date (cmd/go-htmldate/main.go:82-138 equivalent).
+``pipeline`` runs the flagship Ray pipeline over an sf dir and writes
+resumable partitioned parquet.  ``crawl`` runs the frontier scheduler.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="go_htmldate_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_extract = sub.add_parser("extract", help="extract date from one HTML file")
+    p_extract.add_argument("file")
+    p_extract.add_argument("--original", action="store_true", help="prefer original (publication) date")
+    p_extract.add_argument("--fast", action="store_true", help="skip extensive search")
+    p_extract.add_argument("--time", action="store_true", help="extract time of day too")
+    p_extract.add_argument("--url", default="", help="URL hint for the document")
+
+    p_pipe = sub.add_parser("pipeline", help="run the flagship extraction pipeline")
+    p_pipe.add_argument("sf_dir")
+    p_pipe.add_argument("out_dir")
+    p_pipe.add_argument("--extensive", action="store_true")
+    p_pipe.add_argument("--no-resume", action="store_true")
+
+    p_crawl = sub.add_parser("crawl", help="run the frontier crawl scheduler")
+    p_crawl.add_argument("sf_dir")
+    p_crawl.add_argument("--budget", type=int, default=4)
+    p_crawl.add_argument("--max-waves", type=int, default=64)
+    p_crawl.add_argument("--checkpoint", default=None)
+    p_crawl.add_argument("--resume", action="store_true")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "extract":
+        from . import Options, from_html
+
+        raw = open(args.file, "rb").read()
+        res = from_html(
+            raw,
+            Options(
+                use_original_date=args.original,
+                skip_extensive_search=args.fast,
+                extract_time=args.time,
+                url=args.url,
+            ),
+        )
+        if res.date_time is None:
+            print("no date found", file=sys.stderr)
+            return 1
+        print(res.date_time.isoformat() if args.time else res.format())
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, log_to_driver=False)
+
+    if args.cmd == "pipeline":
+        from .pipelines.extract_dates import extract_dates
+        from .sources.sink import write_partitioned
+
+        ds = extract_dates(args.sf_dir, skip_extensive_search=not args.extensive)
+        report = write_partitioned(ds, args.out_dir, resume=not args.no_resume)
+        print(json.dumps(report))
+        return 0
+
+    if args.cmd == "crawl":
+        from .pipelines.crawl import crawl
+
+        visited, stats = crawl(
+            args.sf_dir,
+            politeness_budget=args.budget,
+            max_waves=args.max_waves,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+        stats["visited"] = visited.count()
+        print(json.dumps(stats))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

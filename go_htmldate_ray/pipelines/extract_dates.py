@@ -54,6 +54,9 @@ def url_dates(sf_dir: str):
         d = pc.struct_field(m, "d")
         pad2 = lambda a: pc.utf8_lpad(a, 2, "0")
         date = pc.binary_join_element_wise(y, pad2(mo), pad2(d), "-")
+        # '' instead of null for no-date rows: null representations differ
+        # across engines and would break the order-insensitive value hash.
+        date = pc.fill_null(date, "")
         return pa.table({"doc_id": batch.column("doc_id"), "url_date": date})
 
     return pages.map_batches(extract, batch_format="pyarrow")

@@ -1,0 +1,256 @@
+"""Cascade-internals unit tests ported from the reference's Go tables
+(core_test.go: Test_findTime, Test_findDate, Test_compareReference,
+Test_selectCandidate, Test_searchPage, Test_searchPattern, plus the
+ExtractTime integration block)."""
+
+import re
+
+import pytest
+
+from go_htmldate_ray import Options, from_html
+from go_htmldate_ray.extract import (
+    YearCandidate,
+    find_date,
+    search_page,
+    search_pattern,
+    select_candidate,
+)
+from go_htmldate_ray.functions.kernels import compare_reference, find_time
+from go_htmldate_ray import dom
+
+
+def _opts(**kw):
+    return Options(**kw).with_defaults()
+
+
+# --- findTime (core_test.go:714-782) ----------------------------------------
+
+FIND_TIME_CASES = [
+    ("12:00:00 +0000", "12:00", False),
+    ("12:00:10 +0000", "12:00:10", False),
+    ("12:00:10 +0000", "12:00:10.372", False),
+    ("10:21:00 +0000", "10:21Z", True),
+    ("10:21:40 +0000", "10:21:40Z", True),
+    ("10:21:40 +0000", "10:21:40.462Z", True),
+    ("16:14:00 +0200", "16:14+02:00", True),
+    ("16:14:51 +0200", "16:14:51+02:00", True),
+    ("16:14:51 +0200", "16:14:51.075+02:00", True),
+    ("16:14:51 +0200", "16:14:51.075+0200", True),
+    ("16:14:51 +0200", "16:14:51.075+02", True),
+    ("07:08:00 +0000", "7:8", False),
+    ("07:08:09 +0000", "7:8:9", False),
+    ("07:08:00 +0000", "7:8 am", False),
+    ("19:08:00 +0000", "7:8 pm", False),
+    ("19:08:09 +0000", "7:8:9 pm", False),
+    ("07:08:00 +0000", "7:8 a.m.", False),
+    ("19:08:00 +0000", "7:8 p.m.", False),
+    ("07:08:00 +0000", "07:08", False),
+    ("07:08:09 +0000", "07:08:09", False),
+    ("19:08:00 +0000", "07:08 pm", False),
+    ("19:08:09 +0000", "07:08:09 p.m.", False),
+    ("07:08:00 +0100", "07:08 a.m. +0100", True),
+    ("07:08:09 +0100", "07:08:09 a.m. +0100", True),
+    ("19:08:00 +0100", "07:08 p.m. +0100", True),
+    ("19:08:09 +0100", "07:08:09 p.m. +0100", True),
+    ("07:08:00 +0100", "07h08 a.m. +0100", True),
+    ("19:08:00 +0100", "07h08 p.m. +0100", True),
+]
+
+
+@pytest.mark.parametrize("expected,s,tz_exists", FIND_TIME_CASES)
+def test_find_time(expected, s, tz_exists):
+    h, m, sec, tz, found = find_time(s)
+    output = ""
+    if found:
+        offset = int(tz.utcoffset(None).total_seconds()) if tz else 0
+        sign = "+" if offset >= 0 else "-"
+        off = abs(offset)
+        output = f"{h:02d}:{m:02d}:{sec:02d} {sign}{off // 3600:02d}{(off % 3600) // 60:02d}"
+    assert output == expected, s
+    assert (tz is not None) == tz_exists, s
+
+
+# --- findDate URL precedence (core_test.go:784-810) --------------------------
+
+def test_find_date_defer_url():
+    html = """
+    <html>
+        <head><meta property="og:published_time" content="2017-09-01"/></head>
+        <body></body>
+    </html>"""
+    url = "https://example.org/2017/08/30/this.html"
+    doc1 = dom.parse_html(html)
+    _, dt = find_date(doc1, _opts(url=url, defer_url_extractor=True))
+    assert dt.strftime("%Y-%m-%d") == "2017-09-01"
+    doc2 = dom.parse_html(html)
+    _, dt = find_date(doc2, _opts(url=url, defer_url_extractor=False))
+    assert dt.strftime("%Y-%m-%d") == "2017-08-30"
+
+
+# --- compareReference (core_test.go:812-829) ---------------------------------
+
+def test_compare_reference():
+    opts = _opts()
+    _, res = compare_reference("", 0, "AAAA", opts)
+    assert res == 0
+    _, res = compare_reference("", 1517500000, "2018-33-01", opts)
+    assert res == 1517500000
+    _, res = compare_reference("", 0, "2018-02-01", opts)
+    assert 1517400000 < res < 1517500000
+    _, res = compare_reference("", 1517500000, "2018-02-01", opts)
+    assert res == 1517500000
+
+
+# --- selectCandidate (core_test.go:831-876) ----------------------------------
+
+def _candidates(*items):
+    counts: dict[str, int] = {}
+    order = []
+    for item in items:
+        if item not in counts:
+            order.append(item)
+            counts[item] = 0
+        counts[item] += 1
+    return [YearCandidate(p, counts[p], "") for p in order]
+
+
+RX_YEAR4 = re.compile(r"^([0-9]{4})")
+RX_CATCH = re.compile(r"([0-9]{4})-([0-9]{2})-([0-9]{2})")
+
+
+def test_select_candidate():
+    opts = _opts()
+
+    cands = _candidates("20208956", "20208956", "20208956", "19018956",
+                        "209561", "22020895607-12", "2-28")
+    _, result = select_candidate(cands, RX_CATCH, RX_YEAR4, opts)
+    assert not result
+
+    cands = _candidates("2016-12-23", "2016-12-23", "2016-12-23", "2016-12-23",
+                        "2017-08-11", "2016-07-12", "2017-11-28")
+    _, result = select_candidate(cands, RX_CATCH, RX_YEAR4, opts)
+    assert result[0] == "2017-11-28"
+
+    opts_orig = _opts(use_original_date=True)
+    _, result = select_candidate(cands, RX_CATCH, RX_YEAR4, opts_orig)
+    assert result[0] == "2016-07-12"
+
+    cands = _candidates("2116-12-23", "2116-12-23", "2116-12-23",
+                        "2017-08-11", "2017-08-11")
+    _, result = select_candidate(cands, RX_CATCH, RX_YEAR4, opts_orig)
+    assert result[0] == "2017-08-11"
+    _, result = select_candidate(cands, RX_CATCH, RX_YEAR4, opts)
+    assert result[0] == "2017-08-11"
+
+    cands = _candidates("2016-12-23", "2016-12-23", "2017-08-11",
+                        "2017-08-11", "2017-08-11")
+    _, result = select_candidate(cands, RX_CATCH, RX_YEAR4, opts)
+    assert result[0] == "2016-12-23"
+
+
+# --- searchPage (core_test.go:878-966) ---------------------------------------
+
+def _search(html_string, **kw):
+    _, dt = search_page(html_string, _opts(**kw))
+    return dt.strftime("%Y-%m-%d") if dt else ""
+
+
+SEARCH_PAGE_CASES = [
+    ("<html><body><p>The date is 5/2010</p></body></html>", "2010-05-01", {}),
+    ("<html><body><p>The date is 5.5.2010</p></body></html>", "2010-05-05", {}),
+    ("<html><body><p>The date is 11/10/99</p></body></html>", "1999-10-11", {}),
+    ("<html><body><p>The date is 3/3/11</p></body></html>", "2011-03-03", {}),
+    ("<html><body><p>The date is 06.12.06</p></body></html>", "2006-12-06", {}),
+    ("<html><body><p>The timestamp is 20140915D15:23H</p></body></html>", "2014-09-15", {}),
+    ("<html><body><p>It could be 2015-04-30 or 2003-11-24.</p></body></html>", "2015-04-30", {}),
+    ("<html><body><p>It could be 2015-04-30 or 2003-11-24.</p></body></html>", "2003-11-24",
+     {"use_original_date": True}),
+    ("<html><body><p>It could be 03/03/2077 or 03/03/2013.</p></body></html>", "2013-03-03", {}),
+    ("<html><body><p>It could not be 03/03/2077 or 03/03/1988.</p></body></html>", "", {}),
+    ("<html><body><p>© The Web Association 2013.</p></body></html>", "2013-01-01", {}),
+    ("<html><body><p>Next © Copyright 2018</p></body></html>", "2018-01-01", {}),
+    ("<html><body><p> © Company 2014-2019 </p></body></html>", "2019-01-01", {}),
+    ("<html><body><p> &copy; Copyright 1999-2020 Asia Pacific Star. All rights reserved.</p></body></html>",
+     "2020-01-01", {}),
+    ('<html><head><link xmlns="http://www.w3.org/1999/xhtml"/></head></html>', "", {}),
+    ('<html><body><link href="//homepagedesigner.telekom.de/.cm4all/res/static/beng-editor/5.1.98/css/deploy.css"/></body></html>', "", {}),
+]
+
+
+@pytest.mark.parametrize("html,expected,kw", SEARCH_PAGE_CASES)
+def test_search_page(html, expected, kw):
+    assert _search(html, **kw) == expected
+
+
+def test_search_page_mock_file():
+    raw = open("/root/reference/test-files/mock/heimicke.de.zahlen.html", "rb").read()
+    from go_htmldate_ray.dom import _decode
+
+    assert _search(_decode(raw)) == "2019-04-06"
+
+
+# --- searchPattern (core_test.go:968-1017) -----------------------------------
+
+def test_search_pattern_yyyy_mm():
+    # test-only pattern: \D([0-9]{4}[/.-][0-9]{2})\D
+    finder = re.compile(r"\D([0-9]{4}[/.-][0-9]{2})(?:\D|$)")
+    catch = re.compile(r"([0-9]{4})[/.-]([0-9]{2})")
+    year = re.compile(r"^([12][0-9]{3})")
+    opts = _opts()
+
+    _, res = search_pattern("It happened on the 202.E.19, the day when it all began.", finder, catch, year, opts)
+    assert not res
+    _, res = search_pattern("The date is 2002.02.15.", finder, catch, year, opts)
+    assert res and res[0] == "2002.02"
+    _, res = search_pattern("http://www.url.net/index.html", finder, catch, year, opts)
+    assert not res
+    _, res = search_pattern("http://www.url.net/2016/01/index.html", finder, catch, year, opts)
+    assert res and res[0] == "2016/01"
+
+
+def test_search_pattern_mm_yyyy():
+    finder = re.compile(r"\D([0-9]{2}[/.-][0-9]{4})(?:\D|$)")
+    catch = re.compile(r"([0-9]{2})[/.-]([0-9]{4})")
+    year = re.compile(r"([12][0-9]{3})$")
+    opts = _opts()
+
+    _, res = search_pattern("It happened on the 202.E.19, the day when it all began.", finder, catch, year, opts)
+    assert not res
+    _, res = search_pattern("It happened on the 15.02.2002, the day when it all began.", finder, catch, year, opts)
+    assert res and res[0] == "02.2002"
+
+
+def test_search_pattern_yyyy_only():
+    finder = re.compile(r"\D(2[01][0-9]{2})(?:\D|$)")
+    catch = re.compile(r"(2[01][0-9]{2})")
+    year = re.compile(r"^(2[01][0-9]{2})")
+    opts = _opts()
+
+    _, res = search_pattern("It happened in the film 300.", finder, catch, year, opts)
+    assert not res
+    _, res = search_pattern("It happened in 2002.", finder, catch, year, opts)
+    assert res and res[0] == "2002"
+
+
+# --- ExtractTime integration (core_test.go:694-712) --------------------------
+
+FOOL_CA_HTML = """<!doctype html>
+<html lang="en-CA" class="no-js">
+<head>
+    <link rel="canonical" href="https://www.fool.ca/2022/10/20/3-stable-stocks-id-buy-if-the-market-tanks-further/" />
+    <meta property="article:published_time" content="2022-10-20T18:45:00+00:00" />
+    <meta property="article:modified_time" content="2022-10-20T18:35:08+00:00" />
+</head>
+<body class="post-template-default single single-post postid-1378278"> <span class="posted-on">Published <time class="entry-date published" datetime="2022-10-20T14:45:00-04:00">October 20, 2:45 pm EDT</time></span> </body>
+</html>"""
+
+
+def test_extract_time_integration():
+    res = from_html(
+        FOOL_CA_HTML,
+        Options(extract_time=True, use_original_date=True, defer_url_extractor=True),
+    )
+    assert res.date_time.strftime("%Y-%m-%d %H:%M") == "2022-10-20 18:45"
+
+    res = from_html(FOOL_CA_HTML, Options())
+    assert res.date_time.strftime("%Y-%m-%d %H:%M") == "2022-10-20 00:00"

@@ -106,3 +106,31 @@ def test_resume_across_actor_loss(tmp_path):
     )
     rows = visited.take_all()
     assert sorted(r["url"] for r in rows) == sorted(r["url"] for r in full_rows)
+
+
+def test_token_bucket_deterministic():
+    from go_htmldate_ray.state.politeness import TokenBucket
+
+    b = TokenBucket(rate=1.0, capacity=4.0, now=0.0)
+    assert b.grant(10, 0.0) == 4          # burst capacity
+    assert b.grant(1, 0.5) == 0           # refill 0.5 tokens: not enough
+    assert b.grant(1, 1.5) == 1           # 1.5 tokens accumulated
+    assert b.grant(10, 100.0) == 4        # capped at capacity
+
+
+def test_politeness_shard_actor(ray_session):
+    import ray
+
+    from go_htmldate_ray.state.politeness import PolitenessShard
+
+    shard = PolitenessShard.remote(default_rate=2.0, default_capacity=2.0)
+    got = ray.get(shard.grant.remote([("a.com", 5), ("b.com", 1)], now=0.0))
+    assert got == [2, 1]
+    got = ray.get(shard.grant.remote([("a.com", 5)], now=1.0))
+    assert got == [2]  # 2 tokens/s refill, capped at capacity
+    ray.get(shard.set_crawl_delay.remote("a.com", 10.0))
+    got = ray.get(shard.grant.remote([("a.com", 5)], now=2.0))
+    assert got == [2]  # fresh bucket at burst capacity
+    got = ray.get(shard.grant.remote([("a.com", 5)], now=3.0))
+    assert got == [0]  # 0.1 tokens/s: none accumulated in 1s
+    ray.kill(shard)

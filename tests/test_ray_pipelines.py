@@ -122,3 +122,23 @@ def test_multimodal_stub_plumbing():
                 }
             )
         )
+
+
+def test_partitioned_sink_resume(tmp_path):
+    import os
+
+    from go_htmldate_ray.pipelines.extract_dates import extract_dates
+    from go_htmldate_ray.sources.sink import read_partitioned, write_partitioned
+
+    out = str(tmp_path / "sink")
+    ds = extract_dates(SF, concurrency=2)
+    r1 = write_partitioned(ds, out, n_shards=8)
+    assert r1["rows_written"] == 500 and len(r1["shards_written"]) == 8
+
+    # Simulate a partial failure: two shards lose their success marker
+    os.remove(f"{out}/shard=3/_SUCCESS")
+    os.remove(f"{out}/shard=5/_SUCCESS")
+    r2 = write_partitioned(extract_dates(SF, concurrency=2), out, n_shards=8)
+    assert r2["shards_written"] == [3, 5]
+    assert r2["shards_skipped"] == [0, 1, 2, 4, 6, 7]
+    assert read_partitioned(out).count() == 500
