@@ -268,11 +268,15 @@ def crawl(
             return _EMPTY_VISITED
         if not fetch_pool:
             remote_cls = ray.remote(num_cpus=1)(CrawlFetcher)
-            n_actors = (
+            want = (
                 fetch_concurrency[1]
                 if isinstance(fetch_concurrency, tuple)
                 else fetch_concurrency
             )
+            # Never request more 1-CPU actors than the cluster can start:
+            # futures on unschedulable actors would block forever.
+            avail = int(ray.cluster_resources().get("CPU", 2))
+            n_actors = max(1, min(want, avail - 1))
             fetch_pool.extend(remote_cls.remote(sf_dir) for _ in range(n_actors))
         futs = [
             fetch_pool[(i // 64) % len(fetch_pool)].__call__.remote(tbl.slice(i, 64))
