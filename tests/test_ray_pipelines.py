@@ -24,9 +24,12 @@ def test_entry_smoke():
 def test_pages_deterministic():
     from go_htmldate_ray.sources.pages import read_pages
 
-    a = read_pages(SF).take_batch(20, batch_format="pyarrow")
-    b = read_pages(SF).take_batch(20, batch_format="pyarrow")
-    assert a.equals(b)
+    def snapshot():
+        rows = read_pages(SF).take_all()
+        rows.sort(key=lambda r: r["doc_id"])  # block arrival order varies
+        return [(r["doc_id"], r["url"], r["html"], r["warc_ts"]) for r in rows]
+
+    assert snapshot() == snapshot()
 
 
 def test_extract_matches_embedded_date():
