@@ -169,6 +169,28 @@ def bench_golden_corpus():
     return dt, n, _steady_state_rate(marks, n)
 
 
+def bench_crawl():
+    """Full crawl (fetch + extract + link discovery + seen-set + politeness)
+    over the sf dir's synthetic web — the north-star URLs-crawled/s number."""
+    import shutil
+    import uuid
+
+    from go_htmldate_ray.pipelines.crawl import crawl
+
+    t0 = time.perf_counter()
+    visited, stats = crawl(
+        SF_DIR,
+        namespace=f"bench-{uuid.uuid4().hex[:8]}",
+        politeness_budget=1000,
+        max_waves=64,
+        fetch_concurrency=(1, NUM_CPUS - 2),
+    )
+    n = stats["fetched"]
+    dt = time.perf_counter() - t0
+    shutil.rmtree(stats["checkpoint_dir"], ignore_errors=True)
+    return dt, n
+
+
 def bench_query(fn) -> float:
     t0 = time.perf_counter()
     _consume(fn(SF_DIR))
@@ -213,6 +235,10 @@ def run_headline() -> dict:
         ),
         3,
     )
+    t, n_crawled = bench_crawl()
+    queries["crawl"] = round(t, 3)
+    extra["crawl_pages_per_s"] = round(n_crawled / t, 1)
+
     queries["pricing_summary"] = round(bench_query(analytics.pricing_summary), 3)
     queries["events_by_type"] = round(bench_query(analytics.events_by_type), 3)
 

@@ -50,17 +50,30 @@ def _escape(s: str) -> str:
 
 
 class Node:
-    __slots__ = ("type", "tag", "attrs", "children", "parent", "data")
+    __slots__ = ("type", "tag", "_attrs", "_blob", "children", "parent", "data")
 
     def __init__(self, type_: int, tag: str = "", data: str = ""):
         self.type = type_
         self.tag = tag
-        self.attrs: dict[str, str] = {}
+        self._attrs: Optional[dict[str, str]] = None
+        self._blob: str = ""
         self.children: list["Node"] = []
         self.parent: Optional["Node"] = None
         self.data = data
 
     # --- attribute access ---------------------------------------------------
+    # Attributes parse lazily from the raw tag blob: ~800 attr blobs per
+    # document, most never inspected (meta-stage exits touch only a few).
+    @property
+    def attrs(self) -> dict[str, str]:
+        if self._attrs is None:
+            self._attrs = _parse_attrs(self._blob) if self._blob else {}
+        return self._attrs
+
+    @attrs.setter
+    def attrs(self, value: dict[str, str]) -> None:
+        self._attrs = value
+
     def attr(self, name: str) -> str:
         return self.attrs.get(name, "")
 
@@ -131,7 +144,11 @@ def _render(node: Node) -> str:
         if node.parent is not None and node.parent.tag in ("script", "style"):
             return node.data
         return _escape(node.data)
-    attrs = "".join(f' {k}="{_escape(v)}"' for k, v in node.attrs.items())
+    if node._attrs is None:
+        attrs = node._blob.rstrip()  # raw blob verbatim: cheaper, and the
+        # string-search stages see the author's original attribute text
+    else:
+        attrs = "".join(f' {k}="{_escape(v)}"' for k, v in node._attrs.items())
     if node.tag in VOID_ELEMENTS and not node.children:
         return f"<{node.tag}{attrs}/>"
     inner = "".join(_render(c) for c in node.children)
@@ -218,7 +235,7 @@ def parse_html(content: bytes | str) -> Node:
             node = Node(ELEMENT, tag)
             blob = m.group(7)
             if blob and not blob.isspace():
-                node.attrs = _parse_attrs(blob)
+                node._blob = blob
             top = stack[-1]
             node.parent = top
             top.children.append(node)
