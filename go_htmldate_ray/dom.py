@@ -217,16 +217,22 @@ def parse_html(content: bytes | str) -> Node:
             node.parent = top
             top.children.append(node)
 
+    search = _MARKUP.search
     while pos < n:
-        m = _MARKUP.search(content, pos)
+        m = search(content, pos)
         if m is None:
             add_text(content[pos:])
             break
-        if m.start() > pos:
-            add_text(content[pos : m.start()])
-        pos = m.end()
+        start, end_ = m.span()
+        if start > pos:
+            add_text(content[pos:start])
+        pos = end_
 
-        if m.group(6) is not None:  # start tag
+        # Dispatch on the highest participating group: 8 = start tag
+        # (the optional "/" group always participates), 5 = end tag,
+        # 1/2/3/4 = comment/CDATA/declaration/PI.
+        last = m.lastindex
+        if last == 8:  # start tag
             tag = m.group(6).lower()
             implied = _IMPLIED_CLOSE.get(tag)
             if implied:
@@ -251,26 +257,26 @@ def parse_html(content: bytes | str) -> Node:
                 pos = em.end() if em else n
                 continue
             stack.append(node)
-        elif m.group(5) is not None:  # end tag
+        elif last == 5:  # end tag
             tag = m.group(5).lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
                     break
             # unmatched end tag: ignore (error recovery)
-        elif m.group(1) is not None:  # comment — kept in the tree: the
-            # reference keeps them (utils.go:36-38) and the serialized-HTML
-            # regex stages (core.go:212-227) must see comment content.
+        elif last == 1:  # comment — kept in the tree: the reference keeps
+            # them (utils.go:36-38) and the serialized-HTML regex stages
+            # (core.go:212-227) must see comment content.
             node = Node(COMMENT, data=m.group(1))
             top = stack[-1]
             node.parent = top
             top.children.append(node)
-        elif m.group(4) is not None:  # processing instruction
+        elif last == 4:  # processing instruction
             node = Node(COMMENT, data="?" + m.group(4))
             top = stack[-1]
             node.parent = top
             top.children.append(node)
-        elif m.group(2) is not None:  # CDATA → bogus comment
+        elif last == 2:  # CDATA → bogus comment
             node = Node(COMMENT, data="[CDATA[" + m.group(2) + "]]")
             top = stack[-1]
             node.parent = top
