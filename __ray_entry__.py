@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _embeddings(sf), query_ids=list(range(8)), k=5
         ),
         "crawl_reachable": _crawl_reachable,
+        "windowed_events": _streaming("windowed_events"),
+        "asof_latest_order": _streaming("asof_join_latest_order"),
+        "sessionize_events": _streaming("sessionize_events"),
         "events_by_type": analytics.events_by_type,
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_segment": analytics.orders_by_segment,
@@ -95,6 +98,15 @@ def _crawl_reachable(sf_dir):
     from go_htmldate_ray.pipelines.crawl import crawl_reachable
 
     return crawl_reachable(sf_dir)
+
+
+def _streaming(name):
+    def run(sf_dir):
+        from go_htmldate_ray.pipelines import streaming
+
+        return getattr(streaming, name)(sf_dir)
+
+    return run
 
 
 def oracle_sql() -> dict[str, str]:
@@ -191,6 +203,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id,
                    {_URL_SQL.replace('doc_id', 'id')} AS url
             FROM reach""",
+        "windowed_events": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "asof_latest_order": """
+            SELECT e.event_id,
+                   coalesce(o.o_orderkey, -1) AS o_orderkey
+            FROM events e
+            LEFT JOIN LATERAL (
+                SELECT o_orderkey FROM orders o2
+                WHERE o2.o_custkey = e.user_id
+                  AND o2.o_orderdate <= CAST(e.ts AS DATE)
+                ORDER BY o2.o_orderdate DESC, o2.o_orderkey DESC
+                LIMIT 1
+            ) o ON TRUE""",
+        "sessionize_events": """
+            WITH ordered AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id,
+                   CAST(user_id * 1000000
+                        + sum(new_session) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING
+                          ) AS BIGINT) AS session_id
+            FROM ordered""",
         "events_by_type": """
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value

@@ -1,0 +1,173 @@
+"""Streaming-shaped operators over the events table.
+
+Ray Data lacks these as primitives, so they're composed per the custom-
+operator ladder (map_batches + groupby().map_groups + sort):
+
+- **Tumbling-window aggregate**: window assignment is a vectorized batch
+  map (pure arithmetic on timestamps — the partial/combiner step), the
+  final combine is a small groupby on (window, type).
+- **As-of join**: the small side (orders per customer, sorted by date)
+  is broadcast once via ``ray.put``; each event batch binary-searches its
+  user's order history.  At 100 TB the same shape co-partitions both
+  sides on the key and sort-merges within partitions — the partitioning
+  assumption (events and orders hash-partitioned on the same key) is the
+  one documented in SURVEY.md §2.6.
+- **Sessionization**: groupby(user) → per-group sort by time → gap scan.
+  Ordering is only assumed *within* a user group, which the groupby
+  guarantees; session ids are deterministic (user_id * 10^6 + index).
+"""
+
+from __future__ import annotations
+
+import bisect
+from datetime import timedelta
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SESSION_GAP_MINUTES = 30
+
+
+def windowed_events(sf_dir: str):
+    """events → (window_start, event_type, n_events, sum_value) over
+    tumbling 1-hour windows."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def assign_and_partial(batch: pa.Table) -> pa.Table:
+        window = pc.floor_temporal(batch.column("ts"), unit="hour")
+        batch = batch.set_column(0, "window_start", window)
+        t = batch.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return pa.table(
+            {
+                "window_start": t.column("window_start"),
+                "event_type": t.column("event_type"),
+                "part_sum": t.column("value_sum"),
+                "part_count": t.column("value_count"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(assign_and_partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("part_sum"), Sum("part_count"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                # string timestamps: engine-independent value hashing
+                "window_start": pc.strftime(b.column("window_start"), format="%Y-%m-%d %H:%M:%S"),
+                "event_type": b.column("event_type"),
+                "n_events": pc.cast(b.column("sum(part_count)"), pa.int64()),
+                "sum_value": pc.round(b.column("sum(part_sum)"), ndigits=2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def asof_join_latest_order(sf_dir: str):
+    """events ⟕asof orders: for each event, the latest order of the same
+    customer placed on or before the event date → (event_id, o_orderkey);
+    -1 when the customer has no earlier order."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    by_cust: dict[int, list[tuple]] = {}
+    for ck, od, ok in zip(
+        orders.column("o_custkey").to_pylist(),
+        orders.column("o_orderdate").to_pylist(),
+        orders.column("o_orderkey").to_pylist(),
+    ):
+        if hasattr(od, "date"):
+            od = od.date()
+        by_cust.setdefault(ck, []).append((od, ok))
+    for ck in by_cust:
+        # Ties on date resolve to the highest orderkey, matching the SQL
+        # row_number ordering (o_orderdate DESC, o_orderkey DESC).
+        by_cust[ck].sort()
+    orders_ref = ray.put(by_cust)
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def join(batch: pa.Table) -> pa.Table:
+        table = ray.get(orders_ref)
+        out = []
+        for uid, ts in zip(
+            batch.column("user_id").to_pylist(), batch.column("ts").to_pylist()
+        ):
+            hist = table.get(uid)
+            if not hist:
+                out.append(-1)
+                continue
+            d = ts.date()
+            idx = bisect.bisect_right(hist, (d, float("inf")))
+            if idx == 0:
+                out.append(-1)
+            else:
+                # among same latest date, take max orderkey
+                latest_date = hist[idx - 1][0]
+                k = idx - 1
+                best = hist[k][1]
+                while k > 0 and hist[k - 1][0] == latest_date:
+                    k -= 1
+                    best = max(best, hist[k][1])
+                out.append(best)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "o_orderkey": pa.array(out, pa.int64()),
+            }
+        )
+
+    return events.map_batches(join, batch_format="pyarrow")
+
+
+def sessionize_events(sf_dir: str):
+    """events → (event_id, session_id): a new session starts when a user's
+    gap since their previous event exceeds 30 minutes.
+    session_id = user_id * 10^6 + per-user session index (0-based)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    gap = timedelta(minutes=SESSION_GAP_MINUTES)
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        uid = g.column("user_id")[0].as_py()
+        tss = g.column("ts").to_pylist()
+        session_idx = 0
+        ids = []
+        prev = None
+        for ts in tss:
+            if prev is not None and (ts - prev) > gap:
+                session_idx += 1
+            ids.append(uid * 10**6 + session_idx)
+            prev = ts
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "session_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")

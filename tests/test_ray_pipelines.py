@@ -145,3 +145,29 @@ def test_partitioned_sink_resume(tmp_path):
     assert r2["shards_written"] == [3, 5]
     assert r2["shards_skipped"] == [0, 1, 2, 4, 6, 7]
     assert read_partitioned(out).count() == 500
+
+
+def test_streaming_ops_match_duckdb():
+    """Windowed aggregate, as-of join, sessionization vs DuckDB oracles."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in ("events", "orders", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    for name in ("windowed_events", "asof_latest_order", "sessionize_events"):
+        ray_df = qs[name](SF).to_pandas()
+        duck_df = con.sql(oracles[name]).df()
+        ray_df = ray_df[sorted(ray_df.columns)].sort_values(
+            by=sorted(ray_df.columns)
+        ).reset_index(drop=True)
+        duck_df = duck_df[sorted(duck_df.columns)].sort_values(
+            by=sorted(duck_df.columns)
+        ).reset_index(drop=True)
+        duck_df = duck_df.astype(ray_df.dtypes.to_dict())
+        assert ray_df.equals(duck_df), name
