@@ -158,16 +158,12 @@ def test_streaming_ops_match_duckdb():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
+    from tools.check_oracles import canon
+
     qs = entry.queries()
     oracles = entry.oracle_sql()
     for name in ("windowed_events", "asof_latest_order", "sessionize_events"):
-        ray_df = qs[name](SF).to_pandas()
-        duck_df = con.sql(oracles[name]).df()
-        ray_df = ray_df[sorted(ray_df.columns)].sort_values(
-            by=sorted(ray_df.columns)
-        ).reset_index(drop=True)
-        duck_df = duck_df[sorted(duck_df.columns)].sort_values(
-            by=sorted(duck_df.columns)
-        ).reset_index(drop=True)
+        ray_df = canon(qs[name](SF).to_pandas())
+        duck_df = canon(con.sql(oracles[name]).df())
         duck_df = duck_df.astype(ray_df.dtypes.to_dict())
         assert ray_df.equals(duck_df), name
