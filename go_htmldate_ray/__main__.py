@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     p_extract.add_argument("--fast", action="store_true", help="skip extensive search")
     p_extract.add_argument("--time", action="store_true", help="extract time of day too")
     p_extract.add_argument("--url", default="", help="URL hint for the document")
+    p_extract.add_argument("--format", default="%Y-%m-%d", help="strftime output format")
+    p_extract.add_argument("--min-date", default=None, help="earliest acceptable date (YYYY-MM-DD)")
+    p_extract.add_argument("--max-date", default=None, help="latest acceptable date (YYYY-MM-DD)")
 
     p_pipe = sub.add_parser("pipeline", help="run the flagship extraction pipeline")
     p_pipe.add_argument("sf_dir")
@@ -46,8 +49,13 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.cmd == "extract":
+        from datetime import datetime, timezone
+
         from . import Options, from_html
 
+        parse_d = lambda s: (
+            datetime.strptime(s, "%Y-%m-%d").replace(tzinfo=timezone.utc) if s else None
+        )
         raw = open(args.file, "rb").read()
         res = from_html(
             raw,
@@ -56,12 +64,14 @@ def main(argv=None) -> int:
                 skip_extensive_search=args.fast,
                 extract_time=args.time,
                 url=args.url,
+                min_date=parse_d(args.min_date),
+                max_date=parse_d(args.max_date),
             ),
         )
         if res.date_time is None:
             print("no date found", file=sys.stderr)
             return 1
-        print(res.date_time.isoformat() if args.time else res.format())
+        print(res.date_time.isoformat() if args.time else res.date_time.strftime(args.format))
         return 0
 
     import ray
