@@ -134,3 +134,15 @@ def test_politeness_shard_actor(ray_session):
     got = ray.get(shard.grant.remote([("a.com", 5)], now=3.0))
     assert got == [0]  # 0.1 tokens/s: none accumulated in 1s
     ray.kill(shard)
+
+
+def test_dataset_wave_path_equivalent():
+    """Forcing every wave through the full Ray-Data shuffle path
+    (small_wave_threshold=0) must produce the same visited set and
+    ordering as the driver-side fast path."""
+    fast_rows, _ = _run(max_waves=6)
+    ds_rows, _ = _run(max_waves=6, small_wave_threshold=0)
+    key = lambda rows: [
+        (r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in rows
+    ]
+    assert key(ds_rows) == key(fast_rows)
