@@ -24,7 +24,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "60"))
-SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "120"))
+SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "240"))
 
 
 def _init_ray():
