@@ -1,7 +1,16 @@
 """Golden-corpus parity gate: the engine must stay byte-identical to the
 reference's recorded outputs on ≥99% of the 1000-doc evaluation corpus
 (scripts/comparison/data-*.go), and match the published aggregate metrics
-(README.md:115-116) exactly."""
+(README.md:115-116) exactly.
+
+Residual mismatches (6/1000, tests/golden_mismatches.json): four of them
+(1805697156, nmb-media.de.ebay, d20cc651..., handelsblatt.com.grenz...)
+reproduce the reference's recorded output exactly when run with
+UseOriginalDate=false — i.e. those corpus rows were recorded without the
+harness's stated UseOriginalDate=true, so the recorded values are
+internally inconsistent and this engine's outputs are the behaviorally
+correct ones (three of the four match the golden date where the recorded
+output does not)."""
 
 import json
 from pathlib import Path
