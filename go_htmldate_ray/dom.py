@@ -50,7 +50,10 @@ def _escape(s: str) -> str:
 
 
 class Node:
-    __slots__ = ("type", "tag", "_attrs", "_blob", "children", "parent", "data")
+    __slots__ = (
+        "type", "tag", "_attrs", "_blob", "children", "parent", "data",
+        "tag_index",
+    )
 
     def __init__(self, type_: int, tag: str = "", data: str = ""):
         self.type = type_
@@ -60,6 +63,7 @@ class Node:
         self.children: list["Node"] = []
         self.parent: Optional["Node"] = None
         self.data = data
+        self.tag_index: Optional[dict[str, list["Node"]]] = None  # root only
 
     # --- attribute access ---------------------------------------------------
     # Attributes parse lazily from the raw tag blob: ~800 attr blobs per
@@ -105,8 +109,23 @@ class Node:
                 stack.extend(reversed(node.children))
 
     def get_elements_by_tag(self, *tags: str) -> list["Node"]:
+        # The parse root carries a tag index built during tokenization;
+        # detached (pruned) nodes are filtered by walking to the root.
+        if self.tag_index is not None:
+            out = []
+            for tag in tags:
+                nodes = self.tag_index.get(tag)
+                if nodes:
+                    out.extend(n for n in nodes if _attached(n, self))
+            return out if len(tags) == 1 else self._in_document_order(out)
         tagset = frozenset(tags)
         return [e for e in self.iter_elements() if e.tag in tagset]
+
+    def _in_document_order(self, nodes: list["Node"]) -> list["Node"]:
+        if len(nodes) < 2:
+            return nodes
+        wanted = {id(n) for n in nodes}
+        return [e for e in self.iter_elements() if id(e) in wanted]
 
     def text_content(self) -> str:
         """Concatenated text of the subtree (dom.TextContent semantics)."""
@@ -135,6 +154,14 @@ class Node:
 
     def outer_html(self) -> str:
         return _render(self)
+
+
+def _attached(node: Node, root: Node) -> bool:
+    while node is not None:
+        if node is root:
+            return True
+        node = node.parent
+    return False
 
 
 def _render(node: Node) -> str:
@@ -204,6 +231,7 @@ def parse_html(content: bytes | str) -> Node:
         content = _decode(bytes(content))
 
     root = Node(ELEMENT, "#document")
+    root.tag_index = tag_index = {}
     stack = [root]
     pos = 0
     n = len(content)
@@ -245,6 +273,11 @@ def parse_html(content: bytes | str) -> Node:
             top = stack[-1]
             node.parent = top
             top.children.append(node)
+            lst = tag_index.get(tag)
+            if lst is None:
+                tag_index[tag] = [node]
+            else:
+                lst.append(node)
             if m.group(8) == "/" or tag in VOID_ELEMENTS:
                 continue
             raw_end = _RAW_TEXT_END.get(tag)
