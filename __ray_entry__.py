@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _embeddings(sf), query_ids=list(range(8)), k=5
         ),
         "crawl_reachable": _crawl_reachable,
+        "golden_corpus_dates": _golden_corpus_dates,
         "windowed_events": _streaming("windowed_events"),
         "asof_latest_order": _streaming("asof_join_latest_order"),
         "sessionize_events": _streaming("sessionize_events"),
@@ -98,6 +99,56 @@ def _crawl_reachable(sf_dir):
     from go_htmldate_ray.pipelines.crawl import crawl_reachable
 
     return crawl_reachable(sf_dir)
+
+
+def _golden_corpus_dates(sf_dir):
+    """Real-page pipeline over the reference's 1000-doc corpus (read-only
+    fixture; independent of sf_dir). Rows-only check — the byte-exact
+    parity gate lives in tests/test_golden_corpus.py."""
+    import json
+    from pathlib import Path
+
+    import pyarrow as pa
+    import ray.data
+
+    from go_htmldate_ray.stages.extract_stage import HtmldateExtractor
+
+    data = Path(__file__).parent / "tests" / "data" / "comparison_corpus.json"
+    entries = json.loads(data.read_text())
+    dirs = [
+        Path("/root/reference/test-files") / d
+        for d in ("mediacloud", "comparison", "mock")
+    ]
+    items = []
+    for e in entries:
+        for d in dirs:
+            p = d / e["file"]
+            if p.exists():
+                items.append({"url": e["url"], "path": str(p)})
+                break
+    ds = ray.data.from_items(items, override_num_blocks=64)
+
+    def load(batch):
+        htmls = [open(p, "rb").read() for p in batch.column("path").to_pylist()]
+        return pa.table(
+            {"url": batch.column("url"), "html": pa.array(htmls, pa.binary())}
+        )
+
+    return (
+        ds.map_batches(load, batch_format="pyarrow", batch_size=32)
+        .map_batches(
+            HtmldateExtractor,
+            fn_constructor_kwargs={
+                "use_original_date": True,
+                "skip_extensive_search": True,
+            },
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+        .select_columns(["url", "date_str"])
+    )
 
 
 def _streaming(name):
