@@ -27,7 +27,7 @@ from typing import Optional
 import pyarrow as pa
 
 from ..extract import from_html
-from ..functions.kernels import Options
+from ..functions.kernels import Options, extract_url_date, normalize_spaces
 
 
 def extract_batch(batch: pa.Table, opts: Options) -> pa.Table:
@@ -43,9 +43,28 @@ def extract_batch(batch: pa.Table, opts: Options) -> pa.Table:
     has_tzs: list[bool] = []
     src_strings: list[str] = []
 
+    # URL fast path: M1 returns before any DOM work in the cascade
+    # (core.go:138-144), so a URL-dated row never needs its html parsed.
+    # extract_time falls through to the full path (findTime then runs on
+    # the URL raw string, a flow the fast path can't reproduce cheaply).
+    url_fast_ok = not opts.defer_url_extractor and not opts.extract_time
+
     for i in range(batch.num_rows):
-        raw = htmls[i].as_py()
         url = urls[i] or ""
+        if url and url_fast_ok:
+            try:
+                url_dt = extract_url_date(url, opts)
+            except Exception:
+                url_dt = None
+            if url_dt is not None:
+                d = url_dt
+                date_strs.append(f"{d.year:04d}-{d.month:02d}-{d.day:02d}")
+                iso_strs.append(d.isoformat())
+                has_times.append(False)
+                has_tzs.append(False)
+                src_strings.append(normalize_spaces(url))
+                continue
+        raw = htmls[i].as_py()
         try:
             res = from_html(raw or b"", Options(
                 extract_time=opts.extract_time,
