@@ -1,10 +1,13 @@
-"""Compact cuckoo filter for approximate URL-seen membership.
+"""Cuckoo filter for approximate URL-seen membership.
 
-The scale-path gate in front of each seen-set shard: ~1 byte/key vs ~60
-for a Python set.  False positives are possible (tunable via fingerprint
-size), false negatives are not, so the shard uses the filter as a cheap
-reject path and an exact set as the arbiter for correctness audits
-(SURVEY.md §7.3: membership must be independent of shard count).
+The scale-path gate in front of each seen-set shard: the data structure
+is 8-bit fingerprints in 4-slot buckets (~1 byte/key in a packed native
+implementation; this Python prototype trades that compactness for
+clarity — a production port would back it with a bytearray).  False
+positives are possible (tunable via fingerprint size), false negatives
+are not, so the shard uses the filter as a cheap reject path and an
+exact set as the arbiter for correctness audits (SURVEY.md §7.3:
+membership must be independent of shard count).
 """
 
 from __future__ import annotations
