@@ -213,3 +213,36 @@ def test_find_time_negative_offset():
 
 def test_normalize_spaces():
     assert normalize_spaces("  a \t b\n c  ") == "a b c"
+
+
+# --- parseTimezoneCode (timezone_test.go:10-62) ------------------------------
+
+TZ_CODE_CASES = [
+    ("Z", 0),
+    ("GMT +07:00", 25_200), ("GMT +0700", 25_200), ("GMT +07", 25_200),
+    ("GMT -07:00", -25_200), ("GMT -0700", -25_200), ("GMT -07", -25_200),
+    ("GMT +07:30", 27_000), ("GMT +0730", 27_000),
+    ("UTC +07:00", 25_200), ("UTC +0700", 25_200), ("UTC +07", 25_200),
+    ("UTC -07:00", -25_200), ("UTC -0700", -25_200), ("UTC -07", -25_200),
+    ("UTC +07:30", 27_000), ("UTC +0730", 27_000),
+    ("+07:00", 25_200), ("+0700", 25_200), ("+07", 25_200),
+    ("+07:30", 27_000), ("+0730", 27_000),
+    ("-07:00", -25_200), ("-0700", -25_200), ("-07", -25_200),
+    ("-07:30", -27_000), ("-0730", -27_000),
+]
+
+
+@pytest.mark.parametrize("code,offset", TZ_CODE_CASES)
+def test_parse_timezone_code(code, offset):
+    from go_htmldate_ray.functions.timezone import parse_timezone_code
+
+    tz = parse_timezone_code(code)
+    assert tz is not None
+    assert int(tz.utcoffset(None).total_seconds()) == offset
+
+
+@pytest.mark.parametrize("code", ["0000", "RamboSix", "15:49:20"])
+def test_parse_timezone_code_invalid(code):
+    from go_htmldate_ray.functions.timezone import parse_timezone_code
+
+    assert parse_timezone_code(code) is None
