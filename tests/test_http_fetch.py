@@ -1,0 +1,77 @@
+"""HttpFetcher against a loopback HTTP server: content-type gating,
+404 handling, robots fetch, and end-to-end extraction of a fetched page."""
+
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from go_htmldate_ray import Options, from_html
+from go_htmldate_ray.stages.fetch_stage import HttpFetcher
+
+PAGE = b"""<html><head>
+<meta property="article:published_time" content="2019-03-04T10:00:00+00:00"/>
+</head><body><p>hello</p></body></html>"""
+
+ROBOTS = b"User-agent: *\nDisallow: /private/\n"
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):
+        if self.path == "/page.html":
+            body, ctype, code = PAGE, "text/html; charset=utf-8", 200
+        elif self.path == "/data.json":
+            body, ctype, code = b"{}", "application/json", 200
+        elif self.path == "/robots.txt":
+            body, ctype, code = ROBOTS, "text/plain", 200
+        else:
+            body, ctype, code = b"nope", "text/html", 404
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):
+        pass
+
+
+@pytest.fixture(scope="module")
+def server():
+    httpd = HTTPServer(("127.0.0.1", 0), _Handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def test_fetch_and_extract(server):
+    fetcher = HttpFetcher(timeout=5)
+    body = fetcher.fetch(f"http://{server}/page.html")
+    assert body == PAGE
+    res = from_html(body, Options(use_original_date=True))
+    assert res.format() == "2019-03-04"
+
+
+def test_fetch_rejects_non_html(server):
+    fetcher = HttpFetcher(timeout=5)
+    assert fetcher.fetch(f"http://{server}/data.json") is None
+
+
+def test_fetch_404_returns_none(server):
+    fetcher = HttpFetcher(timeout=5)
+    assert fetcher.fetch(f"http://{server}/missing.html") is None
+
+
+def test_fetch_unreachable_returns_none():
+    fetcher = HttpFetcher(timeout=0.5)
+    assert fetcher.fetch("http://127.0.0.1:9/nothing") is None
+
+
+def test_fetch_robots(server):
+    from go_htmldate_ray.state.robots import allowed, parse_robots
+
+    fetcher = HttpFetcher(timeout=5)
+    rules = parse_robots(fetcher.fetch_robots(server))
+    assert not allowed("/private/x.html", rules)
+    assert allowed("/public/x.html", rules)
