@@ -80,18 +80,45 @@ class CrawlFetcher:
     extracts the publication date and outlinks from the parsed DOM.
     """
 
-    def __init__(self, sf_dir: str):
+    def __init__(self, sf_dir: str, http_base: Optional[str] = None, **http_kwargs):
         from ..functions.kernels import Options
 
-        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-        self.texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
-        self.langs = dict(zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist()))
-        self.n_docs = len(self.texts)
+        self.http = None
+        if http_base is not None:
+            # Live-HTTP mode: pages are served by an HTTP endpoint that
+            # mirrors the synthetic web (url host/path mapped under
+            # http_base); the synthetic store is not loaded.
+            from ..stages.fetch_stage import HttpFetcher
+
+            self.http = HttpFetcher(**http_kwargs)
+            self.http_base = http_base.rstrip("/")
+            self.texts = {}
+        else:
+            t = pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+            )
+            self.texts = dict(
+                zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+            )
+            self.langs = dict(
+                zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist())
+            )
+            self.n_docs = len(self.texts)
         self.opts = Options(use_original_date=True, skip_extensive_search=True).with_defaults()
 
     def _fetch(self, url: str) -> Optional[tuple[int, bytes]]:
         doc_id = doc_id_of_url(url)
-        if doc_id is None or doc_id not in self.texts:
+        if doc_id is None:
+            return None
+        if self.http is not None:
+            from urllib.parse import urlsplit
+
+            parts = urlsplit(url)
+            body = self.http.fetch(f"{self.http_base}/{parts.hostname}{parts.path}")
+            if body is None:
+                return None
+            return doc_id, body
+        if doc_id not in self.texts:
             return None
         html = build_page_html(
             doc_id, self.texts[doc_id] or "", self.langs[doc_id] or "en", self.n_docs
@@ -175,6 +202,7 @@ def crawl(
     namespace: str = "crawl",
     fetch_concurrency=(1, 8),
     small_wave_threshold: int = 100_000,
+    fetcher_kwargs: Optional[dict] = None,
 ):
     """Run the crawl; returns (visited Dataset, stats dict).
 
@@ -277,7 +305,10 @@ def crawl(
             # futures on unschedulable actors would block forever.
             avail = int(ray.cluster_resources().get("CPU", 2))
             n_actors = max(1, min(want, avail - 1))
-            fetch_pool.extend(remote_cls.remote(sf_dir) for _ in range(n_actors))
+            fetch_pool.extend(
+                remote_cls.remote(sf_dir, **(fetcher_kwargs or {}))
+                for _ in range(n_actors)
+            )
         futs = [
             fetch_pool[(i // 64) % len(fetch_pool)].__call__.remote(tbl.slice(i, 64))
             for i in range(0, tbl.num_rows, 64)
@@ -385,7 +416,7 @@ def crawl(
         )
         fetched = fetch_now.map_batches(
             CrawlFetcher,
-            fn_constructor_kwargs={"sf_dir": sf_dir},
+            fn_constructor_kwargs={"sf_dir": sf_dir, **(fetcher_kwargs or {})},
             batch_format="pyarrow",
             batch_size=64,
             concurrency=fetch_concurrency,

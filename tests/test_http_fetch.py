@@ -75,3 +75,81 @@ def test_fetch_robots(server):
     rules = parse_robots(fetcher.fetch_robots(server))
     assert not allowed("/private/x.html", rules)
     assert allowed("/public/x.html", rules)
+
+
+# --- full crawl over live HTTP ----------------------------------------------
+
+class _SyntheticWebHandler(BaseHTTPRequestHandler):
+    """Serves the synthetic web over HTTP: /<host>/<path> → the page that
+    host would serve, built from the documents table."""
+
+    texts = None  # set by fixture
+    langs = None
+    n_docs = 0
+
+    def do_GET(self):
+        from go_htmldate_ray.pipelines.crawl import doc_id_of_url
+        from go_htmldate_ray.sources.pages import build_page_html
+
+        doc_id = doc_id_of_url(self.path)
+        if doc_id is None or doc_id >= self.n_docs:
+            self.send_response(404)
+            self.end_headers()
+            return
+        body = build_page_html(
+            doc_id, self.texts[doc_id] or "", self.langs[doc_id] or "en", self.n_docs
+        )
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):
+        pass
+
+
+@pytest.fixture(scope="module")
+def synthetic_web():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    _SyntheticWebHandler.texts = dict(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+    _SyntheticWebHandler.langs = dict(
+        zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist())
+    )
+    _SyntheticWebHandler.n_docs = t.num_rows
+    httpd = HTTPServer(("127.0.0.1", 0), _SyntheticWebHandler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def test_crawl_over_live_http(ray_session, synthetic_web):
+    """The whole scheduler (seen set, robots, politeness, extraction) with a
+    real HTTP fetcher in the loop must visit the same pages with the same
+    dates as the in-process synthetic store."""
+    import uuid
+
+    from go_htmldate_ray.pipelines.crawl import crawl
+
+    http_visited, _ = crawl(
+        "/root/testdata/sf0.001",
+        namespace=f"http-{uuid.uuid4().hex[:8]}",
+        max_waves=4,
+        fetcher_kwargs={"http_base": synthetic_web, "timeout": 10},
+    )
+    plain_visited, _ = crawl(
+        "/root/testdata/sf0.001",
+        namespace=f"plain-{uuid.uuid4().hex[:8]}",
+        max_waves=4,
+    )
+    key = lambda rows: sorted(
+        (r["wave"], r["host"], r["fetch_rank"], r["url"], r["date_str"]) for r in rows
+    )
+    assert key(http_visited.take_all()) == key(plain_visited.take_all())
