@@ -26,9 +26,11 @@ materialised on the driver); the seen set is sharded by
 (a host contributes ≤ budget fetches/wave regardless of frontier skew);
 the within-wave dedup shuffle keys on the uniform url_hash.
 
-In this sandbox the fetch is a deterministic synthetic store (pages
-rebuilt from the documents table); the stage boundary is exactly where a
-real HTTP fetcher would sit.
+The fetch slot is pluggable: the sandbox default is a deterministic
+synthetic store (pages rebuilt from the documents table); passing
+``fetcher_kwargs={"http_base": ...}`` routes every wave's fetches through
+the urllib :class:`~go_htmldate_ray.stages.fetch_stage.HttpFetcher`
+(exercised against a loopback server in tests/test_http_fetch.py).
 """
 
 from __future__ import annotations

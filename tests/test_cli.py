@@ -1,0 +1,57 @@
+"""CLI surface tests (python -m go_htmldate_ray)."""
+
+import subprocess
+import sys
+
+REPO = "/root/repo"
+
+
+def _run(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "go_htmldate_ray", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=60,
+    )
+
+
+def test_cli_extract():
+    out = _run(
+        "extract",
+        "/root/reference/test-files/mock/blog.python.org.html",
+        "--original",
+    )
+    assert out.returncode == 0
+    assert out.stdout.strip() == "2016-12-23"
+
+
+def test_cli_extract_custom_format():
+    out = _run(
+        "extract",
+        "/root/reference/test-files/mock/blog.python.org.html",
+        "--original",
+        "--format",
+        "%d/%m/%Y",
+    )
+    assert out.stdout.strip() == "23/12/2016"
+
+
+def test_cli_extract_no_date(tmp_path):
+    p = tmp_path / "empty.html"
+    p.write_text("<html><body>nothing here</body></html>")
+    out = _run("extract", str(p), "--fast")
+    assert out.returncode == 1
+    assert "no date found" in out.stderr
+
+
+def test_cli_extract_min_date_window():
+    out = _run(
+        "extract",
+        "/root/reference/test-files/mock/blog.python.org.html",
+        "--original",
+        "--min-date",
+        "2020-01-01",
+    )
+    # the 2016 date is outside the window -> some other/no date
+    assert out.stdout.strip() != "2016-12-23"
