@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(
             _embeddings(sf), query_ids=list(range(8)), k=5
         ),
+        "embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(
+            _embeddings(sf), threshold=0.4
+        ),
         "crawl_reachable": _crawl_reachable,
         "golden_corpus_dates": _golden_corpus_dates,
         "windowed_events": _streaming("windowed_events"),
@@ -230,6 +233,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank
             FROM ranked WHERE rnk <= 5""",
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4""",
         # Crawl oracle: the converged robots-respecting visited set equals
         # the reachable set of the deterministic link graph (seeds = docs
         # 0..9, edges doc → (13d+1)%N and (29d+7)%N, hosts with index%13==0

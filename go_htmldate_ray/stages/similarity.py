@@ -140,3 +140,55 @@ def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 12):
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pyarrow"
     )
+
+
+def embedding_dup_pairs(ds, *, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) for all
+    pairs with cosine ≥ threshold, vec_a < vec_b.
+
+    The normalized matrix is broadcast once (``ray.put``); each batch
+    matmuls its rows against the full matrix and emits only its
+    above-threshold pairs — the corpus streams, the O(N²) score space
+    never materialises.  The 100 TB path replaces the broadcast with the
+    hyperplane-LSH buckets above (score only within colliding buckets).
+    """
+    import ray
+
+    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    mat_ref = ray.put((ids, mat))
+
+    import ray.data
+
+    blocks = ray.data.from_items(
+        [{"start": i} for i in range(0, len(ids), 256)]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(mat_ref)
+        oa, ob, oc = [], [], []
+        for start in batch.column("start").to_pylist():
+            chunk = all_mat[start : start + 256]
+            cos = chunk @ all_mat.T
+            for i in range(chunk.shape[0]):
+                gi = start + i
+                hits = np.nonzero(cos[i] >= threshold)[0]
+                for j in hits:
+                    if all_ids[gi] < all_ids[j]:
+                        oa.append(int(all_ids[gi]))
+                        ob.append(int(all_ids[j]))
+                        oc.append(round(float(cos[i, j]), 6))
+        return pa.table(
+            {
+                "vec_a": pa.array(oa, pa.int64()),
+                "vec_b": pa.array(ob, pa.int64()),
+                "cosine": pa.array(oc, pa.float64()),
+            }
+        )
+
+    return blocks.map_batches(score, batch_format="pyarrow", batch_size=4)
