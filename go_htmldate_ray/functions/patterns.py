@@ -132,10 +132,22 @@ _DMY_PATTERN = re.compile(
 )
 
 
+def _first_valid(pattern: re.Pattern, s: str, month_group: int) -> Optional[re.Match]:
+    """First match whose month is a real table entry — Python's IGNORECASE
+    folds dotless ı↔i, which the reference's byte-DFA does not, so e.g.
+    'Aprıl' must be rejected here."""
+    from .constants import MONTH_NUMBER
+
+    for m in pattern.finditer(s):
+        if m.group(month_group).lower() in MONTH_NUMBER:
+            return m
+    return None
+
+
 def find_long_text_pattern(s: str) -> Optional[tuple[str, str, str]]:
     """Earliest MDY-or-DMY long-form match → (year, month, day) strings."""
-    m_mdy = _MDY_PATTERN.search(s)
-    m_dmy = _DMY_PATTERN.search(s)
+    m_mdy = _first_valid(_MDY_PATTERN, s, 1)
+    m_dmy = _first_valid(_DMY_PATTERN, s, 2)
     if m_mdy is not None and (m_dmy is None or m_mdy.start() <= m_dmy.start()):
         return m_mdy.group(3), m_mdy.group(1), m_mdy.group(2)
     if m_dmy is not None:

@@ -161,6 +161,77 @@ def extract_comparison() -> None:
     print(f"extracted {len(entries)} comparison entries")
 
 
+
+
+def extract_re2go_cases() -> None:
+    """Extract the per-pattern success/fail tables from
+    internal/re2go/re2go_test.go into a JSON fixture."""
+    src = (REF / "internal" / "re2go" / "re2go_test.go").read_text()
+    funcs = {}
+    for m in re.finditer(r"^func (Test_\w+)\(t \*testing\.T\) \{", src, re.M):
+        start = m.end()
+        nxt = re.search(r"^func ", src[start:], re.M)
+        end = start + (nxt.start() if nxt else len(src[start:]))
+        funcs[m.group(1)] = src[start:end]
+
+    def parse_calls(body, name):
+        out = []
+        for cm in re.finditer(rf"{name}\(", body):
+            args = []
+            i = cm.end()
+            while src is not None:
+                while body[i] in " \n\t,":
+                    i += 1
+                if body[i] == ")":
+                    break
+                if body[i] in "`\"":
+                    val, i = parse_go_string(body, i)
+                    args.append(val)
+                elif body[i] == "s" and body[i : i + 3] == "str":
+                    args.append(("VAR", "str"))
+                    i += 3
+                else:  # number
+                    j = i
+                    while body[j] not in ",)":
+                        j += 1
+                    args.append(int(body[i:j].strip()))
+                    i = j
+            out.append((cm.start(), args))
+        return out
+
+    data = {}
+    for fname, body in funcs.items():
+        # resolve `str = ...` assignments positionally
+        assigns = [
+            (m.start(), parse_go_string(body, body.index('"', m.start())
+             if body[m.end()] == '"' else body.index("`", m.start()))[0])
+            for m in re.finditer(r"\bstr = (?=[\"`])", body)
+        ]
+
+        def resolve(pos, arg):
+            if arg == ("VAR", "str"):
+                prior = [v for p, v in assigns if p < pos]
+                return prior[-1]
+            return arg
+
+        cases = {"success": [], "fail": []}
+        for kind, fn_names in (
+            ("success", ("assertSuccess", "success")),
+            ("fail", ("assertFail", "fail")),
+        ):
+            for fn_name in fn_names:
+                for pos, args in parse_calls(body, fn_name):
+                    cases[kind].append([resolve(pos, a) for a in args])
+        if cases["success"] or cases["fail"]:
+            data[fname] = cases
+    (OUT / "re2go_cases.json").write_text(json.dumps(data, indent=0, ensure_ascii=False))
+    print(
+        "re2go cases:",
+        {k: (len(v["success"]), len(v["fail"])) for k, v in data.items()},
+    )
+
+
 if __name__ == "__main__":
     extract_comparison()
+    extract_re2go_cases()
     main()
