@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, text_stage.fingerprint_batch, ["doc_id", "text"]
         ),
         "lang_id": lambda sf: _map(sf, text_stage.lang_id_batch, ["doc_id", "text"]),
+        "winnow_fingerprints": lambda sf: _map(
+            sf, text_stage.winnow_batch, ["doc_id", "text"]
+        ),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "minhash_dedup_pairs": lambda sf: dedup.minhash_lsh_pairs(_docs(sf)),
         "simhash": lambda sf: _map(sf, dedup.simhash_batch, ["doc_id", "text"]),

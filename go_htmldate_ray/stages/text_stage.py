@@ -99,3 +99,63 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
             "lang_score": pa.array(scores, pa.float64()),
         }
     )
+
+
+# --- rolling-hash winnowing fingerprints -------------------------------------
+
+_ROLL_BASE = 257
+_ROLL_MOD = (1 << 61) - 1
+
+
+def _rolling_hashes(text: str, k: int) -> list[int]:
+    """Rabin-Karp rolling hashes of every k-char window (O(n))."""
+    n = len(text)
+    if n < k:
+        return []
+    h = 0
+    pow_k = pow(_ROLL_BASE, k - 1, _ROLL_MOD)
+    out = []
+    for i, ch in enumerate(text):
+        h = (h * _ROLL_BASE + ord(ch)) % _ROLL_MOD
+        if i >= k:
+            h = (h - ord(text[i - k]) * pow_k * _ROLL_BASE) % _ROLL_MOD
+        if i >= k - 1:
+            out.append(h)
+    return out
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD 2003): keep the minimum rolling
+    hash of each sliding window — a position-robust document fingerprint
+    set whose overlap estimates shared substrings."""
+    hashes = _rolling_hashes(" ".join(text.split()).lower(), k)
+    if not hashes:
+        return []
+    picked = []
+    last = -1
+    for i in range(max(1, len(hashes) - window + 1)):
+        w = hashes[i : i + window]
+        j = i + min(range(len(w)), key=w.__getitem__)
+        if j != last:
+            picked.append(w[j - i])
+            last = j
+    return sorted(set(picked))
+
+
+def winnow_batch(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
+    """doc_id, n_fingerprints, min_fingerprint — winnowed rolling-hash
+    summary per document (full sets kept out of the driver-facing schema;
+    pairwise overlap uses the stage directly)."""
+    texts = batch.column("text").to_pylist()
+    counts, mins = [], []
+    for t in texts:
+        fps = winnow_fingerprints(t or "", k, window)
+        counts.append(len(fps))
+        mins.append(min(fps) if fps else 0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_fingerprints": pa.array(counts, pa.int64()),
+            "min_fingerprint": pa.array(mins, pa.int64()),
+        }
+    )

@@ -167,3 +167,25 @@ def test_streaming_ops_match_duckdb():
         duck_df = canon(con.sql(oracles[name]).df())
         duck_df = duck_df.astype(ray_df.dtypes.to_dict())
         assert ray_df.equals(duck_df), name
+
+
+def test_winnow_fingerprints_detect_overlap():
+    from go_htmldate_ray.stages.text_stage import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("jumps", "leaps")
+    other = "entirely different content with no shared substrings at all " * 4
+    fa, fb, fc = (set(winnow_fingerprints(t)) for t in (base, near, other))
+    overlap_near = len(fa & fb) / len(fa | fb)
+    overlap_far = len(fa & fc) / len(fa | fc)
+    assert overlap_near > 0.5 > overlap_far
+    # deterministic
+    assert winnow_fingerprints(base) == winnow_fingerprints(base)
+
+
+def test_winnow_batch_query():
+    import __ray_entry__ as entry
+
+    rows = entry.queries()["winnow_fingerprints"](SF).take_all()
+    assert len(rows) == 500
+    assert all(r["n_fingerprints"] > 0 for r in rows)
