@@ -278,7 +278,16 @@ def parse_html(content: bytes | str) -> Node:
                 tag_index[tag] = [node]
             else:
                 lst.append(node)
-            if m.group(8) == "/" or tag in VOID_ELEMENTS:
+            if tag in VOID_ELEMENTS:
+                continue
+            if m.group(8) == "/" and (
+                tag in ("svg", "math")
+                or any(a.tag in ("svg", "math") for a in stack)
+            ):
+                # WHATWG parsing (used by the reference via
+                # golang.org/x/net/html) ignores the self-closing slash on
+                # non-void HTML tags — <span/>x</span> nests x inside the
+                # span.  Only foreign content (SVG/MathML) honors it.
                 continue
             raw_end = _RAW_TEXT_END.get(tag)
             if raw_end is not None:

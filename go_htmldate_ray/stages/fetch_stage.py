@@ -53,7 +53,13 @@ class HttpFetcher:
                 ctype = resp.headers.get("Content-Type", "")
                 if "text/html" not in ctype and "application/xhtml" not in ctype:
                     return None
-                return resp.read(self.max_bytes)
+                # Read one byte past the limit so "oversized" is
+                # detectable — truncating would extract from a cut-off
+                # document instead of skipping it as documented.
+                body = resp.read(self.max_bytes + 1)
+                if len(body) > self.max_bytes:
+                    return None
+                return body
         except (urllib.error.URLError, TimeoutError, OSError, ValueError):
             return None
 

@@ -17,7 +17,13 @@ import hashlib
 
 class CuckooFilter:
     def __init__(self, capacity: int = 1 << 16, bucket_size: int = 4, max_kicks: int = 500):
-        self.n_buckets = max(1, capacity // bucket_size)
+        # Bucket count must be a power of two: _index2's xor partial-key
+        # trick is only an involution (i1 == _index2(_index2(i1, fp), fp))
+        # when the modulus is a power of two — any other size lets a kicked
+        # fingerprint land in a bucket where lookups can't find it, i.e. a
+        # false negative.  Round up so "no false negatives" actually holds.
+        want = max(1, capacity // bucket_size)
+        self.n_buckets = 1 << (want - 1).bit_length()
         self.bucket_size = bucket_size
         self.max_kicks = max_kicks
         self.buckets: list[list[int]] = [[] for _ in range(self.n_buckets)]

@@ -27,10 +27,17 @@ class SeenShard:
         self.filter = CuckooFilter(capacity=filter_capacity)
 
     def check_and_add(self, hashes: list[int]) -> list[bool]:
-        """For each hash: True if newly added (not seen before)."""
+        """For each hash: True if newly added (not seen before).
+
+        The exact set is the sole arbiter; the cuckoo filter is kept
+        in sync purely as the compact fast-reject structure a native
+        port would query first (its bucket count is forced to a power
+        of two in :class:`CuckooFilter`, so its negatives are sound,
+        but membership here never depends on that).
+        """
         out = []
         for h in hashes:
-            if self.filter.might_contain(h) and h in self.exact:
+            if h in self.exact:
                 out.append(False)
             else:
                 self.exact.add(h)
