@@ -83,8 +83,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(
             _embeddings(sf), threshold=0.4
         ),
+        # Banded-LSH near-dup path at a realistic near-dup threshold: the
+        # synthetic corpus has no pairs ≥0.9, so this verifies the
+        # no-false-positive side against the exact SQL; recall is covered
+        # by the planted-duplicate pytest (tests/test_ray_pipelines.py).
+        "embedding_dup_pairs_lsh": _embedding_dup_pairs_lsh,
         "crawl_reachable": _crawl_reachable,
-        "golden_corpus_dates": _golden_corpus_dates,
+        "golden_corpus_dates": lambda sf: _golden_corpus_dates(sf, exclude_known=True),
+        # Full 1000-doc corpus including the 6 rows whose recorded outputs
+        # are internally inconsistent in the reference corpus itself
+        # (tests/golden_mismatches.json) — rows-only by necessity; the
+        # byte-parity gate lives in tests/test_golden_corpus.py.
+        "golden_corpus_dates_full": lambda sf: _golden_corpus_dates(sf, exclude_known=False),
         "windowed_events": _streaming("windowed_events"),
         "asof_latest_order": _streaming("asof_join_latest_order"),
         "sessionize_events": _streaming("sessionize_events"),
@@ -101,16 +111,52 @@ def _embeddings(sf_dir):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _embedding_dup_pairs_lsh(sf_dir):
+    """Near-dup pair results are tiny by semantics; materialise to a typed
+    DataFrame so an all-empty run (Ray drops empty blocks → schema-less
+    Dataset) still presents the declared columns to the comparator."""
+    import pandas as pd
+
+    from go_htmldate_ray.stages.similarity import embedding_dup_pairs_lsh
+
+    df = embedding_dup_pairs_lsh(_embeddings(sf_dir), threshold=0.9).to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return df
+
+
 def _crawl_reachable(sf_dir):
     from go_htmldate_ray.pipelines.crawl import crawl_reachable
 
     return crawl_reachable(sf_dir)
 
 
-def _golden_corpus_dates(sf_dir):
+def _known_inconsistent_urls() -> list[str]:
+    """URLs of the 6 corpus rows whose recorded reference outputs are
+    internally inconsistent (4 of 6 reproduce the reference's output only
+    under use_original_date=False although the harness records
+    UseOriginalDate=true) — forensically attributed in
+    tests/golden_mismatches.json; excluded from the hash-compared oracle
+    on BOTH sides."""
+    import json
+    from pathlib import Path
+
+    data = Path(__file__).parent / "tests" / "golden_mismatches.json"
+    return sorted({e["url"] for e in json.loads(data.read_text())})
+
+
+def _golden_corpus_dates(sf_dir, exclude_known: bool = False):
     """Real-page pipeline over the reference's 1000-doc corpus (read-only
-    fixture; independent of sf_dir). Rows-only check — the byte-exact
-    parity gate lives in tests/test_golden_corpus.py."""
+    fixture; independent of sf_dir).  With ``exclude_known`` the 6
+    inconsistently-recorded rows are dropped, making the remaining 994
+    rows hash-comparable against the reference's own recorded Fast
+    outputs (the DuckDB oracle reads comparison_corpus.json)."""
     import json
     from pathlib import Path
 
@@ -121,12 +167,15 @@ def _golden_corpus_dates(sf_dir):
 
     data = Path(__file__).parent / "tests" / "data" / "comparison_corpus.json"
     entries = json.loads(data.read_text())
+    skip = set(_known_inconsistent_urls()) if exclude_known else set()
     dirs = [
         Path("/root/reference/test-files") / d
         for d in ("mediacloud", "comparison", "mock")
     ]
     items = []
     for e in entries:
+        if e["url"] in skip:
+            continue
         for d in dirs:
             p = d / e["file"]
             if p.exists():
@@ -154,6 +203,16 @@ def _golden_corpus_dates(sf_dir):
             num_cpus=1,
         )
         .select_columns(["url", "date_str"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "url": b.column("url"),
+                    # match the corpus encoding: "" (not null) for no date
+                    "date_str": b.column("date_str").fill_null(""),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -320,6 +379,258 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
-        # lang_id, simhash, minhash_dedup_pairs, ann_lsh_topk: model-style /
-        # LSH-bucketed operators, not SQL-expressible → rows-only checks.
+        "lang_id": _lang_id_sql(),
+        "simhash": _SIMHASH_SQL,
+        "winnow_fingerprints": _winnow_sql(),
+        "minhash_dedup_pairs": _minhash_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_dup_pairs_lsh": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.9""",
+        "golden_corpus_dates": _golden_corpus_sql(),
+        # golden_corpus_dates_full: includes the 6 inconsistently-recorded
+        # corpus rows → rows-only by necessity (byte parity is gated in
+        # tests/test_golden_corpus.py).
     }
+
+
+# --- generated oracle SQL ----------------------------------------------------
+# These recompute the exact operator semantics independently in DuckDB;
+# permutation/plane constants are regenerated from the same fixed seeds the
+# Ray stages use, as SQL literals.
+
+_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) != ''
+),
+th AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS cnt,
+         ('0x'||substr(md5(tok),1,16))::UBIGINT AS hv
+  FROM toks GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN ((hv >> i) & 1::UBIGINT) = 1::UBIGINT THEN cnt ELSE -cnt END) AS acc
+  FROM th, (SELECT unnest(range(64)) AS i) shifts
+  GROUP BY doc_id, i
+),
+vals AS (
+  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS v
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(lower(lpad(to_hex(v.v),16,'0')), repeat('0',16)) AS simhash
+FROM documents d LEFT JOIN vals v USING (doc_id)
+"""
+
+
+def _lang_id_sql() -> str:
+    # Mirror of stages/text_stage._LANG_PROFILES + the first-strict-max
+    # argmax (insertion order en, de, fr, es, id; 'und' when no hits).
+    profiles = {
+        "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+        "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "ein", "nicht"],
+        "fr": ["le", "la", "les", "et", "de", "est", "pour", "dans", "une", "que"],
+        "es": ["el", "la", "los", "de", "y", "es", "para", "con", "una", "por"],
+        "id": ["yang", "dan", "di", "ini", "itu", "dengan", "untuk", "dari", "pada", "ke"],
+    }
+
+    def lit(words):
+        return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+    hits = ", ".join(
+        f"length(list_filter(toks, t -> list_contains({lit(ws)}, t)))::BIGINT AS h_{l}"
+        for l, ws in profiles.items()
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+),
+h AS (SELECT doc_id, length(toks)::BIGINT AS n, {hits} FROM t)
+SELECT doc_id,
+  CASE
+    WHEN n = 0 THEN 'und'
+    WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_id THEN 'en'
+    WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es AND h_de >= h_id THEN 'de'
+    WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es AND h_fr >= h_id THEN 'fr'
+    WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr AND h_es >= h_id THEN 'es'
+    WHEN h_id > 0 AND h_id > h_en AND h_id > h_de AND h_id > h_fr AND h_id > h_es THEN 'id'
+    ELSE 'und' END AS pred_lang,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE greatest(h_en, h_de, h_fr, h_es, h_id)::DOUBLE / n END AS lang_score
+FROM h"""
+
+
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    # Rabin-Karp rolling hashes (base 257 mod 2^61-1) of every k-char
+    # window + winnowing (leftmost min per window of `window` hashes) —
+    # mirrors stages/text_stage.winnow_fingerprints.  The arg_min
+    # tie-break encodes (hash, position) lexicographic order; positions
+    # are < 10^6 by construction (documents are far shorter).
+    m = (1 << 61) - 1
+    pows = [257 ** (k - 1 - j) for j in range(k)]
+    pow_vals = ", ".join(f"({j}, {p}::HUGEINT)" for j, p in enumerate(pows))
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, s, unnest(range(1, length(s) - {k} + 2)) AS i
+  FROM norm WHERE length(s) >= {k}
+),
+terms AS (
+  SELECT p.doc_id, p.i,
+         sum((unicode(substr(p.s, p.i + pw.j, 1))::HUGEINT * pw.pw) % {m}) % {m} AS h
+  FROM pos p, (VALUES {pow_vals}) pw(j, pw)
+  GROUP BY p.doc_id, p.i
+),
+nh AS (SELECT doc_id, count(*) AS n_h FROM terms GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, unnest(range(1, greatest(1, n_h - {window - 1})::BIGINT + 1)) AS w
+  FROM nh
+),
+win AS (
+  SELECT s.doc_id, s.w, t.i, t.h
+  FROM starts s JOIN terms t
+    ON t.doc_id = s.doc_id AND t.i >= s.w AND t.i <= s.w + {window - 1}
+),
+picked AS (
+  SELECT DISTINCT doc_id, arg_min(i, h::HUGEINT * 1000000 + i) AS pi
+  FROM win GROUP BY doc_id, w
+),
+fps AS (
+  SELECT p.doc_id, t.h
+  FROM picked p JOIN terms t ON t.doc_id = p.doc_id AND t.i = p.pi
+),
+summary AS (
+  SELECT doc_id, count(DISTINCT h)::BIGINT AS n_fingerprints, min(h)::BIGINT AS min_fingerprint
+  FROM fps GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.n_fingerprints, 0) AS n_fingerprints,
+       coalesce(s.min_fingerprint, 0) AS min_fingerprint
+FROM documents d LEFT JOIN summary s USING (doc_id)"""
+
+
+def _minhash_sql(num_perm: int = 128, num_bands: int = 16, threshold: float = 0.8) -> str:
+    # Full independent recomputation of stages/dedup.minhash_lsh_pairs:
+    # 3-token shingles → 31-bit md5 hashes → (a*h+b) mod 2^61-1 minima
+    # (the same a/b drawn from RandomState(42), emitted as literals) →
+    # banding collision → signature-agreement estimate ≥ threshold.
+    # All products stay < 2^62, so UBIGINT arithmetic is exact — the Ray
+    # stage uses the same overflow-free formulation.
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 1 << 31, size=num_perm)
+    b = rng.randint(0, 1 << 31, size=num_perm)
+    m = (1 << 61) - 1
+    r = num_perm // num_bands
+    perm_vals = ", ".join(
+        f"({p}, {int(a[p])}::UBIGINT, {int(b[p])}::UBIGINT)" for p in range(num_perm)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+  FROM documents WHERE trim(text) != ''
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(range(1, length(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+    END) AS s
+  FROM toks
+),
+shh AS (
+  SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,16))::UBIGINT & 2147483647::UBIGINT AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, pm.p, min((pm.a * h + pm.b) % {m}::UBIGINT) AS sv
+  FROM shh, (VALUES {perm_vals}) pm(p, a, b)
+  GROUP BY doc_id, pm.p
+),
+bands AS (
+  SELECT doc_id, p // {r} AS band, list(sv ORDER BY p) AS chunk
+  FROM sig GROUP BY doc_id, p // {r}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         (SELECT count(*) FROM sig sa JOIN sig sb
+            ON sa.p = sb.p AND sa.sv = sb.sv
+          WHERE sa.doc_id = c.doc_a AND sb.doc_id = c.doc_b) / {num_perm}.0 AS est_jaccard
+  FROM cand c
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"""
+
+
+def _ann_lsh_sql(n_planes: int = 12, k: int = 5) -> str:
+    # The LSH restriction is deterministic: hyperplanes from
+    # RandomState(42) (same as stages/similarity.HyperplaneHasher),
+    # candidate set = rows whose bucket is within Hamming distance 1 of a
+    # query bucket, exact cosine ranking within candidates.  Bucket signs
+    # are scale-invariant, so raw (unnormalized) embeddings are hashed.
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.standard_normal((n_planes, 64))
+    plane_rows = ", ".join(
+        f"({p}, [{','.join(repr(float(x)) for x in planes[p])}]::DOUBLE[])"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH planes(pid, pv) AS (VALUES {plane_rows}),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (
+  SELECT v.vec_id,
+         sum(CASE WHEN list_inner_product(v.e, p.pv) > 0
+                  THEN (1::BIGINT << p.pid) ELSE 0 END)::BIGINT AS bucket
+  FROM vecs v, planes p GROUP BY v.vec_id
+),
+qb AS (SELECT vec_id AS qid, bucket FROM sig WHERE vec_id < 8),
+wanted AS (
+  SELECT DISTINCT bucket AS w FROM qb
+  UNION
+  SELECT DISTINCT xor(qb.bucket, (1::BIGINT << p.pid)) FROM qb, planes p
+),
+cand AS (SELECT s.vec_id FROM sig s WHERE s.bucket IN (SELECT w FROM wanted)),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_cosine_similarity(q.e, v2.e) AS c
+  FROM vecs q JOIN cand c ON c.vec_id != q.vec_id
+  JOIN vecs v2 ON v2.vec_id = c.vec_id
+  WHERE q.vec_id < 8
+),
+ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rnk
+  FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM ranked WHERE rnk <= {k}"""
+
+
+def _golden_corpus_sql() -> str:
+    # The reference's own recorded Fast outputs ARE the oracle: DuckDB
+    # reads the ported comparison corpus (scripts/comparison/data.go →
+    # tests/data/comparison_corpus.json) and excludes the 6 rows whose
+    # recorded values are internally inconsistent (same exclusion applied
+    # to the Ray side; see tests/golden_mismatches.json).
+    from pathlib import Path
+
+    corpus = Path(__file__).parent / "tests" / "data" / "comparison_corpus.json"
+    excl = ", ".join(f"'{u}'" for u in _known_inconsistent_urls())
+    return f"""
+SELECT url, fast AS date_str
+FROM read_json_auto('{corpus}')
+WHERE url NOT IN ({excl})"""

@@ -6,24 +6,37 @@ Every operator is expressed Ray-Data-first:
   a single hash-keyed ``groupby`` — the only shuffle, keyed the same way a
   100 TB run would hash-partition.
 - **MinHash+LSH**: signature computation is a stateful actor-pool batch
-  stage (permutation parameters built once per actor), banding is a
-  ``flat_map``-shaped batch expansion, bucket grouping is one shuffle on
-  the band key, and pair verification estimates Jaccard from signature
-  agreement inside each bucket group — no second pass over the corpus.
-- **SimHash**: vectorized 64-bit signatures per batch, no shuffle.
+  stage (permutation parameters built once per actor), banding emits only
+  light ``(band_key, doc_id)`` rows through the bucket shuffle (the
+  128-element signatures do NOT ride the band expansion), candidate pairs
+  come from one band-key groupby (hot buckets star-sampled + logged, never
+  silently dropped), and verification joins the candidate pairs back to
+  the signature table — two hash joins sized by the candidate count, not
+  the corpus.
+- **SimHash**: vectorized 64-bit signatures per batch with a per-process
+  token-hash cache, no shuffle.
 - **token-set Jaccard (sample)**: exact small-sample pair scoring against
   a broadcast token-set table (``ray.put`` once, read per task).
+
+The MinHash arithmetic is deliberately overflow-free (31-bit shingle
+hashes, 31-bit permutation coefficients, products < 2^62) so a SQL oracle
+can recompute the exact same signatures in plain BIGINT math — see
+``__ray_entry__.oracle_sql()['minhash_dedup_pairs']``.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
 
+logger = logging.getLogger(__name__)
+
 _MERSENNE = (1 << 61) - 1
+_HASH_MASK = (1 << 31) - 1
 
 
 def text_hash_batch(batch: pa.Table) -> pa.Table:
@@ -64,140 +77,254 @@ def _min_count_aggs():
 
 # --- MinHash + LSH -----------------------------------------------------------
 
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct 31-bit md5 hashes of the k-token shingles of ``text``
+    (documents shorter than k tokens fall back to one whole-text shingle)."""
+    toks = text.split()
+    if len(toks) < k:
+        items = [" ".join(toks)] if toks else []
+    else:
+        items = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = {
+        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & _HASH_MASK
+        for s in items
+    }
+    return np.fromiter(out, dtype=np.int64, count=len(out))
+
+
 class MinHasher:
     """Actor-pool stage: 3-token-shingle MinHash signatures.
 
     Permutation parameters are derived from a fixed seed once per actor
-    (``__init__``), batches are processed in ``__call__``.
+    (``__init__``), batches are processed in ``__call__``.  All values stay
+    below 2^31 so products fit comfortably in signed 64-bit — the exact
+    computation is reproducible in BIGINT SQL (the DuckDB oracle).
     """
 
     def __init__(self, num_perm: int = 128, shingle_size: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
         self.shingle_size = shingle_size
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.a = rng.randint(1, 1 << 31, size=num_perm).astype(np.int64)
+        self.b = rng.randint(0, 1 << 31, size=num_perm).astype(np.int64)
 
-    def _shingles(self, text: str) -> np.ndarray:
-        toks = text.split()
-        k = self.shingle_size
-        if len(toks) < k:
-            items = [" ".join(toks)] if toks else []
-        else:
-            items = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        out = {
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & ((1 << 61) - 1)
-            for s in items
-        }
-        return np.fromiter(out, dtype=np.uint64, count=len(out))
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.shingle_size)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.int64)
+        # (a*x + b) mod p for all perms x shingles, min over shingles;
+        # a,x < 2^31 so a*x+b < 2^62+2^31 — exact in int64, no wraparound.
+        prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return prod.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = []
-        for t in texts:
-            sh = self._shingles(t or "")
-            if len(sh) == 0:
-                sigs.append(np.zeros(self.num_perm, dtype=np.uint64))
-                continue
-            # (a*x + b) mod p for all perms x shingles, min over shingles
-            prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
-            sigs.append(prod.min(axis=1))
+        sigs = [self.signature(t or "") for t in texts]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "signature": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+                "signature": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64())),
             }
         )
 
 
 def _band_batch(batch: pa.Table, num_bands: int, rows_per_band: int) -> pa.Table:
-    """Expand each signature into (band_key, doc_id, signature) rows."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    sigs = batch.column("signature").to_pylist()
-    out_keys, out_docs, out_sigs = [], [], []
-    for doc_id, sig in zip(doc_ids, sigs):
+    """Expand each byte-packed signature into light (band_key, doc_id)
+    rows — the signature itself stays out of the bucket shuffle (16×
+    smaller exchange than shipping the 128-element signature per band
+    row)."""
+    doc_ids = batch.column("key").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    out_keys, out_docs = [], []
+    for doc_id, payload in zip(doc_ids, payloads):
+        sig = np.frombuffer(payload, dtype=np.int64).tolist()
         for band in range(num_bands):
             chunk = tuple(sig[band * rows_per_band : (band + 1) * rows_per_band])
             h = hashlib.md5(repr((band, chunk)).encode()).hexdigest()[:16]
             out_keys.append(h)
             out_docs.append(doc_id)
-            out_sigs.append(sig)
     return pa.table(
         {
             "band_key": pa.array(out_keys, pa.string()),
             "doc_id": pa.array(out_docs, pa.int64()),
-            "signature": pa.array(out_sigs, pa.list_(pa.uint64())),
         }
     )
 
 
-def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    """Emit verified candidate pairs from one LSH bucket (signature-estimated
-    Jaccard ≥ threshold).  Buckets are tiny; guard against pathological
-    skew with a cap."""
-    doc_ids = group.column("doc_id").to_pylist()
-    a_ids, b_ids, estimates = [], [], []
-    if 1 < len(doc_ids) <= 200:  # skew guard: a hot bucket is split upstream
-        sigs = [np.asarray(s, dtype=np.uint64) for s in group.column("signature").to_pylist()]
-        order = np.argsort(doc_ids)
-        for i, j in combinations(order, 2):
-            est = float((sigs[i] == sigs[j]).mean())
-            if est >= threshold:
-                a, b = doc_ids[i], doc_ids[j]
-                a_ids.append(min(a, b))
-                b_ids.append(max(a, b))
-                estimates.append(est)
+_PAIR_CAP = 200  # bucket size above which all-pairs expansion is star-sampled
+
+
+def _bucket_candidates(group: pa.Table) -> pa.Table:
+    """Candidate pairs from one LSH bucket.  Buckets up to ``_PAIR_CAP``
+    docs expand to all pairs; hotter buckets are star-sampled (min doc ↔
+    every other member): the duplicate *cluster* stays connected — the
+    full pair set is recoverable by union-find — while output stays O(G).
+    Truncation is logged, never silent."""
+    ids = np.unique(np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64))
+    g = len(ids)
+    if g < 2:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    if g <= _PAIR_CAP:
+        ii, jj = np.triu_indices(g, 1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ii], pa.int64()),
+                "doc_b": pa.array(ids[jj], pa.int64()),
+            }
+        )
+    logger.warning(
+        "MinHash LSH bucket with %d docs star-sampled: emitting %d spanning "
+        "pairs instead of %d all-pairs (cluster connectivity preserved)",
+        g, g - 1, g * (g - 1) // 2,
+    )
     return pa.table(
         {
-            "doc_a": pa.array(a_ids, pa.int64()),
-            "doc_b": pa.array(b_ids, pa.int64()),
-            "est_jaccard": pa.array(estimates, pa.float64()),
+            "doc_a": pa.array(np.full(g - 1, ids[0]), pa.int64()),
+            "doc_b": pa.array(ids[1:], pa.int64()),
         }
     )
 
 
-def minhash_lsh_pairs(ds, *, num_perm: int = 128, num_bands: int = 16, threshold: float = 0.8):
-    """documents → near-duplicate candidate pairs (shingle→minhash→band→
-    bucket-groupby→verify).  Returns distinct (doc_a, doc_b, est_jaccard)."""
+def minhash_lsh_pairs(
+    ds,
+    *,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+):
+    """documents → near-duplicate pairs (doc_a, doc_b, est_jaccard):
+    shingle → minhash → light band rows → bucket groupby → candidate
+    pairs → signature lookup-join → estimate filter.
+
+    est_jaccard is the fraction of agreeing signature components — the
+    standard unbiased MinHash estimate of shingle-set Jaccard."""
+    from .joins import attach_payload
+
     rows_per_band = num_perm // num_bands
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    # Signatures are consumed three times (banding + both verification
+    # joins): materialize the compact byte-packed form ONCE into the
+    # object store (distributed blocks, spillable — never on the driver)
+    # instead of re-running MinHash per consumer.
+    def pack(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch.column("doc_id"),
+                "payload": pa.array(
+                    [
+                        np.asarray(s, dtype=np.int64).tobytes()
+                        for s in batch.column("signature").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    sigs_bin = (
+        ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"num_perm": num_perm},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .map_batches(pack, batch_format="pyarrow")
+        .materialize()
     )
-    banded = sigs.map_batches(
+    banded = sigs_bin.map_batches(
         lambda b: _band_batch(b, num_bands, rows_per_band), batch_format="pyarrow"
     )
-    pairs = banded.groupby("band_key").map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pyarrow"
+    candidates = banded.groupby("band_key").map_groups(
+        _bucket_candidates, batch_format="pyarrow"
     )
-    # A pair can surface from several bands: dedupe on (doc_a, doc_b).
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+    # A pair can surface from several bands: dedupe before the joins.
+    pairs = candidates.groupby(["doc_a", "doc_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
+    with_a = attach_payload(
+        pairs,
+        sigs_bin,
+        key_col="doc_a",
+        out_col="sig_a",
+        carry_cols={"doc_a": pa.int64(), "doc_b": pa.int64()},
+    )
+    with_b = attach_payload(
+        with_a,
+        sigs_bin,
+        key_col="doc_b",
+        out_col="sig_b",
+        carry_cols={"doc_a": pa.int64(), "doc_b": pa.int64(), "sig_a": pa.binary()},
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sa = np.vstack(
+            [np.frombuffer(b, dtype=np.int64) for b in batch.column("sig_a").to_pylist()]
+        )
+        sb = np.vstack(
+            [np.frombuffer(b, dtype=np.int64) for b in batch.column("sig_b").to_pylist()]
+        )
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 # --- SimHash -----------------------------------------------------------------
 
+# Per-process token→hash cache: tokens repeat massively in natural text,
+# so each worker md5-hashes a token once, ever.
+_TOKEN_CACHE: dict[str, int] = {}
+_TOKEN_CACHE_CAP = 1 << 20
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        if len(_TOKEN_CACHE) < _TOKEN_CACHE_CAP:
+            _TOKEN_CACHE[tok] = h
+    return h
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, simhash (hex string of the 64-bit token-unigram SimHash)."""
+    """doc_id, simhash (hex string of the 64-bit token-unigram SimHash).
+
+    Bit convention (replicated by the SQL oracle): bit i of the result is
+    set iff sum over tokens of (2*((md5_u64(tok) >> i) & 1) - 1) > 0,
+    where md5_u64 is the big-endian first 8 bytes of the token's md5.
+    Vectorized: unique tokens + counts per doc, cached token hashes,
+    one numpy bit-unpack + weighted sum per doc."""
     texts = batch.column("text").to_pylist()
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
     out = []
     for t in texts:
         toks = (t or "").split()
         if not toks:
             out.append("0" * 16)
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            digest = hashlib.md5(tok.encode()).digest()[:8]
-            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
-            acc += bits * 2 - 1
-        val = 0
-        for i in range(64):
-            if acc[i] > 0:
-                val |= 1 << i
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        hvals = np.fromiter(
+            (_token_hash(u) for u in uniq), dtype=np.uint64, count=len(uniq)
+        )
+        bits = ((hvals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+        val = int(weights[acc > 0].sum())
         out.append(f"{val:016x}")
     return pa.table(
         {
@@ -214,8 +341,12 @@ def token_jaccard_pairs(ds, *, max_doc_id: int = 200, min_jaccard: float = 0.5):
     ``max_doc_id``; the token-set table is broadcast via ``ray.put`` once
     and read inside each scoring task."""
     import ray
+    import pyarrow.compute as pc
 
-    sample = ds.filter(lambda r: r["doc_id"] < max_doc_id)
+    sample = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), max_doc_id)),
+        batch_format="pyarrow",
+    )
     rows = sample.select_columns(["doc_id", "text"]).take_all()
     sets = {r["doc_id"]: frozenset((r["text"] or "").split()) for r in rows}
     sets_ref = ray.put(sets)

@@ -8,16 +8,64 @@
 - ``lsh_topk``: random-hyperplane LSH variant — the scale path that
   restricts scoring to colliding buckets (multi-probe over Hamming-1
   neighbors of the query bucket).
+- ``embedding_dup_pairs``: EXACT all-pairs cosine ≥ threshold in
+  distributed block-pair form — the driver holds only block references,
+  every chunk×chunk tile is scored by its own task.  Exact all-pairs is
+  inherently O(N²) compute, so this is the *oracle baseline*; the 100 TB
+  path is :func:`embedding_dup_pairs_lsh`.
+- ``embedding_dup_pairs_lsh``: banded hyperplane-LSH near-dup pairs —
+  light (bucket, vec_id) rows through the only shuffle, candidate pairs
+  from bucket groups (hot buckets star-sampled, never silently dropped),
+  exact cosine verification via two hash joins back to the embeddings.
 """
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
+
+
+def _list_matrix(col: pa.ChunkedArray | pa.Array, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from a list<float>/fixed_size_list column without a
+    per-row Python loop (values buffer → reshape)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+    return vals.reshape(n, -1)
+
+
+def _normalize_batch(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) → (vec_id, embedding) with unit-norm float64
+    fixed-size-list embeddings (zero-copy matrix recovery downstream)."""
+    mat = _list_matrix(batch.column("embedding"))
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    dim = mat.shape[1] if mat.size else 0
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.ravel(), pa.float64()), dim or 1
+    )
+    return pa.table({"vec_id": batch.column("vec_id"), "embedding": emb})
 
 
 def _query_matrix(ds, query_ids: list[int]):
-    rows = ds.filter(lambda r: r["vec_id"] in set(query_ids)).take_all()
+    id_set = pa.array(sorted(set(query_ids)), pa.int64())
+    rows = (
+        ds.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=id_set)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["vec_id", "embedding"])
+        .take_all()  # small side by construction: len(query_ids) rows
+    )
     rows.sort(key=lambda r: r["vec_id"])
     ids = [r["vec_id"] for r in rows]
     mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
@@ -30,7 +78,7 @@ def _partial_topk_batch(batch: pa.Table, qids, qmat_ref, k: int) -> pa.Table:
 
     qmat = ray.get(qmat_ref) if not isinstance(qmat_ref, np.ndarray) else qmat_ref
     vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-    emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+    emb = _list_matrix(batch.column("embedding"))
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     emb = emb / norms
@@ -87,7 +135,7 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 5):
     )
 
 
-# --- LSH variant -------------------------------------------------------------
+# --- LSH top-k ---------------------------------------------------------------
 
 class HyperplaneHasher:
     """Random-hyperplane signer: planes drawn once per actor from a fixed
@@ -102,7 +150,7 @@ class HyperplaneHasher:
         return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = _list_matrix(batch.column("embedding"))
         return batch.append_column(
             "bucket", pa.array(self.bucket_of(emb), pa.int64())
         )
@@ -122,14 +170,17 @@ def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 12):
         probes = {int(b)}
         probes.update(int(b) ^ (1 << p) for p in range(n_planes))
         probe_sets.append(probes)
-    wanted = set().union(*probe_sets)
+    wanted = pa.array(sorted(set().union(*probe_sets)), pa.int64())
 
     bucketed = ds.map_batches(
         HyperplaneHasher,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
         batch_format="pyarrow",
         concurrency=(1, 8),
-    ).filter(lambda r: r["bucket"] in wanted)
+    ).map_batches(
+        lambda b: b.filter(pc.is_in(b.column("bucket"), value_set=wanted)),
+        batch_format="pyarrow",
+    )
 
     qmat_ref = ray.put(qmat)
     partials = bucketed.map_batches(
@@ -142,47 +193,82 @@ def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 12):
     )
 
 
-def embedding_dup_pairs(ds, *, threshold: float = 0.4):
-    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) for all
-    pairs with cosine ≥ threshold, vec_a < vec_b.
+# --- exact all-pairs near-dup (oracle baseline) ------------------------------
 
-    The normalized matrix is broadcast once (``ray.put``); each batch
-    matmuls its rows against the full matrix and emits only its
-    above-threshold pairs — the corpus streams, the O(N²) score space
-    never materialises.  The 100 TB path replaces the broadcast with the
-    hyperplane-LSH buckets above (score only within colliding buckets).
+def embedding_dup_pairs(ds, *, threshold: float = 0.4, chunk_rows: int = 4096):
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine) for all
+    pairs with cosine ≥ threshold, vec_a < vec_b — EXACT, in distributed
+    block-pair form.
+
+    Pass 1 streams the (vec_id, unit-norm embedding) projection into
+    object-store blocks of ~``chunk_rows`` rows; the driver keeps only the
+    block *references* (``to_arrow_refs`` — no ``ray.get``, no
+    ``take_all``).  Pass 2 fans one task out per block pair (i ≤ j); each
+    task pulls exactly two blocks zero-copy from the object store, matmuls
+    the tile, and emits only its above-threshold pairs.
+
+    Exact all-pairs is inherently O(N²) score compute — that is the
+    semantics the DuckDB oracle checks.  At corpus scale use
+    :func:`embedding_dup_pairs_lsh`, which prunes the tile space with
+    banded hyperplane LSH and verifies candidates exactly.
     """
     import ray
-
-    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
-    rows.sort(key=lambda r: r["vec_id"])
-    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
-    mat_ref = ray.put((ids, mat))
-
     import ray.data
 
-    blocks = ray.data.from_items(
-        [{"start": i} for i in range(0, len(ids), 256)]
+    n = ds.count()
+    n_chunks = max(1, -(-n // chunk_rows))
+    norm = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(_normalize_batch, batch_format="pyarrow")
+        .repartition(n_chunks)
+    )
+    refs = norm.to_arrow_refs()  # block refs only; blocks stay in the store
+    refs_handle = ray.put(refs)
+
+    tiles = ray.data.from_items(
+        [
+            {"ci": i, "cj": j}
+            for i in range(len(refs))
+            for j in range(i, len(refs))
+        ]
     )
 
-    def score(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(mat_ref)
+    def score_tile(batch: pa.Table) -> pa.Table:
+        all_refs = ray.get(refs_handle)
         oa, ob, oc = [], [], []
-        for start in batch.column("start").to_pylist():
-            chunk = all_mat[start : start + 256]
-            cos = chunk @ all_mat.T
-            for i in range(chunk.shape[0]):
-                gi = start + i
-                hits = np.nonzero(cos[i] >= threshold)[0]
-                for j in hits:
-                    if all_ids[gi] < all_ids[j]:
-                        oa.append(int(all_ids[gi]))
-                        ob.append(int(all_ids[j]))
-                        oc.append(round(float(cos[i, j]), 6))
+        for ci, cj in zip(
+            batch.column("ci").to_pylist(), batch.column("cj").to_pylist()
+        ):
+            ta = ray.get(all_refs[ci])
+            ids_a = np.asarray(ta.column("vec_id").to_pylist(), dtype=np.int64)
+            mat_a = _list_matrix(ta.column("embedding"))
+            if ci == cj:
+                ids_b, mat_b = ids_a, mat_a
+            else:
+                tb = ray.get(all_refs[cj])
+                ids_b = np.asarray(tb.column("vec_id").to_pylist(), dtype=np.int64)
+                mat_b = _list_matrix(tb.column("embedding"))
+            if not mat_a.size or not mat_b.size:
+                continue
+            cos = mat_a @ mat_b.T
+            ii, jj = np.nonzero(cos >= threshold)
+            for i, j in zip(ii, jj):
+                a, b = int(ids_a[i]), int(ids_b[j])
+                if ci == cj:
+                    # diagonal tile: every unordered pair appears in both
+                    # orders (plus the self pair) — keep one orientation
+                    if a >= b:
+                        continue
+                else:
+                    # cross tile: each unordered pair appears exactly once;
+                    # ids may straddle chunk order, so orient explicitly
+                    if a == b:
+                        continue
+                    if a > b:
+                        a, b = b, a
+                oa.append(a)
+                ob.append(b)
+                oc.append(round(float(cos[i, j]), 6))
         return pa.table(
             {
                 "vec_a": pa.array(oa, pa.int64()),
@@ -191,4 +277,184 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.4):
             }
         )
 
-    return blocks.map_batches(score, batch_format="pyarrow", batch_size=4)
+    return tiles.map_batches(score_tile, batch_format="pyarrow", batch_size=4)
+
+
+# --- banded-LSH near-dup pairs (the 100 TB path) -----------------------------
+
+_PAIR_CAP = 200  # bucket size above which all-pairs expansion is star-sampled
+
+
+class BandedHasher:
+    """Banded random-hyperplane bucketing: each vector emits one light
+    (bucket, vec_id) row per band — ``n_bands × planes_per_band`` planes,
+    drawn once per actor from a fixed seed (dim inferred from the first
+    batch, so the driver never peeks at the data)."""
+
+    def __init__(self, n_bands: int = 16, planes_per_band: int = 8, seed: int = 42):
+        self.n_bands = n_bands
+        self.r = planes_per_band
+        self.seed = seed
+        self.planes: np.ndarray | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _list_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        if self.planes is None:
+            rng = np.random.RandomState(self.seed)
+            self.planes = rng.standard_normal((self.n_bands * self.r, mat.shape[1]))
+        signs = (mat @ self.planes.T) > 0  # (n, n_bands*r)
+        n = signs.shape[0]
+        bits = signs.reshape(n, self.n_bands, self.r)
+        weights = 1 << np.arange(self.r)
+        codes = (bits * weights).sum(axis=2).astype(np.int64)  # (n, n_bands)
+        band_idx = np.arange(self.n_bands, dtype=np.int64)
+        bucket = (band_idx[None, :] << self.r) | codes  # unique per band
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket.ravel(), pa.int64()),
+                "vec_id": pa.array(np.repeat(vec_ids, self.n_bands), pa.int64()),
+            }
+        )
+
+
+def _bucket_candidates(group: pa.Table) -> pa.Table:
+    """Candidate pairs from one LSH bucket.  Buckets up to ``_PAIR_CAP``
+    expand to all pairs; hotter buckets are star-sampled (min doc ↔ every
+    other member), which keeps the duplicate *cluster* connected (the full
+    pair set is recoverable by union-find) while bounding output to O(G).
+    The truncation is logged, never silent."""
+    ids = np.unique(
+        np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+    )
+    g = len(ids)
+    if g < 2:
+        return pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+        )
+    if g <= _PAIR_CAP:
+        ii, jj = np.triu_indices(g, 1)
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii], pa.int64()),
+                "vec_b": pa.array(ids[jj], pa.int64()),
+            }
+        )
+    logger.warning(
+        "LSH bucket with %d members star-sampled: emitting %d spanning pairs "
+        "instead of %d all-pairs (cluster connectivity preserved)",
+        g, g - 1, g * (g - 1) // 2,
+    )
+    return pa.table(
+        {
+            "vec_a": pa.array(np.full(g - 1, ids[0]), pa.int64()),
+            "vec_b": pa.array(ids[1:], pa.int64()),
+        }
+    )
+
+
+def embedding_dup_pairs_lsh(
+    ds,
+    *,
+    threshold: float = 0.9,
+    n_bands: int = 16,
+    planes_per_band: int = 8,
+):
+    """Banded hyperplane-LSH near-duplicate pairs with exact verification —
+    the sub-quadratic scale path for high-similarity thresholds.
+
+    Shape: light (bucket, vec_id) rows → one bucket-key shuffle →
+    candidate pairs per bucket (hot buckets star-sampled + logged) →
+    pair dedup → two lookup-joins back to the unit-norm embeddings →
+    exact cosine filter.  Only candidate pairs (≪ N²) are ever scored;
+    the embedding table itself is never broadcast or materialised on the
+    driver.
+
+    Recall for a pair at cosine c is 1-(1-p^r)^b with p = 1-arccos(c)/π:
+    the defaults (r=8, b=16) give ≈0.996 at c=0.9 — pick the banding for
+    the threshold; thresholds near 0.4 need the exact tile scorer
+    (:func:`embedding_dup_pairs`).
+    """
+    from .joins import attach_payload
+
+    # Normalization feeds banding plus both verification joins:
+    # materialize it once (distributed blocks, spillable) rather than
+    # renormalizing per consumer.
+    norm = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(_normalize_batch, batch_format="pyarrow")
+        .materialize()
+    )
+    # The verification lookup-joins carry the unit-norm vectors as raw
+    # float64 bytes (decoded with np.frombuffer in the verifier).
+    def pack(batch: pa.Table) -> pa.Table:
+        mat = _list_matrix(batch.column("embedding"))
+        return pa.table(
+            {
+                "key": batch.column("vec_id"),
+                "payload": pa.array([row.tobytes() for row in mat], pa.binary()),
+            }
+        )
+
+    norm_bin = norm.map_batches(pack, batch_format="pyarrow")
+    banded = norm.map_batches(
+        BandedHasher,
+        fn_constructor_kwargs={
+            "n_bands": n_bands,
+            "planes_per_band": planes_per_band,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    candidates = banded.groupby("bucket").map_groups(
+        _bucket_candidates, batch_format="pyarrow"
+    )
+    pairs = candidates.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+    with_a = attach_payload(
+        pairs,
+        norm_bin,
+        key_col="vec_a",
+        out_col="emb_a",
+        carry_cols={"vec_a": pa.int64(), "vec_b": pa.int64()},
+    )
+    with_b = attach_payload(
+        with_a,
+        norm_bin,
+        key_col="vec_b",
+        out_col="emb_b",
+        carry_cols={"vec_a": pa.int64(), "vec_b": pa.int64(), "emb_a": pa.binary()},
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        ea = np.vstack(
+            [np.frombuffer(b, dtype=np.float64) for b in batch.column("emb_a").to_pylist()]
+        )
+        eb = np.vstack(
+            [np.frombuffer(b, dtype=np.float64) for b in batch.column("emb_b").to_pylist()]
+        )
+        cos = (ea * eb).sum(axis=1)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "vec_a": batch.column("vec_a").filter(pa.array(keep)),
+                "vec_b": batch.column("vec_b").filter(pa.array(keep)),
+                "cosine": pa.array(
+                    [round(float(c), 6) for c in cos[keep]], pa.float64()
+                ),
+            }
+        )
+
+    return with_b.map_batches(verify, batch_format="pyarrow")

@@ -189,3 +189,99 @@ def test_winnow_batch_query():
     rows = entry.queries()["winnow_fingerprints"](SF).take_all()
     assert len(rows) == 500
     assert all(r["n_fingerprints"] > 0 for r in rows)
+
+
+def test_embedding_dup_pairs_exact_tiles():
+    """Distributed tile scorer equals numpy all-pairs, including pairs that
+    straddle chunk boundaries (chunk_rows forces several tiles)."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.similarity import embedding_dup_pairs
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((90, 16)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(90)]
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_dup_pairs(ds, threshold=0.3, chunk_rows=16).take_all()
+    }
+    m = vecs.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    expect = {}
+    for i in range(90):
+        for j in range(i + 1, 90):
+            if cos[i, j] >= 0.3:
+                expect[(i, j)] = round(float(cos[i, j]), 6)
+    assert got == expect
+
+
+def test_embedding_dup_pairs_lsh_planted_recall():
+    """Banded-LSH path finds every planted near-identical pair with zero
+    false positives (verification is exact)."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.similarity import embedding_dup_pairs_lsh
+
+    rng = np.random.RandomState(7)
+    rows, expected, vid = [], set(), 0
+    for _ in range(3):
+        base = rng.standard_normal(64)
+        members = []
+        for _ in range(5):
+            v = base + 0.02 * rng.standard_normal(64)
+            rows.append({"vec_id": vid, "embedding": v.astype(np.float32).tolist()})
+            members.append(vid)
+            vid += 1
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                expected.add((members[i], members[j]))
+    for _ in range(100):
+        rows.append(
+            {"vec_id": vid, "embedding": rng.standard_normal(64).astype(np.float32).tolist()}
+        )
+        vid += 1
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_dup_pairs_lsh(
+            ray.data.from_items(rows), threshold=0.9
+        ).take_all()
+    }
+    assert got == expected
+
+
+def test_minhash_skewed_bucket_star_sampled():
+    """1k identical docs: the hot LSH bucket is star-sampled (999 spanning
+    pairs, est 1.0) — bounded output, cluster connectivity preserved,
+    nothing silently dropped."""
+    import ray.data
+    from go_htmldate_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = [{"doc_id": i, "text": "alpha beta gamma delta epsilon " * 20} for i in range(1000)]
+    pairs = minhash_lsh_pairs(ray.data.from_items(docs)).take_all()
+    assert len(pairs) == 999
+    assert all(p["est_jaccard"] == 1.0 for p in pairs)
+    assert {p["doc_a"] for p in pairs} == {0}
+    assert {p["doc_b"] for p in pairs} == set(range(1, 1000))
+
+
+def test_minhash_band_rows_are_light():
+    """The bucket shuffle carries only (band_key, doc_id) — signatures must
+    not ride the band expansion (16× volume otherwise)."""
+    import pyarrow as pa
+    import numpy as np
+    from go_htmldate_ray.stages.dedup import MinHasher, _band_batch
+
+    mh = MinHasher()
+    sig = mh.signature("some text with enough tokens to shingle properly here")
+    batch = pa.table(
+        {
+            "key": pa.array([1], pa.int64()),
+            "payload": pa.array([np.asarray(sig, dtype=np.int64).tobytes()], pa.binary()),
+        }
+    )
+    banded = _band_batch(batch, 16, 8)
+    assert banded.column_names == ["band_key", "doc_id"]
+    assert banded.num_rows == 16
