@@ -159,6 +159,88 @@ class CrawlFetcher:
         return out
 
 
+class WaveStatsCounter:
+    """Tiny zero-CPU counter actor: distributed stages report per-batch
+    drop counts here instead of shipping whole partitions to the driver
+    just to count them."""
+
+    def __init__(self):
+        self.counts: dict[str, int] = {}
+
+    def add(self, **kv) -> None:
+        for k, v in kv.items():
+            self.counts[k] = self.counts.get(k, 0) + int(v)
+
+    def get(self) -> dict:
+        return dict(self.counts)
+
+    def reset(self) -> None:
+        self.counts = {}
+
+
+class RobotsFilterStage:
+    """Actor-pool stage: drops rows the seen-set semi-join marked stale
+    (``is_new == False``) and robots-disallowed rows.
+
+    Rules are pulled from the shared :class:`RobotsCache` actor only for
+    hosts this actor hasn't cached yet — the per-actor cache makes the
+    robots lookup a small-side join without any driver-side host
+    collection.  Batch drop counts go to the wave stats counter."""
+
+    def __init__(self, robots_handle, stats_handle):
+        self.robots = robots_handle
+        self.stats = stats_handle
+        self.cache: dict[str, list] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        n_in = batch.num_rows
+        t = batch.filter(batch.column("is_new")).drop_columns(["is_new"])
+        hosts = t.column("host").to_pylist()
+        missing = sorted({h for h in hosts if h not in self.cache})
+        if missing:
+            self.cache.update(ray.get(self.robots.get_rules.remote(missing)))
+        keep = []
+        for url, host in zip(t.column("url").to_pylist(), hosts):
+            path = url.split(host, 1)[-1] if host else "/"
+            keep.append(allowed(path, self.cache.get(host, [])))
+        out = t.filter(pa.array(keep, pa.bool_()))
+        ray.get(
+            self.stats.add.remote(
+                deduped_in=n_in,
+                not_new=n_in - t.num_rows,
+                robots_denied=t.num_rows - out.num_rows,
+            )
+        )
+        return out
+
+
+def _count_parquet(path: str) -> int:
+    """Row count of a parquet file OR directory (0 if absent/empty) —
+    metadata only, nothing is read onto the driver."""
+    import pyarrow.dataset as pads
+
+    if not os.path.exists(path):
+        return 0
+    try:
+        return pads.dataset(path, format="parquet").count_rows()
+    except (OSError, pa.ArrowInvalid):
+        return 0
+
+
+def _frontier_location(checkpoint_dir: str, wave: int) -> Optional[str]:
+    """The frontier for a wave is a single parquet file (driver-side small
+    path) or a directory of parquet parts (dataset path)."""
+    f = os.path.join(checkpoint_dir, f"frontier_{wave}.parquet")
+    if os.path.exists(f):
+        return f
+    d = os.path.join(checkpoint_dir, f"frontier_{wave}")
+    if os.path.isdir(d):
+        return d
+    return None
+
+
 def doc_id_of_url(url: str) -> Optional[int]:
     tail = url.rsplit("/", 1)[-1]
     for prefix in ("post-", ""):
@@ -370,121 +452,142 @@ def crawl(
         deferred_tbl = t.filter(defer_arr).drop_columns(["fetch_rank"])
         return local_fetch(fetch_now), [deferred_tbl.select(FRONTIER_SCHEMA.names)]
 
-    def run_wave_dataset(frontier_path: str) -> tuple[pa.Table, list[pa.Table]]:
-        """Full Ray-Data wave: shuffles on url_hash (dedup) and host
-        (politeness), actor-pool fetch — the 10^10-frontier path."""
+    wave_stats = (
+        ray.remote(num_cpus=0)(WaveStatsCounter)
+        .options(name=f"{namespace}-wavestats", get_if_exists=True)
+        .remote()
+    )
+
+    def run_wave_dataset(frontier_path: str, wave: int) -> tuple[int, int]:
+        """Full Ray-Data wave — the 10^10-frontier path.  Nothing
+        wave-sized ever lands on the driver: the frontier streams through
+        dedup (url_hash shuffle) → seen-shard semi-join → robots
+        actor-pool filter → politeness (host shuffle), is materialized
+        ONCE into object-store blocks (the mandatory barrier:
+        ``check_and_add`` mutates the seen shards, so the flagged wave
+        must execute exactly once before the fetch/deferred branches
+        consume it), and the fetch/deferred/link outputs are written as
+        partitioned parquet by the workers themselves.  The driver sees
+        only row counts (parquet metadata) and the stats counter."""
+        ray.get(wave_stats.reset.remote())
         frontier = ray.data.read_parquet(frontier_path)
         deduped = frontier.groupby("url_hash").map_groups(
             _dedup_first, batch_format="pyarrow"
         )
-        fresh = deduped.map_batches(check_new, batch_format="pyarrow").filter(
-            lambda r: r["is_new"]
-        )
-        fresh_parts = [
-            p
-            for p in (ray.get(r) for r in fresh.to_arrow_refs())
-            if p.num_rows and "host" in p.column_names
-        ]
-        wave_hosts = set()
-        for part in fresh_parts:
-            wave_hosts.update(part.column("host").to_pylist())
-        rules = ray.get(robots.get_rules.remote(sorted(wave_hosts)))
-        rules_ref = ray.put(rules)
-
-        def robots_filter(batch: pa.Table) -> pa.Table:
-            table = ray.get(rules_ref)
-            keep = []
-            for url, host in zip(
-                batch.column("url").to_pylist(), batch.column("host").to_pylist()
-            ):
-                path = url.split(host, 1)[-1] if host else "/"
-                keep.append(allowed(path, table.get(host, [])))
-            return batch.filter(pa.array(keep, pa.bool_()))
-
-        candidates = ray.data.from_arrow(
-            pa.concat_tables([p.drop_columns(["is_new"]) for p in fresh_parts])
-            if fresh_parts
-            else pa.table({f.name: pa.array([], f.type) for f in FRONTIER_SCHEMA})
-        ).map_batches(robots_filter, batch_format="pyarrow")
-
-        ranked = candidates.groupby("host").map_groups(
-            lambda g: _politeness_rank(g, politeness_budget), batch_format="pyarrow"
-        )
-        fetch_now = ranked.filter(lambda r: not r["deferred"]).drop_columns(
-            ["deferred"]
-        )
-        deferred = ranked.filter(lambda r: r["deferred"]).drop_columns(
-            ["deferred", "fetch_rank"]
-        )
-        fetched = fetch_now.map_batches(
-            CrawlFetcher,
-            fn_constructor_kwargs={"sf_dir": sf_dir, **(fetcher_kwargs or {})},
+        checked = deduped.map_batches(check_new, batch_format="pyarrow")
+        allowed_ds = checked.map_batches(
+            RobotsFilterStage,
+            fn_constructor_kwargs={"robots_handle": robots, "stats_handle": wave_stats},
             batch_format="pyarrow",
-            batch_size=64,
-            concurrency=fetch_concurrency,
-            num_cpus=1,
+            concurrency=(1, 4),
+            num_cpus=0.5,
         )
-        fetched_parts = [
-            p
-            for p in (ray.get(r) for r in fetched.to_arrow_refs())
-            if p.num_rows and "links" in p.column_names
-        ]
-        visited = pa.concat_tables(fetched_parts) if fetched_parts else _EMPTY_VISITED
-        deferred_parts = [
-            p.select(FRONTIER_SCHEMA.names)
-            for p in (ray.get(r) for r in deferred.to_arrow_refs())
-            if p.num_rows and "host" in p.column_names
-        ]
-        return visited, deferred_parts
+        ranked = allowed_ds.groupby("host").map_groups(
+            lambda g: _politeness_rank(g, politeness_budget), batch_format="pyarrow"
+        ).materialize()
+
+        visited_dir = os.path.join(checkpoint_dir, f"visited_{wave}")
+        next_dir = os.path.join(checkpoint_dir, f"frontier_{wave + 1}")
+        os.makedirs(next_dir, exist_ok=True)
+
+        def now_batch(b: pa.Table) -> pa.Table:
+            return b.filter(pa.compute.invert(b.column("deferred"))).drop_columns(
+                ["deferred"]
+            )
+
+        def deferred_batch(b: pa.Table) -> pa.Table:
+            return b.filter(b.column("deferred")).select(FRONTIER_SCHEMA.names)
+
+        fetched = (
+            ranked.map_batches(now_batch, batch_format="pyarrow")
+            .map_batches(
+                CrawlFetcher,
+                fn_constructor_kwargs={"sf_dir": sf_dir, **(fetcher_kwargs or {})},
+                batch_format="pyarrow",
+                batch_size=64,
+                concurrency=fetch_concurrency,
+                num_cpus=1,
+            )
+            .map_batches(
+                lambda b: b.append_column(
+                    "wave", pa.array([wave] * b.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        fetched.write_parquet(visited_dir)
+        ranked.map_batches(deferred_batch, batch_format="pyarrow").write_parquet(
+            os.path.join(next_dir, "deferred")
+        )
+
+        n_fetched = _count_parquet(visited_dir)
+        if n_fetched:
+            # Link expansion: a batch flat-map over the just-written
+            # visited log (its parquet round-trip doubles as the lineage
+            # checkpoint) — no driver-side list concatenation.
+            def expand(b: pa.Table) -> pa.Table:
+                urls: list[str] = []
+                depths: list[int] = []
+                for d, chunk in zip(
+                    b.column("depth").to_pylist(), b.column("links").to_pylist()
+                ):
+                    urls.extend(chunk)
+                    depths.extend([d + 1] * len(chunk))
+                return _frontier_table(urls, depths, wave + 1)
+
+            ray.data.read_parquet(visited_dir, columns=["depth", "links"]).map_batches(
+                expand, batch_format="pyarrow"
+            ).write_parquet(os.path.join(next_dir, "links"))
+
+        s = ray.get(wave_stats.get.remote())
+        stats["robots_denied"] += s.get("robots_denied", 0)
+        stats["dedup_dropped"] += _count_parquet(frontier_path) - s.get(
+            "deduped_in", 0
+        )
+        return n_fetched, _count_parquet(next_dir)
 
     for wave in range(start_wave, max_waves):
-        frontier_path = os.path.join(checkpoint_dir, f"frontier_{wave}.parquet")
-        n_frontier = pq.ParquetFile(frontier_path).metadata.num_rows
+        frontier_path = _frontier_location(checkpoint_dir, wave)
+        n_frontier = _count_parquet(frontier_path) if frontier_path else 0
         if n_frontier == 0:
             break
         if n_frontier <= small_wave_threshold:
+            # Driver-side fast path: identical semantics, pure pyarrow —
+            # appropriate when a wave fits trivially in one process.
             visited_tbl, deferred_parts = run_wave_local(pq.read_table(frontier_path))
-        else:
-            visited_tbl, deferred_parts = run_wave_dataset(frontier_path)
-        visited_tbl = visited_tbl.append_column(
-            "wave", pa.array([wave] * visited_tbl.num_rows, pa.int64())
-        )
-        pq.write_table(
-            visited_tbl.drop_columns(["links"]),
-            os.path.join(checkpoint_dir, f"visited_{wave}.parquet"),
-        )
+            visited_tbl = visited_tbl.append_column(
+                "wave", pa.array([wave] * visited_tbl.num_rows, pa.int64())
+            )
+            pq.write_table(
+                visited_tbl.drop_columns(["links"]),
+                os.path.join(checkpoint_dir, f"visited_{wave}.parquet"),
+            )
 
-        # Next frontier: deferred ∪ discovered links
-        links: list[str] = []
-        for chunk in visited_tbl.column("links").to_pylist():
-            links.extend(chunk)
-        link_tbl = _frontier_table(links, None, wave + 1) if links else None
-        if link_tbl is not None:
-            depths = pa.array([1] * link_tbl.num_rows, pa.int64())
-            # depth of a discovered link = parent depth + 1; parents are in
-            # visited order so expand per-row
-            parent_depths = []
+            # Next frontier: deferred ∪ discovered links
+            links: list[str] = []
+            parent_depths: list[int] = []
             for d, chunk in zip(
                 visited_tbl.column("depth").to_pylist(),
                 visited_tbl.column("links").to_pylist(),
             ):
+                links.extend(chunk)
                 parent_depths.extend([d + 1] * len(chunk))
-            link_tbl = link_tbl.set_column(
-                link_tbl.schema.get_field_index("depth"),
-                "depth",
-                pa.array(parent_depths, pa.int64()),
+            link_tbl = _frontier_table(links, parent_depths, wave + 1) if links else None
+            next_parts = [p for p in deferred_parts if p.num_rows] + (
+                [link_tbl] if link_tbl is not None else []
             )
-        next_parts = [p for p in deferred_parts if p.num_rows] + (
-            [link_tbl] if link_tbl is not None else []
-        )
-        next_frontier = (
-            pa.concat_tables([p.select(FRONTIER_SCHEMA.names) for p in next_parts])
-            if next_parts
-            else pa.table({f.name: pa.array([], f.type) for f in FRONTIER_SCHEMA})
-        )
-        pq.write_table(
-            next_frontier, os.path.join(checkpoint_dir, f"frontier_{wave + 1}.parquet")
-        )
+            next_frontier = (
+                pa.concat_tables([p.select(FRONTIER_SCHEMA.names) for p in next_parts])
+                if next_parts
+                else pa.table({f.name: pa.array([], f.type) for f in FRONTIER_SCHEMA})
+            )
+            pq.write_table(
+                next_frontier,
+                os.path.join(checkpoint_dir, f"frontier_{wave + 1}.parquet"),
+            )
+            n_fetched = visited_tbl.num_rows
+        else:
+            n_fetched, _ = run_wave_dataset(frontier_path, wave)
 
         # Checkpoint: seen dumps + robots + manifest (atomic rename)
         open(os.path.join(checkpoint_dir, "seen.json"), "w").write(
@@ -496,9 +599,11 @@ def crawl(
         lineage.append(
             {
                 "wave": wave,
-                "frontier_rows": pq.ParquetFile(frontier_path).metadata.num_rows,
-                "fetched": visited_tbl.num_rows,
-                "next_frontier_rows": next_frontier.num_rows,
+                "frontier_rows": n_frontier,
+                "fetched": n_fetched,
+                "next_frontier_rows": _count_parquet(
+                    _frontier_location(checkpoint_dir, wave + 1) or ""
+                ),
             }
         )
         tmp = manifest_path + ".tmp"
@@ -506,7 +611,7 @@ def crawl(
         os.replace(tmp, manifest_path)
 
         stats["waves"] += 1
-        stats["fetched"] += visited_tbl.num_rows
+        stats["fetched"] += n_fetched
 
     for actor in fetch_pool:  # release the pool's CPU reservations
         ray.kill(actor)
@@ -514,9 +619,28 @@ def crawl(
 
     import glob
 
+    # Visited log: single parquet files (small-wave path) and/or parquet
+    # part directories (dataset path); unify on the common column set.
     visited_files = sorted(glob.glob(os.path.join(checkpoint_dir, "visited_*.parquet")))
+    for d in sorted(glob.glob(os.path.join(checkpoint_dir, "visited_*"))):
+        if os.path.isdir(d):
+            visited_files.extend(
+                sorted(glob.glob(os.path.join(d, "*.parquet")))
+            )
     if visited_files:
-        visited = ray.data.read_parquet(visited_files)
+        visited = ray.data.read_parquet(
+            visited_files,
+            columns=[
+                "url",
+                "host",
+                "depth",
+                "discovered_wave",
+                "fetch_rank",
+                "doc_id",
+                "date_str",
+                "wave",
+            ],
+        )
     else:
         visited = ray.data.from_arrow(
             pa.table({"url": pa.array([], pa.string())})
