@@ -243,7 +243,7 @@ def run_headline() -> dict:
     queries["events_by_type"] = round(bench_query(analytics.events_by_type), 3)
 
     return {
-        "metric": "pages date-extracted per second (synthetic CC-style corpus, fast mode)",
+        "metric": "total wall seconds across headline pipelines (per-pipeline throughputs in extra keys)",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,

@@ -13,6 +13,7 @@ wraps it in :mod:`go_htmldate_ray.stages.extract_stage`.
 from __future__ import annotations
 
 import json
+import logging
 import re
 from dataclasses import replace
 from datetime import datetime, timezone
@@ -40,6 +41,8 @@ from .functions.kernels import (
 
 UTC = timezone.utc
 
+_log = logging.getLogger(__name__)
+
 DateTuple = tuple[str, Optional[datetime]]
 _ZERO: DateTuple = ("", None)
 
@@ -66,7 +69,7 @@ def from_document(doc: dom.Node, opts: Optional[Options] = None) -> Result:
                     opts.url = href
                     break
 
-    raw_string, date = find_date(doc, opts)
+    raw_string, date, src_stage = find_date_staged(doc, opts)
 
     time_found = False
     tz_found = False
@@ -87,37 +90,49 @@ def from_document(doc: dom.Node, opts: Optional[Options] = None) -> Result:
         has_time=time_found,
         has_timezone=tz_found,
         src_string=normalize_spaces(raw_string),
+        src_stage=src_stage,
     )
 
 
 # --- the cascade (core.go:136-271) ------------------------------------------
 
 def find_date(doc: dom.Node, opts: Options) -> DateTuple:
+    """2-tuple cascade API (FindDate, core.go:136-271)."""
+    raw, dt, _stage = find_date_staged(doc, opts)
+    return raw, dt
+
+
+def find_date_staged(doc: dom.Node, opts: Options):
+    """The cascade, additionally naming the stage that fired — the
+    EnableLog-equivalent trace (core-options.go:44-45 / core.go:97): with
+    ``opts.enable_log`` each hit is logged, and the stage name reaches
+    ``Result.src_stage`` for debugging wrong dates.  Stage names follow
+    SURVEY.md §2 (M1..M13)."""
     # M1: URL date, immediate unless deferred (core.go:138-144)
     url_date: Optional[datetime] = None
     if opts.url:
         url_date = extract_url_date(opts.url, opts)
         if url_date is not None and not opts.defer_url_extractor:
-            return opts.url, url_date
+            return _hit(opts, opts.url, url_date, "url")
 
     # M2: meta elements (core.go:146-150)
     raw, dt = examine_meta_elements(doc, opts)
     if dt is not None:
-        return raw, dt
+        return _hit(opts, raw, dt, "meta")
 
     # M3: JSON-LD (core.go:152-156)
     raw, dt = json_search(doc, opts)
     if dt is not None:
-        return raw, dt
+        return _hit(opts, raw, dt, "json-ld")
 
     # Deferred URL slot (core.go:159-161)
     if opts.defer_url_extractor and url_date is not None:
-        return opts.url, url_date
+        return _hit(opts, opts.url, url_date, "url-deferred")
 
     # M4: <abbr> (core.go:163-167)
     raw, dt = examine_abbr_elements(doc, opts)
     if dt is not None:
-        return raw, dt
+        return _hit(opts, raw, dt, "abbr")
 
     # M5: prune (core.go:169-172).  The unpruned doc is not used after this
     # point, so pruning happens in place instead of on a clone.
@@ -129,18 +144,18 @@ def find_date(doc: dom.Node, opts: Options) -> DateTuple:
     date_elements = [e for e in doc.iter_elements() if rule(e)]
     raw, dt = examine_other_elements(date_elements, opts)
     if dt is not None:
-        return raw, dt
+        return _hit(opts, raw, dt, "date-selector")
 
     # M7: title elements (core.go:189-194)
     title_elements = doc.get_elements_by_tag("title", "h1")
     raw, dt = examine_other_elements(title_elements, opts)
     if dt is not None:
-        return raw, dt
+        return _hit(opts, raw, dt, "title")
 
     # M8: <time> elements (core.go:196-200)
     raw, dt = examine_time_elements(doc, opts)
     if dt is not None:
-        return raw, dt
+        return _hit(opts, raw, dt, "time-element")
 
     # Serialize once, reused by M9/M11/M13 (core.go:212-219)
     html_node = dom.query_first_element(doc, "html")
@@ -151,17 +166,17 @@ def find_date(doc: dom.Node, opts: Options) -> DateTuple:
     if len(parts) >= 2:
         dt = fast_parse(parts[1], opts)
         if validate_date(dt, opts):
-            return parts[0], dt
+            return _hit(opts, parts[0], dt, "timestamp-regex")
 
     # M10: og:image URL date (core.go:229-233)
     raw, dt = meta_img_search(doc, opts)
     if dt is not None:
-        return raw, dt
+        return _hit(opts, raw, dt, "og-image")
 
     # M11: idiosyncrasies (core.go:235-239)
     raw, dt = idiosyncrasies_search(html_string, opts)
     if dt is not None:
-        return raw, dt
+        return _hit(opts, raw, dt, "idiosyncrasies")
 
     # M12+M13: extensive search (core.go:241-268)
     if not opts.skip_extensive_search:
@@ -175,13 +190,19 @@ def find_date(doc: dom.Node, opts: Options) -> DateTuple:
 
         converted = check_extracted_reference(ref_value, opts)
         if converted is not None:
-            return ref_string, converted
+            return _hit(opts, ref_string, converted, "free-text")
 
         raw, dt = search_page(html_string, opts)
         if dt is not None:
-            return raw, dt
+            return _hit(opts, raw, dt, "search-page")
 
-    return _ZERO
+    return _ZERO[0], _ZERO[1], ""
+
+
+def _hit(opts: Options, raw: str, dt: datetime, stage: str):
+    if opts.enable_log:
+        _log.debug("date found via %s: %r -> %s", stage, raw[:80], dt)
+    return raw, dt, stage
 
 
 # --- selectors (internal/selector/*.go) -------------------------------------

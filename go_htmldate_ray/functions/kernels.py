@@ -32,6 +32,9 @@ class Options:
     max_date: Optional[datetime] = None
     skip_extensive_search: bool = False
     defer_url_extractor: bool = False
+    # EnableLog equivalent (core-options.go:44-45): when True the cascade
+    # logs each stage hit; the firing stage always reaches Result.src_stage.
+    enable_log: bool = False
 
     def with_defaults(self) -> "Options":
         """Apply default min/max dates (core.go:69-75)."""
@@ -50,6 +53,9 @@ class Result:
     has_time: bool = False
     has_timezone: bool = False
     src_string: str = ""
+    # cascade stage that produced the date ("" when none) — see
+    # extract.find_date_staged
+    src_stage: str = ""
 
     @property
     def is_zero(self) -> bool:

@@ -67,11 +67,12 @@ def host_page_counts(sf_dir: str):
     pages = read_pages(sf_dir)
 
     def add_host(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        hosts = [u.split("/")[2] for u in urls]
-        return pa.table(
-            {"host": pa.array(hosts, pa.string()), "doc_id": batch.column("doc_id")}
+        # vectorized https://<host>/... extraction (no per-row Python)
+        hosts = pc.struct_field(
+            pc.extract_regex(batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)/"),
+            "host",
         )
+        return pa.table({"host": hosts, "doc_id": batch.column("doc_id")})
 
     counts = pages.map_batches(add_host, batch_format="pyarrow").groupby("host").count()
     return counts.map_batches(

@@ -30,10 +30,12 @@ from ..extract import from_html
 from ..functions.kernels import Options, extract_url_date, normalize_spaces
 
 
-def extract_batch(batch: pa.Table, opts: Options) -> pa.Table:
+def extract_batch(batch: pa.Table, opts: Options, return_trace: bool = False) -> pa.Table:
     """Append date_str / datetime_iso / has_time / has_timezone / src_string
-    columns to a pages batch.  Total per row: any per-document failure
-    yields nulls, never poisons the block."""
+    columns to a pages batch (plus src_stage — the cascade stage that
+    fired, the EnableLog-equivalent trace — when ``return_trace``).
+    Total per row: any per-document failure yields nulls, never poisons
+    the block."""
     urls = batch.column("url").to_pylist() if "url" in batch.column_names else [""] * batch.num_rows
     htmls = batch.column("html")
 
@@ -42,6 +44,7 @@ def extract_batch(batch: pa.Table, opts: Options) -> pa.Table:
     has_times: list[bool] = []
     has_tzs: list[bool] = []
     src_strings: list[str] = []
+    src_stages: list[str] = []
 
     # URL fast path: M1 returns before any DOM work in the cascade
     # (core.go:138-144), so a URL-dated row never needs its html parsed.
@@ -63,6 +66,7 @@ def extract_batch(batch: pa.Table, opts: Options) -> pa.Table:
                 has_times.append(False)
                 has_tzs.append(False)
                 src_strings.append(normalize_spaces(url))
+                src_stages.append("url")
                 continue
         raw = htmls[i].as_py()
         try:
@@ -74,6 +78,7 @@ def extract_batch(batch: pa.Table, opts: Options) -> pa.Table:
                 max_date=opts.max_date,
                 skip_extensive_search=opts.skip_extensive_search,
                 defer_url_extractor=opts.defer_url_extractor,
+                enable_log=opts.enable_log,
             ))
         except Exception:
             res = None
@@ -83,12 +88,14 @@ def extract_batch(batch: pa.Table, opts: Options) -> pa.Table:
             has_times.append(False)
             has_tzs.append(False)
             src_strings.append("" if res is None else res.src_string)
+            src_stages.append("" if res is None else res.src_stage)
         else:
             date_strs.append(res.format())
             iso_strs.append(res.date_time.isoformat())
             has_times.append(res.has_time)
             has_tzs.append(res.has_timezone)
             src_strings.append(res.src_string)
+            src_stages.append(res.src_stage)
 
     out = batch
     for name, arr in (
@@ -99,6 +106,8 @@ def extract_batch(batch: pa.Table, opts: Options) -> pa.Table:
         ("src_string", pa.array(src_strings, pa.string())),
     ):
         out = out.append_column(name, arr)
+    if return_trace:
+        out = out.append_column("src_stage", pa.array(src_stages, pa.string()))
     return out
 
 
@@ -111,13 +120,17 @@ class HtmldateExtractor:
         skip_extensive_search: bool = True,
         extract_time: bool = False,
         defer_url_extractor: bool = False,
+        return_trace: bool = False,
+        enable_log: bool = False,
     ):
         self.opts = Options(
             use_original_date=use_original_date,
             skip_extensive_search=skip_extensive_search,
             extract_time=extract_time,
             defer_url_extractor=defer_url_extractor,
+            enable_log=enable_log,
         ).with_defaults()
+        self.return_trace = return_trace
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch, self.opts)
+        return extract_batch(batch, self.opts, self.return_trace)

@@ -254,3 +254,38 @@ def test_extract_time_integration():
 
     res = from_html(FOOL_CA_HTML, Options())
     assert res.date_time.strftime("%Y-%m-%d %H:%M") == "2022-10-20 00:00"
+
+
+def test_src_stage_trace():
+    """find_date_staged names the cascade stage that fired (the
+    EnableLog-equivalent trace, core-options.go:44-45 / core.go:97)."""
+    import go_htmldate_ray as ghr
+
+    cases = [
+        (b"<html><head><meta property='article:published_time' "
+         b"content='2021-03-04T10:00:00Z'></head><body>x</body></html>", "meta"),
+        (b"<html><body><abbr class='published' title='2019-08-05'>x</abbr>"
+         b"</body></html>", "abbr"),
+        (b"<html><body><p>Posted on 2019-05-02 by admin</p></body></html>",
+         "free-text"),
+        (b"<html><body>no date here at all</body></html>", ""),
+    ]
+    for html, stage in cases:
+        r = ghr.from_html(html, ghr.Options(enable_log=True))
+        assert r.src_stage == stage, (html, r.src_stage)
+
+
+def test_src_stage_column_in_ray_stage():
+    import pyarrow as pa
+    from go_htmldate_ray.stages.extract_stage import HtmldateExtractor
+
+    batch = pa.table(
+        {
+            "url": pa.array(["https://x.example.org/2020/01/02/a.html"]),
+            "html": pa.array([b"<html><body>x</body></html>"], pa.binary()),
+        }
+    )
+    out = HtmldateExtractor(return_trace=True)(batch)
+    assert out.column("src_stage").to_pylist() == ["url"]
+    out2 = HtmldateExtractor()(batch)
+    assert "src_stage" not in out2.column_names
