@@ -8,6 +8,6 @@ scheduler and large-scale training-data operators.
 """
 
 from .extract import from_document, from_html
-from .functions.kernels import Options, Result
+from .functions.kernels import DateParserConfig, Options, Result
 
-__all__ = ["from_html", "from_document", "Options", "Result"]
+__all__ = ["from_html", "from_document", "DateParserConfig", "Options", "Result"]

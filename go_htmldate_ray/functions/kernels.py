@@ -22,6 +22,32 @@ UTC = timezone.utc
 
 
 @dataclass
+class DateParserConfig:
+    """Configuration for the last-resort lenient parser — the mirror of
+    go-dateparser's ``dps.Configuration`` as referenced by the extractor
+    (core-options.go:56-58; defaults per constant.go:43-48:
+    PreferredDateSource=Past, StrictParsing=true).
+
+    - ``languages``: restrict month-name recognition to these language
+      codes (see patterns.LOCALE_MONTHS); None = all built-in locales.
+    - ``date_order``: "MDY" (default) or "DMY" — numeric-triple
+      disambiguation.
+    - ``strict_parsing``: require a full year/month/day; when False a
+      year+month string parses with the day defaulting per
+      ``preferred_day_of_month`` ("first" | "last").
+    - ``preferred_date_source``: "past" | "future" — accepted for
+      API compatibility (relative-date parsing, where it applies in the
+      external library, is out of scope for absolute web dates).
+    """
+
+    languages: Optional[list] = None
+    date_order: str = "MDY"
+    strict_parsing: bool = True
+    preferred_day_of_month: str = "first"
+    preferred_date_source: str = "past"
+
+
+@dataclass
 class Options:
     """Extraction configuration (mirrors core-options.go:27-59)."""
 
@@ -35,6 +61,10 @@ class Options:
     # EnableLog equivalent (core-options.go:44-45): when True the cascade
     # logs each stage hit; the firing stage always reaches Result.src_stage.
     enable_log: bool = False
+    # DateParserConfig equivalent (core-options.go:56-58): configuration
+    # for the last-resort lenient parser, only consulted during extensive
+    # search.  None = the default config (constant.go:43-48).
+    date_parser_config: Optional[DateParserConfig] = None
 
     def with_defaults(self) -> "Options":
         """Apply default min/max dates (core.go:69-75)."""
@@ -264,12 +294,13 @@ def fast_parse(s: str, opts: Options) -> Optional[datetime]:
 def external_date_parser(s: str, opts: Options) -> Optional[datetime]:
     """Last-resort lenient parse (extractors.go:193-207).
 
-    The reference delegates to go-dateparser in strict mode with
-    PreferredDateSource=Past; this engine implements the subset of absolute
-    formats the corpus exercises (month-name orders not already covered by
-    fast_parse, plus "Month YYYY" partial dates).
+    The reference delegates to go-dateparser with opts.DateParserConfig
+    (or the strict PreferredDateSource=Past default); this engine
+    implements the subset of absolute formats the corpus exercises with
+    the same pluggable config surface (languages, date order, strictness
+    — see :class:`DateParserConfig`).
     """
-    dt = P.lenient_absolute_parse(s)
+    dt = P.lenient_absolute_parse(s, opts.date_parser_config)
     if dt is not None and validate_date(dt, opts):
         return dt
     return None

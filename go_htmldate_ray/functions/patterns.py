@@ -163,32 +163,104 @@ def find_long_text_pattern(s: str) -> Optional[tuple[str, str, str]]:
 # names, ordinal suffixes, times-of-day and unknown words are skipped, as the
 # external library's tokenizer does.
 
-# Month names beyond the reference's long-text table that go-dateparser's
-# locale data recognises and the web corpus exercises.
-_EXTRA_MONTHS = {
-    "sept": 9, "août": 8, "aoû": 8, "fév": 2, "févr": 2, "janv": 1,
-    "juil": 7, "déc": 12, "avr": 4,
-    # Spanish / Italian / Dutch / Portuguese common forms
-    "enero": 1, "febrero": 2, "marzo": 3, "abril": 4, "mayo": 5, "junio": 6,
-    "julio": 7, "agosto": 8, "septiembre": 9, "octubre": 10, "noviembre": 11,
-    "diciembre": 12, "gennaio": 1, "febbraio": 2, "aprile": 4, "maggio": 5,
-    "giugno": 6, "luglio": 7, "settembre": 9, "ottobre": 10, "dicembre": 12,
-    "januari": 1, "februari": 2, "maart": 3, "juni": 6, "juli": 7,
-    "augustus": 8, "oktober": 10, "december": 12,
-    # Arabic (Gregorian month names, as go-dateparser's ar locale)
-    "يناير": 1, "فبراير": 2, "مارس": 3, "أبريل": 4, "ابريل": 4, "مايو": 5,
-    "يونيو": 6, "يوليو": 7, "أغسطس": 8, "اغسطس": 8, "سبتمبر": 9,
-    "أكتوبر": 10, "اكتوبر": 10, "نوفمبر": 11, "ديسمبر": 12,
-    # Russian (nominative + genitive) and Ukrainian (genitive)
-    "январь": 1, "января": 1, "февраль": 2, "февраля": 2, "март": 3,
-    "марта": 3, "апрель": 4, "апреля": 4, "май": 5, "мая": 5, "июнь": 6,
-    "июня": 6, "июль": 7, "июля": 7, "август": 8, "августа": 8,
-    "сентябрь": 9, "сентября": 9, "октябрь": 10, "октября": 10,
-    "ноябрь": 11, "ноября": 11, "декабрь": 12, "декабря": 12,
-    "січня": 1, "лютого": 2, "березня": 3, "квітня": 4, "травня": 5,
-    "червня": 6, "липня": 7, "серпня": 8, "вересня": 9, "жовтня": 10,
-    "листопада": 11, "грудня": 12,
+# Per-locale month-name tables beyond the reference's long-text table
+# (constants.MONTH_NUMBER covers en/de/fr/tr/id): the subset of
+# go-dateparser's 200-locale data the web corpus exercises, organised by
+# language code so DateParserConfig.languages can restrict the search.
+LOCALE_MONTHS: dict[str, dict[str, int]] = {
+    "fr": {
+        "sept": 9, "août": 8, "aoû": 8, "fév": 2, "févr": 2, "janv": 1,
+        "juil": 7, "déc": 12, "avr": 4,
+    },
+    "es": {
+        "enero": 1, "febrero": 2, "marzo": 3, "abril": 4, "mayo": 5,
+        "junio": 6, "julio": 7, "agosto": 8, "septiembre": 9, "setiembre": 9,
+        "octubre": 10, "noviembre": 11, "diciembre": 12,
+    },
+    "it": {
+        "gennaio": 1, "febbraio": 2, "marzo": 3, "aprile": 4, "maggio": 5,
+        "giugno": 6, "luglio": 7, "agosto": 8, "settembre": 9, "ottobre": 10,
+        "novembre": 11, "dicembre": 12,
+    },
+    "nl": {
+        "januari": 1, "februari": 2, "maart": 3, "mei": 5, "juni": 6,
+        "juli": 7, "augustus": 8, "oktober": 10, "december": 12,
+    },
+    "pt": {
+        "janeiro": 1, "fevereiro": 2, "março": 3, "marco": 3, "abril": 4,
+        "maio": 5, "junho": 6, "julho": 7, "agosto": 8, "setembro": 9,
+        "outubro": 10, "novembro": 11, "dezembro": 12,
+    },
+    "pl": {
+        "stycznia": 1, "styczeń": 1, "styczen": 1, "lutego": 2, "luty": 2,
+        "marca": 3, "marzec": 3, "kwietnia": 4, "kwiecień": 4, "maja": 5,
+        "czerwca": 6, "czerwiec": 6, "lipca": 7, "lipiec": 7, "sierpnia": 8,
+        "sierpień": 8, "września": 9, "wrzesień": 9, "października": 10,
+        "październik": 10, "listopada": 11, "listopad": 11, "grudnia": 12,
+        "grudzień": 12,
+    },
+    "cs": {
+        "ledna": 1, "leden": 1, "února": 2, "únor": 2, "března": 3,
+        "březen": 3, "dubna": 4, "duben": 4, "května": 5, "květen": 5,
+        "června": 6, "červen": 6, "července": 7, "červenec": 7, "srpna": 8,
+        "srpen": 8, "září": 9, "října": 10, "říjen": 10, "listopadu": 11,
+        "prosince": 12, "prosinec": 12,
+    },
+    "ro": {
+        "ianuarie": 1, "februarie": 2, "martie": 3, "aprilie": 4, "iunie": 6,
+        "iulie": 7, "septembrie": 9, "octombrie": 10, "noiembrie": 11,
+        "decembrie": 12,
+    },
+    "sv": {
+        "januari": 1, "februari": 2, "mars": 3, "maj": 5, "juni": 6,
+        "juli": 7, "augusti": 8, "oktober": 10, "december": 12,
+    },
+    "da": {
+        "januar": 1, "februar": 2, "marts": 3, "maj": 5, "juni": 6,
+        "juli": 7, "august": 8, "oktober": 10, "december": 12,
+    },
+    "fi": {
+        "tammikuuta": 1, "tammikuu": 1, "helmikuuta": 2, "helmikuu": 2,
+        "maaliskuuta": 3, "maaliskuu": 3, "huhtikuuta": 4, "huhtikuu": 4,
+        "toukokuuta": 5, "toukokuu": 5, "kesäkuuta": 6, "kesäkuu": 6,
+        "heinäkuuta": 7, "heinäkuu": 7, "elokuuta": 8, "elokuu": 8,
+        "syyskuuta": 9, "syyskuu": 9, "lokakuuta": 10, "lokakuu": 10,
+        "marraskuuta": 11, "marraskuu": 11, "joulukuuta": 12, "joulukuu": 12,
+    },
+    "el": {
+        "ιανουαρίου": 1, "φεβρουαρίου": 2, "μαρτίου": 3, "απριλίου": 4,
+        "μαΐου": 5, "ιουνίου": 6, "ιουλίου": 7, "αυγούστου": 8,
+        "σεπτεμβρίου": 9, "οκτωβρίου": 10, "νοεμβρίου": 11, "δεκεμβρίου": 12,
+    },
+    "ar": {
+        "يناير": 1, "فبراير": 2, "مارس": 3, "أبريل": 4, "ابريل": 4,
+        "مايو": 5, "يونيو": 6, "يوليو": 7, "أغسطس": 8, "اغسطس": 8,
+        "سبتمبر": 9, "أكتوبر": 10, "اكتوبر": 10, "نوفمبر": 11, "ديسمبر": 12,
+    },
+    "ru": {
+        "январь": 1, "января": 1, "февраль": 2, "февраля": 2, "март": 3,
+        "марта": 3, "апрель": 4, "апреля": 4, "май": 5, "мая": 5,
+        "июнь": 6, "июня": 6, "июль": 7, "июля": 7, "август": 8,
+        "августа": 8, "сентябрь": 9, "сентября": 9, "октябрь": 10,
+        "октября": 10, "ноябрь": 11, "ноября": 11, "декабрь": 12,
+        "декабря": 12,
+    },
+    "uk": {
+        "січня": 1, "лютого": 2, "березня": 3, "квітня": 4, "травня": 5,
+        "червня": 6, "липня": 7, "серпня": 8, "вересня": 9, "жовтня": 10,
+        "листопада": 11, "грудня": 12,
+    },
 }
+
+_EXTRA_MONTHS: dict[str, int] = {}
+for _tbl in LOCALE_MONTHS.values():
+    _EXTRA_MONTHS.update(_tbl)
+
+# CJK / Korean full dates: 2021年3月4日 / 2021년 3월 4일 (go-dateparser's
+# ja/zh/ko locale translations reduce these to numeric triples).
+_CJK_DATE = re.compile(
+    r"(\d{4})\s*[年년]\s*(\d{1,2})\s*[月월]\s*(\d{1,2})\s*[日일]?"
+)
 
 _ORDINAL_SUFFIXES = frozenset({"st", "nd", "rd", "th"})
 _WEEKDAYS = frozenset({
@@ -215,12 +287,43 @@ _TIME_OF_DAY = re.compile(r"\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?")
 _TOKEN = re.compile(r"[^\W\d_]+|\d+", re.UNICODE)
 
 
-def lenient_absolute_parse(s: str) -> Optional[datetime]:
+def lenient_absolute_parse(s: str, cfg=None) -> Optional[datetime]:
     """Strict absolute parse: needs year + month-name + day; weekdays,
     ordinal suffixes, skip-words and timezone abbreviations are tolerated,
-    any other word token rejects the string (strict-parsing contract)."""
+    any other word token rejects the string (strict-parsing contract).
+
+    ``cfg`` is an optional :class:`~go_htmldate_ray.functions.kernels.
+    DateParserConfig` mirroring go-dateparser's Configuration
+    (core-options.go:56-58): ``languages`` restricts the month-name
+    locales searched, ``date_order`` disambiguates numeric triples, and
+    ``strict_parsing=False`` accepts year+month with the day defaulting
+    per ``preferred_day_of_month``."""
     from .constants import MONTH_NUMBER
     from .tz_data import TIMEZONE_OFFSETS
+
+    languages = getattr(cfg, "languages", None)
+    date_order = getattr(cfg, "date_order", "MDY") or "MDY"
+    strict = getattr(cfg, "strict_parsing", True)
+    prefer_dom = getattr(cfg, "preferred_day_of_month", "first")
+
+    if languages:
+        extra_months: dict[str, int] = {}
+        for lang in languages:
+            extra_months.update(LOCALE_MONTHS.get(lang, {}))
+    else:
+        extra_months = _EXTRA_MONTHS
+
+    # CJK/Korean year-month-day markers resolve before tokenization
+    # (the markers would otherwise reject as unknown word tokens).
+    m_cjk = _CJK_DATE.search(s)
+    if m_cjk is not None:
+        try:
+            return datetime(
+                int(m_cjk.group(1)), int(m_cjk.group(2)), int(m_cjk.group(3)),
+                tzinfo=timezone.utc,
+            )
+        except ValueError:
+            return None
 
     s = _TIME_OF_DAY.sub(" ", s)
     tokens = _TOKEN.findall(s)
@@ -245,7 +348,7 @@ def lenient_absolute_parse(s: str) -> Optional[datetime]:
         else:
             key = tok.lower()
             if month is None:
-                m = MONTH_NUMBER.get(key) or _EXTRA_MONTHS.get(key)
+                m = MONTH_NUMBER.get(key) or extra_months.get(key)
                 if m is not None:
                     month = m
                     month_idx = i
@@ -261,11 +364,14 @@ def lenient_absolute_parse(s: str) -> Optional[datetime]:
             return None  # unrecognized word: strict parse fails
 
     if year is not None and 1 <= year <= 9999 and month is None:
-        # Numeric-triple fallback: "4. 2. 2022", "26 | 01 | 2022" — the
-        # external library parses these with MDY preference, swapping
-        # day/month when the month slot exceeds 12.
+        # Numeric-triple fallback: "4. 2. 2022", "26 | 01 | 2022" — parsed
+        # with the configured DateOrder preference (default MDY, matching
+        # the external library), swapping when the month slot exceeds 12.
         if len(digit_indices) >= 2:
-            m_val, d_val = digit_indices[0][1], digit_indices[1][1]
+            if date_order == "DMY":
+                d_val, m_val = digit_indices[0][1], digit_indices[1][1]
+            else:
+                m_val, d_val = digit_indices[0][1], digit_indices[1][1]
             if m_val > 12 and d_val <= 12:
                 m_val, d_val = d_val, m_val
             if 1 <= m_val <= 12 and 1 <= d_val <= 31:
@@ -290,7 +396,16 @@ def lenient_absolute_parse(s: str) -> Optional[datetime]:
                 day = val
                 break
     if day is None:
-        return None  # strict parsing: incomplete date
+        if strict:
+            return None  # strict parsing: incomplete date
+        # non-strict (RequiredParts without day): default per
+        # PreferredDayOfMonth — first | last
+        if prefer_dom == "last":
+            import calendar
+
+            day = calendar.monthrange(year, month)[1]
+        else:
+            day = 1
 
     try:
         return datetime(year, month, day, tzinfo=timezone.utc)

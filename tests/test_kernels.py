@@ -246,3 +246,64 @@ def test_parse_timezone_code_invalid(code):
     from go_htmldate_ray.functions.timezone import parse_timezone_code
 
     assert parse_timezone_code(code) is None
+
+
+# --- DateParserConfig surface (core-options.go:56-58, constant.go:43-48) ----
+
+def test_date_parser_config_locales():
+    from go_htmldate_ray.functions.kernels import DateParserConfig
+    from go_htmldate_ray.functions.patterns import lenient_absolute_parse
+
+    cases = [
+        ("15 stycznia 2021", (2021, 1, 15)),     # pl
+        ("3 de março de 2020", (2020, 3, 3)),    # pt
+        ("12 ledna 2019", (2019, 1, 12)),        # cs
+        ("5 ianuarie 2022", (2022, 1, 5)),       # ro
+        ("7 augusti 2018", (2018, 8, 7)),        # sv
+        ("9 tammikuuta 2017", (2017, 1, 9)),     # fi
+        ("21 μαΐου 2020", (2020, 5, 21)),        # el
+        ("2021年3月4日", (2021, 3, 4)),           # zh/ja
+        ("2021년 3월 4일", (2021, 3, 4)),         # ko
+        ("1 марта 2019", (2019, 3, 1)),          # ru
+        ("14 лютого 2020", (2020, 2, 14)),       # uk
+    ]
+    for s, ymd in cases:
+        dt = lenient_absolute_parse(s)
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+    # languages restriction: only the named locales' tables are searched
+    cfg = DateParserConfig(languages=["pt"])
+    assert lenient_absolute_parse("15 stycznia 2021", cfg) is None
+    assert lenient_absolute_parse("3 de março de 2020", cfg) is not None
+
+
+def test_date_parser_config_order_and_strictness():
+    from datetime import datetime
+    from go_htmldate_ray.functions.kernels import DateParserConfig
+    from go_htmldate_ray.functions.patterns import lenient_absolute_parse
+
+    d = lenient_absolute_parse("04 05 2020", DateParserConfig(date_order="DMY"))
+    assert (d.month, d.day) == (5, 4)
+    d = lenient_absolute_parse("04 05 2020")  # default MDY (constant.go:44)
+    assert (d.month, d.day) == (4, 5)
+
+    assert lenient_absolute_parse("March 2020") is None  # strict default
+    d = lenient_absolute_parse("March 2020", DateParserConfig(strict_parsing=False))
+    assert (d.year, d.month, d.day) == (2020, 3, 1)
+    d = lenient_absolute_parse(
+        "March 2020",
+        DateParserConfig(strict_parsing=False, preferred_day_of_month="last"),
+    )
+    assert d.day == 31
+
+
+def test_date_parser_config_through_options():
+    import go_htmldate_ray as ghr
+    from go_htmldate_ray.functions.kernels import DateParserConfig
+
+    html = "<html><body><p>3 de março de 2020</p></body></html>".encode()
+    r = ghr.from_html(html, ghr.Options(date_parser_config=DateParserConfig(languages=["pt"])))
+    assert r.format() == "2020-03-03"
+    # restricting to another locale removes the pt month name
+    r2 = ghr.from_html(html, ghr.Options(date_parser_config=DateParserConfig(languages=["fi"])))
+    assert r2.format() != "2020-03-03"
