@@ -108,6 +108,16 @@ def find_date_staged(doc: dom.Node, opts: Options):
     ``opts.enable_log`` each hit is logged, and the stage name reaches
     ``Result.src_stage`` for debugging wrong dates.  Stage names follow
     SURVEY.md §2 (M1..M13)."""
+    # M0b: user-registered custom stages (SURVEY §2.9) — the reference
+    # keeps selector.Rule internal (internal/selector/selector.go:8); this
+    # engine exports the hook: each (name, fn) is tried in order ahead of
+    # the built-in cascade; fn(doc, opts) returns (raw_string, datetime?).
+    if opts.custom_stages:
+        for stage_name, fn in opts.custom_stages:
+            raw, dt = fn(doc, opts)
+            if dt is not None and validate_date(dt, opts):
+                return _hit(opts, raw, dt, f"custom:{stage_name}")
+
     # M1: URL date, immediate unless deferred (core.go:138-144)
     url_date: Optional[datetime] = None
     if opts.url:

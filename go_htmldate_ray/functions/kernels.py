@@ -65,6 +65,10 @@ class Options:
     # for the last-resort lenient parser, only consulted during extensive
     # search.  None = the default config (constant.go:43-48).
     date_parser_config: Optional[DateParserConfig] = None
+    # Custom cascade stages (SURVEY §2.9): list of (name, fn) tried ahead
+    # of the built-in cascade; fn(doc, opts) -> (raw_string, datetime|None).
+    # Hits are validated against min/max dates and traced as "custom:<name>".
+    custom_stages: Optional[list] = None
 
     def with_defaults(self) -> "Options":
         """Apply default min/max dates (core.go:69-75)."""

@@ -37,7 +37,8 @@ def extract_batch(batch: pa.Table, opts: Options, return_trace: bool = False) ->
     Total per row: any per-document failure yields nulls, never poisons
     the block."""
     urls = batch.column("url").to_pylist() if "url" in batch.column_names else [""] * batch.num_rows
-    htmls = batch.column("html")
+    # one bulk conversion instead of per-row .as_py() scalar boxing
+    htmls = batch.column("html").to_pylist()
 
     date_strs: list[Optional[str]] = []
     iso_strs: list[Optional[str]] = []
@@ -68,7 +69,7 @@ def extract_batch(batch: pa.Table, opts: Options, return_trace: bool = False) ->
                 src_strings.append(normalize_spaces(url))
                 src_stages.append("url")
                 continue
-        raw = htmls[i].as_py()
+        raw = htmls[i]
         try:
             res = from_html(raw or b"", Options(
                 extract_time=opts.extract_time,

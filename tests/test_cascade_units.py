@@ -289,3 +289,41 @@ def test_src_stage_column_in_ray_stage():
     assert out.column("src_stage").to_pylist() == ["url"]
     out2 = HtmldateExtractor()(batch)
     assert "src_stage" not in out2.column_names
+
+
+def test_custom_cascade_stage_hook():
+    """SURVEY §2.9: user (name, fn) stages run ahead of the built-in
+    cascade, hits validate against min/max and trace as custom:<name>."""
+    from datetime import datetime, timezone
+
+    import go_htmldate_ray as ghr
+
+    def by_data_attr(doc, opts):
+        for el in doc.iter_elements():
+            v = el.attr("data-published")
+            if v:
+                try:
+                    y, m, d = (int(x) for x in v.split("-"))
+                    return v, datetime(y, m, d, tzinfo=timezone.utc)
+                except ValueError:
+                    pass
+        return "", None
+
+    html = (b"<html><head><meta property='article:published_time' "
+            b"content='2021-03-04'></head>"
+            b"<body><div data-published='2019-07-08'>x</div></body></html>")
+    # custom stage wins over the meta scan
+    r = ghr.from_html(html, ghr.Options(custom_stages=[("data-attr", by_data_attr)]))
+    assert r.format() == "2019-07-08"
+    assert r.src_stage == "custom:data-attr"
+    # without the hook, the built-in cascade order is untouched
+    r2 = ghr.from_html(html, ghr.Options())
+    assert r2.format() == "2021-03-04" and r2.src_stage == "meta"
+    # out-of-range custom hits are rejected by the validators
+    from datetime import datetime as dt
+    r3 = ghr.from_html(
+        html,
+        ghr.Options(custom_stages=[("data-attr", by_data_attr)],
+                    min_date=dt(2020, 1, 1, tzinfo=timezone.utc)),
+    )
+    assert r3.format() == "2021-03-04"
