@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no-false-positive side against the exact SQL; recall is covered
         # by the planted-duplicate pytest (tests/test_ray_pipelines.py).
         "embedding_dup_pairs_lsh": _embedding_dup_pairs_lsh,
+        "media_features": _media_features,
         "crawl_reachable": _crawl_reachable,
         "golden_corpus_dates": lambda sf: _golden_corpus_dates(sf, exclude_known=True),
         # Full 1000-doc corpus including the 6 rows whose recorded outputs
@@ -129,6 +130,12 @@ def _embedding_dup_pairs_lsh(sf_dir):
             }
         )
     return df
+
+
+def _media_features(sf_dir):
+    from go_htmldate_ray.stages.multimodal import media_features
+
+    return media_features(sf_dir)
 
 
 def _crawl_reachable(sf_dir):
@@ -392,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
         "golden_corpus_dates": _golden_corpus_sql(),
+        "media_features": _media_features_sql(),
         # golden_corpus_dates_full: includes the 6 inconsistently-recorded
         # corpus rows → rows-only by necessity (byte parity is gated in
         # tests/test_golden_corpus.py).
@@ -618,6 +626,17 @@ ranked AS (
   FROM scored
 )
 SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM ranked WHERE rnk <= {k}"""
+
+
+def _media_features_sql(n: int = 8) -> str:
+    # The media pipeline's deterministic decode fake (first 8 md5 bytes
+    # of the payload / 255, stages/multimodal.fake_image_features) is
+    # recomputed from the same utf-8 payload bytes via hex-pair slicing.
+    cols = ", ".join(
+        f"round(('0x'||substr(md5(text), {i * 2 + 1}, 2))::INT / 255.0, 6) AS f{i}"
+        for i in range(n)
+    )
+    return f"SELECT doc_id AS media_id, {cols} FROM documents"
 
 
 def _golden_corpus_sql() -> str:

@@ -1,13 +1,15 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media payloads are opaque ``binary`` columns with typed metadata; decode /
-feature-extraction runs as an actor-pool ``map_batches`` stage.  The
-image/audio codec libraries are not available in this container, so the
-decode kernel itself is STUBBED: ``ImageDecodeStage`` raises
-``NotImplementedError`` unless a ``feature_fn`` is injected (tests and
-pipelines use :func:`fake_image_features`, a deterministic stand-in).
-The Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is real and tested.
+Media payloads are opaque ``binary`` columns with typed metadata; decode,
+feature-extraction, resize and frame/window sampling run as actor-pool
+``map_batches`` stages.  The image/audio codec libraries are not
+available in this container, so every decode KERNEL is stubbed: each
+stage raises ``NotImplementedError`` unless a kernel fn is injected
+(tests and pipelines inject the deterministic fakes below).  The
+Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is real, tested, and (for the md5-based feature fake)
+independently recomputable by the DuckDB oracle
+(``__ray_entry__.oracle_sql()['media_features']``).
 """
 
 from __future__ import annotations
@@ -26,11 +28,26 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+N_FAKE_FEATURES = 8
+
 
 def fake_image_features(payload: bytes) -> np.ndarray:
-    """Deterministic 8-dim stand-in for a real image-feature extractor."""
-    digest = hashlib.sha1(payload).digest()
-    return np.frombuffer(digest[:8], dtype=np.uint8).astype(np.float32) / 255.0
+    """Deterministic 8-dim stand-in for a real image-feature extractor:
+    the first 8 md5 bytes scaled to [0, 1] (float64, so a SQL oracle can
+    reproduce the values exactly)."""
+    digest = hashlib.md5(payload).digest()
+    return np.frombuffer(digest[:N_FAKE_FEATURES], dtype=np.uint8).astype(np.float64) / 255.0
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> tuple[bytes, int, int]:
+    """Deterministic resize stand-in: a real kernel would decode, resample
+    and re-encode; the fake derives an output payload of width*height
+    bytes by tiling the input (shape bookkeeping is what the plumbing
+    test checks)."""
+    size = max(1, width * height)
+    src = payload or b"\x00"
+    reps = -(-size // len(src))
+    return (src * reps)[:size], width, height
 
 
 class ImageDecodeStage:
@@ -58,7 +75,94 @@ class ImageDecodeStage:
             {
                 "media_id": batch.column("media_id"),
                 "media_type": batch.column("media_type"),
-                "features": pa.array(feats, pa.list_(pa.float32())),
+                "features": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+class ImageResizeStage:
+    """Actor-pool stage: resize image payloads to a target geometry.
+
+    The resize kernel (decode → resample → encode) is stubbed like the
+    decoder; inject ``resize_fn=fake_resize`` for the deterministic
+    path.  Output keeps the payload column binary with explicit
+    width/height metadata columns — the layout a downstream training
+    pipeline consumes."""
+
+    def __init__(
+        self,
+        width: int = 64,
+        height: int = 64,
+        resize_fn: Optional[Callable[[bytes, int, int], tuple]] = None,
+    ):
+        self.width = width
+        self.height = height
+        self.resize_fn = resize_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.resize_fn is None:
+            raise NotImplementedError(
+                "image resize requires a codec library not present in this "
+                "container; inject resize_fn (e.g. fake_resize)"
+            )
+        payloads = batch.column("payload").to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for p in payloads:
+            rp, w, h = self.resize_fn(p or b"", self.width, self.height)
+            out_p.append(rp)
+            out_w.append(w)
+            out_h.append(h)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "payload": pa.array(out_p, pa.binary()),
+                "width": pa.array(out_w, pa.int64()),
+                "height": pa.array(out_h, pa.int64()),
+            }
+        )
+
+
+class AudioWindowStage:
+    """Actor-pool stage: audio payload → per-window RMS energy rows.
+
+    A real implementation decodes the container to PCM first; the stub
+    interprets the raw payload as little-endian int16 samples (inject
+    ``decode_fn`` for a real decoder).  Output is the exploded
+    (media_id, window_index, rms) layout a VAD / segmentation pipeline
+    consumes — one shuffle key candidate per window row."""
+
+    def __init__(
+        self,
+        window: int = 256,
+        decode_fn: Optional[Callable[[bytes], np.ndarray]] = None,
+    ):
+        self.window = window
+        self.decode_fn = decode_fn or self._pcm16
+
+    @staticmethod
+    def _pcm16(payload: bytes) -> np.ndarray:
+        usable = len(payload) - (len(payload) % 2)
+        return np.frombuffer(payload[:usable], dtype="<i2").astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_ids, out_win, out_rms = [], [], []
+        for mid, payload in zip(media_ids, payloads):
+            samples = self.decode_fn(payload or b"")
+            n = len(samples)
+            for w0 in range(0, n, self.window):
+                chunk = samples[w0 : w0 + self.window]
+                if len(chunk) == 0:
+                    continue
+                out_ids.append(mid)
+                out_win.append(w0 // self.window)
+                out_rms.append(float(np.sqrt((chunk * chunk).mean())))
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.int64()),
+                "window_index": pa.array(out_win, pa.int64()),
+                "rms": pa.array(out_rms, pa.float64()),
             }
         )
 
@@ -82,3 +186,44 @@ def frame_sample_stage(batch: pa.Table, every_nth: int = 10) -> pa.Table:
             "frame_index": pa.array(out_frames, pa.int64()),
         }
     )
+
+
+def media_features(sf_dir: str):
+    """documents → (media_id, f0..f7): the media feature pipeline over a
+    deterministic synthetic media table (payload = utf-8 text bytes, the
+    only binary source in the sandbox), features via the md5 fake so the
+    DuckDB oracle recomputes them exactly.  Feature columns are emitted
+    flat (f0..f7) for engine-agnostic value comparison."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [(t or "").encode("utf-8") for t in texts], pa.binary()
+                ),
+                "media_type": pa.array(["image"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    feats = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"feature_fn": fake_image_features},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        vals = batch.column("features").to_pylist()
+        cols = {"media_id": batch.column("media_id")}
+        for i in range(N_FAKE_FEATURES):
+            cols[f"f{i}"] = pa.array([round(v[i], 6) for v in vals], pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")

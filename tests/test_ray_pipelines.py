@@ -285,3 +285,53 @@ def test_minhash_band_rows_are_light():
     banded = _band_batch(batch, 16, 8)
     assert banded.column_names == ["band_key", "doc_id"]
     assert banded.num_rows == 16
+
+
+def test_multimodal_resize_and_audio_stages():
+    """Resize and audio-window plumbing: stubbed kernels behind injected
+    fns, real Ray actor-pool stage shape, typed output layouts."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.multimodal import (
+        AudioWindowStage,
+        ImageResizeStage,
+        fake_resize,
+    )
+
+    items = [
+        {"media_id": i, "payload": bytes(range(i + 1)) * 100, "media_type": "image"}
+        for i in range(6)
+    ]
+    ds = ray.data.from_items(items)
+    resized = ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"width": 8, "height": 4, "resize_fn": fake_resize},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=1,
+    ).take_all()
+    assert len(resized) == 6
+    assert all(len(r["payload"]) == 32 and r["width"] == 8 and r["height"] == 4 for r in resized)
+    with pytest.raises(NotImplementedError):
+        ImageResizeStage()(
+            pa.table(
+                {
+                    "media_id": pa.array([1], pa.int64()),
+                    "payload": pa.array([b"x"], pa.binary()),
+                }
+            )
+        )
+
+    # audio: payload = little-endian int16 PCM; windows of 4 samples
+    samples = np.arange(10, dtype="<i2")
+    audio = ray.data.from_items([{"media_id": 7, "payload": samples.tobytes()}])
+    rows = audio.map_batches(
+        AudioWindowStage,
+        fn_constructor_kwargs={"window": 4},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).take_all()
+    assert [r["window_index"] for r in rows] == [0, 1, 2]
+    f = samples.astype(np.float64)
+    expect0 = float(np.sqrt((f[:4] ** 2).mean()))
+    assert abs(rows[0]["rms"] - expect0) < 1e-12
