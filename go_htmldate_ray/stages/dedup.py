@@ -187,19 +187,30 @@ def _bucket_candidates(group: pa.Table) -> pa.Table:
     )
 
 
+_BROADCAST_DOC_LIMIT = 100_000  # ≈100 MB of signatures — small-side bound
+
+
 def minhash_lsh_pairs(
     ds,
     *,
     num_perm: int = 128,
     num_bands: int = 16,
     threshold: float = 0.8,
+    verify_mode: str = "auto",
 ):
     """documents → near-duplicate pairs (doc_a, doc_b, est_jaccard):
     shingle → minhash → light band rows → bucket groupby → candidate
-    pairs → signature lookup-join → estimate filter.
+    pairs → signature verification → estimate filter.
 
     est_jaccard is the fraction of agreeing signature components — the
-    standard unbiased MinHash estimate of shingle-set Jaccard."""
+    standard unbiased MinHash estimate of shingle-set Jaccard.
+
+    Verification is hybrid (``verify_mode``): "broadcast" ``ray.put``s
+    the byte-packed signature table once and verifies inside the bucket
+    stage (one light shuffle + one tiny pair-dedupe shuffle) — chosen
+    automatically while the table is ≤ ~100 MB; "join" switches to two
+    hash-partitioned lookup-joins, the 100 TB path where no single-node
+    broadcast fits."""
     from .joins import attach_payload
 
     rows_per_band = num_perm // num_bands
@@ -221,32 +232,80 @@ def minhash_lsh_pairs(
             }
         )
 
-    sigs_bin = (
-        ds.map_batches(
-            MinHasher,
-            fn_constructor_kwargs={"num_perm": num_perm},
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
-        .map_batches(pack, batch_format="pyarrow")
-        .materialize()
-    )
+    def sign(batch: pa.Table) -> pa.Table:
+        # Task-pool stage: hasher state (256 ints) is trivial, so a
+        # per-process cache beats paying actor-pool spin-up (~4 s on an
+        # idle pipeline); the permutations are seed-deterministic either
+        # way.
+        return pack(_cached_minhasher(num_perm)(batch))
+
+    sigs_bin = ds.map_batches(sign, batch_format="pyarrow").materialize()
     banded = sigs_bin.map_batches(
         lambda b: _band_batch(b, num_bands, rows_per_band), batch_format="pyarrow"
     )
+
+    if verify_mode == "auto":
+        verify_mode = (
+            "broadcast" if sigs_bin.count() <= _BROADCAST_DOC_LIMIT else "join"
+        )
+
+    if verify_mode == "broadcast":
+        # Small-side path: one ray.put of the signature dict, verification
+        # inline in the bucket stage (shuffle count: 1 light band shuffle
+        # + 1 tiny dedupe over surviving pairs).
+        import ray
+
+        sig_map = {
+            r["key"]: r["payload"] for r in sigs_bin.take_all()
+        }  # bounded by _BROADCAST_DOC_LIMIT
+        sigs_ref = ray.put(sig_map)
+
+        def bucket_verify(group: pa.Table) -> pa.Table:
+            cand = _bucket_candidates(group)
+            if cand.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_a": pa.array([], pa.int64()),
+                        "doc_b": pa.array([], pa.int64()),
+                        "est_jaccard": pa.array([], pa.float64()),
+                    }
+                )
+            table = ray.get(sigs_ref)
+            a_ids = cand.column("doc_a").to_pylist()
+            b_ids = cand.column("doc_b").to_pylist()
+            sa = np.vstack([np.frombuffer(table[a], dtype=np.int64) for a in a_ids])
+            sb = np.vstack([np.frombuffer(table[b], dtype=np.int64) for b in b_ids])
+            est = (sa == sb).mean(axis=1)
+            keep = est >= threshold
+            return pa.table(
+                {
+                    "doc_a": cand.column("doc_a").filter(pa.array(keep)),
+                    "doc_b": cand.column("doc_b").filter(pa.array(keep)),
+                    "est_jaccard": pa.array(est[keep], pa.float64()),
+                }
+            )
+
+        verified = banded.groupby("band_key").map_groups(
+            bucket_verify, batch_format="pyarrow"
+        )
+        # a pair can surface from several bands → one tiny dedupe shuffle
+        return verified.groupby(["doc_a", "doc_b"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        )
+
     candidates = banded.groupby("band_key").map_groups(
         _bucket_candidates, batch_format="pyarrow"
     )
-    # A pair can surface from several bands: dedupe before the joins.
-    pairs = candidates.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # A pair can surface from several bands: duplicates share doc_a, so
+    # they co-locate on the first lookup-join's key and dedupe there —
+    # no separate dedupe shuffle.
     with_a = attach_payload(
-        pairs,
+        candidates,
         sigs_bin,
         key_col="doc_a",
         out_col="sig_a",
         carry_cols={"doc_a": pa.int64(), "doc_b": pa.int64()},
+        dedupe=True,
     )
     with_b = attach_payload(
         with_a,
@@ -285,6 +344,16 @@ def minhash_lsh_pairs(
 
 
 # --- SimHash -----------------------------------------------------------------
+
+_MINHASHER_CACHE: dict[int, "MinHasher"] = {}
+
+
+def _cached_minhasher(num_perm: int) -> "MinHasher":
+    mh = _MINHASHER_CACHE.get(num_perm)
+    if mh is None:
+        mh = _MINHASHER_CACHE[num_perm] = MinHasher(num_perm=num_perm)
+    return mh
+
 
 # Per-process token→hash cache: tokens repeat massively in natural text,
 # so each worker md5-hashes a token once, ever.

@@ -25,6 +25,7 @@ def attach_payload(
     key_col: str,
     out_col: str,
     carry_cols: dict[str, pa.DataType],
+    dedupe: bool = False,
 ):
     """Inner-join ``lookup``'s payload onto ``pairs``.
 
@@ -36,6 +37,10 @@ def attach_payload(
         out_col: name for the attached payload column (binary).
         carry_cols: name → Arrow type of the ``pairs`` columns to carry
             through (must include ``key_col``).
+        dedupe: drop duplicate carry tuples inside each key group —
+            rows with identical carry values co-locate on the join key,
+            so candidate-pair dedup piggybacks on this shuffle instead
+            of needing its own all-to-all.
 
     Returns a Dataset with ``carry_cols`` + ``out_col``; pairs whose key
     has no lookup row are dropped (inner semantics).
@@ -75,6 +80,16 @@ def attach_payload(
         if lookup_rows.num_rows == 0 or pair_rows.num_rows == 0:
             return empty
         payload = lookup_rows.column(_PAYLOAD)[0].as_py()
+        if dedupe and pair_rows.num_rows > 1:
+            seen: set = set()
+            keep = []
+            carries = [pair_rows.column(c).to_pylist() for c in names]
+            for i, tup in enumerate(zip(*carries)):
+                if tup not in seen:
+                    seen.add(tup)
+                    keep.append(i)
+            if len(keep) < pair_rows.num_rows:
+                pair_rows = pair_rows.take(pa.array(keep, pa.int64()))
         cols = {c: pair_rows.column(c) for c in names}
         cols[out_col] = pa.array([payload] * pair_rows.num_rows, pa.binary())
         return pa.table(cols)

@@ -156,6 +156,17 @@ class HyperplaneHasher:
         )
 
 
+_HYPERPLANE_CACHE: dict[tuple, "HyperplaneHasher"] = {}
+
+
+def _cached_hyperplane_hasher(dim: int, n_planes: int) -> "HyperplaneHasher":
+    key = (dim, n_planes)
+    h = _HYPERPLANE_CACHE.get(key)
+    if h is None:
+        h = _HYPERPLANE_CACHE[key] = HyperplaneHasher(dim, n_planes)
+    return h
+
+
 def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 12):
     """Approximate cosine top-k: score only rows whose LSH bucket is within
     Hamming distance 1 of the query's bucket (multi-probe)."""
@@ -172,15 +183,13 @@ def lsh_topk(ds, query_ids: list[int], k: int = 5, n_planes: int = 12):
         probe_sets.append(probes)
     wanted = pa.array(sorted(set().union(*probe_sets)), pa.int64())
 
-    bucketed = ds.map_batches(
-        HyperplaneHasher,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).map_batches(
-        lambda b: b.filter(pc.is_in(b.column("bucket"), value_set=wanted)),
-        batch_format="pyarrow",
-    )
+    def bucket_and_filter(b: pa.Table) -> pa.Table:
+        # Task-pool stage: plane state is seed-deterministic and cheap,
+        # rebuilt once per worker process via the module cache.
+        hb = _cached_hyperplane_hasher(dim, n_planes)(b)
+        return hb.filter(pc.is_in(hb.column("bucket"), value_set=wanted))
+
+    bucketed = ds.map_batches(bucket_and_filter, batch_format="pyarrow")
 
     qmat_ref = ray.put(qmat)
     partials = bucketed.map_batches(
@@ -302,7 +311,7 @@ class BandedHasher:
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat = mat / norms
-        if self.planes is None:
+        if self.planes is None or self.planes.shape[1] != mat.shape[1]:
             rng = np.random.RandomState(self.seed)
             self.planes = rng.standard_normal((self.n_bands * self.r, mat.shape[1]))
         signs = (mat @ self.planes.T) > 0  # (n, n_bands*r)
@@ -319,6 +328,21 @@ class BandedHasher:
                 "vec_id": pa.array(np.repeat(vec_ids, self.n_bands), pa.int64()),
             }
         )
+
+
+_BANDED_CACHE: dict[tuple, "BandedHasher"] = {}
+
+
+def _cached_banded_hasher(n_bands: int, planes_per_band: int, dim: int) -> "BandedHasher":
+    # dim is part of the key: planes are dimension-bound and must not be
+    # reused across embedding tables of different width.
+    key = (n_bands, planes_per_band, dim)
+    h = _BANDED_CACHE.get(key)
+    if h is None:
+        h = _BANDED_CACHE[key] = BandedHasher(
+            n_bands=n_bands, planes_per_band=planes_per_band
+        )
+    return h
 
 
 def _bucket_candidates(group: pa.Table) -> pa.Table:
@@ -356,12 +380,16 @@ def _bucket_candidates(group: pa.Table) -> pa.Table:
     )
 
 
+_BROADCAST_VEC_LIMIT = 100_000  # ≈50 MB of unit-norm vectors — small-side bound
+
+
 def embedding_dup_pairs_lsh(
     ds,
     *,
     threshold: float = 0.9,
     n_bands: int = 16,
     planes_per_band: int = 8,
+    verify_mode: str = "auto",
 ):
     """Banded hyperplane-LSH near-duplicate pairs with exact verification —
     the sub-quadratic scale path for high-similarity thresholds.
@@ -400,27 +428,74 @@ def embedding_dup_pairs_lsh(
         )
 
     norm_bin = norm.map_batches(pack, batch_format="pyarrow")
-    banded = norm.map_batches(
-        BandedHasher,
-        fn_constructor_kwargs={
-            "n_bands": n_bands,
-            "planes_per_band": planes_per_band,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+
+    def band(batch: pa.Table) -> pa.Table:
+        # Task-pool stage with a per-process cached hasher: plane state
+        # is seed-deterministic and cheap to rebuild, so skipping the
+        # actor pool avoids its spin-up latency.
+        dim = len(batch.column("embedding")[0]) if batch.num_rows else 0
+        return _cached_banded_hasher(n_bands, planes_per_band, dim)(batch)
+
+    banded = norm.map_batches(band, batch_format="pyarrow")
+
+    if verify_mode == "auto":
+        verify_mode = "broadcast" if norm.count() <= _BROADCAST_VEC_LIMIT else "join"
+
+    if verify_mode == "broadcast":
+        # Small-side path: ray.put the unit-norm vector dict once and
+        # verify inline in the bucket stage — 1 light shuffle + 1 tiny
+        # pair dedupe instead of two lookup-join exchanges.
+        import ray
+
+        emb_map = {r["key"]: r["payload"] for r in norm_bin.take_all()}
+        emb_ref = ray.put(emb_map)
+
+        def bucket_verify(group: pa.Table) -> pa.Table:
+            cand = _bucket_candidates(group)
+            if cand.num_rows == 0:
+                return pa.table(
+                    {
+                        "vec_a": pa.array([], pa.int64()),
+                        "vec_b": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            table = ray.get(emb_ref)
+            a_ids = cand.column("vec_a").to_pylist()
+            b_ids = cand.column("vec_b").to_pylist()
+            ea = np.vstack([np.frombuffer(table[a], dtype=np.float64) for a in a_ids])
+            eb = np.vstack([np.frombuffer(table[b], dtype=np.float64) for b in b_ids])
+            cos = (ea * eb).sum(axis=1)
+            keep = cos >= threshold
+            return pa.table(
+                {
+                    "vec_a": cand.column("vec_a").filter(pa.array(keep)),
+                    "vec_b": cand.column("vec_b").filter(pa.array(keep)),
+                    "cosine": pa.array(
+                        [round(float(c), 6) for c in cos[keep]], pa.float64()
+                    ),
+                }
+            )
+
+        verified = banded.groupby("bucket").map_groups(
+            bucket_verify, batch_format="pyarrow"
+        )
+        return verified.groupby(["vec_a", "vec_b"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        )
+
     candidates = banded.groupby("bucket").map_groups(
         _bucket_candidates, batch_format="pyarrow"
     )
-    pairs = candidates.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # Cross-band duplicate pairs share vec_a → they co-locate on the
+    # first lookup-join's key and dedupe there (no extra shuffle).
     with_a = attach_payload(
-        pairs,
+        candidates,
         norm_bin,
         key_col="vec_a",
         out_col="emb_a",
         carry_cols={"vec_a": pa.int64(), "vec_b": pa.int64()},
+        dedupe=True,
     )
     with_b = attach_payload(
         with_a,

@@ -335,3 +335,37 @@ def test_multimodal_resize_and_audio_stages():
     f = samples.astype(np.float64)
     expect0 = float(np.sqrt((f[:4] ** 2).mean()))
     assert abs(rows[0]["rms"] - expect0) < 1e-12
+
+
+def test_lsh_verify_modes_equivalent():
+    """Broadcast (small-side) and lookup-join (scale) verification paths
+    must produce identical pair sets."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.dedup import minhash_lsh_pairs
+    from go_htmldate_ray.stages.similarity import embedding_dup_pairs_lsh
+
+    base = " ".join(f"w{i}" for i in range(100))
+    docs = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " tail"},
+        {"doc_id": 3, "text": "x " * 120},
+    ]
+    key = lambda rows: sorted((r["doc_a"], r["doc_b"]) for r in rows)
+    a = key(minhash_lsh_pairs(ray.data.from_items(docs), threshold=0.5,
+                              verify_mode="broadcast").take_all())
+    b = key(minhash_lsh_pairs(ray.data.from_items(docs), threshold=0.5,
+                              verify_mode="join").take_all())
+    assert a == b and (1, 2) in a
+
+    rng = np.random.RandomState(11)
+    base_v = rng.standard_normal(32)
+    vecs = [{"vec_id": i, "embedding": (base_v + 0.01 * rng.standard_normal(32)).tolist()}
+            for i in range(4)]
+    vecs += [{"vec_id": 4 + i, "embedding": rng.standard_normal(32).tolist()} for i in range(40)]
+    vkey = lambda rows: sorted((r["vec_a"], r["vec_b"]) for r in rows)
+    va = vkey(embedding_dup_pairs_lsh(ray.data.from_items(vecs), threshold=0.9,
+                                      verify_mode="broadcast").take_all())
+    vb = vkey(embedding_dup_pairs_lsh(ray.data.from_items(vecs), threshold=0.9,
+                                      verify_mode="join").take_all())
+    assert va == vb and len(va) == 6
