@@ -242,6 +242,20 @@ def run_headline() -> dict:
     queries["pricing_summary"] = round(bench_query(analytics.pricing_summary), 3)
     queries["events_by_type"] = round(bench_query(analytics.events_by_type), 3)
 
+    queries["embedding_dup_lsh"] = round(
+        bench_query(
+            lambda sf: similarity.embedding_dup_pairs_lsh(
+                ray.data.read_parquet(f"{sf}/embeddings.parquet"), threshold=0.9
+            )
+        ),
+        3,
+    )
+    from go_htmldate_ray.pipelines import streaming
+    from go_htmldate_ray.stages import multimodal
+
+    queries["sessionize"] = round(bench_query(streaming.sessionize_events), 3)
+    queries["media_features"] = round(bench_query(multimodal.media_features), 3)
+
     return {
         "metric": "total wall seconds across headline pipelines (per-pipeline throughputs in extra keys)",
         "value": round(sum(queries.values()), 3),
