@@ -146,3 +146,28 @@ def test_dataset_wave_path_equivalent():
         (r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in rows
     ]
     assert key(ds_rows) == key(fast_rows)
+
+
+def test_dataset_path_resume_equivalence(tmp_path):
+    """Resume works across the dataset path's directory-format
+    checkpoints (frontier_{w}/ and visited_{w}/ parquet parts), and a
+    mixed run (interrupted dataset-path, resumed dataset-path) matches
+    the uninterrupted driver-path crawl."""
+    from go_htmldate_ray.pipelines.crawl import crawl
+
+    full_rows, full_stats = _run()
+
+    ckpt = str(tmp_path / "dsckpt")
+    ns = _ns()
+    crawl(SF, namespace=ns, max_waves=3, checkpoint_dir=ckpt,
+          small_wave_threshold=0)
+    visited, stats = crawl(
+        SF, namespace=ns, max_waves=40, checkpoint_dir=ckpt, resume=True,
+        small_wave_threshold=0,
+    )
+    rows = visited.take_all()
+    rows.sort(key=lambda r: (r["wave"], r["host"], r["fetch_rank"]))
+    assert [
+        (r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in rows
+    ] == [(r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in full_rows]
+    assert stats["seen_total"] == full_stats["seen_total"]
