@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": analytics.events_by_type,
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_segment": analytics.orders_by_segment,
+        "orders_customer_join": analytics.orders_customer_join,
         "pricing_summary": analytics.pricing_summary,
     }
 
@@ -371,6 +372,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(sum(value), 2) AS total_value
             FROM events GROUP BY user_id
             ORDER BY sum(value) DESC, user_id ASC LIMIT 10""",
+        "orders_customer_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
+                   round(o.o_totalprice, 2) AS o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
         "orders_by_segment": """
             SELECT c.c_mktsegment, count(*) AS n_orders,
                    round(sum(o.o_totalprice), 2) AS total_price

@@ -199,3 +199,33 @@ def pricing_summary(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow").sort(
         ["l_returnflag", "l_linestatus"]
     )
+
+
+def orders_customer_join(sf_dir: str):
+    """orders ⋈ customer on custkey — the distributed shuffle-join shape
+    (both sides large: no broadcast; one keyed exchange via
+    stages.joins.hash_join).  Emits one row per order with its
+    customer's segment, row-level verifiable against SQL."""
+    import ray.data
+
+    from ..stages.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = hash_join(orders, customer, on="o_custkey", right_on="c_custkey")
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "o_totalprice": _round2(b.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )

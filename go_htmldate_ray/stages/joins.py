@@ -95,3 +95,80 @@ def attach_payload(
         return pa.table(cols)
 
     return unioned.groupby(_KEY).map_groups(resolve, batch_format="pyarrow")
+
+
+_SIDE = "__join_side"
+
+
+def hash_join(left, right, *, on: str, right_on: str | None = None):
+    """General distributed inner equi-join via one keyed sort-shuffle.
+
+    Both sides are tagged and unioned; one ``groupby`` on the join key
+    co-locates matching rows; each group emits the cartesian product of
+    its left × right rows.  This is the classic hash/sort-merge exchange
+    built from stable Ray Data primitives (the built-in ``Dataset.join``
+    operator is experimental: its per-partition aggregator actors
+    over-subscribe small clusters and it rejects schema-less empty
+    partitions).
+
+    Column layout: all left columns + all right columns except the right
+    key (mirrors SQL ``USING``).  Non-key column-name collisions are the
+    caller's responsibility.  Skewed keys amplify the within-group
+    cartesian — this is an equi-join; pre-aggregate hot keys first.
+    """
+    right_on = right_on or on
+
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_names = list(left_schema.names)
+    right_names = [n for n in right_schema.names if n != right_on]
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = {
+        n: t
+        for n, t in zip(right_schema.names, right_schema.types)
+        if n != right_on
+    }
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {f"l_{c}": batch.column(c) for c in left_names}
+        cols.update(
+            {f"r_{c}": pa.nulls(batch.num_rows, right_types[c]) for c in right_names}
+        )
+        cols[_KEY] = batch.column(on).cast(pa.int64())
+        cols[_SIDE] = pa.array([0] * batch.num_rows, pa.int8())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {f"l_{c}": pa.nulls(batch.num_rows, left_types[c]) for c in left_names}
+        cols.update({f"r_{c}": batch.column(c) for c in right_names})
+        cols[_KEY] = batch.column(right_on).cast(pa.int64())
+        cols[_SIDE] = pa.array([1] * batch.num_rows, pa.int8())
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    out_fields = [(n, left_types[n]) for n in left_names] + [
+        (n, right_types[n]) for n in right_names
+    ]
+    empty = pa.table({n: pa.array([], t) for n, t in out_fields})
+
+    def emit(group: pa.Table) -> pa.Table:
+        side = group.column(_SIDE)
+        lrows = group.filter(pc.equal(side, 0))
+        rrows = group.filter(pc.equal(side, 1))
+        nl, nr = lrows.num_rows, rrows.num_rows
+        if nl == 0 or nr == 0:
+            return empty
+        # cartesian within the key group: repeat left rows, tile right
+        l_idx = pa.array([i for i in range(nl) for _ in range(nr)], pa.int64())
+        r_idx = pa.array(list(range(nr)) * nl, pa.int64())
+        cols = {}
+        for n in left_names:
+            cols[n] = lrows.column(f"l_{n}").take(l_idx)
+        for n in right_names:
+            cols[n] = rrows.column(f"r_{n}").take(r_idx)
+        return pa.table(cols)
+
+    return unioned.groupby(_KEY).map_groups(emit, batch_format="pyarrow")

@@ -369,3 +369,33 @@ def test_lsh_verify_modes_equivalent():
     vb = vkey(embedding_dup_pairs_lsh(ray.data.from_items(vecs), threshold=0.9,
                                       verify_mode="join").take_all())
     assert va == vb and len(va) == 6
+
+
+def test_hash_join_semantics():
+    """General shuffle equi-join: inner semantics, many-to-many cartesian
+    within a key, unmatched keys dropped, right key column elided."""
+    import ray.data
+    from go_htmldate_ray.stages.joins import hash_join
+
+    left = ray.data.from_items(
+        [
+            {"k": 1, "lv": "a"},
+            {"k": 1, "lv": "b"},
+            {"k": 2, "lv": "c"},
+            {"k": 9, "lv": "z"},  # unmatched
+        ]
+    )
+    right = ray.data.from_items(
+        [
+            {"rk": 1, "rv": 10},
+            {"rk": 1, "rv": 11},
+            {"rk": 2, "rv": 20},
+            {"rk": 7, "rv": 70},  # unmatched
+        ]
+    )
+    rows = hash_join(left, right, on="k", right_on="rk").take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in rows)
+    assert got == [
+        (1, "a", 10), (1, "a", 11), (1, "b", 10), (1, "b", 11), (2, "c", 20),
+    ]
+    assert set(rows[0]) == {"k", "lv", "rv"}
