@@ -73,13 +73,29 @@ def windowed_events(sf_dir: str):
     )
 
 
-def asof_join_latest_order(sf_dir: str):
+_ASOF_BROADCAST_ROW_LIMIT = 1_000_000  # small-side bound for the orders table
+
+
+def asof_join_latest_order(sf_dir: str, mode: str = "auto"):
     """events ⟕asof orders: for each event, the latest order of the same
     customer placed on or before the event date → (event_id, o_orderkey);
-    -1 when the customer has no earlier order."""
+    -1 when the customer has no earlier order.
+
+    ``mode``: "broadcast" ships the per-customer order history once via
+    ``ray.put`` (right while orders ≪ events); "copartition" is the
+    scale path — both sides hash-co-located on the customer key by one
+    union + groupby shuffle, the as-of walk running per key group with
+    no driver-side or broadcast state.  "auto" picks by orders row
+    count."""
     import pyarrow.parquet as pq
     import ray
     import ray.data
+
+    if mode == "auto":
+        n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+        mode = "broadcast" if n_orders <= _ASOF_BROADCAST_ROW_LIMIT else "copartition"
+    if mode == "copartition":
+        return _asof_latest_order_copartition(sf_dir)
 
     orders = pq.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
@@ -134,6 +150,94 @@ def asof_join_latest_order(sf_dir: str):
         )
 
     return events.map_batches(join, batch_format="pyarrow")
+
+
+def _asof_latest_order_copartition(sf_dir: str):
+    """Co-partitioned as-of join: events and orders are tagged, unioned
+    and hash-co-located on the customer key by ONE groupby shuffle; the
+    as-of walk (sort orders, bisect per event) runs inside each key
+    group.  Nothing is broadcast and the driver holds no state — the
+    shape that survives an orders table too large for ``ray.put``."""
+    import ray.data
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("user_id").cast(pa.int64()),
+                "is_order": pa.array([False] * n, pa.bool_()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "ts": batch.column("ts").cast(pa.timestamp("us")),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+                "o_orderdate": pa.nulls(n, pa.date32()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("o_custkey").cast(pa.int64()),
+                "is_order": pa.array([True] * n, pa.bool_()),
+                "event_id": pa.nulls(n, pa.int64()),
+                "ts": pa.nulls(n, pa.timestamp("us")),
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_orderdate": batch.column("o_orderdate").cast(pa.date32()),
+            }
+        )
+
+    unioned = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    empty = pa.table(
+        {"event_id": pa.array([], pa.int64()), "o_orderkey": pa.array([], pa.int64())}
+    )
+
+    def asof_group(group: pa.Table) -> pa.Table:
+        mask = group.column("is_order")
+        order_rows = group.filter(mask)
+        event_rows = group.filter(pa.compute.invert(mask))
+        if event_rows.num_rows == 0:
+            return empty
+        hist = sorted(
+            zip(
+                order_rows.column("o_orderdate").to_pylist(),
+                order_rows.column("o_orderkey").to_pylist(),
+            )
+        )
+        out = []
+        for ts in event_rows.column("ts").to_pylist():
+            if not hist:
+                out.append(-1)
+                continue
+            d = ts.date()
+            idx = bisect.bisect_right(hist, (d, float("inf")))
+            if idx == 0:
+                out.append(-1)
+            else:
+                latest_date = hist[idx - 1][0]
+                k = idx - 1
+                best = hist[k][1]
+                while k > 0 and hist[k - 1][0] == latest_date:
+                    k -= 1
+                    best = max(best, hist[k][1])
+                out.append(best)
+        return pa.table(
+            {
+                "event_id": event_rows.column("event_id"),
+                "o_orderkey": pa.array(out, pa.int64()),
+            }
+        )
+
+    return unioned.groupby("key").map_groups(asof_group, batch_format="pyarrow")
 
 
 def sessionize_events(sf_dir: str):

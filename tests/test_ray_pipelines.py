@@ -399,3 +399,14 @@ def test_hash_join_semantics():
         (1, "a", 10), (1, "a", 11), (1, "b", 10), (1, "b", 11), (2, "c", 20),
     ]
     assert set(rows[0]) == {"k", "lv", "rv"}
+
+
+def test_asof_modes_equivalent():
+    """Broadcast and co-partitioned as-of join paths return identical
+    (event_id, o_orderkey) mappings."""
+    from go_htmldate_ray.pipelines.streaming import asof_join_latest_order
+
+    key = lambda rows: sorted((r["event_id"], r["o_orderkey"]) for r in rows)
+    a = key(asof_join_latest_order(SF, mode="broadcast").take_all())
+    b = key(asof_join_latest_order(SF, mode="copartition").take_all())
+    assert a == b and len(a) > 0
