@@ -251,17 +251,19 @@ def parse_html(content: bytes | str) -> Node:
         if m is None:
             add_text(content[pos:])
             break
-        start, end_ = m.span()
+        start = m.start()
         if start > pos:
             add_text(content[pos:start])
-        pos = end_
+        pos = m.end()
 
         # Dispatch on the highest participating group: 8 = start tag
         # (the optional "/" group always participates), 5 = end tag,
         # 1/2/3/4 = comment/CDATA/declaration/PI.
         last = m.lastindex
         if last == 8:  # start tag
-            tag = m.group(6).lower()
+            tag = m.group(6)
+            if not tag.islower():  # skip the copy for already-lower tags
+                tag = tag.lower()
             implied = _IMPLIED_CLOSE.get(tag)
             if implied:
                 while len(stack) > 1 and stack[-1].tag in implied:
@@ -300,7 +302,9 @@ def parse_html(content: bytes | str) -> Node:
                 continue
             stack.append(node)
         elif last == 5:  # end tag
-            tag = m.group(5).lower()
+            tag = m.group(5)
+            if not tag.islower():
+                tag = tag.lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
