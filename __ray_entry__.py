@@ -74,11 +74,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_jaccard_pairs": lambda sf: dedup.token_jaccard_pairs(
             _docs(sf), max_doc_id=200, min_jaccard=0.5
         ),
+        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
+            _docs(sf), n=3, max_doc_id=200, min_jaccard=0.2
+        ),
         "ann_cosine_topk": lambda sf: similarity.brute_force_topk(
             _embeddings(sf), query_ids=list(range(8)), k=5
         ),
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(
             _embeddings(sf), query_ids=list(range(8)), k=5
+        ),
+        # IVF plumbing verified in its exact configuration
+        # (n_probe == n_centroids); the recall/probe tradeoff is pytest'd.
+        "ann_ivf_topk": lambda sf: similarity.ivf_topk(
+            _embeddings(sf), query_ids=list(range(8)), k=5,
+            n_centroids=16, n_probe=16,
         ),
         "embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(
             _embeddings(sf), threshold=0.4
@@ -289,6 +298,23 @@ def oracle_sql() -> dict[str, str]:
             FROM toks a JOIN toks b ON a.doc_id < b.doc_id
             WHERE length(list_intersect(a.ts, b.ts))::DOUBLE
                   / length(list_distinct(list_concat(a.ts, b.ts))) >= 0.5""",
+        "ngram_jaccard_pairs": r"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN length(ts) < 3 THEN [array_to_string(ts, ' ')]
+                                ELSE list_transform(range(1, length(ts) - 1),
+                                                    i -> array_to_string(ts[i:i+2], ' '))
+                           END) AS gs
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+                      FROM documents WHERE doc_id < 200 AND trim(text) != '')
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(length(list_intersect(a.gs, b.gs))::DOUBLE
+                         / length(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE length(list_intersect(a.gs, b.gs))::DOUBLE
+                  / length(list_distinct(list_concat(a.gs, b.gs))) >= 0.2""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
             scored AS (
@@ -396,6 +422,20 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "minhash_dedup_pairs": _minhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+            scored AS (
+                SELECT q.qid, e.vec_id AS nid,
+                       list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS c
+                FROM q, embeddings e WHERE e.vec_id != q.qid
+            ),
+            ranked AS (
+                SELECT qid, nid,
+                       row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rnk
+                FROM scored
+            )
+            SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank
+            FROM ranked WHERE rnk <= 5""",
         "embedding_dup_pairs_lsh": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -403,6 +403,61 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# --- exact n-gram Jaccard over a bounded sample ------------------------------
+
+def ngram_jaccard_pairs(ds, *, n: int = 3, max_doc_id: int = 200, min_jaccard: float = 0.2):
+    """Exact distinct n-gram (token shingle) Jaccard for all pairs with
+    doc_id below ``max_doc_id`` — the n-gram counterpart of
+    :func:`token_jaccard_pairs`, the ground truth the MinHash estimate
+    approximates.  Same broadcast shape: shingle sets are ``ray.put``
+    once, pair scoring streams."""
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    sample = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), max_doc_id)),
+        batch_format="pyarrow",
+    )
+    rows = sample.select_columns(["doc_id", "text"]).take_all()
+
+    def shingles(text: str) -> frozenset:
+        toks = (text or "").split()
+        if len(toks) < n:
+            return frozenset([" ".join(toks)]) if toks else frozenset()
+        return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+    sets = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    sets_ref = ray.put(sets)
+    ids = sorted(sets)
+    pair_list = [{"doc_a": a, "doc_b": b} for a, b in combinations(ids, 2)]
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(sets_ref)
+        oa, ob, oj = [], [], []
+        for a, b in zip(
+            batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+        ):
+            sa, sb = table[a], table[b]
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            if j >= min_jaccard:
+                oa.append(a)
+                ob.append(b)
+                oj.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(oa, pa.int64()),
+                "doc_b": pa.array(ob, pa.int64()),
+                "jaccard": pa.array(oj, pa.float64()),
+            }
+        )
+
+    return ray.data.from_items(pair_list).map_batches(
+        score, batch_format="pyarrow", batch_size=4096
+    )
+
+
 # --- exact token-set Jaccard over a bounded sample ---------------------------
 
 def token_jaccard_pairs(ds, *, max_doc_id: int = 200, min_jaccard: float = 0.5):

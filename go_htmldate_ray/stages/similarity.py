@@ -533,3 +533,79 @@ def embedding_dup_pairs_lsh(
         )
 
     return with_b.map_batches(verify, batch_format="pyarrow")
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+def _ivf_centroids(ds, n_centroids: int, sample_rows: int = 2048, iters: int = 5):
+    """Deterministic Lloyd's k-means over a bounded id-range sample
+    (driver-side small side: ≤ sample_rows vectors).  Fixed seed init →
+    identical centroids on every run and every worker."""
+    import pyarrow.compute as pc
+
+    sample = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b.column("vec_id"), sample_rows)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["vec_id", "embedding"])
+        .take_all()
+    )
+    mat = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    rng = np.random.RandomState(42)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    centroids[c] = v / nv
+    return centroids
+
+
+def ivf_topk(
+    ds,
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+):
+    """IVF-bucketed approximate cosine top-k — the inverted-file scale
+    path: vectors partition by nearest centroid (one assignment matmul
+    per batch against the broadcast centroid matrix), each query scores
+    only the ``n_probe`` closest cells.  ``n_probe == n_centroids``
+    degenerates to exact search (the configuration the driver oracle
+    verifies); the recall/probe tradeoff is covered by pytest."""
+    import ray
+
+    qids, qmat = _query_matrix(ds, query_ids)
+    centroids = _ivf_centroids(ds, n_centroids)
+    q_cells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    probed = pa.array(sorted({int(c) for row in q_cells for c in row}), pa.int64())
+    cent_ref = ray.put(centroids)
+
+    def assign_and_filter(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _list_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cells = ((mat / norms) @ cents.T).argmax(axis=1).astype(np.int64)
+        out = batch.append_column("cell", pa.array(cells, pa.int64()))
+        return out.filter(pc.is_in(out.column("cell"), value_set=probed))
+
+    qmat_ref = ray.put(qmat)
+    partials = ds.map_batches(assign_and_filter, batch_format="pyarrow").map_batches(
+        lambda b: _partial_topk_batch(b, qids, qmat_ref, k),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pyarrow"
+    )

@@ -410,3 +410,56 @@ def test_asof_modes_equivalent():
     a = key(asof_join_latest_order(SF, mode="broadcast").take_all())
     b = key(asof_join_latest_order(SF, mode="copartition").take_all())
     assert a == b and len(a) > 0
+
+
+def test_ivf_topk_recall_and_exactness():
+    """IVF ANN: exact when probing every cell; high recall at n_probe=4
+    of 16 on clustered data."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((8, 32)) * 3
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append({"vec_id": i, "embedding": (c + rng.standard_normal(32)).astype(np.float32).tolist()})
+    mk = lambda: ray.data.from_items(rows)
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in brute_force_topk(mk(), query_ids=[0, 1, 2, 3], k=5).take_all()}
+    full = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_topk(mk(), query_ids=[0, 1, 2, 3], k=5,
+                              n_centroids=16, n_probe=16).take_all()}
+    assert full == exact  # probing all cells degenerates to exact
+
+    approx = {}
+    for r in ivf_topk(mk(), query_ids=[0, 1, 2, 3], k=5,
+                      n_centroids=16, n_probe=4).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact_sets = {}
+    for (q, _rank), n in exact.items():
+        exact_sets.setdefault(q, set()).add(n)
+    recall = sum(len(approx.get(q, set()) & s) for q, s in exact_sets.items()) / sum(
+        len(s) for s in exact_sets.values()
+    )
+    assert recall >= 0.8, recall
+
+
+def test_ngram_jaccard_pairs_exact():
+    import ray.data
+    from go_htmldate_ray.stages.dedup import ngram_jaccard_pairs
+
+    base = " ".join(f"w{i}" for i in range(30))
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base + " extra"},
+            {"doc_id": 3, "text": "totally different words here " * 6},
+        ]
+    )
+    rows = ngram_jaccard_pairs(ds, n=3, max_doc_id=10, min_jaccard=0.5).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    # doc1 has 28 shingles, doc2 has 29, intersection 28 → 28/29
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - 28 / 29) < 1e-6
