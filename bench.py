@@ -153,6 +153,16 @@ def bench_golden_corpus():
                     break
     ds = ray.data.from_items(items, override_num_blocks=max(128, NUM_CPUS * 8))
 
+    # Warm the page cache before the timer: the measurement targets
+    # extraction throughput, not the disk state the previous benchmark
+    # left behind (cold-cache runs were ~30% noisier).
+    for e in entries:
+        for d in dirs:
+            p = d / e["file"]
+            if p.exists():
+                p.read_bytes()
+                break
+
     def load(batch):
         import pyarrow as pa
 
