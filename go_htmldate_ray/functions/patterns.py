@@ -313,17 +313,20 @@ def lenient_absolute_parse(s: str, cfg=None) -> Optional[datetime]:
     else:
         extra_months = _EXTRA_MONTHS
 
-    # CJK/Korean year-month-day markers resolve before tokenization
-    # (the markers would otherwise reject as unknown word tokens).
-    m_cjk = _CJK_DATE.search(s)
-    if m_cjk is not None:
-        try:
-            return datetime(
-                int(m_cjk.group(1)), int(m_cjk.group(2)), int(m_cjk.group(3)),
-                tzinfo=timezone.utc,
-            )
-        except ValueError:
-            return None
+    # CJK/Korean year-month-day markers resolve before tokenization (the
+    # markers would otherwise reject as unknown word tokens).  Gated by
+    # the languages restriction like every other locale table; a
+    # malformed match falls through to the tokenizer instead of aborting.
+    if languages is None or {"zh", "ja", "ko"} & set(languages):
+        m_cjk = _CJK_DATE.search(s)
+        if m_cjk is not None:
+            try:
+                return datetime(
+                    int(m_cjk.group(1)), int(m_cjk.group(2)), int(m_cjk.group(3)),
+                    tzinfo=timezone.utc,
+                )
+            except ValueError:
+                pass
 
     s = _TIME_OF_DAY.sub(" ", s)
     tokens = _TOKEN.findall(s)

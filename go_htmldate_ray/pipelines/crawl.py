@@ -206,6 +206,9 @@ class RobotsFilterStage:
             path = url.split(host, 1)[-1] if host else "/"
             keep.append(allowed(path, self.cache.get(host, [])))
         out = t.filter(pa.array(keep, pa.bool_()))
+        # Blocking on the counter keeps the post-materialize stats read
+        # exact; the cost is one tiny RPC per multi-thousand-row batch,
+        # negligible next to the robots matching above.
         ray.get(
             self.stats.add.remote(
                 deduped_in=n_in,
@@ -227,6 +230,22 @@ def _count_parquet(path: str) -> int:
         return pads.dataset(path, format="parquet").count_rows()
     except (OSError, pa.ArrowInvalid):
         return 0
+
+
+def _clear_wave_outputs(checkpoint_dir: str, wave: int) -> None:
+    """Remove any outputs a previous (crashed, unmanifested) attempt at
+    this wave left behind — visited_{wave} file/dir and the next
+    frontier file/dir — so wave execution is idempotent under resume."""
+    for path in (
+        os.path.join(checkpoint_dir, f"visited_{wave}.parquet"),
+        os.path.join(checkpoint_dir, f"visited_{wave}"),
+        os.path.join(checkpoint_dir, f"frontier_{wave + 1}.parquet"),
+        os.path.join(checkpoint_dir, f"frontier_{wave + 1}"),
+    ):
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
 
 
 def _frontier_location(checkpoint_dir: str, wave: int) -> Optional[str]:
@@ -318,8 +337,17 @@ def crawl(
     if resume and os.path.exists(manifest_path):
         manifest = json.loads(open(manifest_path).read())
         start_wave = manifest["next_wave"]
+        # Load the seen-set state ENTERING start_wave: the per-wave
+        # snapshot seen_{w}.json is written together with the manifest
+        # advancing next_wave to w, so a crash between a wave's output
+        # writes and its manifest update replays that wave against the
+        # pre-wave state instead of seeing its own URLs as duplicates.
+        versioned = os.path.join(checkpoint_dir, f"seen_{start_wave}.json")
+        legacy = os.path.join(checkpoint_dir, "seen.json")
         seen.load(
-            json.loads(open(os.path.join(checkpoint_dir, "seen.json")).read())
+            json.loads(
+                open(versioned if os.path.exists(versioned) else legacy).read()
+            )
         )
         ray.get(
             robots.load.remote(
@@ -470,6 +498,10 @@ def crawl(
         partitioned parquet by the workers themselves.  The driver sees
         only row counts (parquet metadata) and the stats counter."""
         ray.get(wave_stats.reset.remote())
+        # Idempotent wave restart: Ray's write_parquet APPENDS part files,
+        # so outputs of a crashed, unmanifested attempt at this wave must
+        # be cleared before re-running (otherwise resume doubles them).
+        _clear_wave_outputs(checkpoint_dir, wave)
         frontier = ray.data.read_parquet(frontier_path)
         deduped = frontier.groupby("url_hash").map_groups(
             _dedup_first, batch_format="pyarrow"
@@ -554,6 +586,9 @@ def crawl(
         if n_frontier <= small_wave_threshold:
             # Driver-side fast path: identical semantics, pure pyarrow —
             # appropriate when a wave fits trivially in one process.
+            # (Clear any stale dataset-path part dirs from a crashed
+            # attempt first — the final visited glob reads both layouts.)
+            _clear_wave_outputs(checkpoint_dir, wave)
             visited_tbl, deferred_parts = run_wave_local(pq.read_table(frontier_path))
             visited_tbl = visited_tbl.append_column(
                 "wave", pa.array([wave] * visited_tbl.num_rows, pa.int64())
@@ -589,10 +624,16 @@ def crawl(
         else:
             n_fetched, _ = run_wave_dataset(frontier_path, wave)
 
-        # Checkpoint: seen dumps + robots + manifest (atomic rename)
-        open(os.path.join(checkpoint_dir, "seen.json"), "w").write(
-            json.dumps(seen.dump())
+        # Checkpoint: seen dumps + robots + manifest (atomic rename).
+        # The seen snapshot is versioned to the wave it ENTERS
+        # (seen_{wave+1}.json pairs with manifest next_wave == wave+1):
+        # a crash before the manifest update leaves the previous pair
+        # intact, so the wave replays from pre-wave state.
+        seen_dump = json.dumps(seen.dump())
+        open(os.path.join(checkpoint_dir, f"seen_{wave + 1}.json"), "w").write(
+            seen_dump
         )
+        open(os.path.join(checkpoint_dir, "seen.json"), "w").write(seen_dump)
         open(os.path.join(checkpoint_dir, "robots.json"), "w").write(
             json.dumps(ray.get(robots.all_rules.remote()))
         )

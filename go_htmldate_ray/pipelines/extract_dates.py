@@ -67,9 +67,13 @@ def host_page_counts(sf_dir: str):
     pages = read_pages(sf_dir)
 
     def add_host(batch: pa.Table) -> pa.Table:
-        # vectorized https://<host>/... extraction (no per-row Python)
+        # vectorized scheme://<host> extraction (no per-row Python);
+        # no trailing-slash requirement, scheme per RFC 3986
         hosts = pc.struct_field(
-            pc.extract_regex(batch.column("url"), r"^[a-z]+://(?P<host>[^/]+)/"),
+            pc.extract_regex(
+                batch.column("url"),
+                r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)",
+            ),
             "host",
         )
         return pa.table({"host": hosts, "doc_id": batch.column("doc_id")})

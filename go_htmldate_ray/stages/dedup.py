@@ -236,8 +236,16 @@ def minhash_lsh_pairs(
         # Task-pool stage: hasher state (256 ints) is trivial, so a
         # per-process cache beats paying actor-pool spin-up (~4 s on an
         # idle pipeline); the permutations are seed-deterministic either
-        # way.
-        return pack(_cached_minhasher(num_perm)(batch))
+        # way.  Documents with no shingles (empty/whitespace text) are
+        # dropped here: their all-zero signatures would pair every empty
+        # doc with est 1.0, and the SQL oracle excludes them the same way
+        # (WHERE trim(text) != '').
+        import pyarrow.compute as pc
+
+        nonempty = batch.filter(
+            pc.not_equal(pc.utf8_trim_whitespace(batch.column("text").cast(pa.string())), "")
+        )
+        return pack(_cached_minhasher(num_perm)(nonempty))
 
     sigs_bin = ds.map_batches(sign, batch_format="pyarrow").materialize()
     banded = sigs_bin.map_batches(

@@ -21,6 +21,7 @@ Usage::
 
 from __future__ import annotations
 
+from dataclasses import replace
 from datetime import timezone
 from typing import Optional
 
@@ -71,16 +72,10 @@ def extract_batch(batch: pa.Table, opts: Options, return_trace: bool = False) ->
                 continue
         raw = htmls[i]
         try:
-            res = from_html(raw or b"", Options(
-                extract_time=opts.extract_time,
-                use_original_date=opts.use_original_date,
-                url=url,
-                min_date=opts.min_date,
-                max_date=opts.max_date,
-                skip_extensive_search=opts.skip_extensive_search,
-                defer_url_extractor=opts.defer_url_extractor,
-                enable_log=opts.enable_log,
-            ))
+            # replace() carries EVERY Options field (incl.
+            # date_parser_config / custom_stages) — a field-by-field
+            # rebuild silently dropped newly added config.
+            res = from_html(raw or b"", replace(opts, url=url))
         except Exception:
             res = None
         if res is None or res.date_time is None:
@@ -123,13 +118,21 @@ class HtmldateExtractor:
         defer_url_extractor: bool = False,
         return_trace: bool = False,
         enable_log: bool = False,
+        options: Optional[Options] = None,
     ):
-        self.opts = Options(
-            use_original_date=use_original_date,
-            skip_extensive_search=skip_extensive_search,
-            extract_time=extract_time,
-            defer_url_extractor=defer_url_extractor,
-            enable_log=enable_log,
+        # `options` passes the FULL config surface (date_parser_config,
+        # custom_stages, min/max dates …) through in one object; the
+        # keyword shortcuts cover the common flags.
+        self.opts = (
+            replace(options)
+            if options is not None
+            else Options(
+                use_original_date=use_original_date,
+                skip_extensive_search=skip_extensive_search,
+                extract_time=extract_time,
+                defer_url_extractor=defer_url_extractor,
+                enable_log=enable_log,
+            )
         ).with_defaults()
         self.return_trace = return_trace
 

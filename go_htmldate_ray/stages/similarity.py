@@ -44,14 +44,19 @@ def _list_matrix(col: pa.ChunkedArray | pa.Array, dtype=np.float64) -> np.ndarra
 
 def _normalize_batch(batch: pa.Table) -> pa.Table:
     """(vec_id, embedding) → (vec_id, embedding) with unit-norm float64
-    fixed-size-list embeddings (zero-copy matrix recovery downstream)."""
+    list embeddings.  Variable list (not fixed-size) so empty blocks
+    carry the SAME type as populated ones — a fixed_size_list would need
+    a width an empty batch can't know, splitting the dataset schema."""
+    n = batch.num_rows
     mat = _list_matrix(batch.column("embedding"))
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
+    norms = np.linalg.norm(mat, axis=1, keepdims=True) if n else None
+    if n:
+        norms[norms == 0] = 1.0
+        mat = mat / norms
     dim = mat.shape[1] if mat.size else 0
-    emb = pa.FixedSizeListArray.from_arrays(
-        pa.array(mat.ravel(), pa.float64()), dim or 1
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+    emb = pa.ListArray.from_arrays(
+        offsets, pa.array(mat.ravel(), pa.float64())
     )
     return pa.table({"vec_id": batch.column("vec_id"), "embedding": emb})
 
@@ -307,10 +312,9 @@ class BandedHasher:
         self.planes: np.ndarray | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # No renormalization: hyperplane sign hashing is scale-invariant,
+        # and this stage only ever consumes already-unit-norm vectors.
         mat = _list_matrix(batch.column("embedding"))
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mat = mat / norms
         if self.planes is None or self.planes.shape[1] != mat.shape[1]:
             rng = np.random.RandomState(self.seed)
             self.planes = rng.standard_normal((self.n_bands * self.r, mat.shape[1]))
@@ -551,6 +555,13 @@ def _ivf_centroids(ds, n_centroids: int, sample_rows: int = 2048, iters: int = 5
         .select_columns(["vec_id", "embedding"])
         .take_all()
     )
+    if not sample:
+        # vec_ids sparse or offset (e.g. a shard holding ids ≥ sample_rows):
+        # fall back to the first blocks, still deterministic for a given
+        # dataset layout.
+        sample = ds.select_columns(["vec_id", "embedding"]).limit(sample_rows).take_all()
+    if not sample:
+        raise ValueError("ivf_topk: embeddings dataset is empty")
     mat = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -23,6 +23,7 @@ from .cuckoo import CuckooFilter
 class SeenShard:
     def __init__(self, shard_id: int, filter_capacity: int = 1 << 18):
         self.shard_id = shard_id
+        self.filter_capacity = filter_capacity
         self.exact: set[int] = set()
         self.filter = CuckooFilter(capacity=filter_capacity)
 
@@ -52,10 +53,14 @@ class SeenShard:
         return sorted(self.exact)
 
     def load(self, keys: list[int]) -> int:
-        for h in keys:
-            if h not in self.exact:
-                self.exact.add(h)
-                self.filter.add(h)
+        """Restore EXACTLY the checkpointed membership: resuming from a
+        snapshot must also roll back keys a half-completed wave added
+        after it (merging would make a replayed wave see its own URLs
+        as duplicates when the actors survived the interruption)."""
+        self.exact = set(keys)
+        self.filter = CuckooFilter(capacity=self.filter_capacity)
+        for h in self.exact:
+            self.filter.add(h)
         return len(self.exact)
 
     def size(self) -> int:

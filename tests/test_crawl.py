@@ -171,3 +171,34 @@ def test_dataset_path_resume_equivalence(tmp_path):
         (r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in rows
     ] == [(r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in full_rows]
     assert stats["seen_total"] == full_stats["seen_total"]
+
+
+def test_wave_rerun_idempotent_after_partial_crash(tmp_path):
+    """Regression: Ray write_parquet APPENDS — re-running a wave whose
+    outputs were written but whose manifest update was lost (mid-wave
+    crash) must not duplicate visited/frontier rows."""
+    import json as _json
+    import os
+
+    from go_htmldate_ray.pipelines.crawl import crawl
+
+    full_rows, _ = _run(small_wave_threshold=0, max_waves=6)
+
+    ckpt = str(tmp_path / "crashckpt")
+    ns = _ns()
+    crawl(SF, namespace=ns, max_waves=3, checkpoint_dir=ckpt,
+          small_wave_threshold=0)
+    # Simulate "crashed after writing wave 2's outputs, before the
+    # manifest recorded it": roll the manifest back one wave.
+    mpath = os.path.join(ckpt, "manifest.json")
+    m = _json.loads(open(mpath).read())
+    m["next_wave"] -= 1
+    m["lineage"] = m["lineage"][:-1]
+    open(mpath, "w").write(_json.dumps(m))
+
+    visited, _ = crawl(SF, namespace=ns, max_waves=6, checkpoint_dir=ckpt,
+                       resume=True, small_wave_threshold=0)
+    rows = visited.take_all()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls)), "duplicated visited rows after rerun"
+    assert sorted(urls) == sorted(r["url"] for r in full_rows)

@@ -463,3 +463,76 @@ def test_ngram_jaccard_pairs_exact():
     # doc1 has 28 shingles, doc2 has 29, intersection 28 → 28/29
     assert set(got) == {(1, 2)}
     assert abs(got[(1, 2)] - 28 / 29) < 1e-6
+
+
+def test_extract_stage_full_options_passthrough():
+    """Regression: date_parser_config/custom_stages must reach the Ray
+    extraction stage (the field-by-field Options rebuild dropped them)."""
+    import pyarrow as pa
+    from go_htmldate_ray.functions.kernels import DateParserConfig, Options
+    from go_htmldate_ray.stages.extract_stage import HtmldateExtractor
+
+    html = "<html><body><p>3 de março de 2020</p></body></html>".encode()
+    batch = pa.table(
+        {"url": pa.array([""]), "html": pa.array([html], pa.binary())}
+    )
+    opts = Options(
+        use_original_date=True,
+        skip_extensive_search=False,
+        date_parser_config=DateParserConfig(languages=["pt"]),
+    )
+    out = HtmldateExtractor(options=opts)(batch)
+    assert out.column("date_str").to_pylist() == ["2020-03-03"]
+    # restricting to a locale without the month name loses the date
+    opts2 = Options(
+        use_original_date=True,
+        skip_extensive_search=False,
+        date_parser_config=DateParserConfig(languages=["fi"]),
+    )
+    out2 = HtmldateExtractor(options=opts2)(batch)
+    assert out2.column("date_str").to_pylist() != ["2020-03-03"]
+
+
+def test_minhash_ignores_empty_documents():
+    """Regression: empty/whitespace docs must not pair as est-1.0 dups
+    (all-zero signatures) — matches the SQL oracle's trim filter."""
+    import ray.data
+    from go_htmldate_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": "   "},
+            {"doc_id": 3, "text": "alpha beta gamma delta " * 10},
+            {"doc_id": 4, "text": "alpha beta gamma delta " * 10},
+        ]
+    )
+    pairs = {(p["doc_a"], p["doc_b"]) for p in minhash_lsh_pairs(ds).take_all()}
+    assert pairs == {(3, 4)}
+
+
+def test_host_extraction_no_path():
+    """Regression: URLs without a path (or with uppercase schemes) must
+    still yield their host."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    urls = pa.array(
+        ["https://a.example.org", "HTTP://B.example/x", "https://c.example.org/p?q#f"]
+    )
+    hosts = pc.struct_field(
+        pc.extract_regex(urls, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)"),
+        "host",
+    ).to_pylist()
+    assert hosts == ["a.example.org", "B.example", "c.example.org"]
+
+
+def test_cjk_gated_by_language_restriction():
+    from go_htmldate_ray.functions.kernels import DateParserConfig
+    from go_htmldate_ray.functions.patterns import lenient_absolute_parse
+
+    assert lenient_absolute_parse("2021年3月4日") is not None
+    assert lenient_absolute_parse("2021年3月4日", DateParserConfig(languages=["pt"])) is None
+    assert lenient_absolute_parse("2021年3月4日", DateParserConfig(languages=["ja"])) is not None
+    # malformed CJK match falls through instead of aborting the parse
+    assert lenient_absolute_parse("2021年31月40日") is None
