@@ -151,40 +151,10 @@ def _band_batch(batch: pa.Table, num_bands: int, rows_per_band: int) -> pa.Table
     )
 
 
-_PAIR_CAP = 200  # bucket size above which all-pairs expansion is star-sampled
-
-
 def _bucket_candidates(group: pa.Table) -> pa.Table:
-    """Candidate pairs from one LSH bucket.  Buckets up to ``_PAIR_CAP``
-    docs expand to all pairs; hotter buckets are star-sampled (min doc ↔
-    every other member): the duplicate *cluster* stays connected — the
-    full pair set is recoverable by union-find — while output stays O(G).
-    Truncation is logged, never silent."""
-    ids = np.unique(np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64))
-    g = len(ids)
-    if g < 2:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    if g <= _PAIR_CAP:
-        ii, jj = np.triu_indices(g, 1)
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[ii], pa.int64()),
-                "doc_b": pa.array(ids[jj], pa.int64()),
-            }
-        )
-    logger.warning(
-        "MinHash LSH bucket with %d docs star-sampled: emitting %d spanning "
-        "pairs instead of %d all-pairs (cluster connectivity preserved)",
-        g, g - 1, g * (g - 1) // 2,
-    )
-    return pa.table(
-        {
-            "doc_a": pa.array(np.full(g - 1, ids[0]), pa.int64()),
-            "doc_b": pa.array(ids[1:], pa.int64()),
-        }
-    )
+    from .joins import bucket_pair_candidates
+
+    return bucket_pair_candidates(group, "doc_id", "doc_a", "doc_b", logger, "MinHash")
 
 
 _BROADCAST_DOC_LIMIT = 100_000  # ≈100 MB of signatures — small-side bound

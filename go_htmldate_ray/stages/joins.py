@@ -172,3 +172,44 @@ def hash_join(left, right, *, on: str, right_on: str | None = None):
         return pa.table(cols)
 
     return unioned.groupby(_KEY).map_groups(emit, batch_format="pyarrow")
+
+
+PAIR_CAP = 200  # bucket size above which all-pairs expansion is star-sampled
+
+
+def bucket_pair_candidates(
+    group: pa.Table, id_col: str, a_col: str, b_col: str, logger, what: str
+) -> pa.Table:
+    """Candidate pairs from one LSH bucket (shared by the MinHash and
+    embedding paths).  Buckets up to ``PAIR_CAP`` members expand to all
+    pairs; hotter buckets are star-sampled (min id ↔ every other member):
+    the duplicate *cluster* stays connected — the full pair set is
+    recoverable by union-find — while output stays O(G).  Truncation is
+    logged, never silent."""
+    import numpy as np
+
+    ids = np.unique(np.asarray(group.column(id_col).to_pylist(), dtype=np.int64))
+    g = len(ids)
+    if g < 2:
+        return pa.table(
+            {a_col: pa.array([], pa.int64()), b_col: pa.array([], pa.int64())}
+        )
+    if g <= PAIR_CAP:
+        ii, jj = np.triu_indices(g, 1)
+        return pa.table(
+            {
+                a_col: pa.array(ids[ii], pa.int64()),
+                b_col: pa.array(ids[jj], pa.int64()),
+            }
+        )
+    logger.warning(
+        "%s LSH bucket with %d members star-sampled: emitting %d spanning "
+        "pairs instead of %d all-pairs (cluster connectivity preserved)",
+        what, g, g - 1, g * (g - 1) // 2,
+    )
+    return pa.table(
+        {
+            a_col: pa.array(np.full(g - 1, ids[0]), pa.int64()),
+            b_col: pa.array(ids[1:], pa.int64()),
+        }
+    )

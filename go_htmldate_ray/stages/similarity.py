@@ -296,9 +296,6 @@ def embedding_dup_pairs(ds, *, threshold: float = 0.4, chunk_rows: int = 4096):
 
 # --- banded-LSH near-dup pairs (the 100 TB path) -----------------------------
 
-_PAIR_CAP = 200  # bucket size above which all-pairs expansion is star-sampled
-
-
 class BandedHasher:
     """Banded random-hyperplane bucketing: each vector emits one light
     (bucket, vec_id) row per band — ``n_bands × planes_per_band`` planes,
@@ -350,38 +347,9 @@ def _cached_banded_hasher(n_bands: int, planes_per_band: int, dim: int) -> "Band
 
 
 def _bucket_candidates(group: pa.Table) -> pa.Table:
-    """Candidate pairs from one LSH bucket.  Buckets up to ``_PAIR_CAP``
-    expand to all pairs; hotter buckets are star-sampled (min doc ↔ every
-    other member), which keeps the duplicate *cluster* connected (the full
-    pair set is recoverable by union-find) while bounding output to O(G).
-    The truncation is logged, never silent."""
-    ids = np.unique(
-        np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
-    )
-    g = len(ids)
-    if g < 2:
-        return pa.table(
-            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
-        )
-    if g <= _PAIR_CAP:
-        ii, jj = np.triu_indices(g, 1)
-        return pa.table(
-            {
-                "vec_a": pa.array(ids[ii], pa.int64()),
-                "vec_b": pa.array(ids[jj], pa.int64()),
-            }
-        )
-    logger.warning(
-        "LSH bucket with %d members star-sampled: emitting %d spanning pairs "
-        "instead of %d all-pairs (cluster connectivity preserved)",
-        g, g - 1, g * (g - 1) // 2,
-    )
-    return pa.table(
-        {
-            "vec_a": pa.array(np.full(g - 1, ids[0]), pa.int64()),
-            "vec_b": pa.array(ids[1:], pa.int64()),
-        }
-    )
+    from .joins import bucket_pair_candidates
+
+    return bucket_pair_candidates(group, "vec_id", "vec_a", "vec_b", logger, "embedding")
 
 
 _BROADCAST_VEC_LIMIT = 100_000  # ≈50 MB of unit-norm vectors — small-side bound
