@@ -74,8 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_jaccard_pairs": lambda sf: dedup.token_jaccard_pairs(
             _docs(sf), max_doc_id=200, min_jaccard=0.5
         ),
-        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
-            _docs(sf), n=3, max_doc_id=200, min_jaccard=0.2
+        "ngram_jaccard_pairs": lambda sf: _typed_df(
+            dedup.ngram_jaccard_pairs(_docs(sf), n=3, max_doc_id=200, min_jaccard=0.03),
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"},
         ),
         "ann_cosine_topk": lambda sf: similarity.brute_force_topk(
             _embeddings(sf), query_ids=list(range(8)), k=5
@@ -122,24 +123,25 @@ def _embeddings(sf_dir):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _embedding_dup_pairs_lsh(sf_dir):
-    """Near-dup pair results are tiny by semantics; materialise to a typed
-    DataFrame so an all-empty run (Ray drops empty blocks → schema-less
-    Dataset) still presents the declared columns to the comparator."""
+def _typed_df(ds, dtypes: dict):
+    """Materialise a small-by-semantics result to a typed DataFrame: Ray
+    drops empty blocks, so an all-empty Dataset loses its schema and
+    would present zero columns to the comparator."""
     import pandas as pd
 
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in dtypes.items()})
+    return df
+
+
+def _embedding_dup_pairs_lsh(sf_dir):
     from go_htmldate_ray.stages.similarity import embedding_dup_pairs_lsh
 
-    df = embedding_dup_pairs_lsh(_embeddings(sf_dir), threshold=0.9).to_pandas()
-    if len(df.columns) == 0:
-        df = pd.DataFrame(
-            {
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
-    return df
+    return _typed_df(
+        embedding_dup_pairs_lsh(_embeddings(sf_dir), threshold=0.9),
+        {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
+    )
 
 
 def _media_features(sf_dir):
@@ -314,7 +316,7 @@ def oracle_sql() -> dict[str, str]:
                          / length(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE length(list_intersect(a.gs, b.gs))::DOUBLE
-                  / length(list_distinct(list_concat(a.gs, b.gs))) >= 0.2""",
+                  / length(list_distinct(list_concat(a.gs, b.gs))) >= 0.03""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
             scored AS (
