@@ -241,6 +241,7 @@ def _clear_wave_outputs(checkpoint_dir: str, wave: int) -> None:
         os.path.join(checkpoint_dir, f"visited_{wave}"),
         os.path.join(checkpoint_dir, f"frontier_{wave + 1}.parquet"),
         os.path.join(checkpoint_dir, f"frontier_{wave + 1}"),
+        os.path.join(checkpoint_dir, f"seen_delta_{wave}.json"),
     ):
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
@@ -337,18 +338,23 @@ def crawl(
     if resume and os.path.exists(manifest_path):
         manifest = json.loads(open(manifest_path).read())
         start_wave = manifest["next_wave"]
-        # Load the seen-set state ENTERING start_wave: the per-wave
-        # snapshot seen_{w}.json is written together with the manifest
-        # advancing next_wave to w, so a crash between a wave's output
-        # writes and its manifest update replays that wave against the
-        # pre-wave state instead of seeing its own URLs as duplicates.
-        versioned = os.path.join(checkpoint_dir, f"seen_{start_wave}.json")
-        legacy = os.path.join(checkpoint_dir, "seen.json")
-        seen.load(
-            json.loads(
-                open(versioned if os.path.exists(versioned) else legacy).read()
-            )
-        )
+        # Rebuild the seen-set state ENTERING start_wave by replaying the
+        # per-wave DELTA dumps of all manifested waves (< start_wave).
+        # Deltas keep checkpoint I/O proportional to wave size, not total
+        # crawl size, and make wave replay idempotent: a crash between a
+        # wave's delta write and its manifest update leaves that wave's
+        # delta unreferenced, so the replayed wave starts from pre-wave
+        # state instead of seeing its own URLs as duplicates.
+        seen.reset()  # surviving actors may hold post-crash keys
+        delta0 = os.path.join(checkpoint_dir, "seen_delta_0.json")
+        if os.path.exists(delta0):
+            for w in range(start_wave):
+                dp = os.path.join(checkpoint_dir, f"seen_delta_{w}.json")
+                seen.load_deltas(json.loads(open(dp).read()))
+        else:
+            # legacy checkpoint layout: one full dump
+            legacy = os.path.join(checkpoint_dir, "seen.json")
+            seen.load(json.loads(open(legacy).read()))
         ray.get(
             robots.load.remote(
                 {
@@ -624,16 +630,12 @@ def crawl(
         else:
             n_fetched, _ = run_wave_dataset(frontier_path, wave)
 
-        # Checkpoint: seen dumps + robots + manifest (atomic rename).
-        # The seen snapshot is versioned to the wave it ENTERS
-        # (seen_{wave+1}.json pairs with manifest next_wave == wave+1):
-        # a crash before the manifest update leaves the previous pair
-        # intact, so the wave replays from pre-wave state.
-        seen_dump = json.dumps(seen.dump())
-        open(os.path.join(checkpoint_dir, f"seen_{wave + 1}.json"), "w").write(
-            seen_dump
-        )
-        open(os.path.join(checkpoint_dir, "seen.json"), "w").write(seen_dump)
+        # Checkpoint: per-wave seen DELTA + robots + manifest (atomic
+        # rename).  Only the keys this wave added are written — I/O per
+        # wave ∝ wave size; resume replays the deltas of manifested waves.
+        open(
+            os.path.join(checkpoint_dir, f"seen_delta_{wave}.json"), "w"
+        ).write(json.dumps(seen.drain_deltas()))
         open(os.path.join(checkpoint_dir, "robots.json"), "w").write(
             json.dumps(ray.get(robots.all_rules.remote()))
         )

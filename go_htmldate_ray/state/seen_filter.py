@@ -26,6 +26,8 @@ class SeenShard:
         self.filter_capacity = filter_capacity
         self.exact: set[int] = set()
         self.filter = CuckooFilter(capacity=filter_capacity)
+        # keys added since the last drain — the per-wave checkpoint unit
+        self.delta: list[int] = []
 
     def check_and_add(self, hashes: list[int]) -> list[bool]:
         """For each hash: True if newly added (not seen before).
@@ -43,8 +45,23 @@ class SeenShard:
             else:
                 self.exact.add(h)
                 self.filter.add(h)
+                self.delta.append(h)
                 out.append(True)
         return out
+
+    def drain_delta(self) -> list[int]:
+        """Keys added since the previous drain — checkpointing dumps ONLY
+        this delta per wave (I/O ∝ wave size, not total crawl size)."""
+        d, self.delta = self.delta, []
+        return sorted(d)
+
+    def load_delta(self, keys: list[int]) -> int:
+        """Apply one checkpointed delta (no reset, no delta tracking)."""
+        for h in keys:
+            if h not in self.exact:
+                self.exact.add(h)
+                self.filter.add(h)
+        return len(self.exact)
 
     def contains(self, hashes: list[int]) -> list[bool]:
         return [h in self.exact for h in hashes]
@@ -61,7 +78,13 @@ class SeenShard:
         self.filter = CuckooFilter(capacity=self.filter_capacity)
         for h in self.exact:
             self.filter.add(h)
+        self.delta = []
         return len(self.exact)
+
+    def reset(self) -> None:
+        self.exact = set()
+        self.filter = CuckooFilter(capacity=self.filter_capacity)
+        self.delta = []
 
     def size(self) -> int:
         return len(self.exact)
@@ -101,6 +124,19 @@ class SeenSet:
         ray.get(
             [s.load.remote(keys) for s, keys in zip(self.shards, dumps)]
         )
+
+    def drain_deltas(self) -> list[list[int]]:
+        """Per-shard keys added since the last drain (the per-wave
+        checkpoint payload)."""
+        return ray.get([s.drain_delta.remote() for s in self.shards])
+
+    def load_deltas(self, deltas: list[list[int]]) -> None:
+        ray.get(
+            [s.load_delta.remote(keys) for s, keys in zip(self.shards, deltas)]
+        )
+
+    def reset(self) -> None:
+        ray.get([s.reset.remote() for s in self.shards])
 
     def total(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
