@@ -271,15 +271,27 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens
             FROM documents""",
         "quality_scores": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                FROM documents
+            )
             SELECT doc_id,
                    length(text) AS n_chars_calc,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE length(regexp_split_to_array(trim(text), '\s+')) END
-                       AS n_tokens,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END
-                       AS n_uniq_tokens
-            FROM documents""",
+                   length(toks) AS n_tokens,
+                   length(list_distinct(toks)) AS n_uniq_tokens,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE round(
+                            (length(text) - length(regexp_replace(text,
+                                '[.,;:!?''"()\[\]{}-]', '', 'g')))::DOUBLE
+                            / length(text), 6) END AS punct_ratio,
+                   CASE WHEN length(toks) = 0 THEN 0.0
+                        ELSE round(
+                            length(list_filter(toks, w -> list_contains(
+                                ['the','and','of','to','in','is','that','for','with','a'],
+                                lower(w))))::DOUBLE / length(toks), 6) END AS stopword_ratio
+            FROM t""",
         "fingerprints": r"""
             SELECT doc_id,
                    substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16)

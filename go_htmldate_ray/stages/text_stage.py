@@ -27,22 +27,43 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_PUNCT = set(".,;:!?'\"()[]{}-")
+_QUALITY_STOPWORDS = frozenset(
+    {"the", "and", "of", "to", "in", "is", "that", "for", "with", "a"}
+)
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, n_chars_calc, n_tokens, n_uniq_tokens — quality signals."""
+    """doc_id, n_chars_calc, n_tokens, n_uniq_tokens, punct_ratio,
+    stopword_ratio — the standard web-text quality signals (length,
+    vocabulary, punctuation density, stopword density).  Ratios are
+    rounded to 6 decimals to match the SQL oracle's arithmetic."""
     texts = batch.column("text").to_pylist()
-    n_chars, n_tokens, n_uniq = [], [], []
+    n_chars, n_tokens, n_uniq, punct_r, stop_r = [], [], [], [], []
     for t in texts:
         t = t or ""
         toks = t.split()
         n_chars.append(len(t))
         n_tokens.append(len(toks))
         n_uniq.append(len(set(toks)))
+        punct_r.append(
+            round(sum(1 for c in t if c in _PUNCT) / len(t), 6) if t else 0.0
+        )
+        stop_r.append(
+            round(
+                sum(1 for w in toks if w.lower() in _QUALITY_STOPWORDS) / len(toks), 6
+            )
+            if toks
+            else 0.0
+        )
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "n_chars_calc": pa.array(n_chars, pa.int64()),
             "n_tokens": pa.array(n_tokens, pa.int64()),
             "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+            "punct_ratio": pa.array(punct_r, pa.float64()),
+            "stopword_ratio": pa.array(stop_r, pa.float64()),
         }
     )
 
