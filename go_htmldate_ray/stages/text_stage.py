@@ -28,9 +28,34 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 
 
 _PUNCT = set(".,;:!?'\"()[]{}-")
+# 256-entry byte lookup: every punct char is ASCII, and ASCII byte values
+# never occur inside UTF-8 continuation sequences, so counting punct bytes
+# over the raw UTF-8 buffer counts punct *characters* exactly.
+_PUNCT_LOOKUP = np.zeros(256, dtype=np.int64)
+for _c in _PUNCT:
+    _PUNCT_LOOKUP[ord(_c)] = 1
 _QUALITY_STOPWORDS = frozenset(
     {"the", "and", "of", "to", "in", "is", "that", "for", "with", "a"}
 )
+
+
+def _punct_counts_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Per-row punctuation-character counts for a string column — one
+    vectorized lookup + cumsum over the column's raw UTF-8 buffer
+    (zero-copy from Arrow; no per-character Python loop)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.large_string())  # one offsets dtype (int64) for both layouts
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    buffers = col.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64)[col.offset : col.offset + n + 1]
+    if buffers[2] is None or len(buffers[2]) == 0:  # all-null / all-empty column
+        return np.zeros(n, dtype=np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    hits = np.concatenate(([0], np.cumsum(_PUNCT_LOOKUP[data])))
+    return hits[offsets[1:]] - hits[offsets[:-1]]
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
@@ -39,16 +64,15 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     vocabulary, punctuation density, stopword density).  Ratios are
     rounded to 6 decimals to match the SQL oracle's arithmetic."""
     texts = batch.column("text").to_pylist()
+    punct_counts = _punct_counts_column(batch.column("text"))
     n_chars, n_tokens, n_uniq, punct_r, stop_r = [], [], [], [], []
-    for t in texts:
+    for i, t in enumerate(texts):
         t = t or ""
         toks = t.split()
         n_chars.append(len(t))
         n_tokens.append(len(toks))
         n_uniq.append(len(set(toks)))
-        punct_r.append(
-            round(sum(1 for c in t if c in _PUNCT) / len(t), 6) if t else 0.0
-        )
+        punct_r.append(round(int(punct_counts[i]) / len(t), 6) if t else 0.0)
         stop_r.append(
             round(
                 sum(1 for w in toks if w.lower() in _QUALITY_STOPWORDS) / len(toks), 6
@@ -126,41 +150,67 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 _ROLL_BASE = 257
 _ROLL_MOD = (1 << 61) - 1
+_M61 = np.uint64(_ROLL_MOD)
+_LOW31 = np.uint64((1 << 31) - 1)
 
 
-def _rolling_hashes(text: str, k: int) -> list[int]:
-    """Rabin-Karp rolling hashes of every k-char window (O(n))."""
+def _mod_m61(x: np.ndarray) -> np.ndarray:
+    """x mod 2^61-1 for uint64 inputs (two Mersenne folds + final subtract)."""
+    x = (x & _M61) + (x >> np.uint64(61))
+    x = (x & _M61) + (x >> np.uint64(61))
+    return np.where(x >= _M61, x - _M61, x)
+
+
+def _rolling_hashes(text: str, k: int) -> np.ndarray:
+    """Rabin-Karp rolling hashes of every k-char window, fully vectorized.
+
+    h_i = (sum_j cp[i+j] * 257^(k-1-j)) mod 2^61-1, computed as k shifted
+    vectorized term arrays over the codepoint array.  The mod-mul splits
+    each power into (hi*2^30 + lo) halves: cp*hi < 2^52 and cp*lo < 2^51
+    fit uint64 exactly, and multiplying by 2^30 mod the Mersenne prime is
+    a 61-bit rotation ((x >> 31) + ((x & (2^31-1)) << 30))."""
     n = len(text)
     if n < k:
-        return []
-    h = 0
-    pow_k = pow(_ROLL_BASE, k - 1, _ROLL_MOD)
-    out = []
-    for i, ch in enumerate(text):
-        h = (h * _ROLL_BASE + ord(ch)) % _ROLL_MOD
-        if i >= k:
-            h = (h - ord(text[i - k]) * pow_k * _ROLL_BASE) % _ROLL_MOD
-        if i >= k - 1:
-            out.append(h)
-    return out
+        return np.zeros(0, dtype=np.uint64)
+    # UTF-32-LE bytes are exactly the ord() codepoints (< 2^21)
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n_out = n - k + 1
+    acc = np.zeros(n_out, dtype=np.uint64)
+    for j in range(k):
+        p = pow(_ROLL_BASE, k - 1 - j, _ROLL_MOD)
+        hi, lo = np.uint64(p >> 30), np.uint64(p & ((1 << 30) - 1))
+        seg = cp[j : j + n_out]
+        x = seg * hi  # < 2^21 * 2^31 = 2^52, exact
+        term = (x >> np.uint64(31)) + ((x & _LOW31) << np.uint64(30))  # x*2^30 mod M
+        term = np.where(term >= _M61, term - _M61, term) + seg * lo
+        # acc after j terms ≤ (j+1) * (2*M) < 2^64 for k ≤ 4 only, so fold
+        # every addition: term < 2^62, acc < M after fold → sum < 2^63 ✓
+        acc = _mod_m61(acc + term)
+    return acc
 
 
 def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Winnowing (Schleimer et al., SIGMOD 2003): keep the minimum rolling
     hash of each sliding window — a position-robust document fingerprint
-    set whose overlap estimates shared substrings."""
+    set whose overlap estimates shared substrings.  Window argmins are
+    computed with a numpy sliding-window view; the pick-if-new-position
+    rule reduces to collapsing consecutive duplicate positions."""
     hashes = _rolling_hashes(" ".join(text.split()).lower(), k)
-    if not hashes:
+    if hashes.size == 0:
         return []
-    picked = []
-    last = -1
-    for i in range(max(1, len(hashes) - window + 1)):
-        w = hashes[i : i + window]
-        j = i + min(range(len(w)), key=w.__getitem__)
-        if j != last:
-            picked.append(w[j - i])
-            last = j
-    return sorted(set(picked))
+    if hashes.size <= window:
+        return [int(hashes[int(hashes.argmin())])]
+    w = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    # leftmost min per window (np.argmin returns the first occurrence),
+    # as absolute positions; a window re-picking the previous window's
+    # position is skipped — exactly "collapse consecutive duplicates"
+    # (the skipped window leaves `last` unchanged, so last == p[i-1]
+    # holds inductively).
+    p = np.argmin(w, axis=1) + np.arange(w.shape[0])
+    keep = np.empty(p.shape[0], dtype=bool)
+    keep[0] = True
+    np.not_equal(p[1:], p[:-1], out=keep[1:])
+    return sorted({int(h) for h in hashes[p[keep]]})
 
 
 def winnow_batch(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
