@@ -162,20 +162,28 @@ class CrawlFetcher:
 class WaveStatsCounter:
     """Tiny zero-CPU counter actor: distributed stages report per-batch
     drop counts here instead of shipping whole partitions to the driver
-    just to count them."""
+    just to count them.
+
+    Batch reports are keyed by a content-derived batch id and OVERWRITE:
+    a Ray task/actor retry re-reporting the same batch replaces its
+    previous entry instead of double-counting (batches are disjoint
+    url_hash sets after dedup, so ids are collision-free)."""
 
     def __init__(self):
-        self.counts: dict[str, int] = {}
+        self.keyed: dict[str, dict[str, int]] = {}
 
-    def add(self, **kv) -> None:
-        for k, v in kv.items():
-            self.counts[k] = self.counts.get(k, 0) + int(v)
+    def add_keyed(self, key: str, **kv) -> None:
+        self.keyed[key] = {k: int(v) for k, v in kv.items()}
 
     def get(self) -> dict:
-        return dict(self.counts)
+        out: dict[str, int] = {}
+        for kv in self.keyed.values():
+            for k, v in kv.items():
+                out[k] = out.get(k, 0) + v
+        return out
 
     def reset(self) -> None:
-        self.counts = {}
+        self.keyed = {}
 
 
 class RobotsFilterStage:
@@ -208,9 +216,17 @@ class RobotsFilterStage:
         out = t.filter(pa.array(keep, pa.bool_()))
         # Blocking on the counter keeps the post-materialize stats read
         # exact; the cost is one tiny RPC per multi-thousand-row batch,
-        # negligible next to the robots matching above.
+        # negligible next to the robots matching above.  The report key is
+        # derived from the batch's url_hash content, so a task retry
+        # re-reporting the same batch overwrites rather than accumulates.
+        import hashlib
+
+        batch_key = hashlib.md5(
+            b"".join(h.to_bytes(8, "big") for h in batch.column("url_hash").to_pylist())
+        ).hexdigest()
         ray.get(
-            self.stats.add.remote(
+            self.stats.add_keyed.remote(
+                batch_key,
                 deduped_in=n_in,
                 not_new=n_in - t.num_rows,
                 robots_denied=t.num_rows - out.num_rows,
@@ -275,11 +291,90 @@ def default_seeds(n: int = 10) -> list[str]:
     return [page_url(i) for i in range(n)]
 
 
-def _dedup_first(group: pa.Table) -> pa.Table:
-    order = pa.compute.sort_indices(
-        group, sort_keys=[("depth", "ascending"), ("discovered_wave", "ascending"), ("url", "ascending")]
+# Within-wave dedup keeps the (depth, discovered_wave, url)-minimal row
+# per url_hash.  That tuple order is encoded as ONE fixed-width sortable
+# string so the shuffle can be a plain ``Min`` aggregate — no per-group
+# Python callable on a 10^10-row frontier of mostly size-1 groups.
+_PACK_WIDTH = 10  # zero-padded digits for depth / discovered_wave (< 10^10)
+
+
+def _pack_rows(depths, waves, urls) -> list[str]:
+    return [
+        f"{d:0{_PACK_WIDTH}d}|{w:0{_PACK_WIDTH}d}|{u}"
+        for d, w, u in zip(depths, waves, urls)
+    ]
+
+
+def _prededup_block(batch: pa.Table) -> pa.Table:
+    """Per-block dedup combiner: keep the packed-minimal row per url_hash
+    within this block, emitting light (url_hash, packed) rows — the
+    shuffle ships two columns, and the Min aggregate does the cross-block
+    merge with no per-group task."""
+    import numpy as np
+
+    packed = _pack_rows(
+        batch.column("depth").to_pylist(),
+        batch.column("discovered_wave").to_pylist(),
+        batch.column("url").to_pylist(),
     )
-    return group.take(order[:1])
+    t = pa.table(
+        {
+            "url_hash": batch.column("url_hash"),
+            "packed": pa.array(packed, pa.string()),
+        }
+    )
+    order = pa.compute.sort_indices(
+        t, sort_keys=[("url_hash", "ascending"), ("packed", "ascending")]
+    )
+    t = t.take(order)
+    hashes = t.column("url_hash").to_numpy()
+    keep = np.empty(len(hashes), dtype=bool)
+    if len(hashes):
+        keep[0] = True
+        np.not_equal(hashes[1:], hashes[:-1], out=keep[1:])
+    return t.filter(pa.array(keep))
+
+
+def _unpack_frontier(batch: pa.Table) -> pa.Table:
+    """(url_hash, min(packed)) → full frontier schema (host recomputed
+    from the url — cheaper than shipping it through the shuffle)."""
+    packs = batch.column("min(packed)").to_pylist()
+    depths, waves, urls, hosts = [], [], [], []
+    for s in packs:
+        depths.append(int(s[:_PACK_WIDTH]))
+        waves.append(int(s[_PACK_WIDTH + 1 : 2 * _PACK_WIDTH + 1]))
+        u = s[2 * _PACK_WIDTH + 2 :]
+        urls.append(u)
+        hosts.append(host_of(u))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "url_hash": batch.column("url_hash"),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(depths, pa.int64()),
+            "discovered_wave": pa.array(waves, pa.int64()),
+        }
+    )
+
+
+_POLITENESS_SALT = 16  # sub-groups per host in the politeness shuffle
+
+
+def _politeness_precut(group: pa.Table, budget: int) -> pa.Table:
+    """Phase 1 of the salted politeness shuffle: within one (host, salt)
+    sub-group, only the first ``budget`` rows by (depth, url) can possibly
+    make the host's global top-``budget`` — flag them as candidates and
+    defer the rest immediately.  A host owning half the frontier is split
+    across ``_POLITENESS_SALT`` groups, so no single map_groups task ever
+    receives a mega-host's whole shard (SURVEY §4.2 skew splitting)."""
+    order = pa.compute.sort_indices(
+        group, sort_keys=[("depth", "ascending"), ("url", "ascending")]
+    )
+    g = group.take(order).drop_columns(["salt"])
+    n = g.num_rows
+    return g.append_column(
+        "candidate", pa.array([i < budget for i in range(n)], pa.bool_())
+    )
 
 
 def _politeness_rank(group: pa.Table, budget: int) -> pa.Table:
@@ -330,8 +425,11 @@ def crawl(
         checkpoint_dir = tempfile.mkdtemp(prefix="crawl-ckpt-")
     os.makedirs(checkpoint_dir, exist_ok=True)
 
-    seen = SeenSet(n_shards=n_shards, namespace=namespace)
-    robots = RobotsCache.options(name=f"{namespace}-robots", get_if_exists=True).remote()
+    # Anonymous actors owned by this call: resume rebuilds their state
+    # from the checkpoint files, so cross-call naming would only race
+    # against the previous call's actors being refcount-killed.
+    seen = SeenSet(n_shards=n_shards)
+    robots = RobotsCache.remote()
 
     start_wave = 0
     manifest_path = os.path.join(checkpoint_dir, "manifest.json")
@@ -346,15 +444,26 @@ def crawl(
         # delta unreferenced, so the replayed wave starts from pre-wave
         # state instead of seeing its own URLs as duplicates.
         seen.reset()  # surviving actors may hold post-crash keys
+        # Legacy checkpoint layout (one full seen.json dump, no deltas for
+        # its waves): load the full dump FIRST, then replay whichever
+        # per-wave deltas exist — a legacy checkpoint resumed under the
+        # delta code writes deltas for its new waves without rewriting
+        # seen.json, so a second resume must apply BOTH or already-visited
+        # URLs pass the seen check again (duplicate fetches).
         delta0 = os.path.join(checkpoint_dir, "seen_delta_0.json")
-        if os.path.exists(delta0):
-            for w in range(start_wave):
-                dp = os.path.join(checkpoint_dir, f"seen_delta_{w}.json")
-                seen.load_deltas(json.loads(open(dp).read()))
-        else:
-            # legacy checkpoint layout: one full dump
-            legacy = os.path.join(checkpoint_dir, "seen.json")
+        legacy = os.path.join(checkpoint_dir, "seen.json")
+        if not os.path.exists(delta0):
             seen.load(json.loads(open(legacy).read()))
+        for w in range(start_wave):
+            dp = os.path.join(checkpoint_dir, f"seen_delta_{w}.json")
+            if os.path.exists(dp):
+                seen.load_deltas(json.loads(open(dp).read()))
+            elif not os.path.exists(legacy):
+                # no legacy dump to cover this wave → the checkpoint is
+                # incomplete; fail loudly rather than re-fetch silently
+                raise FileNotFoundError(
+                    f"crawl checkpoint missing {dp} (and no legacy seen.json)"
+                )
         ray.get(
             robots.load.remote(
                 {
@@ -486,11 +595,10 @@ def crawl(
         deferred_tbl = t.filter(defer_arr).drop_columns(["fetch_rank"])
         return local_fetch(fetch_now), [deferred_tbl.select(FRONTIER_SCHEMA.names)]
 
-    wave_stats = (
-        ray.remote(num_cpus=0)(WaveStatsCounter)
-        .options(name=f"{namespace}-wavestats", get_if_exists=True)
-        .remote()
-    )
+    # Anonymous per-crawl actor: stats are reset every wave, so there is
+    # no cross-call state to name — and a named get_if_exists handle races
+    # with the previous call's actor being torn down (refcount death).
+    wave_stats = ray.remote(num_cpus=0)(WaveStatsCounter).remote()
 
     def run_wave_dataset(frontier_path: str, wave: int) -> tuple[int, int]:
         """Full Ray-Data wave — the 10^10-frontier path.  Nothing
@@ -508,9 +616,17 @@ def crawl(
         # so outputs of a crashed, unmanifested attempt at this wave must
         # be cleared before re-running (otherwise resume doubles them).
         _clear_wave_outputs(checkpoint_dir, wave)
+        from ray.data.aggregate import Min
+
         frontier = ray.data.read_parquet(frontier_path)
-        deduped = frontier.groupby("url_hash").map_groups(
-            _dedup_first, batch_format="pyarrow"
+        # Within-wave dedup: per-block combiner → Min aggregate on the
+        # packed sort key → unpack.  Groups are mostly size 1, so an
+        # aggregate (no per-group Python task) is the right shape.
+        deduped = (
+            frontier.map_batches(_prededup_block, batch_format="pyarrow")
+            .groupby("url_hash")
+            .aggregate(Min("packed"))
+            .map_batches(_unpack_frontier, batch_format="pyarrow")
         )
         checked = deduped.map_batches(check_new, batch_format="pyarrow")
         allowed_ds = checked.map_batches(
@@ -520,9 +636,49 @@ def crawl(
             concurrency=(1, 4),
             num_cpus=0.5,
         )
-        ranked = allowed_ds.groupby("host").map_groups(
-            lambda g: _politeness_rank(g, politeness_budget), batch_format="pyarrow"
-        ).materialize()
+
+        def add_salt(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            salt = b.column("url_hash").to_numpy() % _POLITENESS_SALT
+            return b.append_column("salt", pa.array(salt, pa.int64()))
+
+        # Politeness phase 1 — salted (host, salt) grouping bounds every
+        # group to ~1/S of a hot host's frontier shard; each sub-group
+        # keeps only its first `budget` rows as candidates.  This
+        # materialize is the wave's mandatory barrier: ``check_and_add``
+        # mutates the seen shards, so the flagged wave must execute
+        # exactly once before the candidate/overflow branches consume it.
+        pre = (
+            allowed_ds.map_batches(add_salt, batch_format="pyarrow")
+            .groupby(["host", "salt"])
+            .map_groups(
+                lambda g: _politeness_precut(g, politeness_budget),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+        def cand_batch(b: pa.Table) -> pa.Table:
+            return b.filter(b.column("candidate")).drop_columns(["candidate"])
+
+        def overflow_batch(b: pa.Table) -> pa.Table:
+            return b.filter(pa.compute.invert(b.column("candidate"))).select(
+                FRONTIER_SCHEMA.names
+            )
+
+        # Phase 2 — rank the surviving ≤ S×budget rows per host.  Tiny
+        # second grouping; materialized because the fetch-now and
+        # deferred branches both consume it.
+        ranked = (
+            pre.map_batches(cand_batch, batch_format="pyarrow")
+            .groupby("host")
+            .map_groups(
+                lambda g: _politeness_rank(g, politeness_budget),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
 
         visited_dir = os.path.join(checkpoint_dir, f"visited_{wave}")
         next_dir = os.path.join(checkpoint_dir, f"frontier_{wave + 1}")
@@ -556,6 +712,11 @@ def crawl(
         fetched.write_parquet(visited_dir)
         ranked.map_batches(deferred_batch, batch_format="pyarrow").write_parquet(
             os.path.join(next_dir, "deferred")
+        )
+        # politeness phase-1 overflow (beyond budget within a sub-group):
+        # deferred without ever entering the host-ranking shuffle
+        pre.map_batches(overflow_batch, batch_format="pyarrow").write_parquet(
+            os.path.join(next_dir, "deferred_overflow")
         )
 
         n_fetched = _count_parquet(visited_dir)

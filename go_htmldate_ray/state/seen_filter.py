@@ -91,14 +91,24 @@ class SeenShard:
 
 
 class SeenSet:
-    """Driver-side handle over the shard pool."""
+    """Driver-side handle over the shard pool.
 
-    def __init__(self, n_shards: int = 8, namespace: str = "seen"):
+    Shards are anonymous actors owned by this handle: they die with the
+    last reference, and checkpoint resume rebuilds membership from the
+    per-wave delta files — naming them (`get_if_exists`) only created a
+    race against a previous crawl's actors being torn down.  Pass
+    ``namespace`` to name them anyway when two concurrent drivers must
+    share one seen set."""
+
+    def __init__(self, n_shards: int = 8, namespace: str | None = None):
         self.n_shards = n_shards
-        self.shards = [
-            SeenShard.options(name=f"{namespace}-{i}", get_if_exists=True).remote(i)
-            for i in range(n_shards)
-        ]
+        if namespace is None:
+            self.shards = [SeenShard.remote(i) for i in range(n_shards)]
+        else:
+            self.shards = [
+                SeenShard.options(name=f"{namespace}-{i}", get_if_exists=True).remote(i)
+                for i in range(n_shards)
+            ]
 
     def check_and_add(self, hashes: list[int]) -> list[bool]:
         """Batch membership-test-and-insert, preserving input order."""

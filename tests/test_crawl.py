@@ -202,3 +202,124 @@ def test_wave_rerun_idempotent_after_partial_crash(tmp_path):
     urls = [r["url"] for r in rows]
     assert len(urls) == len(set(urls)), "duplicated visited rows after rerun"
     assert sorted(urls) == sorted(r["url"] for r in full_rows)
+
+
+def test_salted_politeness_splits_hot_host():
+    """SURVEY §4.2 skew splitting: a host owning ~50% of the frontier must
+    be spread across the (host, salt) sub-groups, so no politeness
+    map_groups task receives the whole hot shard; and the salted two-phase
+    ranking must produce exactly the local path's fetch set and ranks."""
+    import pyarrow as pa
+    import ray.data
+
+    from go_htmldate_ray.pipelines.crawl import (
+        _POLITENESS_SALT,
+        _frontier_table,
+        crawl,
+    )
+
+    n_hot, n_cold = 500, 500
+    hot = [f"https://hot.example.org/post-{i}.html" for i in range(n_hot)]
+    cold = [
+        f"https://cold{i % 40}.example.org/post-{n_hot + i}.html"
+        for i in range(n_cold)
+    ]
+    seeds = hot + cold
+
+    # direct check of the salted grouping key: max (host, salt) group size
+    t = _frontier_table(seeds, 0, 0)
+    salted = pa.table(
+        {
+            "host": t.column("host"),
+            "salt": pa.array(
+                [h % _POLITENESS_SALT for h in t.column("url_hash").to_pylist()],
+                pa.int64(),
+            ),
+        }
+    )
+    sizes = (
+        ray.data.from_arrow(salted)
+        .groupby(["host", "salt"])
+        .map_groups(
+            lambda g: pa.table({"n": pa.array([g.num_rows], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    max_group = max(r["n"] for r in sizes)
+    # hot host alone would be one 500-row group un-salted; salted groups
+    # must stay near 500/16 ≈ 31 (allow 3x slack for hash unevenness)
+    assert max_group <= 3 * n_hot // _POLITENESS_SALT, max_group
+
+    # end-to-end: dataset path (forced) == driver-local path on the skewed
+    # frontier, including per-host fetch_rank assignment
+    budget = 3
+    common = dict(seeds=seeds, max_waves=2, politeness_budget=budget)
+    local_rows, _ = _run(**common)
+    ds_rows, _ = _run(small_wave_threshold=0, **common)
+    key = lambda rows: [(r["wave"], r["host"], r["fetch_rank"], r["url"]) for r in rows]
+    assert key(ds_rows) == key(local_rows)
+    per_host_wave = {}
+    for r in ds_rows:
+        per_host_wave.setdefault((r["wave"], r["host"]), []).append(r["fetch_rank"])
+    for ranks in per_host_wave.values():
+        assert sorted(ranks) == list(range(len(ranks)))
+        assert len(ranks) <= budget
+
+
+def test_legacy_checkpoint_double_resume(tmp_path):
+    """A legacy checkpoint (full seen.json, no per-wave deltas) resumed
+    twice must not re-fetch URLs: the second resume sees a stale full dump
+    PLUS the deltas the first resume wrote, and must replay both."""
+    import json as _json
+    import os
+
+    from go_htmldate_ray.pipelines.crawl import crawl
+
+    full_rows, _ = _run()
+
+    ckpt = str(tmp_path / "legacyckpt")
+    crawl(SF, namespace=_ns(), max_waves=3, checkpoint_dir=ckpt)
+    # convert to the legacy layout: one full seen.json, no deltas
+    shards = []
+    for w in range(3):
+        dp = os.path.join(ckpt, f"seen_delta_{w}.json")
+        deltas = _json.loads(open(dp).read())
+        if not shards:
+            shards = [set() for _ in deltas]
+        for s, keys in zip(shards, deltas):
+            s.update(keys)
+        os.remove(dp)
+    open(os.path.join(ckpt, "seen.json"), "w").write(
+        _json.dumps([sorted(s) for s in shards])
+    )
+
+    # first resume under the delta code: runs waves 3..4, writes deltas
+    # for them but leaves seen.json stale
+    crawl(SF, namespace=_ns(), max_waves=5, checkpoint_dir=ckpt, resume=True)
+    # second resume: must replay legacy dump AND the new deltas
+    visited, _ = crawl(
+        SF, namespace=_ns(), max_waves=40, checkpoint_dir=ckpt, resume=True
+    )
+    rows = visited.take_all()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == len(set(urls)), "duplicate fetches after double resume"
+    assert sorted(urls) == sorted(r["url"] for r in full_rows)
+
+
+def test_wave_stats_counter_retry_idempotent(ray_session):
+    """A Ray task retry re-reporting the same batch must overwrite its
+    previous counts, not accumulate them."""
+    import ray
+
+    from go_htmldate_ray.pipelines.crawl import WaveStatsCounter
+
+    c = ray.remote(num_cpus=0)(WaveStatsCounter).remote()
+    ray.get(c.add_keyed.remote("batch-a", deduped_in=10, not_new=2))
+    ray.get(c.add_keyed.remote("batch-b", deduped_in=5, not_new=1))
+    ray.get(c.add_keyed.remote("batch-a", deduped_in=10, not_new=2))  # retry
+    got = ray.get(c.get.remote())
+    assert got == {"deduped_in": 15, "not_new": 3}
+    ray.get(c.reset.remote())
+    assert ray.get(c.get.remote()) == {}
+    ray.kill(c)
