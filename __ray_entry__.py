@@ -16,6 +16,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from go_htmldate_ray.sources.io import read_parquet_clean
+
 # SQL fragment recomputing the synthesized page date (sources/pages.py)
 _DATE_SQL = "(DATE '2000-01-01' + ((doc_id * 7919) % 9000)::INTEGER)"
 _URL_SQL = (
@@ -40,12 +42,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _docs(sf_dir):
         import ray.data
 
-        return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        return read_parquet_clean(f"{sf_dir}/documents.parquet")
 
     def _map(sf_dir, fn, columns):
         import ray.data
 
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+        ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
         return ds.map_batches(fn, batch_format="pyarrow")
 
     return {
@@ -69,7 +71,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, text_stage.winnow_batch, ["doc_id", "text"]
         ),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
-        "minhash_dedup_pairs": lambda sf: dedup.minhash_lsh_pairs(_docs(sf)),
+        # hot_buckets="error": the SQL oracle enumerates every band
+        # collision pair, so a fixture hot enough to trigger star-sampling
+        # must fail loudly here, not as a confusing hash mismatch.
+        "minhash_dedup_pairs": lambda sf: dedup.minhash_lsh_pairs(
+            _docs(sf), hot_buckets="error"
+        ),
         "simhash": lambda sf: _map(sf, dedup.simhash_batch, ["doc_id", "text"]),
         "token_jaccard_pairs": lambda sf: dedup.token_jaccard_pairs(
             _docs(sf), max_doc_id=200, min_jaccard=0.5
@@ -84,19 +91,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(
             _embeddings(sf), query_ids=list(range(8)), k=5
         ),
-        # IVF plumbing verified in its exact configuration
-        # (n_probe == n_centroids); the recall/probe tradeoff is pytest'd.
+        # IVF in the APPROXIMATE regime (n_probe=4 of 16 cells): the SQL
+        # oracle recomputes the probe-restricted search from the literal
+        # centroids (seed-deterministic k-means over the vec_id<2048
+        # sample — same shared-constant pattern as the minhash perms).
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(
             _embeddings(sf), query_ids=list(range(8)), k=5,
-            n_centroids=16, n_probe=16,
+            n_centroids=16, n_probe=4,
         ),
         "embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(
             _embeddings(sf), threshold=0.4
         ),
-        # Banded-LSH near-dup path at a realistic near-dup threshold: the
-        # synthetic corpus has no pairs ≥0.9, so this verifies the
-        # no-false-positive side against the exact SQL; recall is covered
-        # by the planted-duplicate pytest (tests/test_ray_pipelines.py).
+        # Banded-LSH near-dup pairs over the fixture AUGMENTED with three
+        # planted exact duplicates (vec 0..2 copied to vec_id+10^7): the
+        # oracle now exercises BOTH sides — recall (the planted pairs must
+        # surface) and precision (nothing else may).
         "embedding_dup_pairs_lsh": _embedding_dup_pairs_lsh,
         "media_features": _media_features,
         "crawl_reachable": _crawl_reachable,
@@ -120,7 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _embeddings(sf_dir):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
 
 def _typed_df(ds, dtypes: dict):
@@ -135,11 +144,32 @@ def _typed_df(ds, dtypes: dict):
     return df
 
 
+_PLANTED_DUP_OFFSET = 10_000_000  # planted-duplicate vec_id offset
+_PLANTED_DUP_COUNT = 3
+
+
 def _embedding_dup_pairs_lsh(sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from go_htmldate_ray.stages.similarity import embedding_dup_pairs_lsh
 
+    ds = _embeddings(sf_dir)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        dup = batch.filter(pc.less(batch.column("vec_id"), _PLANTED_DUP_COUNT))
+        return pa.table(
+            {
+                "vec_id": pc.add(dup.column("vec_id"), _PLANTED_DUP_OFFSET),
+                "embedding": dup.column("embedding"),
+            }
+        )
+
+    aug = ds.select_columns(["vec_id", "embedding"]).union(
+        ds.map_batches(plant, batch_format="pyarrow")
+    )
     return _typed_df(
-        embedding_dup_pairs_lsh(_embeddings(sf_dir), threshold=0.9),
+        embedding_dup_pairs_lsh(aug, threshold=0.9, hot_buckets="error"),
         {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
     )
 
@@ -220,6 +250,7 @@ def _golden_corpus_dates(sf_dir, exclude_known: bool = False):
             batch_size=32,
             concurrency=(1, 8),
             num_cpus=1,
+            max_restarts=0,  # deterministic stage: fail fast, no restart warning
         )
         .select_columns(["url", "date_str"])
         .map_batches(
@@ -436,25 +467,18 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "minhash_dedup_pairs": _minhash_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
-        "ann_ivf_topk": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
-            scored AS (
-                SELECT q.qid, e.vec_id AS nid,
-                       list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS c
-                FROM q, embeddings e WHERE e.vec_id != q.qid
-            ),
-            ranked AS (
-                SELECT qid, nid,
-                       row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rnk
-                FROM scored
+        "ann_ivf_topk": _ann_ivf_sql(),
+        "embedding_dup_pairs_lsh": f"""
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + {_PLANTED_DUP_OFFSET}, embedding
+                FROM embeddings WHERE vec_id < {_PLANTED_DUP_COUNT}
             )
-            SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank
-            FROM ranked WHERE rnk <= 5""",
-        "embedding_dup_pairs_lsh": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                 b.embedding::DOUBLE[]), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9""",
         "golden_corpus_dates": _golden_corpus_sql(),
@@ -643,16 +667,54 @@ est AS (
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}"""
 
 
+# The driver's correctness compare runs engine and oracle side-by-side at
+# this fixture; oracles whose SQL embeds data-derived constants (LSH plane
+# width, IVF centroids) read the SAME fixture to regenerate them.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _fixture_embedding_matrix(max_vec_id: int | None = None):
+    """(vec_id-sorted) embedding matrix of the oracle fixture — the same
+    rows the engine's bounded samples see, read with plain pyarrow."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = t.column("embedding").to_pylist()
+    if max_vec_id is not None:
+        keep = ids < max_vec_id
+        ids, emb = ids[keep], [e for e, k in zip(emb, keep) if k]
+    order = np.argsort(ids)
+    return np.asarray([emb[int(i)] for i in order], dtype=np.float64)
+
+
+def _fixture_embedding_dim(default: int = 64) -> int:
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["embedding"]
+        )
+        return len(t.column("embedding")[0])
+    except Exception:
+        return default
+
+
 def _ann_lsh_sql(n_planes: int = 12, k: int = 5) -> str:
     # The LSH restriction is deterministic: hyperplanes from
     # RandomState(42) (same as stages/similarity.HyperplaneHasher),
     # candidate set = rows whose bucket is within Hamming distance 1 of a
     # query bucket, exact cosine ranking within candidates.  Bucket signs
     # are scale-invariant, so raw (unnormalized) embeddings are hashed.
+    # The plane width comes from the fixture itself, not a literal 64,
+    # so a fixture dim change cannot silently desynchronize the oracle.
     import numpy as np
 
     rng = np.random.RandomState(42)
-    planes = rng.standard_normal((n_planes, 64))
+    planes = rng.standard_normal((n_planes, _fixture_embedding_dim()))
     plane_rows = ", ".join(
         f"({p}, [{','.join(repr(float(x)) for x in planes[p])}]::DOUBLE[])"
         for p in range(n_planes)
@@ -687,12 +749,65 @@ ranked AS (
 SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM ranked WHERE rnk <= {k}"""
 
 
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    # Probe-restricted IVF search recomputed in SQL from the literal
+    # centroids (kmeans_centroids over the vec_id-sorted fixture sample —
+    # seed-deterministic, the shared-constant pattern of the minhash
+    # perms / LSH planes).  Cell assignment (argmax of centroid dot,
+    # ties → lowest cell id), the UNION of all queries' probed cells,
+    # and the exact cosine ranking within candidates all mirror
+    # stages/similarity.ivf_topk; dot products are norm-invariant, so
+    # raw embeddings feed the assignment directly.
+    from go_htmldate_ray.stages.similarity import kmeans_centroids
+
+    cents = kmeans_centroids(_fixture_embedding_matrix(max_vec_id=2048), n_centroids)
+    cent_rows = ", ".join(
+        f"({c}, [{','.join(repr(float(x)) for x in cents[c])}]::DOUBLE[])"
+        for c in range(len(cents))
+    )
+    return f"""
+WITH cents(cid, cv) AS (VALUES {cent_rows}),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ip AS (
+  SELECT v.vec_id, c.cid, list_inner_product(v.e, c.cv) AS s
+  FROM vecs v, cents c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM ip
+  ) WHERE rn = 1
+),
+wanted AS (
+  SELECT DISTINCT cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM ip WHERE vec_id < 8
+  ) WHERE rn <= {n_probe}
+),
+cand AS (SELECT a.vec_id FROM assign a WHERE a.cell IN (SELECT cell FROM wanted)),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         list_cosine_similarity(q.e, v2.e) AS c
+  FROM vecs q JOIN cand c ON c.vec_id != q.vec_id
+  JOIN vecs v2 ON v2.vec_id = c.vec_id
+  WHERE q.vec_id < 8
+),
+ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rnk
+  FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM ranked WHERE rnk <= {k}"""
+
+
 def _media_features_sql(n: int = 8) -> str:
     # The media pipeline's deterministic decode fake (first 8 md5 bytes
     # of the payload / 255, stages/multimodal.fake_image_features) is
     # recomputed from the same utf-8 payload bytes via hex-pair slicing.
+    # coalesce mirrors the engine's (text or '') for NULL-text rows.
     cols = ", ".join(
-        f"round(('0x'||substr(md5(text), {i * 2 + 1}, 2))::INT / 255.0, 6) AS f{i}"
+        f"round(('0x'||substr(md5(coalesce(text, '')), {i * 2 + 1}, 2))::INT / 255.0, 6) AS f{i}"
         for i in range(n)
     )
     return f"SELECT doc_id AS media_id, {cols} FROM documents"

@@ -20,6 +20,7 @@ import os
 import subprocess
 import sys
 import time
+from go_htmldate_ray.sources.io import read_parquet_clean
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -232,15 +233,15 @@ def run_headline() -> dict:
     from go_htmldate_ray.stages import dedup, similarity
 
     queries["dedup_exact"] = round(
-        bench_query(lambda sf: dedup.exact_dedup(ray.data.read_parquet(f"{sf}/documents.parquet"))), 3
+        bench_query(lambda sf: dedup.exact_dedup(read_parquet_clean(f"{sf}/documents.parquet"))), 3
     )
     queries["minhash_lsh"] = round(
-        bench_query(lambda sf: dedup.minhash_lsh_pairs(ray.data.read_parquet(f"{sf}/documents.parquet"))), 3
+        bench_query(lambda sf: dedup.minhash_lsh_pairs(read_parquet_clean(f"{sf}/documents.parquet"))), 3
     )
     queries["ann_topk"] = round(
         bench_query(
             lambda sf: similarity.brute_force_topk(
-                ray.data.read_parquet(f"{sf}/embeddings.parquet"), list(range(8)), 5
+                read_parquet_clean(f"{sf}/embeddings.parquet"), list(range(8)), 5
             )
         ),
         3,
@@ -255,7 +256,7 @@ def run_headline() -> dict:
     queries["embedding_dup_lsh"] = round(
         bench_query(
             lambda sf: similarity.embedding_dup_pairs_lsh(
-                ray.data.read_parquet(f"{sf}/embeddings.parquet"), threshold=0.9
+                read_parquet_clean(f"{sf}/embeddings.parquet"), threshold=0.9
             )
         ),
         3,

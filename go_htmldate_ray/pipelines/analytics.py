@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..sources.io import read_parquet_clean
 
 
 def _round2(col):
@@ -19,7 +20,7 @@ def events_by_type(sf_dir: str):
     combiner-before-shuffle shape."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
 
@@ -60,7 +61,7 @@ def top_users_by_value(sf_dir: str, n: int = 10):
     """events → top-N users by total value (groupby → sort → limit)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     from ray.data.aggregate import Sum
 
     agg = ds.groupby("user_id").aggregate(Sum("value"))
@@ -94,7 +95,7 @@ def orders_by_segment(sf_dir: str):
     )
     seg_ref = ray.put(seg_map)
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -131,7 +132,7 @@ def pricing_summary(sf_dir: str):
     """lineitem pricing summary (TPC-H Q1 shape): per-flag/status sums."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -210,11 +211,11 @@ def orders_customer_join(sf_dir: str):
 
     from ..stages.joins import hash_join
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
-    customer = ray.data.read_parquet(
+    customer = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     joined = hash_join(orders, customer, on="o_custkey", right_on="c_custkey")

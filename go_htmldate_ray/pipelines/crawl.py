@@ -635,6 +635,7 @@ def crawl(
             batch_format="pyarrow",
             concurrency=(1, 4),
             num_cpus=0.5,
+            max_restarts=0,  # wave is idempotent + checkpointed: fail fast
         )
 
         def add_salt(b: pa.Table) -> pa.Table:
@@ -701,6 +702,7 @@ def crawl(
                 batch_size=64,
                 concurrency=fetch_concurrency,
                 num_cpus=1,
+                max_restarts=0,  # wave is idempotent + checkpointed: fail fast
             )
             .map_batches(
                 lambda b: b.append_column(

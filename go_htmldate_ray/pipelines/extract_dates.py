@@ -34,6 +34,10 @@ def extract_dates(
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        # deterministic stage + resumable outputs: fail fast to the retry
+        # layer instead of actor restart (restart with object-store ctor
+        # args is unreliable anyway — ray#53727 — and logs an error)
+        max_restarts=0,
     )
     return extracted.select_columns(["doc_id", "url", "date_str"])
 

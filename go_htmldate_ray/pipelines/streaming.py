@@ -24,6 +24,7 @@ from datetime import timedelta
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..sources.io import read_parquet_clean
 
 SESSION_GAP_MINUTES = 30
 
@@ -33,7 +34,7 @@ def windowed_events(sf_dir: str):
     tumbling 1-hour windows."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -115,7 +116,7 @@ def asof_join_latest_order(sf_dir: str, mode: str = "auto"):
         by_cust[ck].sort()
     orders_ref = ray.put(by_cust)
 
-    events = ray.data.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 
@@ -160,10 +161,10 @@ def _asof_latest_order_copartition(sf_dir: str):
     shape that survives an orders table too large for ``ray.put``."""
     import ray.data
 
-    events = ray.data.read_parquet(
+    events = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
     )
 
@@ -246,7 +247,7 @@ def sessionize_events(sf_dir: str):
     session_id = user_id * 10^6 + per-user session index (0-based)."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 

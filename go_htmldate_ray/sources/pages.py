@@ -129,10 +129,10 @@ def read_pages(sf_dir: str, *, override_num_blocks: int | None = None):
     synthesis runs as a streamed batch transform, so pages never
     materialise fully.
     """
-    import ray.data
+    from .io import read_parquet_clean
 
     n_docs = count_documents(sf_dir)
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang"],
         override_num_blocks=override_num_blocks,

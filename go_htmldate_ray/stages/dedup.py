@@ -151,13 +151,35 @@ def _band_batch(batch: pa.Table, num_bands: int, rows_per_band: int) -> pa.Table
     )
 
 
-def _bucket_candidates(group: pa.Table) -> pa.Table:
+def _bucket_candidates(group: pa.Table, strict: bool = False) -> pa.Table:
     from .joins import bucket_pair_candidates
 
-    return bucket_pair_candidates(group, "doc_id", "doc_a", "doc_b", logger, "MinHash")
+    return bucket_pair_candidates(
+        group, "doc_id", "doc_a", "doc_b", logger, "MinHash", strict=strict
+    )
 
 
 _BROADCAST_DOC_LIMIT = 100_000  # ≈100 MB of signatures — small-side bound
+
+
+def _broadcast_table(rows, width: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted ids, row-aligned matrix) from (key, payload-bytes) rows.
+    Numpy arrays are served zero-copy by the object store — a worker's
+    ``ray.get`` maps them read-only instead of unpickling a dict per
+    group invocation (the dict shape cost O(groups x table) CPU)."""
+    ids = np.asarray([r["key"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    if len(rows) == 0:
+        return ids, np.zeros((0, width), dtype=dtype)
+    mat = np.vstack(
+        [np.frombuffer(rows[int(i)]["payload"], dtype=dtype) for i in order]
+    )
+    return ids[order], mat
+
+
+def _lookup_rows(ids: np.ndarray, mat: np.ndarray, keys) -> np.ndarray:
+    idx = np.searchsorted(ids, np.asarray(keys, dtype=np.int64))
+    return mat[idx]
 
 
 def minhash_lsh_pairs(
@@ -167,6 +189,7 @@ def minhash_lsh_pairs(
     num_bands: int = 16,
     threshold: float = 0.8,
     verify_mode: str = "auto",
+    hot_buckets: str = "sample",
 ):
     """documents → near-duplicate pairs (doc_a, doc_b, est_jaccard):
     shingle → minhash → light band rows → bucket groupby → candidate
@@ -180,8 +203,15 @@ def minhash_lsh_pairs(
     stage (one light shuffle + one tiny pair-dedupe shuffle) — chosen
     automatically while the table is ≤ ~100 MB; "join" switches to two
     hash-partitioned lookup-joins, the 100 TB path where no single-node
-    broadcast fits."""
+    broadcast fits.
+
+    ``hot_buckets``: "sample" (default) star-samples buckets above
+    ``joins.PAIR_CAP`` with a warning; "error" raises instead — the mode
+    oracle runs use, since the SQL oracle enumerates every collision
+    pair."""
     from .joins import attach_payload
+
+    strict = hot_buckets == "error"
 
     rows_per_band = num_perm // num_bands
     # Signatures are consumed three times (banding + both verification
@@ -228,18 +258,19 @@ def minhash_lsh_pairs(
         )
 
     if verify_mode == "broadcast":
-        # Small-side path: one ray.put of the signature dict, verification
-        # inline in the bucket stage (shuffle count: 1 light band shuffle
-        # + 1 tiny dedupe over surviving pairs).
+        # Small-side path: one ray.put of (sorted ids, signature matrix) —
+        # numpy arrays the object store serves zero-copy, so each bucket
+        # group's ray.get maps the table instead of unpickling it —
+        # verification inline in the bucket stage (shuffle count: 1 light
+        # band shuffle + 1 tiny dedupe over surviving pairs).
         import ray
 
-        sig_map = {
-            r["key"]: r["payload"] for r in sigs_bin.take_all()
-        }  # bounded by _BROADCAST_DOC_LIMIT
-        sigs_ref = ray.put(sig_map)
+        sigs_ref = ray.put(
+            _broadcast_table(sigs_bin.take_all(), num_perm, np.int64)
+        )  # bounded by _BROADCAST_DOC_LIMIT
 
         def bucket_verify(group: pa.Table) -> pa.Table:
-            cand = _bucket_candidates(group)
+            cand = _bucket_candidates(group, strict=strict)
             if cand.num_rows == 0:
                 return pa.table(
                     {
@@ -248,11 +279,9 @@ def minhash_lsh_pairs(
                         "est_jaccard": pa.array([], pa.float64()),
                     }
                 )
-            table = ray.get(sigs_ref)
-            a_ids = cand.column("doc_a").to_pylist()
-            b_ids = cand.column("doc_b").to_pylist()
-            sa = np.vstack([np.frombuffer(table[a], dtype=np.int64) for a in a_ids])
-            sb = np.vstack([np.frombuffer(table[b], dtype=np.int64) for b in b_ids])
+            ids, mat = ray.get(sigs_ref)
+            sa = _lookup_rows(ids, mat, cand.column("doc_a").to_pylist())
+            sb = _lookup_rows(ids, mat, cand.column("doc_b").to_pylist())
             est = (sa == sb).mean(axis=1)
             keep = est >= threshold
             return pa.table(
@@ -272,7 +301,7 @@ def minhash_lsh_pairs(
         )
 
     candidates = banded.groupby("band_key").map_groups(
-        _bucket_candidates, batch_format="pyarrow"
+        lambda g: _bucket_candidates(g, strict=strict), batch_format="pyarrow"
     )
     # A pair can surface from several bands: duplicates share doc_a, so
     # they co-locate on the first lookup-join's key and dedupe there —

@@ -178,14 +178,18 @@ PAIR_CAP = 200  # bucket size above which all-pairs expansion is star-sampled
 
 
 def bucket_pair_candidates(
-    group: pa.Table, id_col: str, a_col: str, b_col: str, logger, what: str
+    group: pa.Table, id_col: str, a_col: str, b_col: str, logger, what: str,
+    strict: bool = False,
 ) -> pa.Table:
     """Candidate pairs from one LSH bucket (shared by the MinHash and
     embedding paths).  Buckets up to ``PAIR_CAP`` members expand to all
     pairs; hotter buckets are star-sampled (min id ↔ every other member):
     the duplicate *cluster* stays connected — the full pair set is
     recoverable by union-find — while output stays O(G).  Truncation is
-    logged, never silent."""
+    logged, never silent.  With ``strict`` a hot bucket RAISES instead:
+    oracle runs use this so an engine/oracle semantics divergence (the
+    SQL oracles enumerate all collision pairs) surfaces as a loud error,
+    never a confusing hash mismatch."""
     import numpy as np
 
     ids = np.unique(np.asarray(group.column(id_col).to_pylist(), dtype=np.int64))
@@ -201,6 +205,13 @@ def bucket_pair_candidates(
                 a_col: pa.array(ids[ii], pa.int64()),
                 b_col: pa.array(ids[jj], pa.int64()),
             }
+        )
+    if strict:
+        raise ValueError(
+            f"{what} LSH bucket with {g} members exceeds PAIR_CAP={PAIR_CAP} "
+            "in strict (oracle) mode: the exact-enumeration oracle would "
+            "diverge from star-sampling — raise PAIR_CAP or use "
+            "hot_buckets='sample'"
         )
     logger.warning(
         "%s LSH bucket with %d members star-sampled: emitting %d spanning "

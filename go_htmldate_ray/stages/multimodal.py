@@ -19,6 +19,7 @@ from typing import Callable, Optional
 
 import numpy as np
 import pyarrow as pa
+from ..sources.io import read_parquet_clean
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -196,7 +197,7 @@ def media_features(sf_dir: str):
     flat (f0..f7) for engine-agnostic value comparison."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_media(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -217,6 +218,7 @@ def media_features(sf_dir: str):
         batch_size=32,
         concurrency=(1, 8),
         num_cpus=1,
+        max_restarts=0,  # deterministic stage: fail fast, no restart warning
     )
 
     def flatten(batch: pa.Table) -> pa.Table:

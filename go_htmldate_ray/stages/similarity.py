@@ -346,10 +346,12 @@ def _cached_banded_hasher(n_bands: int, planes_per_band: int, dim: int) -> "Band
     return h
 
 
-def _bucket_candidates(group: pa.Table) -> pa.Table:
+def _bucket_candidates(group: pa.Table, strict: bool = False) -> pa.Table:
     from .joins import bucket_pair_candidates
 
-    return bucket_pair_candidates(group, "vec_id", "vec_a", "vec_b", logger, "embedding")
+    return bucket_pair_candidates(
+        group, "vec_id", "vec_a", "vec_b", logger, "embedding", strict=strict
+    )
 
 
 _BROADCAST_VEC_LIMIT = 100_000  # ≈50 MB of unit-norm vectors — small-side bound
@@ -362,6 +364,7 @@ def embedding_dup_pairs_lsh(
     n_bands: int = 16,
     planes_per_band: int = 8,
     verify_mode: str = "auto",
+    hot_buckets: str = "sample",
 ):
     """Banded hyperplane-LSH near-duplicate pairs with exact verification —
     the sub-quadratic scale path for high-similarity thresholds.
@@ -377,8 +380,15 @@ def embedding_dup_pairs_lsh(
     the defaults (r=8, b=16) give ≈0.996 at c=0.9 — pick the banding for
     the threshold; thresholds near 0.4 need the exact tile scorer
     (:func:`embedding_dup_pairs`).
+
+    ``hot_buckets``: "sample" (default) star-samples buckets above
+    ``joins.PAIR_CAP`` with a warning; "error" raises instead — used by
+    oracle runs so a divergence from the exact-enumeration SQL surfaces
+    loudly rather than as a hash mismatch.
     """
     from .joins import attach_payload
+
+    strict = hot_buckets == "error"
 
     # Normalization feeds banding plus both verification joins:
     # materialize it once (distributed blocks, spillable) rather than
@@ -414,16 +424,21 @@ def embedding_dup_pairs_lsh(
         verify_mode = "broadcast" if norm.count() <= _BROADCAST_VEC_LIMIT else "join"
 
     if verify_mode == "broadcast":
-        # Small-side path: ray.put the unit-norm vector dict once and
-        # verify inline in the bucket stage — 1 light shuffle + 1 tiny
-        # pair dedupe instead of two lookup-join exchanges.
+        # Small-side path: ray.put (sorted ids, unit-norm matrix) once —
+        # numpy arrays are zero-copy out of the object store, so each
+        # bucket group maps the table instead of unpickling a dict —
+        # and verify inline in the bucket stage: 1 light shuffle + 1
+        # tiny pair dedupe instead of two lookup-join exchanges.
         import ray
 
-        emb_map = {r["key"]: r["payload"] for r in norm_bin.take_all()}
-        emb_ref = ray.put(emb_map)
+        from .dedup import _broadcast_table, _lookup_rows
+
+        rows = norm_bin.take_all()
+        dim = len(rows[0]["payload"]) // 8 if rows else 0
+        emb_ref = ray.put(_broadcast_table(rows, dim, np.float64))
 
         def bucket_verify(group: pa.Table) -> pa.Table:
-            cand = _bucket_candidates(group)
+            cand = _bucket_candidates(group, strict=strict)
             if cand.num_rows == 0:
                 return pa.table(
                     {
@@ -432,11 +447,9 @@ def embedding_dup_pairs_lsh(
                         "cosine": pa.array([], pa.float64()),
                     }
                 )
-            table = ray.get(emb_ref)
-            a_ids = cand.column("vec_a").to_pylist()
-            b_ids = cand.column("vec_b").to_pylist()
-            ea = np.vstack([np.frombuffer(table[a], dtype=np.float64) for a in a_ids])
-            eb = np.vstack([np.frombuffer(table[b], dtype=np.float64) for b in b_ids])
+            ids, mat = ray.get(emb_ref)
+            ea = _lookup_rows(ids, mat, cand.column("vec_a").to_pylist())
+            eb = _lookup_rows(ids, mat, cand.column("vec_b").to_pylist())
             cos = (ea * eb).sum(axis=1)
             keep = cos >= threshold
             return pa.table(
@@ -457,7 +470,7 @@ def embedding_dup_pairs_lsh(
         )
 
     candidates = banded.groupby("bucket").map_groups(
-        _bucket_candidates, batch_format="pyarrow"
+        lambda g: _bucket_candidates(g, strict=strict), batch_format="pyarrow"
     )
     # Cross-band duplicate pairs share vec_a → they co-locate on the
     # first lookup-join's key and dedupe there (no extra shuffle).
@@ -509,10 +522,32 @@ def embedding_dup_pairs_lsh(
 
 # --- IVF (inverted-file) ANN -------------------------------------------------
 
+def kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd's k-means (fixed-seed init, cosine assignment)
+    over a sample matrix — a pure function of (sample, n_centroids), so
+    the DuckDB oracle can recompute the exact centroid literals from the
+    same sample rows."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    rng = np.random.RandomState(42)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    centroids[c] = v / nv
+    return centroids
+
+
 def _ivf_centroids(ds, n_centroids: int, sample_rows: int = 2048, iters: int = 5):
-    """Deterministic Lloyd's k-means over a bounded id-range sample
-    (driver-side small side: ≤ sample_rows vectors).  Fixed seed init →
-    identical centroids on every run and every worker."""
+    """Deterministic k-means over a bounded id-range sample (driver-side
+    small side: ≤ sample_rows vectors).  Fixed seed init + vec_id-sorted
+    sample → identical centroids on every run and every worker."""
     import pyarrow.compute as pc
 
     sample = (
@@ -530,22 +565,12 @@ def _ivf_centroids(ds, n_centroids: int, sample_rows: int = 2048, iters: int = 5
         sample = ds.select_columns(["vec_id", "embedding"]).limit(sample_rows).take_all()
     if not sample:
         raise ValueError("ivf_topk: embeddings dataset is empty")
+    # take_all() order follows streaming-executor block completion, which
+    # is NOT deterministic — sort by vec_id so the k-means init (and thus
+    # every centroid) is a pure function of the data + seed.
+    sample.sort(key=lambda r: r["vec_id"])
     mat = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
-    rng = np.random.RandomState(42)
-    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
-    for _ in range(iters):
-        assign = (mat @ centroids.T).argmax(axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    centroids[c] = v / nv
-    return centroids
+    return kmeans_centroids(mat, n_centroids, iters)
 
 
 def ivf_topk(
