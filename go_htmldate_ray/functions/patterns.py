@@ -250,6 +250,17 @@ LOCALE_MONTHS: dict[str, dict[str, int]] = {
         "червня": 6, "липня": 7, "серпня": 8, "вересня": 9, "жовтня": 10,
         "листопада": 11, "грудня": 12,
     },
+    "hu": {
+        "január": 1, "jan": 1, "február": 2, "febr": 2, "március": 3,
+        "márc": 3, "április": 4, "ápr": 4, "május": 5, "máj": 5,
+        "június": 6, "jún": 6, "július": 7, "júl": 7, "augusztus": 8,
+        "szeptember": 9, "szept": 9, "október": 10, "okt": 10,
+        "november": 11, "december": 12,
+    },
+    "no": {
+        "januar": 1, "februar": 2, "mars": 3, "mai": 5, "juni": 6,
+        "juli": 7, "august": 8, "oktober": 10, "desember": 12,
+    },
 }
 
 _EXTRA_MONTHS: dict[str, int] = {}
@@ -276,12 +287,32 @@ _WEEKDAYS = frozenset({
     "maandag", "dinsdag", "woensdag", "donderdag", "vrijdag", "zaterdag", "zondag",
     "الأحد", "الاثنين", "الإثنين", "الثلاثاء", "الأربعاء", "الخميس",
     "الجمعة", "السبت",
+    # pl / cs / sv / da-no / pt / ro / hu / ru / fi weekdays — a weekday
+    # token must be tolerated, not reject the strict parse
+    "poniedziałek", "wtorek", "środa", "czwartek", "piątek", "sobota",
+    "niedziela",
+    "pondělí", "úterý", "středa", "čtvrtek", "pátek", "neděle",
+    "måndag", "tisdag", "onsdag", "torsdag", "fredag", "lördag", "söndag",
+    "mandag", "tirsdag", "lørdag", "søndag",
+    "segunda", "terça", "quarta", "quinta", "sexta", "sábado", "domingo",
+    "luni", "marți", "miercuri", "joi", "vineri", "sâmbătă", "duminică",
+    "hétfő", "kedd", "szerda", "csütörtök", "péntek", "szombat", "vasárnap",
+    "понедельник", "вторник", "среда", "четверг", "пятница", "суббота",
+    "воскресенье",
+    "maanantai", "tiistai", "keskiviikko", "torstai", "perjantai",
+    "lauantai", "sunnuntai",
 })
 _SKIP_WORDS = frozenset({
     "of", "the", "at", "on", "in", "a", "an", "den", "der", "die", "das",
     "am", "pm", "um", "uhr", "le", "la", "du", "el", "und", "and", "et",
     "de", "del", "los", "las", "il", "lo",
     "م", "ص",  # Arabic am/pm markers
+    "roku", "dnia",  # pl: "15 stycznia 2020 roku"
+    "dne",  # cs: "dne 15. ledna 2020"
+    "года", "год", "г",  # ru: "15 января 2020 года"
+    "feira",  # pt: "segunda-feira, 15 de janeiro"
+    "kl",  # da/no/sv: "kl. 12" time marker
+    "klo",  # fi time marker
 })
 _TIME_OF_DAY = re.compile(r"\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?")
 _TOKEN = re.compile(r"[^\W\d_]+|\d+", re.UNICODE)

@@ -54,6 +54,12 @@ def extract_batch(batch: pa.Table, opts: Options, return_trace: bool = False) ->
     # the URL raw string, a flow the fast path can't reproduce cheaply).
     url_fast_ok = not opts.defer_url_extractor and not opts.extract_time
 
+    # ONE batch-local Options copy, url swapped per row: from_document
+    # itself copies its opts argument before any mutation (extract.py:60,
+    # carrying every field incl. date_parser_config / custom_stages), so
+    # a second per-row replace() here would be pure overhead.
+    batch_opts = replace(opts)
+
     for i in range(batch.num_rows):
         url = urls[i] or ""
         if url and url_fast_ok:
@@ -72,10 +78,8 @@ def extract_batch(batch: pa.Table, opts: Options, return_trace: bool = False) ->
                 continue
         raw = htmls[i]
         try:
-            # replace() carries EVERY Options field (incl.
-            # date_parser_config / custom_stages) — a field-by-field
-            # rebuild silently dropped newly added config.
-            res = from_html(raw or b"", replace(opts, url=url))
+            batch_opts.url = url
+            res = from_html(raw or b"", batch_opts)
         except Exception:
             res = None
         if res is None or res.date_time is None:

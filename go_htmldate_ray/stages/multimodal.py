@@ -3,12 +3,14 @@
 Media payloads are opaque ``binary`` columns with typed metadata; decode,
 feature-extraction, resize and frame/window sampling run as actor-pool
 ``map_batches`` stages.  The image/audio codec libraries are not
-available in this container, so every decode KERNEL is stubbed: each
-stage raises ``NotImplementedError`` unless a kernel fn is injected
-(tests and pipelines inject the deterministic fakes below).  The
-Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is real, tested, and (for the md5-based feature fake)
-independently recomputable by the DuckDB oracle
+available in this container, so COMPRESSED-format kernels are stubbed:
+each stage raises ``NotImplementedError`` unless a kernel fn is injected.
+Uncompressed BMP needs no codec library, so :func:`decode_bmp` /
+:func:`bmp_image_features` / :func:`bmp_resize` are REAL numpy-only
+kernels (tested end-to-end through the stages on genuine BMP bytes).
+The Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is real, tested, and (for the md5-based feature fake used by
+the oracle pipeline) independently recomputable by the DuckDB oracle
 (``__ray_entry__.oracle_sql()['media_features']``).
 """
 
@@ -49,6 +51,105 @@ def fake_resize(payload: bytes, width: int, height: int) -> tuple[bytes, int, in
     src = payload or b"\x00"
     reps = -(-size // len(src))
     return (src * reps)[:size], width, height
+
+
+# --- real numpy-only BMP codec ----------------------------------------------
+# Uncompressed BMP needs no codec library, so this is a REAL decode path
+# (not a stub): 24/32-bit BI_RGB, BITMAPINFOHEADER, bottom-up or top-down.
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB array from an uncompressed 24/32-bit BI_RGB BMP."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header (pre-BITMAPINFOHEADER)")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate BMP geometry")
+    channels = bpp // 8
+    row_bytes = (width * channels + 3) & ~3  # rows pad to 4-byte multiples
+    need = pix_off + row_bytes * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=pix_off
+    ).reshape(height, row_bytes)
+    px = rows[:, : width * channels].reshape(height, width, channels)
+    rgb = px[:, :, 2::-1]  # BGR(A) storage order → RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP bytes from an (h, w, 3) uint8 RGB
+    array — the inverse of :func:`decode_bmp` (exact roundtrip)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + pix
+
+
+def bmp_image_features(payload: bytes) -> np.ndarray:
+    """Real 8-dim image features from a BMP payload: [w/4096, h/4096,
+    mean R, mean G, mean B, gray std, gray min, gray max] (channel values
+    scaled to [0, 1]) — a genuine decode→extract kernel for
+    :class:`ImageDecodeStage`, no codec library needed."""
+    img = decode_bmp(payload)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3).astype(np.float64)
+    gray = flat.mean(axis=1)
+    return np.array(
+        [
+            w / 4096.0,
+            h / 4096.0,
+            flat[:, 0].mean() / 255.0,
+            flat[:, 1].mean() / 255.0,
+            flat[:, 2].mean() / 255.0,
+            gray.std() / 255.0,
+            gray.min() / 255.0,
+            gray.max() / 255.0,
+        ]
+    )
+
+
+def bmp_resize(payload: bytes, width: int, height: int) -> tuple[bytes, int, int]:
+    """Real resize kernel for :class:`ImageResizeStage`: BMP decode →
+    nearest-neighbor resample (pure numpy index maps) → BMP re-encode."""
+    img = decode_bmp(payload)
+    src_h, src_w = img.shape[:2]
+    yi = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
+    xi = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
+    out = img[yi][:, xi]
+    return encode_bmp(out), width, height
 
 
 class ImageDecodeStage:

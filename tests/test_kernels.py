@@ -266,6 +266,18 @@ def test_date_parser_config_locales():
         ("2021년 3월 4일", (2021, 3, 4)),         # ko
         ("1 марта 2019", (2019, 3, 1)),          # ru
         ("14 лютого 2020", (2020, 2, 14)),       # uk
+        ("2020. január 5", (2020, 1, 5)),        # hu
+        ("12 augusztus 2021", (2021, 8, 12)),    # hu
+        ("3 desember 2019", (2019, 12, 3)),      # no
+        # weekday + skip-word forms across the new locales
+        ("środa, 15 stycznia 2020 roku", (2020, 1, 15)),       # pl
+        ("pondělí dne 6 ledna 2020", (2020, 1, 6)),            # cs
+        ("söndag 7 augusti 2018", (2018, 8, 7)),               # sv
+        ("mandag 3 desember 2019", (2019, 12, 3)),             # da/no
+        ("segunda-feira, 9 de março de 2020", (2020, 3, 9)),   # pt
+        ("joi 5 ianuarie 2022", (2022, 1, 5)),                 # ro
+        ("понедельник 1 марта 2019 года", (2019, 3, 1)),       # ru
+        ("szerda, 2020. január 5", (2020, 1, 5)),              # hu
     ]
     for s, ymd in cases:
         dt = lenient_absolute_parse(s)

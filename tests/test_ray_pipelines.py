@@ -536,3 +536,113 @@ def test_cjk_gated_by_language_restriction():
     assert lenient_absolute_parse("2021年3月4日", DateParserConfig(languages=["ja"])) is not None
     # malformed CJK match falls through instead of aborting the parse
     assert lenient_absolute_parse("2021年31月40日") is None
+
+
+def test_bmp_codec_roundtrip_and_features():
+    """decode_bmp/encode_bmp are a REAL numpy-only codec: exact roundtrip
+    (incl. row padding on odd widths), bottom-up vs top-down handling,
+    and genuine decoded-pixel features — no injected fake anywhere."""
+    import numpy as np
+
+    from go_htmldate_ray.stages.multimodal import (
+        bmp_image_features,
+        bmp_resize,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(5, 3), (4, 4), (7, 2), (1, 1)]:  # odd widths exercise padding
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+
+    # hand-built top-down 32-bit BMP: 1x2, red above blue
+    px = bytes([0, 0, 255, 0]) + bytes([255, 0, 0, 0])  # BGRA rows
+    hdr = (b"BM" + (54 + len(px)).to_bytes(4, "little") + b"\0\0\0\0"
+           + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+           + (1).to_bytes(4, "little", signed=True)
+           + (-2).to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(px).to_bytes(4, "little")
+           + b"\0" * 16)
+    img = decode_bmp(hdr + px)
+    assert img.shape == (2, 1, 3)
+    assert img[0, 0].tolist() == [255, 0, 0] and img[1, 0].tolist() == [0, 0, 255]
+
+    # features: solid gray 4x2 → means 0.5ish, std 0, min=max
+    solid = np.full((4, 2, 3), 128, dtype=np.uint8)
+    f = bmp_image_features(encode_bmp(solid))
+    assert f.shape == (8,)
+    assert abs(f[2] - 128 / 255) < 1e-9 and f[5] == 0.0 and f[6] == f[7]
+
+    # nearest-neighbor resize doubles pixels exactly
+    img = np.array([[[10, 20, 30], [200, 210, 220]]], dtype=np.uint8)  # 1x2
+    payload, w2, h2 = bmp_resize(encode_bmp(img), 4, 2)
+    out = decode_bmp(payload)
+    assert (w2, h2) == (4, 2) and out.shape == (2, 4, 3)
+    assert np.array_equal(out[0, 0], img[0, 0]) and np.array_equal(out[0, 3], img[0, 1])
+
+    import pytest
+
+    for bad in (b"", b"BM" + b"\0" * 10, b"not a bmp at all" * 4):
+        with pytest.raises(ValueError):
+            decode_bmp(bad)
+
+
+def test_bmp_kernels_through_ray_stages(ray_session):
+    """A real tiny BMP flows through ImageDecodeStage / ImageResizeStage
+    with the numpy BMP kernels — an actual decode path, not the fake."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from go_htmldate_ray.stages.multimodal import (
+        ImageDecodeStage,
+        ImageResizeStage,
+        bmp_image_features,
+        bmp_resize,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8) for _ in range(4)]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(4), pa.int64()),
+            "payload": pa.array([encode_bmp(i) for i in imgs], pa.binary()),
+            "media_type": pa.array(["image/bmp"] * 4, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    feats = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"feature_fn": bmp_image_features},
+        batch_format="pyarrow",
+        batch_size=2,
+        concurrency=1,
+        num_cpus=1,
+        max_restarts=0,
+    ).take_all()
+    assert len(feats) == 4
+    by_id = {r["media_id"]: r["features"] for r in feats}
+    for i, img in enumerate(imgs):
+        expect = bmp_image_features(encode_bmp(img))
+        assert np.allclose(by_id[i], expect)
+        # sanity: features really derive from decoded pixels
+        assert abs(by_id[i][2] - img[..., 0].mean() / 255.0) < 1e-9
+
+    resized = ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"width": 3, "height": 2, "resize_fn": bmp_resize},
+        batch_format="pyarrow",
+        batch_size=2,
+        concurrency=1,
+        num_cpus=1,
+        max_restarts=0,
+    ).take_all()
+    assert len(resized) == 4
+    for r in resized:
+        out = decode_bmp(r["payload"])
+        assert out.shape == (2, 3, 3) and (r["width"], r["height"]) == (3, 2)
