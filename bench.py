@@ -104,6 +104,49 @@ def repeated_pages(sf_dir: str, repeat: int):
     return ids.map_batches(synth, batch_format="pyarrow", batch_size=256), total
 
 
+def repeated_docs(sf_dir: str, repeat: int):
+    """documents table scaled ×repeat (text broadcast once via ray.put) —
+    the corpus for the text-analysis stage benchmarks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data
+
+    t = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = t.num_rows
+    total = n_docs * repeat
+    texts_ref = ray.put(t.column("text").to_pylist())
+
+    ids = ray.data.range(total, override_num_blocks=max(128, NUM_CPUS * 8))
+
+    def synth(batch: pa.Table) -> pa.Table:
+        texts_l = ray.get(texts_ref)
+        ids_l = batch.column("id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_l, pa.int64()),
+                "text": pa.array([texts_l[i % n_docs] for i in ids_l], pa.string()),
+            }
+        )
+
+    return ids.map_batches(synth, batch_format="pyarrow", batch_size=512), total
+
+
+def bench_text_stage(sf_dir: str, repeat: int = 20):
+    """Winnowing + quality scoring over the ×repeat documents corpus —
+    the two kernels whose inner loops were vectorized in round 3."""
+    from go_htmldate_ray.stages import text_stage
+
+    out = {}
+    for name, fn in (("winnow", text_stage.winnow_batch), ("quality", text_stage.quality_batch)):
+        docs, total = repeated_docs(sf_dir, repeat)
+        t0 = time.perf_counter()
+        n = _consume(docs.map_batches(fn, batch_format="pyarrow"))
+        dt = time.perf_counter() - t0
+        out[name] = (dt, n)
+    return out
+
+
 def _extract_fn(skip_extensive: bool):
     """Task-pool extraction: all extractor state is module-level (compiled
     regex banks, tz tables), loaded once per reused worker process — a
@@ -266,6 +309,10 @@ def run_headline() -> dict:
 
     queries["sessionize"] = round(bench_query(streaming.sessionize_events), 3)
     queries["media_features"] = round(bench_query(multimodal.media_features), 3)
+
+    for name, (t, n) in bench_text_stage(SF_DIR).items():
+        queries[f"text_{name}"] = round(t, 3)
+        extra[f"text_{name}_docs_per_s"] = round(n / t, 1)
 
     return {
         "metric": "total wall seconds across headline pipelines (per-pipeline throughputs in extra keys)",
