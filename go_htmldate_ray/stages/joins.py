@@ -1,22 +1,43 @@
-"""Keyed lookup-join building block for candidate-pair verification.
+"""Keyed lookup-join building blocks for candidate-pair verification.
 
-``attach_payload`` hash-co-locates a (key → payload bytes) lookup table
-with rows that reference the key, using one ``groupby`` shuffle — the
-same exchange a hash join performs, but built on Ray Data's sort-based
-shuffle rather than the experimental ``Dataset.join`` operator (whose
-per-partition aggregator actors over-subscribe small clusters and choke
-on schema-less empty partitions).  Cost is O(|pairs| + |lookup|) rows
-through one shuffle keyed on the lookup key.
+``attach_payload`` and ``hash_join`` hash-co-locate rows through ONE
+``groupby`` shuffle — the same exchange a hash join performs, but built
+on Ray Data's stable sort-based shuffle rather than the experimental
+``Dataset.join`` operator (whose per-partition aggregator actors
+over-subscribe small clusters and choke on schema-less empty
+partitions).
+
+The grouping key is a HASH BUCKET of the join key, not the key itself:
+grouping on the raw key would invoke a per-group Python callback once
+per key — the maximum-overhead shape for a corpus-sized key domain
+(one call per document at 10^10 keys).  With ``n_buckets`` groups, each
+callback receives a whole bucket of keys and resolves them with
+vectorized numpy (searchsorted for the ≤1-row-per-key lookup side; a
+repeat/tile index construction for the general cartesian), so per-group
+overhead is amortised over ~|rows|/n_buckets rows.  Size ``n_buckets``
+like shuffle partitions (a few × cluster cores, or data / ~100 MB).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _KEY = "__join_key"
+_BUCKET = "__join_bucket"
 _PAYLOAD = "__join_payload"
 _IS_LOOKUP = "__join_is_lookup"
+
+DEFAULT_JOIN_BUCKETS = 64
+
+
+def _bucket_of(keys: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
+    # splitmix-style mix (in uint64, wrapping) so adjacent ids spread
+    k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    k ^= k >> np.uint64(33)
+    k *= np.uint64(0xFF51AFD7ED558CCD)
+    return pa.array((k % np.uint64(n_buckets)).astype(np.int64), pa.int64())
 
 
 def attach_payload(
@@ -26,6 +47,7 @@ def attach_payload(
     out_col: str,
     carry_cols: dict[str, pa.DataType],
     dedupe: bool = False,
+    n_buckets: int = DEFAULT_JOIN_BUCKETS,
 ):
     """Inner-join ``lookup``'s payload onto ``pairs``.
 
@@ -37,10 +59,11 @@ def attach_payload(
         out_col: name for the attached payload column (binary).
         carry_cols: name → Arrow type of the ``pairs`` columns to carry
             through (must include ``key_col``).
-        dedupe: drop duplicate carry tuples inside each key group —
-            rows with identical carry values co-locate on the join key,
-            so candidate-pair dedup piggybacks on this shuffle instead
-            of needing its own all-to-all.
+        dedupe: drop duplicate carry tuples — rows with identical carry
+            values co-locate on the join bucket, so candidate-pair dedup
+            piggybacks on this shuffle instead of needing its own
+            all-to-all.
+        n_buckets: hash buckets for the grouping (see module docstring).
 
     Returns a Dataset with ``carry_cols`` + ``out_col``; pairs whose key
     has no lookup row are dropped (inner semantics).
@@ -49,7 +72,9 @@ def attach_payload(
 
     def tag_pairs(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c).cast(carry_cols[c]) for c in names}
-        cols[_KEY] = batch.column(key_col).cast(pa.int64())
+        key = batch.column(key_col).cast(pa.int64())
+        cols[_KEY] = key
+        cols[_BUCKET] = _bucket_of(key, n_buckets)
         cols[_PAYLOAD] = pa.array([b""] * batch.num_rows, pa.binary())
         cols[_IS_LOOKUP] = pa.array([False] * batch.num_rows, pa.bool_())
         return pa.table(cols)
@@ -57,7 +82,9 @@ def attach_payload(
     def tag_lookup(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {c: pa.nulls(n, carry_cols[c]) for c in names}
-        cols[_KEY] = batch.column("key").cast(pa.int64())
+        key = batch.column("key").cast(pa.int64())
+        cols[_KEY] = key
+        cols[_BUCKET] = _bucket_of(key, n_buckets)
         cols[_PAYLOAD] = batch.column("payload").cast(pa.binary())
         cols[_IS_LOOKUP] = pa.array([True] * n, pa.bool_())
         return pa.table(cols)
@@ -73,43 +100,57 @@ def attach_payload(
         }
     )
 
-    def resolve(group: pa.Table) -> pa.Table:
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        """Vectorized whole-bucket resolve: searchsorted lookup of every
+        pair key against the bucket's (sorted) lookup keys."""
         mask = group.column(_IS_LOOKUP)
         lookup_rows = group.filter(mask)
         pair_rows = group.filter(pc.invert(mask))
         if lookup_rows.num_rows == 0 or pair_rows.num_rows == 0:
             return empty
-        payload = lookup_rows.column(_PAYLOAD)[0].as_py()
         if dedupe and pair_rows.num_rows > 1:
-            seen: set = set()
-            keep = []
-            carries = [pair_rows.column(c).to_pylist() for c in names]
-            for i, tup in enumerate(zip(*carries)):
-                if tup not in seen:
-                    seen.add(tup)
-                    keep.append(i)
-            if len(keep) < pair_rows.num_rows:
-                pair_rows = pair_rows.take(pa.array(keep, pa.int64()))
-        cols = {c: pair_rows.column(c) for c in names}
-        cols[out_col] = pa.array([payload] * pair_rows.num_rows, pa.binary())
+            # distinct carry tuples (pyarrow hash group-by, no Python loop)
+            pair_rows = (
+                pair_rows.select(names + [_KEY])
+                .group_by(names + [_KEY], use_threads=False)
+                .aggregate([])
+            )
+        lk = np.asarray(lookup_rows.column(_KEY), dtype=np.int64)
+        order = np.argsort(lk, kind="stable")
+        lk_sorted = lk[order]
+        pk = np.asarray(pair_rows.column(_KEY), dtype=np.int64)
+        pos = np.searchsorted(lk_sorted, pk)
+        pos_clip = np.minimum(pos, len(lk_sorted) - 1)
+        valid = lk_sorted[pos_clip] == pk
+        matched = pair_rows.filter(pa.array(valid))
+        payload_src = lookup_rows.column(_PAYLOAD).take(
+            pa.array(order[pos_clip[valid]], pa.int64())
+        )
+        cols = {c: matched.column(c) for c in names}
+        cols[out_col] = payload_src
         return pa.table(cols)
 
-    return unioned.groupby(_KEY).map_groups(resolve, batch_format="pyarrow")
+    return unioned.groupby(_BUCKET).map_groups(resolve_bucket, batch_format="pyarrow")
 
 
 _SIDE = "__join_side"
 
 
-def hash_join(left, right, *, on: str, right_on: str | None = None):
+def hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    n_buckets: int = DEFAULT_JOIN_BUCKETS,
+):
     """General distributed inner equi-join via one keyed sort-shuffle.
 
-    Both sides are tagged and unioned; one ``groupby`` on the join key
-    co-locates matching rows; each group emits the cartesian product of
-    its left × right rows.  This is the classic hash/sort-merge exchange
-    built from stable Ray Data primitives (the built-in ``Dataset.join``
-    operator is experimental: its per-partition aggregator actors
-    over-subscribe small clusters and it rejects schema-less empty
-    partitions).
+    Both sides are tagged and unioned; one ``groupby`` on the key's hash
+    bucket co-locates matching rows; each bucket emits the cartesian
+    product of its left × right rows per key, built with vectorized
+    repeat/tile index arrays (no per-key Python callback — see module
+    docstring).
 
     Column layout: all left columns + all right columns except the right
     key (mirrors SQL ``USING``).  Non-key column-name collisions are the
@@ -134,14 +175,18 @@ def hash_join(left, right, *, on: str, right_on: str | None = None):
         cols.update(
             {f"r_{c}": pa.nulls(batch.num_rows, right_types[c]) for c in right_names}
         )
-        cols[_KEY] = batch.column(on).cast(pa.int64())
+        key = batch.column(on).cast(pa.int64())
+        cols[_KEY] = key
+        cols[_BUCKET] = _bucket_of(key, n_buckets)
         cols[_SIDE] = pa.array([0] * batch.num_rows, pa.int8())
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = {f"l_{c}": pa.nulls(batch.num_rows, left_types[c]) for c in left_names}
         cols.update({f"r_{c}": batch.column(c) for c in right_names})
-        cols[_KEY] = batch.column(right_on).cast(pa.int64())
+        key = batch.column(right_on).cast(pa.int64())
+        cols[_KEY] = key
+        cols[_BUCKET] = _bucket_of(key, n_buckets)
         cols[_SIDE] = pa.array([1] * batch.num_rows, pa.int8())
         return pa.table(cols)
 
@@ -154,16 +199,37 @@ def hash_join(left, right, *, on: str, right_on: str | None = None):
     ]
     empty = pa.table({n: pa.array([], t) for n, t in out_fields})
 
-    def emit(group: pa.Table) -> pa.Table:
+    def emit_bucket(group: pa.Table) -> pa.Table:
         side = group.column(_SIDE)
         lrows = group.filter(pc.equal(side, 0))
         rrows = group.filter(pc.equal(side, 1))
-        nl, nr = lrows.num_rows, rrows.num_rows
-        if nl == 0 or nr == 0:
+        if lrows.num_rows == 0 or rrows.num_rows == 0:
             return empty
-        # cartesian within the key group: repeat left rows, tile right
-        l_idx = pa.array([i for i in range(nl) for _ in range(nr)], pa.int64())
-        r_idx = pa.array(list(range(nr)) * nl, pa.int64())
+        lk = np.asarray(lrows.column(_KEY), dtype=np.int64)
+        rk = np.asarray(rrows.column(_KEY), dtype=np.int64)
+        l_order = np.argsort(lk, kind="stable")
+        r_order = np.argsort(rk, kind="stable")
+        lk_s, rk_s = lk[l_order], rk[r_order]
+        # per-key run starts/counts on both sorted sides
+        lu, l_start, l_cnt = np.unique(lk_s, return_index=True, return_counts=True)
+        ru, r_start, r_cnt = np.unique(rk_s, return_index=True, return_counts=True)
+        # match the key sets
+        li = np.searchsorted(ru, lu)
+        li_clip = np.minimum(li, len(ru) - 1)
+        common = ru[li_clip] == lu
+        if not common.any():
+            return empty
+        lc, ls = l_cnt[common], l_start[common]
+        rc = r_cnt[li_clip[common]]
+        rs = r_start[li_clip[common]]
+        # vectorized per-key cartesian: for key k with (lc, rc) rows the
+        # output enumerates p = 0..lc*rc-1 as (p // rc, p % rc)
+        m = lc * rc
+        total = int(m.sum())
+        key_id = np.repeat(np.arange(len(m)), m)
+        p = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+        l_idx = pa.array(l_order[ls[key_id] + p // rc[key_id]], pa.int64())
+        r_idx = pa.array(r_order[rs[key_id] + p % rc[key_id]], pa.int64())
         cols = {}
         for n in left_names:
             cols[n] = lrows.column(f"l_{n}").take(l_idx)
@@ -171,7 +237,7 @@ def hash_join(left, right, *, on: str, right_on: str | None = None):
             cols[n] = rrows.column(f"r_{n}").take(r_idx)
         return pa.table(cols)
 
-    return unioned.groupby(_KEY).map_groups(emit, batch_format="pyarrow")
+    return unioned.groupby(_BUCKET).map_groups(emit_bucket, batch_format="pyarrow")
 
 
 PAIR_CAP = 200  # bucket size above which all-pairs expansion is star-sampled
@@ -190,8 +256,6 @@ def bucket_pair_candidates(
     oracle runs use this so an engine/oracle semantics divergence (the
     SQL oracles enumerate all collision pairs) surfaces as a loud error,
     never a confusing hash mismatch."""
-    import numpy as np
-
     ids = np.unique(np.asarray(group.column(id_col).to_pylist(), dtype=np.int64))
     g = len(ids)
     if g < 2:

@@ -646,3 +646,70 @@ def test_bmp_kernels_through_ray_stages(ray_session):
     for r in resized:
         out = decode_bmp(r["payload"])
         assert out.shape == (2, 3, 3) and (r["width"], r["height"]) == (3, 2)
+
+
+def test_bucketed_join_randomized_vs_python(ray_session):
+    """The hash-bucketed vectorized join must match a reference Python
+    join on randomized data: duplicate keys on both sides (cartesian),
+    unmatched keys on each side (inner semantics), many keys per bucket."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from go_htmldate_ray.stages.joins import attach_payload, hash_join
+
+    rng = np.random.RandomState(11)
+    lkeys = rng.randint(0, 300, size=2000)
+    rkeys = rng.randint(150, 450, size=1500)  # half-overlapping key range
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(lkeys, pa.int64()),
+                  "lv": pa.array(rng.randint(0, 10**6, size=2000), pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array(rkeys, pa.int64()),
+                  "rv": pa.array(rng.randint(0, 10**6, size=1500), pa.int64())})
+    )
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in hash_join(left, right, on="k", right_on="rk", n_buckets=16).take_all()
+    )
+    lrows = left.take_all()
+    rrows = right.take_all()
+    want = sorted(
+        (l["k"], l["lv"], r["rv"])
+        for l in lrows for r in rrows if l["k"] == r["rk"]
+    )
+    assert got == want
+
+    # attach_payload: ≤1 lookup row per key, duplicate pair rows deduped
+    lookup_tbl = pa.table(
+        {
+            "key": pa.array(range(0, 400, 2), pa.int64()),  # even keys only
+            "payload": pa.array([f"p{k}".encode() for k in range(0, 400, 2)], pa.binary()),
+        }
+    )
+    pair_keys = rng.randint(0, 400, size=3000)
+    pairs_tbl = pa.table(
+        {
+            "k": pa.array(pair_keys, pa.int64()),
+            "other": pa.array(pair_keys % 7, pa.int64()),  # duplicates abound
+        }
+    )
+    out = attach_payload(
+        ray.data.from_arrow(pairs_tbl),
+        ray.data.from_arrow(lookup_tbl),
+        key_col="k",
+        out_col="pl",
+        carry_cols={"k": pa.int64(), "other": pa.int64()},
+        dedupe=True,
+        n_buckets=16,
+    ).take_all()
+    got_t = sorted((r["k"], r["other"], bytes(r["pl"])) for r in out)
+    want_t = sorted(
+        {
+            (int(k), int(k % 7), f"p{k}".encode())
+            for k in pair_keys
+            if k % 2 == 0
+        }
+    )
+    assert got_t == want_t
