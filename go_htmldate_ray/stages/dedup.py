@@ -132,7 +132,9 @@ def _band_batch(batch: pa.Table, num_bands: int, rows_per_band: int) -> pa.Table
     """Expand each byte-packed signature into light (band_key, doc_id)
     rows — the signature itself stays out of the bucket shuffle (16×
     smaller exchange than shipping the 128-element signature per band
-    row)."""
+    row).  band_key is the 63-bit md5 prefix of (band, chunk): two rows
+    share a key iff their band chunks agree (up to a 2^-63 hash
+    collision, same exposure the previous 64-bit hex key had)."""
     doc_ids = batch.column("key").to_pylist()
     payloads = batch.column("payload").to_pylist()
     out_keys, out_docs = [], []
@@ -140,26 +142,51 @@ def _band_batch(batch: pa.Table, num_bands: int, rows_per_band: int) -> pa.Table
         sig = np.frombuffer(payload, dtype=np.int64).tolist()
         for band in range(num_bands):
             chunk = tuple(sig[band * rows_per_band : (band + 1) * rows_per_band])
-            h = hashlib.md5(repr((band, chunk)).encode()).hexdigest()[:16]
+            h = int.from_bytes(
+                hashlib.md5(repr((band, chunk)).encode()).digest()[:8], "big"
+            ) >> 1
             out_keys.append(h)
             out_docs.append(doc_id)
     return pa.table(
         {
-            "band_key": pa.array(out_keys, pa.string()),
+            "band_key": pa.array(out_keys, pa.int64()),
             "doc_id": pa.array(out_docs, pa.int64()),
         }
     )
 
 
 def _bucket_candidates(group: pa.Table, strict: bool = False) -> pa.Table:
-    from .joins import bucket_pair_candidates
+    """Candidate pairs from one HASH BUCKET of band rows (many band keys
+    per group — per-band-key groups would be mostly singletons at corpus
+    scale, one Python call each; see joins.collision_pairs)."""
+    from .joins import collision_pairs
 
-    return bucket_pair_candidates(
-        group, "doc_id", "doc_a", "doc_b", logger, "MinHash", strict=strict
+    return collision_pairs(
+        group, "band_key", "doc_id", "doc_a", "doc_b", logger, "MinHash",
+        strict=strict,
     )
 
 
 _BROADCAST_DOC_LIMIT = 100_000  # ≈100 MB of signatures — small-side bound
+
+
+def _dedupe_pairs_agg(ds, a_col: str, b_col: str, val_col: str):
+    """Drop duplicate (a, b) pairs via a Min AGGREGATE on the value column
+    (identical across a pair's duplicates — they came from the same
+    signatures), avoiding a per-pair map_groups callable."""
+    from ray.data.aggregate import Min
+
+    agg = ds.groupby([a_col, b_col]).aggregate(Min(val_col))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                a_col: b.column(a_col),
+                b_col: b.column(b_col),
+                val_col: b.column(f"min({val_col})"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _broadcast_table(rows, width: int, dtype) -> tuple[np.ndarray, np.ndarray]:
@@ -247,10 +274,17 @@ def minhash_lsh_pairs(
         )
         return pack(_cached_minhasher(num_perm)(nonempty))
 
+    from .joins import DEFAULT_JOIN_BUCKETS, _bucket_of
+
     sigs_bin = ds.map_batches(sign, batch_format="pyarrow").materialize()
-    banded = sigs_bin.map_batches(
-        lambda b: _band_batch(b, num_bands, rows_per_band), batch_format="pyarrow"
-    )
+
+    def band_and_bucket(b: pa.Table) -> pa.Table:
+        t = _band_batch(b, num_bands, rows_per_band)
+        return t.append_column(
+            "shuffle_bucket", _bucket_of(t.column("band_key"), DEFAULT_JOIN_BUCKETS)
+        )
+
+    banded = sigs_bin.map_batches(band_and_bucket, batch_format="pyarrow")
 
     if verify_mode == "auto":
         verify_mode = (
@@ -292,15 +326,14 @@ def minhash_lsh_pairs(
                 }
             )
 
-        verified = banded.groupby("band_key").map_groups(
+        verified = banded.groupby("shuffle_bucket").map_groups(
             bucket_verify, batch_format="pyarrow"
         )
-        # a pair can surface from several bands → one tiny dedupe shuffle
-        return verified.groupby(["doc_a", "doc_b"]).map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow"
-        )
+        # a pair can surface from several bands (same est either way) →
+        # one tiny dedupe shuffle as a Min AGGREGATE, no per-pair callable
+        return _dedupe_pairs_agg(verified, "doc_a", "doc_b", "est_jaccard")
 
-    candidates = banded.groupby("band_key").map_groups(
+    candidates = banded.groupby("shuffle_bucket").map_groups(
         lambda g: _bucket_candidates(g, strict=strict), batch_format="pyarrow"
     )
     # A pair can surface from several bands: duplicates share doc_a, so

@@ -243,33 +243,18 @@ def hash_join(
 PAIR_CAP = 200  # bucket size above which all-pairs expansion is star-sampled
 
 
-def bucket_pair_candidates(
-    group: pa.Table, id_col: str, a_col: str, b_col: str, logger, what: str,
-    strict: bool = False,
-) -> pa.Table:
-    """Candidate pairs from one LSH bucket (shared by the MinHash and
-    embedding paths).  Buckets up to ``PAIR_CAP`` members expand to all
-    pairs; hotter buckets are star-sampled (min id ↔ every other member):
-    the duplicate *cluster* stays connected — the full pair set is
-    recoverable by union-find — while output stays O(G).  Truncation is
-    logged, never silent.  With ``strict`` a hot bucket RAISES instead:
-    oracle runs use this so an engine/oracle semantics divergence (the
-    SQL oracles enumerate all collision pairs) surfaces as a loud error,
-    never a confusing hash mismatch."""
-    ids = np.unique(np.asarray(group.column(id_col).to_pylist(), dtype=np.int64))
+def _expand_ids(
+    ids: np.ndarray, logger, what: str, strict: bool
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """All-pairs (or star-sampled) expansion of one collision cluster's
+    distinct ids — the numpy core shared by the per-group and bucketed
+    candidate generators."""
     g = len(ids)
     if g < 2:
-        return pa.table(
-            {a_col: pa.array([], pa.int64()), b_col: pa.array([], pa.int64())}
-        )
+        return None
     if g <= PAIR_CAP:
         ii, jj = np.triu_indices(g, 1)
-        return pa.table(
-            {
-                a_col: pa.array(ids[ii], pa.int64()),
-                b_col: pa.array(ids[jj], pa.int64()),
-            }
-        )
+        return ids[ii], ids[jj]
     if strict:
         raise ValueError(
             f"{what} LSH bucket with {g} members exceeds PAIR_CAP={PAIR_CAP} "
@@ -282,9 +267,49 @@ def bucket_pair_candidates(
         "pairs instead of %d all-pairs (cluster connectivity preserved)",
         what, g, g - 1, g * (g - 1) // 2,
     )
+    return np.full(g - 1, ids[0]), ids[1:]
+
+
+def collision_pairs(
+    group: pa.Table,
+    key_col: str,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    logger,
+    what: str,
+    strict: bool = False,
+) -> pa.Table:
+    """Candidate pairs from a HASH BUCKET of LSH band rows.
+
+    The group holds many distinct band keys (the grouping key is
+    ``hash(band_key) % n_buckets``, not the band key itself — per-key
+    groups would mean one Python callback per mostly-singleton key at
+    corpus scale).  Collision runs are found with one lexsort +
+    np.unique; only runs with ≥2 members — actual collisions, rare by
+    construction — are expanded, with the same PAIR_CAP star-sampling
+    contract as :func:`bucket_pair_candidates`."""
+    keys = np.asarray(group.column(key_col), dtype=np.int64)
+    ids = np.asarray(group.column(id_col), dtype=np.int64)
+    order = np.lexsort((ids, keys))
+    ks, vs = keys[order], ids[order]
+    _uk, start, cnt = np.unique(ks, return_index=True, return_counts=True)
+    oa: list[np.ndarray] = []
+    ob: list[np.ndarray] = []
+    for s, c in zip(start[cnt >= 2], cnt[cnt >= 2]):
+        expanded = _expand_ids(np.unique(vs[s : s + c]), logger, what, strict)
+        if expanded is not None:
+            oa.append(expanded[0])
+            ob.append(expanded[1])
+    if not oa:
+        return pa.table(
+            {a_col: pa.array([], pa.int64()), b_col: pa.array([], pa.int64())}
+        )
     return pa.table(
         {
-            a_col: pa.array(np.full(g - 1, ids[0]), pa.int64()),
-            b_col: pa.array(ids[1:], pa.int64()),
+            a_col: pa.array(np.concatenate(oa), pa.int64()),
+            b_col: pa.array(np.concatenate(ob), pa.int64()),
         }
     )
+
+

@@ -347,10 +347,14 @@ def _cached_banded_hasher(n_bands: int, planes_per_band: int, dim: int) -> "Band
 
 
 def _bucket_candidates(group: pa.Table, strict: bool = False) -> pa.Table:
-    from .joins import bucket_pair_candidates
+    """Candidate pairs from one HASH BUCKET of band rows (many LSH bucket
+    keys per group — see joins.collision_pairs for why grouping on the
+    raw bucket key is the wrong shape at corpus scale)."""
+    from .joins import collision_pairs
 
-    return bucket_pair_candidates(
-        group, "vec_id", "vec_a", "vec_b", logger, "embedding", strict=strict
+    return collision_pairs(
+        group, "bucket", "vec_id", "vec_a", "vec_b", logger, "embedding",
+        strict=strict,
     )
 
 
@@ -415,8 +419,13 @@ def embedding_dup_pairs_lsh(
         # Task-pool stage with a per-process cached hasher: plane state
         # is seed-deterministic and cheap to rebuild, so skipping the
         # actor pool avoids its spin-up latency.
+        from .joins import DEFAULT_JOIN_BUCKETS, _bucket_of
+
         dim = len(batch.column("embedding")[0]) if batch.num_rows else 0
-        return _cached_banded_hasher(n_bands, planes_per_band, dim)(batch)
+        t = _cached_banded_hasher(n_bands, planes_per_band, dim)(batch)
+        return t.append_column(
+            "shuffle_bucket", _bucket_of(t.column("bucket"), DEFAULT_JOIN_BUCKETS)
+        )
 
     banded = norm.map_batches(band, batch_format="pyarrow")
 
@@ -462,14 +471,16 @@ def embedding_dup_pairs_lsh(
                 }
             )
 
-        verified = banded.groupby("bucket").map_groups(
+        verified = banded.groupby("shuffle_bucket").map_groups(
             bucket_verify, batch_format="pyarrow"
         )
-        return verified.groupby(["vec_a", "vec_b"]).map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow"
-        )
+        # cross-band duplicate pairs carry the same cosine → dedupe is a
+        # Min aggregate, not a per-pair callable
+        from .dedup import _dedupe_pairs_agg
 
-    candidates = banded.groupby("bucket").map_groups(
+        return _dedupe_pairs_agg(verified, "vec_a", "vec_b", "cosine")
+
+    candidates = banded.groupby("shuffle_bucket").map_groups(
         lambda g: _bucket_candidates(g, strict=strict), batch_format="pyarrow"
     )
     # Cross-band duplicate pairs share vec_a → they co-locate on the
