@@ -263,6 +263,48 @@ LOCALE_MONTHS: dict[str, dict[str, int]] = {
     },
 }
 
+# Month ABBREVIATIONS that are safe in the unrestricted merge: none of
+# these collide with a common word of another supported language, so the
+# global extensive-search bag may contain them.
+_LOCALE_MONTH_ABBREVS_SAFE: dict[str, dict[str, int]] = {
+    "es": {"ene": 1, "abr": 4, "dic": 12},
+    "it": {"gen": 1, "mag": 5, "giu": 6, "lug": 7, "ott": 10, "dic": 12},
+    "pt": {"fev": 2, "out": 10, "dez": 12},
+    "pl": {
+        "sty": 1, "lut": 2, "kwi": 4, "maj": 5, "cze": 6, "lip": 7,
+        "sie": 8, "wrz": 9, "paź": 10, "gru": 12,
+    },
+    "cs": {
+        "úno": 2, "bře": 3, "dub": 4, "kvě": 5, "čvn": 6, "čvc": 7,
+        "srp": 8, "zář": 9, "říj": 10,
+    },
+    "nl": {"mrt": 3},
+    "ro": {"ian": 1, "iun": 6, "iul": 7},
+    "ru": {
+        "янв": 1, "фев": 2, "мар": 3, "апр": 4, "июн": 6, "июл": 7,
+        "авг": 8, "сен": 9, "сент": 9, "окт": 10, "ноя": 11, "дек": 12,
+    },
+}
+
+# Abbreviations that double as ordinary words elsewhere ("ago" en,
+# "set" en, "led" en, "pro" en, "des" fr, "noi"/"lis" it): consulted
+# ONLY when DateParserConfig.languages explicitly names the locale —
+# go-dateparser's shape, where locale data applies per declared
+# language, never as a global bag.
+_LOCALE_MONTH_ABBREVS_RESTRICTED: dict[str, dict[str, int]] = {
+    "es": {"ago": 8},
+    "it": {"ago": 8, "set": 9},
+    "pt": {"ago": 8, "set": 9},
+    "pl": {"lis": 11},
+    "cs": {"led": 1, "pro": 12},
+    "no": {"des": 12},
+    "da": {"des": 12},
+    "ro": {"noi": 11},
+}
+
+for _lang, _tbl in _LOCALE_MONTH_ABBREVS_SAFE.items():
+    LOCALE_MONTHS.setdefault(_lang, {}).update(_tbl)
+
 _EXTRA_MONTHS: dict[str, int] = {}
 for _tbl in LOCALE_MONTHS.values():
     _EXTRA_MONTHS.update(_tbl)
@@ -341,6 +383,9 @@ def lenient_absolute_parse(s: str, cfg=None) -> Optional[datetime]:
         extra_months: dict[str, int] = {}
         for lang in languages:
             extra_months.update(LOCALE_MONTHS.get(lang, {}))
+            # ambiguous abbreviations ("ago", "set", "led", …) apply only
+            # under an explicit language restriction
+            extra_months.update(_LOCALE_MONTH_ABBREVS_RESTRICTED.get(lang, {}))
     else:
         extra_months = _EXTRA_MONTHS
 

@@ -288,6 +288,34 @@ def test_date_parser_config_locales():
     assert lenient_absolute_parse("15 stycznia 2021", cfg) is None
     assert lenient_absolute_parse("3 de março de 2020", cfg) is not None
 
+    # month abbreviations: unambiguous forms work unrestricted
+    for s, ymd in [
+        ("3 ene 2020", (2020, 1, 3)),       # es
+        ("7 paź 2021", (2021, 10, 7)),      # pl
+        ("1 mrt 2019", (2019, 3, 1)),       # nl
+        ("9 окт 2018", (2018, 10, 9)),      # ru
+        ("11 kvě 2017", (2017, 5, 11)),     # cs
+        ("5 dez 2022", (2022, 12, 5)),      # pt
+    ]:
+        dt = lenient_absolute_parse(s)
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+    # abbreviations that double as ordinary words ("ago", "set", "led",
+    # "pro", "des") apply ONLY under an explicit language restriction —
+    # "2 hours ago 2020"-style English text must never parse as August
+    assert lenient_absolute_parse("3 ago 2020") is None
+    assert lenient_absolute_parse("2 set 2019") is None
+    for s, langs, ymd in [
+        ("3 ago 2020", ["pt"], (2020, 8, 3)),
+        ("2 set 2019", ["it"], (2019, 9, 2)),
+        ("15 led 2021", ["cs"], (2021, 1, 15)),
+        ("8 pro 2020", ["cs"], (2020, 12, 8)),
+        ("4 des 2018", ["no"], (2018, 12, 4)),
+        ("30 noi 2021", ["ro"], (2021, 11, 30)),
+    ]:
+        dt = lenient_absolute_parse(s, DateParserConfig(languages=langs))
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
 
 def test_date_parser_config_order_and_strictness():
     from datetime import datetime
