@@ -77,6 +77,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": lambda sf: dedup.minhash_lsh_pairs(
             _docs(sf), hot_buckets="error"
         ),
+        # Cluster-level near-dup: connected components (min-label
+        # propagation + pointer doubling) over the minhash pair graph —
+        # oracle recomputes the components with a recursive CTE over the
+        # exact same SQL-derived pair set.
+        "near_dup_clusters": lambda sf: _typed_df(
+            dedup.near_dup_clusters(_docs(sf), hot_buckets="error"),
+            {"doc_id": "int64", "cluster_rep": "int64"},
+        ),
         "simhash": lambda sf: _map(sf, dedup.simhash_batch, ["doc_id", "text"]),
         "token_jaccard_pairs": lambda sf: dedup.token_jaccard_pairs(
             _docs(sf), max_doc_id=200, min_jaccard=0.5
@@ -466,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "winnow_fingerprints": _winnow_sql(),
         "minhash_dedup_pairs": _minhash_sql(),
+        "near_dup_clusters": _near_dup_clusters_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "embedding_dup_pairs_lsh": f"""
@@ -701,6 +710,26 @@ def _fixture_embedding_dim(default: int = 64) -> int:
         return len(t.column("embedding")[0])
     except Exception:
         return default
+
+
+def _near_dup_clusters_sql() -> str:
+    # Connected components over the EXACT SQL-derived minhash pair set:
+    # symmetric edge closure + recursive reachability, component rep =
+    # min reachable id — independently recomputing what the engine's
+    # min-label propagation converges to.
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS doc_id, min(v) AS cluster_rep FROM reach GROUP BY u"""
 
 
 def _ann_lsh_sql(n_planes: int = 12, k: int = 5) -> str:

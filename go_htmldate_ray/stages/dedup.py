@@ -383,6 +383,170 @@ def minhash_lsh_pairs(
     return with_b.map_batches(verify, batch_format="pyarrow")
 
 
+def near_dup_clusters(
+    ds,
+    *,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+    verify_mode: str = "auto",
+    hot_buckets: str = "sample",
+    max_iters: int = 25,
+):
+    """documents → (doc_id, cluster_rep): connected components over the
+    MinHash near-duplicate pair graph — the cluster-level dedup a
+    training pipeline actually applies (keep ``cluster_rep``, drop the
+    rest).  Docs in no pair are singletons and not emitted.
+
+    Components via distributed min-label propagation: every node starts
+    labelled with itself; each round joins labels onto the symmetric
+    edge list (hash-bucketed equi-join) and takes the per-node Min of
+    (own label, neighbour labels).  Labels only decrease, so the global
+    label sum is a monotone convergence witness — the driver compares
+    one scalar aggregate per round, never the label table.  Rounds
+    needed = graph diameter (star-sampled hot buckets keep real-world
+    clusters at diameter ≤ 2, so 2-3 rounds); each round is one join
+    shuffle + one groupby over the pair-node set (≪ corpus).
+    """
+    pairs = minhash_lsh_pairs(
+        ds,
+        num_perm=num_perm,
+        num_bands=num_bands,
+        threshold=threshold,
+        verify_mode=verify_mode,
+        hot_buckets=hot_buckets,
+    ).materialize()
+    return connected_components(pairs, max_iters=max_iters)
+
+
+def connected_components(
+    pairs, a_col: str = "doc_a", b_col: str = "doc_b", *, max_iters: int = 25
+):
+    """(a, b) pair Dataset → (doc_id, cluster_rep) component labels via
+    distributed min-label propagation (see :func:`near_dup_clusters`)."""
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_join
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        a = b.column(a_col)
+        bb = b.column(b_col)
+        return pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [pc_.cast(a, pa.int64()).combine_chunks(), pc_.cast(bb, pa.int64()).combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [pc_.cast(bb, pa.int64()).combine_chunks(), pc_.cast(a, pa.int64()).combine_chunks()]
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "cluster_rep": pd.Series([], dtype="int64"),
+            }
+        )
+
+    def rebase(mat):
+        """Fresh Dataset over a materialized dataset's blocks (zero-copy
+        object-store refs).  Iterative algorithms MUST cut the lineage
+        each round: a materialized Dataset still carries its whole stats
+        ancestry, and Ray's stats summarisation recurses over it —
+        exponentially across rounds (observed as a driver hang in
+        stats.to_summary by round ~6)."""
+        return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
+    def self_label(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("u"), "label": b.column("u")})
+
+    labels = (
+        edges.map_batches(self_label, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label"))
+        .map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "label": b.column("min(label)")}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    # The node set is fixed across rounds; pin the per-round block count
+    # to it (≈2M label rows per block).  Without this each round's
+    # union/shuffle MULTIPLIES tiny blocks and scheduling overhead blows
+    # up exponentially (measured: round 4 took 100× round 0 unpinned).
+    n_nodes = labels.count()
+    n_blocks = max(1, min(512, n_nodes // 2_000_000 + 1))
+    j_buckets = max(64, n_blocks)
+    labels = rebase(labels.repartition(n_blocks).materialize())
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    for _ in range(max_iters):
+        # (1) neighbour min: labels join the symmetric edge list, each
+        # node takes Min(own, neighbours)
+        nb = hash_join(edges, labels, on="u", right_on="node", n_buckets=j_buckets)
+        cand = nb.map_batches(
+            lambda b: pa.table({"node": b.column("v"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        mins = (
+            labels.union(cand)
+            .groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("node"), "label": b.column("min(label)")}
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(n_blocks)
+            .materialize()
+        )
+        mins = rebase(mins)
+        # (2) pointer doubling: label ← label[label].  label[x] only ever
+        # decreases and roots satisfy label[r] == r, so the self-join
+        # always matches and jumping compresses chains in O(log diameter)
+        # rounds instead of O(diameter).
+        right = mins.map_batches(
+            lambda b: pa.table(
+                {"node2": b.column("node"), "label2": b.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            hash_join(mins, right, on="label", right_on="node2", n_buckets=j_buckets)
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("node"), "label": b.column("label2")}
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(n_blocks)
+            .materialize()
+        )
+        labels = rebase(labels)
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:  # labels are monotone non-increasing
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("node"), "cluster_rep": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 _MINHASHER_CACHE: dict[int, "MinHasher"] = {}

@@ -713,3 +713,86 @@ def test_bucketed_join_randomized_vs_python(ray_session):
         }
     )
     assert got_t == want_t
+
+
+def test_connected_components_vs_union_find(ray_session):
+    """Distributed min-label propagation + pointer doubling must agree
+    with a Python union-find on a random graph and a long chain (the
+    worst case for plain propagation)."""
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from go_htmldate_ray.stages.dedup import connected_components
+
+    random.seed(5)
+    edges = [(random.randint(0, 199), random.randint(0, 199)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in {n for e in edges for n in e}:
+        comp.setdefault(find(n), []).append(n)
+    expect = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            expect[n] = m
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in connected_components(ds).take_all()}
+    assert got == expect
+
+    chain = [(i, i + 1) for i in range(30)]
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in chain], pa.int64()),
+                "doc_b": pa.array([b for _, b in chain], pa.int64()),
+            }
+        )
+    )
+    got2 = {r["doc_id"]: r["cluster_rep"] for r in connected_components(ds2).take_all()}
+    assert got2 == {i: 0 for i in range(31)}
+
+
+def test_near_dup_clusters_consistent_with_pairs(ray_session):
+    """Cluster labels must be consistent with the pair graph: every pair's
+    two docs share a label, and each label is its cluster's min doc_id."""
+    import ray.data
+
+    from go_htmldate_ray.stages.dedup import minhash_lsh_pairs, near_dup_clusters
+    from go_htmldate_ray.sources.io import read_parquet_clean
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_parquet_clean(f"{sf}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs).take_all()
+    labels = near_dup_clusters(read_parquet_clean(f"{sf}/documents.parquet"))
+    lab = {r["doc_id"]: r["cluster_rep"] for r in labels.take_all()}
+    assert lab, "fixture has near-dup pairs, clusters must be non-empty"
+    for p in pairs:
+        assert lab[p["doc_a"]] == lab[p["doc_b"]], p
+    by_cluster = {}
+    for n, l in lab.items():
+        by_cluster.setdefault(l, []).append(n)
+    for rep, members in by_cluster.items():
+        assert rep == min(members)
