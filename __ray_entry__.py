@@ -37,7 +37,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from go_htmldate_ray.pipelines import analytics, extract_dates as ed
-    from go_htmldate_ray.stages import dedup, similarity, text_stage
+    from go_htmldate_ray.stages import dedup, sampling, similarity, text_stage
 
     def _docs(sf_dir):
         import ray.data
@@ -70,6 +70,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": lambda sf: _map(
             sf, text_stage.winnow_batch, ["doc_id", "text"]
         ),
+        # Deterministic samplers: keep decision = md5(seed:doc_id), a pure
+        # function the SQL oracle recomputes — rerunning a failed shard
+        # keeps the same rows (Dataset.random_sample would not).
+        "sample_documents": lambda sf: sampling.bernoulli_sample(
+            _docs(sf), rate=0.2, seed=7
+        ).select_columns(["doc_id", "lang"]),
+        "sample_stratified": lambda sf: sampling.stratified_sample(
+            _docs(sf),
+            strata_col="lang",
+            rates={"en": 0.5},
+            default_rate=0.1,
+            seed=7,
+        ).select_columns(["doc_id", "lang"]),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # hot_buckets="error": the SQL oracle enumerates every band
         # collision pair, so a fixture hot enough to trigger star-sampling
@@ -339,6 +352,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",
+        # md5(seed:doc_id) top-63-bit threshold — identical bytes to the
+        # engine's hashlib.md5(f"{seed}:{doc_id}") keep rule.
+        "sample_documents": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('7:' || doc_id), 1, 16))::UBIGINT >> 1
+                  < {int(0.2 * (1 << 63))}::UBIGINT""",
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('7:' || doc_id), 1, 16))::UBIGINT >> 1
+                  < CASE WHEN lang = 'en' THEN {int(0.5 * (1 << 63))}::UBIGINT
+                         ELSE {int(0.1 * (1 << 63))}::UBIGINT END""",
         "token_jaccard_pairs": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -484,19 +484,27 @@ def crawl(
     n_sh = seen.n_shards
 
     def check_new(batch: pa.Table) -> pa.Table:
-        hashes = batch.column("url_hash").to_pylist()
-        by_shard: dict[int, list[int]] = {}
-        pos: dict[int, list[int]] = {}
-        for i, h in enumerate(hashes):
-            s = h % n_sh
-            by_shard.setdefault(s, []).append(h)
-            pos.setdefault(s, []).append(i)
-        flags = [False] * len(hashes)
-        futs = {s: shard_handles[s].check_and_add.remote(hs) for s, hs in by_shard.items()}
-        for s, f in futs.items():
-            for i, is_new in zip(pos[s], ray.get(f)):
-                flags[i] = is_new
-        return batch.append_column("is_new", pa.array(flags, pa.bool_()))
+        """Seen-shard semi-join: shard-partition the batch's url_hashes
+        with one argsort (no per-row Python), one RPC per shard, flags
+        scattered back through the inverse permutation."""
+        import numpy as np
+
+        hashes = np.asarray(batch.column("url_hash"), dtype=np.int64)
+        shard = hashes % n_sh
+        order = np.argsort(shard, kind="stable")
+        sorted_hashes = hashes[order]
+        present, starts = np.unique(shard[order], return_index=True)
+        bounds = np.append(starts, len(hashes))
+        futs = [
+            shard_handles[int(s)].check_and_add.remote(
+                sorted_hashes[b0:b1].tolist()
+            )
+            for s, b0, b1 in zip(present, bounds[:-1], bounds[1:])
+        ]
+        flags = np.zeros(len(hashes), dtype=bool)
+        for f, b0, b1 in zip(ray.get(futs), bounds[:-1], bounds[1:]):
+            flags[order[b0:b1]] = f
+        return batch.append_column("is_new", pa.array(flags))
 
     stats = {"waves": 0, "fetched": 0, "robots_denied": 0, "dedup_dropped": 0}
     lineage: list[dict] = []

@@ -796,3 +796,38 @@ def test_near_dup_clusters_consistent_with_pairs(ray_session):
         by_cluster.setdefault(l, []).append(n)
     for rep, members in by_cluster.items():
         assert rep == min(members)
+
+
+def test_deterministic_samplers(ray_session):
+    """Samplers are pure functions of (id, seed): identical row sets on
+    rerun, disjoint-ish across seeds, rate roughly honoured, and
+    stratified rates actually differ per stratum."""
+    import ray.data
+
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.sampling import bernoulli_sample, stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+
+    def ids(ds):
+        return sorted(r["doc_id"] for r in ds.take_all())
+
+    docs = lambda: read_parquet_clean(f"{sf}/documents.parquet")
+    a = ids(bernoulli_sample(docs(), rate=0.3, seed=1))
+    b = ids(bernoulli_sample(docs(), rate=0.3, seed=1))
+    c = ids(bernoulli_sample(docs(), rate=0.3, seed=2))
+    assert a == b  # deterministic
+    assert a != c  # seed-sensitive
+    n_total = docs().count()
+    assert 0.15 * n_total < len(a) < 0.45 * n_total  # rate ±binomial noise
+
+    # rate=1 keeps everything, rate=0 keeps nothing
+    assert len(ids(bernoulli_sample(docs(), rate=1.0, seed=1))) == n_total
+    assert len(ids(bernoulli_sample(docs(), rate=0.0, seed=1))) == 0
+
+    strat = stratified_sample(
+        docs(), strata_col="lang", rates={"en": 1.0}, default_rate=0.0, seed=3
+    ).take_all()
+    assert strat and all(r["lang"] == "en" for r in strat)
+    n_en = sum(1 for r in docs().take_all() if r["lang"] == "en")
+    assert len(strat) == n_en  # rate-1.0 stratum kept exactly
