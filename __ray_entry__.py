@@ -70,6 +70,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": lambda sf: _map(
             sf, text_stage.winnow_batch, ["doc_id", "text"]
         ),
+        # Heavy-hitters vocabulary: per-batch partial counts (combiner) →
+        # one token-keyed Sum groupby → total-order top-k.
+        "vocab_top_tokens": lambda sf: text_stage.top_tokens(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["text"]), k=100
+        ),
         # Deterministic samplers: keep decision = md5(seed:doc_id), a pure
         # function the SQL oracle recomputes — rerunning a failed shard
         # keeps the same rows (Dataset.random_sample would not).
@@ -136,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (tests/golden_mismatches.json) — rows-only by necessity; the
         # byte-parity gate lives in tests/test_golden_corpus.py.
         "golden_corpus_dates_full": lambda sf: _golden_corpus_dates(sf, exclude_known=False),
+        # Exact distributed quantiles (histogram-refinement selection,
+        # no full sort) — percentile_disc semantics.
+        "value_quantiles": _value_quantiles,
         "windowed_events": _streaming("windowed_events"),
         "asof_latest_order": _streaming("asof_join_latest_order"),
         "sessionize_events": _streaming("sessionize_events"),
@@ -193,6 +201,28 @@ def _embedding_dup_pairs_lsh(sf_dir):
         embedding_dup_pairs_lsh(aug, threshold=0.9, hot_buckets="error"),
         {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
     )
+
+
+_QUANTILE_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def _value_quantiles(sf_dir):
+    from go_htmldate_ray.stages.quantiles import exact_quantiles
+
+    return exact_quantiles(
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"]),
+        "value",
+        _QUANTILE_QS,
+    )
+
+
+def _value_quantiles_sql() -> str:
+    parts = [
+        f"SELECT {q}::DOUBLE AS q, "
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY value) AS value FROM events"
+        for q in _QUANTILE_QS
+    ]
+    return "\nUNION ALL\n".join(parts)
 
 
 def _media_features(sf_dir):
@@ -344,6 +374,13 @@ def oracle_sql() -> dict[str, str]:
                                 ['the','and','of','to','in','is','that','for','with','a'],
                                 lower(w))))::DOUBLE / length(toks), 6) END AS stopword_ratio
             FROM t""",
+        "vocab_top_tokens": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents WHERE trim(text) != ''
+            )
+            SELECT token, count(*) AS n FROM toks
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""",
         "fingerprints": r"""
             SELECT doc_id,
                    substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16)
@@ -437,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id,
                    {_URL_SQL.replace('doc_id', 'id')} AS url
             FROM reach""",
+        "value_quantiles": _value_quantiles_sql(),
         "windowed_events": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS sum_value

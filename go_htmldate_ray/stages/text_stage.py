@@ -146,6 +146,43 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def top_tokens(ds, *, k: int = 100):
+    """documents → (token, n) top-k most frequent whitespace tokens — the
+    vocabulary/heavy-hitters build.  Canonical combiner shape: each batch
+    pre-aggregates its own token counts (a Counter per batch), so the
+    ``groupby(token)`` shuffle moves at most one row per distinct token
+    per block — Zipf-hot tokens like "the" arrive as n_blocks partial
+    sums, never as raw occurrences.  Ties break on token ascending."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counts.update((t or "").split())
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {"token": b.column("token"), "n": b.column("sum(n)")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # top-k: Ray sort is total-order; k rows land on the driver
+    return totals.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 # --- rolling-hash winnowing fingerprints -------------------------------------
 
 _ROLL_BASE = 257

@@ -831,3 +831,58 @@ def test_deterministic_samplers(ray_session):
     assert strat and all(r["lang"] == "en" for r in strat)
     n_en = sum(1 for r in docs().take_all() if r["lang"] == "en")
     assert len(strat) == n_en  # rate-1.0 stratum kept exactly
+
+
+def test_top_tokens_vs_counter(ray_session):
+    """Combiner + Sum-groupby + total-order top-k must equal a driver-side
+    Counter over the same corpus, including the (n DESC, token ASC)
+    tie-break."""
+    from collections import Counter
+
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.text_stage import top_tokens
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_parquet_clean(f"{sf}/documents.parquet", columns=["text"])
+    got = [(r["token"], r["n"]) for r in top_tokens(docs, k=20).take_all()]
+
+    counts = Counter()
+    for r in read_parquet_clean(f"{sf}/documents.parquet", columns=["text"]).take_all():
+        counts.update((r["text"] or "").split())
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+def test_exact_quantiles_vs_numpy(ray_session):
+    """Histogram-refinement selection must return the exact ceil(q*n)-rank
+    element — including under forced refinement (tiny bin_row_cap) and
+    massive duplicate pileups."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from go_htmldate_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.RandomState(13)
+    vals = np.concatenate(
+        [
+            rng.lognormal(3, 1, size=5000),        # skewed tail
+            np.full(2000, 7.125),                  # duplicate pileup
+            rng.uniform(-50, 0, size=3000),
+        ]
+    )
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
+    qs = [0.0, 0.1, 0.5, 0.62, 0.9, 0.999, 1.0]
+    got = exact_quantiles(ds, "value", qs, n_bins=64, bin_row_cap=500)
+    srt = np.sort(vals)
+    n = len(vals)
+    for q, v in zip(got["q"], got["value"]):
+        want = srt[max(1, math.ceil(q * n)) - 1]
+        assert v == want, (q, v, want)
+
+    # empty dataset → typed empty frame
+    empty = ray.data.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
+    out = exact_quantiles(empty, "value", [0.5])
+    assert len(out) == 0 and list(out.columns) == ["q", "value"]
