@@ -3,6 +3,7 @@
 Usage:
     python -m go_htmldate_ray extract FILE [--original] [--fast] [--time]
     python -m go_htmldate_ray pipeline SF_DIR OUT_DIR [--extensive]
+    python -m go_htmldate_ray dedup SF_DIR OUT_DIR [--mode exact|pairs|clusters]
     python -m go_htmldate_ray crawl SF_DIR [--budget N] [--max-waves N]
                                     [--checkpoint DIR] [--resume]
 
@@ -38,6 +39,16 @@ def main(argv=None) -> int:
     p_pipe.add_argument("out_dir")
     p_pipe.add_argument("--extensive", action="store_true")
     p_pipe.add_argument("--no-resume", action="store_true")
+
+    p_dedup = sub.add_parser("dedup", help="near-duplicate analysis over a documents table")
+    p_dedup.add_argument("sf_dir")
+    p_dedup.add_argument("out_dir")
+    p_dedup.add_argument(
+        "--mode", choices=["exact", "pairs", "clusters"], default="clusters",
+        help="exact = distinct-text groups; pairs = minhash near-dup pairs; "
+        "clusters = connected-component labels",
+    )
+    p_dedup.add_argument("--threshold", type=float, default=0.8)
 
     p_crawl = sub.add_parser("crawl", help="run the frontier crawl scheduler")
     p_crawl.add_argument("sf_dir")
@@ -86,6 +97,32 @@ def main(argv=None) -> int:
         ds = extract_dates(args.sf_dir, skip_extensive_search=not args.extensive)
         report = write_partitioned(ds, args.out_dir, resume=not args.no_resume)
         print(json.dumps(report))
+        return 0
+
+    if args.cmd == "dedup":
+        import pandas as pd
+        import ray.data
+
+        from .sources.io import read_parquet_clean
+        from .stages import dedup as dd
+
+        docs = read_parquet_clean(f"{args.sf_dir}/documents.parquet")
+        if args.mode == "exact":
+            out = dd.exact_dedup(docs)
+        elif args.mode == "pairs":
+            out = dd.minhash_lsh_pairs(docs, threshold=args.threshold)
+        else:
+            out = dd.near_dup_clusters(docs, threshold=args.threshold)
+        if isinstance(out, pd.DataFrame):  # typed-empty clusters result
+            out = ray.data.from_pandas(out)
+        out.write_parquet(args.out_dir)
+        import pyarrow.dataset as pads
+
+        print(json.dumps({
+            "mode": args.mode,
+            "rows": pads.dataset(args.out_dir, format="parquet").count_rows(),
+            "out": args.out_dir,
+        }))
         return 0
 
     if args.cmd == "crawl":

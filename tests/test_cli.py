@@ -55,3 +55,15 @@ def test_cli_extract_min_date_window():
     )
     # the 2016 date is outside the window -> some other/no date
     assert out.stdout.strip() != "2016-12-23"
+
+
+def test_cli_dedup_clusters(tmp_path, ray_session):
+    from go_htmldate_ray.__main__ import main
+
+    out = str(tmp_path / "clusters")
+    assert main(["dedup", "/root/testdata/sf0.001", out, "--mode", "clusters"]) == 0
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out, format="parquet").to_table()
+    assert t.num_rows > 0
+    assert set(t.column_names) == {"doc_id", "cluster_rep"}
