@@ -164,9 +164,13 @@ def _embeddings(sf_dir):
 def _typed_df(ds, dtypes: dict):
     """Materialise a small-by-semantics result to a typed DataFrame: Ray
     drops empty blocks, so an all-empty Dataset loses its schema and
-    would present zero columns to the comparator."""
+    would present zero columns to the comparator.  Operators that return
+    a typed-empty DataFrame directly (e.g. near_dup_clusters with no
+    pairs) pass through unchanged."""
     import pandas as pd
 
+    if isinstance(ds, pd.DataFrame):
+        return ds
     df = ds.to_pandas()
     if len(df.columns) == 0:
         df = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in dtypes.items()})

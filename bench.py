@@ -83,20 +83,24 @@ def repeated_pages(sf_dir: str, repeat: int):
     )
     n_docs = t.num_rows
     total = n_docs * repeat
-    texts = t.column("text").to_pylist()
-    langs = t.column("lang").to_pylist()
-    table_ref = ray.put((texts, langs))
+    # Broadcast as an Arrow table: the object store serves Arrow buffers
+    # zero-copy, so per-batch ray.get maps the corpus instead of
+    # unpickling a Python string list on every 256-row batch.
+    table_ref = ray.put(t.select(["text", "lang"]).combine_chunks())
 
     ids = ray.data.range(total, override_num_blocks=max(128, NUM_CPUS * 8))
 
     def synth(batch: pa.Table) -> pa.Table:
-        texts_l, langs_l = ray.get(table_ref)
-        ids_l = batch.column("id").to_pylist()
+        import numpy as np
+
+        corpus = ray.get(table_ref)
+        ids_np = np.asarray(batch.column("id"), dtype=np.int64)
+        idx = pa.array(ids_np % n_docs, pa.int64())
         docs = pa.table(
             {
-                "doc_id": pa.array(ids_l, pa.int64()),
-                "text": pa.array([texts_l[i % n_docs] for i in ids_l], pa.string()),
-                "lang": pa.array([langs_l[i % n_docs] for i in ids_l], pa.string()),
+                "doc_id": pa.array(ids_np, pa.int64()),
+                "text": corpus.column("text").take(idx),
+                "lang": corpus.column("lang").take(idx),
             }
         )
         return synthesize_pages_batch(docs, total)
@@ -115,17 +119,20 @@ def repeated_docs(sf_dir: str, repeat: int):
     t = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_docs = t.num_rows
     total = n_docs * repeat
-    texts_ref = ray.put(t.column("text").to_pylist())
+    # Arrow broadcast (zero-copy per-batch ray.get — see repeated_pages)
+    texts_ref = ray.put(t.column("text").combine_chunks())
 
     ids = ray.data.range(total, override_num_blocks=max(128, NUM_CPUS * 8))
 
     def synth(batch: pa.Table) -> pa.Table:
-        texts_l = ray.get(texts_ref)
-        ids_l = batch.column("id").to_pylist()
+        import numpy as np
+
+        texts = ray.get(texts_ref)
+        ids_np = np.asarray(batch.column("id"), dtype=np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids_l, pa.int64()),
-                "text": pa.array([texts_l[i % n_docs] for i in ids_l], pa.string()),
+                "doc_id": pa.array(ids_np, pa.int64()),
+                "text": texts.take(pa.array(ids_np % n_docs, pa.int64())),
             }
         )
 

@@ -264,18 +264,19 @@ LOCALE_MONTHS: dict[str, dict[str, int]] = {
 }
 
 # Month ABBREVIATIONS that are safe in the unrestricted merge: none of
-# these collide with a common word of another supported language, so the
-# global extensive-search bag may contain them.
+# these is an ordinary word of any supported language (checked against
+# en/de/fr/es/it/id at least), so the global extensive-search bag may
+# contain them without turning prose into false dates.
 _LOCALE_MONTH_ABBREVS_SAFE: dict[str, dict[str, int]] = {
     "es": {"ene": 1, "abr": 4, "dic": 12},
-    "it": {"gen": 1, "mag": 5, "giu": 6, "lug": 7, "ott": 10, "dic": 12},
-    "pt": {"fev": 2, "out": 10, "dez": 12},
+    "it": {"giu": 6, "ott": 10, "dic": 12},
+    "pt": {"fev": 2, "dez": 12},
     "pl": {
-        "sty": 1, "lut": 2, "kwi": 4, "maj": 5, "cze": 6, "lip": 7,
-        "sie": 8, "wrz": 9, "paź": 10, "gru": 12,
+        "lut": 2, "kwi": 4, "maj": 5, "cze": 6,
+        "wrz": 9, "paź": 10, "gru": 12,
     },
     "cs": {
-        "úno": 2, "bře": 3, "dub": 4, "kvě": 5, "čvn": 6, "čvc": 7,
+        "úno": 2, "bře": 3, "kvě": 5, "čvn": 6, "čvc": 7,
         "srp": 8, "zář": 9, "říj": 10,
     },
     "nl": {"mrt": 3},
@@ -286,17 +287,19 @@ _LOCALE_MONTH_ABBREVS_SAFE: dict[str, dict[str, int]] = {
     },
 }
 
-# Abbreviations that double as ordinary words elsewhere ("ago" en,
-# "set" en, "led" en, "pro" en, "des" fr, "noi"/"lis" it): consulted
-# ONLY when DateParserConfig.languages explicitly names the locale —
+# Abbreviations that double as ordinary words somewhere ("ago"/"set"/
+# "led"/"pro"/"sty"/"lip"/"dub"/"out"/"mag"/"gen"/"lug" en, "sie" de,
+# "des"/"lis" fr, "noi" it): consulted ONLY when
+# DateParserConfig.languages explicitly names the locale —
 # go-dateparser's shape, where locale data applies per declared
-# language, never as a global bag.
+# language, never as a global bag.  ("3 out of 2020" must NOT parse
+# as October; "of" is a skip word, so an unrestricted "out" would.)
 _LOCALE_MONTH_ABBREVS_RESTRICTED: dict[str, dict[str, int]] = {
     "es": {"ago": 8},
-    "it": {"ago": 8, "set": 9},
-    "pt": {"ago": 8, "set": 9},
-    "pl": {"lis": 11},
-    "cs": {"led": 1, "pro": 12},
+    "it": {"ago": 8, "set": 9, "gen": 1, "mag": 5, "lug": 7},
+    "pt": {"ago": 8, "set": 9, "out": 10},
+    "pl": {"lis": 11, "sty": 1, "lip": 7, "sie": 8},
+    "cs": {"led": 1, "pro": 12, "dub": 4},
     "no": {"des": 12},
     "da": {"des": 12},
     "ro": {"noi": 11},

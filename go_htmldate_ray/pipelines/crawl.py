@@ -4,13 +4,19 @@ counterpart; mandated by the north rule).
 The crawl runs as repeated **fetch waves** over a frontier Dataset:
 
     frontier_w (parquet)
-      → groupby(url_hash).map_groups(first)          # exact within-wave dedup
-      → map_batches(seen-shard check_and_add)        # semi-join vs actor pool
-      → map_batches(robots filter, broadcast rules)  # small-side lookup
-      → groupby(host).map_groups(politeness rank)    # per-host budget, shuffle key = host
-      → fetch_now / deferred split
+      → combiner + Min-aggregate on url_hash         # exact within-wave dedup
+      → map_batches(seen-shard `contains`)           # READ-ONLY semi-join
+      → map_batches(robots filter, cached rules)     # denied rows marked seen
+      → salted (host, salt) precut → host rank       # politeness, skew-split
+      → fetch_now (marked seen) / deferred split
       → fetch_now.map_batches(CrawlFetcher actors)   # fetch + date extract + link discovery
       → visited_w.parquet  +  frontier_{w+1} = deferred ∪ new links
+
+    Seen-set discipline: the frontier check is read-only; a URL becomes
+    "seen" only when it is actually handled (fetched, or permanently
+    robots-denied).  Politeness-DEFERRED rows stay unmarked, so they
+    re-enter the next wave's frontier and are eventually fetched — a
+    mark-on-sight check would silently starve every deferral.
 
 Every stage is a Dataset transform; the driver only sequences waves and
 checkpoints.  Politeness is **logical-time**: each host may fetch at most
@@ -186,18 +192,46 @@ class WaveStatsCounter:
         self.keyed = {}
 
 
+def _mark_seen(hashes, shard_handles, n_sh) -> None:
+    """Permanently add url_hashes to the sharded seen set (blocking;
+    idempotent under task retry — check_and_add re-adding is a no-op)."""
+    import numpy as np
+    import ray
+
+    h = np.asarray(hashes, dtype=np.int64)
+    if len(h) == 0:
+        return
+    shard = h % n_sh
+    order = np.argsort(shard, kind="stable")
+    hs = h[order]
+    present, starts = np.unique(shard[order], return_index=True)
+    bounds = np.append(starts, len(h))
+    ray.get(
+        [
+            shard_handles[int(s)].check_and_add.remote(hs[b0:b1].tolist())
+            for s, b0, b1 in zip(present, bounds[:-1], bounds[1:])
+        ]
+    )
+
+
 class RobotsFilterStage:
-    """Actor-pool stage: drops rows the seen-set semi-join marked stale
-    (``is_new == False``) and robots-disallowed rows.
+    """Actor-pool stage: drops rows the seen-set semi-join flagged as
+    already handled (``is_new == False``) and robots-disallowed rows.
 
     Rules are pulled from the shared :class:`RobotsCache` actor only for
     hosts this actor hasn't cached yet — the per-actor cache makes the
     robots lookup a small-side join without any driver-side host
-    collection.  Batch drop counts go to the wave stats counter."""
+    collection.  DENIED rows are permanently marked in the seen shards
+    (a robots verdict is deterministic — re-discovering the URL must not
+    re-run the check every wave); rows merely *deferred* by politeness
+    downstream stay unmarked so later waves fetch them.  Batch drop
+    counts go to the wave stats counter."""
 
-    def __init__(self, robots_handle, stats_handle):
+    def __init__(self, robots_handle, stats_handle, seen_handles, n_shards):
         self.robots = robots_handle
         self.stats = stats_handle
+        self.seen_handles = seen_handles
+        self.n_shards = n_shards
         self.cache: dict[str, list] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -213,7 +247,13 @@ class RobotsFilterStage:
         for url, host in zip(t.column("url").to_pylist(), hosts):
             path = url.split(host, 1)[-1] if host else "/"
             keep.append(allowed(path, self.cache.get(host, [])))
-        out = t.filter(pa.array(keep, pa.bool_()))
+        keep_arr = pa.array(keep, pa.bool_())
+        out = t.filter(keep_arr)
+        _mark_seen(
+            t.filter(pa.compute.invert(keep_arr)).column("url_hash").to_pylist(),
+            self.seen_handles,
+            self.n_shards,
+        )
         # Blocking on the counter keeps the post-materialize stats read
         # exact; the cost is one tiny RPC per multi-thousand-row batch,
         # negligible next to the robots matching above.  The report key is
@@ -452,17 +492,21 @@ def crawl(
         # URLs pass the seen check again (duplicate fetches).
         delta0 = os.path.join(checkpoint_dir, "seen_delta_0.json")
         legacy = os.path.join(checkpoint_dir, "seen.json")
-        if not os.path.exists(delta0):
+        legacy_loaded = False
+        if not os.path.exists(delta0) and os.path.exists(legacy):
             seen.load(json.loads(open(legacy).read()))
+            legacy_loaded = True
         for w in range(start_wave):
             dp = os.path.join(checkpoint_dir, f"seen_delta_{w}.json")
             if os.path.exists(dp):
                 seen.load_deltas(json.loads(open(dp).read()))
-            elif not os.path.exists(legacy):
-                # no legacy dump to cover this wave → the checkpoint is
-                # incomplete; fail loudly rather than re-fetch silently
+            elif not legacy_loaded:
+                # no LOADED legacy dump covering this wave (a stale
+                # seen.json merely lying next to a delta-0 checkpoint
+                # does not count) → the checkpoint is incomplete; fail
+                # loudly rather than re-fetch silently
                 raise FileNotFoundError(
-                    f"crawl checkpoint missing {dp} (and no legacy seen.json)"
+                    f"crawl checkpoint missing {dp} (and no legacy seen.json loaded)"
                 )
         ray.get(
             robots.load.remote(
@@ -484,9 +528,13 @@ def crawl(
     n_sh = seen.n_shards
 
     def check_new(batch: pa.Table) -> pa.Table:
-        """Seen-shard semi-join: shard-partition the batch's url_hashes
-        with one argsort (no per-row Python), one RPC per shard, flags
-        scattered back through the inverse permutation."""
+        """READ-ONLY seen-shard semi-join: shard-partition the batch's
+        url_hashes with one argsort (no per-row Python), one `contains`
+        RPC per shard, flags scattered back through the inverse
+        permutation.  Marking happens later and only for rows actually
+        handled (fetched or robots-denied) — a row politeness defers must
+        NOT be marked, or the next wave's check would drop it unfetched.
+        Read-only also makes this stage safe under lazy re-execution."""
         import numpy as np
 
         hashes = np.asarray(batch.column("url_hash"), dtype=np.int64)
@@ -496,15 +544,18 @@ def crawl(
         present, starts = np.unique(shard[order], return_index=True)
         bounds = np.append(starts, len(hashes))
         futs = [
-            shard_handles[int(s)].check_and_add.remote(
-                sorted_hashes[b0:b1].tolist()
-            )
+            shard_handles[int(s)].contains.remote(sorted_hashes[b0:b1].tolist())
             for s, b0, b1 in zip(present, bounds[:-1], bounds[1:])
         ]
         flags = np.zeros(len(hashes), dtype=bool)
         for f, b0, b1 in zip(ray.get(futs), bounds[:-1], bounds[1:]):
-            flags[order[b0:b1]] = f
+            flags[order[b0:b1]] = np.logical_not(f)
         return batch.append_column("is_new", pa.array(flags))
+
+    def mark_fetch_batch(batch: pa.Table) -> pa.Table:
+        """Mark rows about to be fetched as seen (idempotent on retry)."""
+        _mark_seen(batch.column("url_hash").to_pylist(), shard_handles, n_sh)
+        return batch
 
     stats = {"waves": 0, "fetched": 0, "robots_denied": 0, "dedup_dropped": 0}
     lineage: list[dict] = []
@@ -568,8 +619,11 @@ def crawl(
         stats["dedup_dropped"] += t.num_rows - len(keep)
         t = t.take(pa.array(keep, pa.int64()))
 
-        flags = seen.check_and_add(t.column("url_hash").to_pylist())
-        t = t.filter(pa.array(flags, pa.bool_()))
+        # READ-ONLY membership check; marking happens only for handled
+        # rows (denied / fetched) so politeness-deferred rows survive to
+        # the next wave instead of being dropped as "seen but unfetched".
+        flags = seen.contains(t.column("url_hash").to_pylist())
+        t = t.filter(pa.array([not f for f in flags], pa.bool_()))
 
         hosts = t.column("host").to_pylist()
         rules = ray.get(robots.get_rules.remote(sorted(set(hosts))))
@@ -578,7 +632,12 @@ def crawl(
             path = url.split(host, 1)[-1] if host else "/"
             keep_r.append(allowed(path, rules.get(host, [])))
         stats["robots_denied"] += keep_r.count(False)
-        t = t.filter(pa.array(keep_r, pa.bool_()))
+        keep_arr = pa.array(keep_r, pa.bool_())
+        # robots verdicts are permanent: mark denied rows seen
+        seen.check_and_add(
+            t.filter(pa.compute.invert(keep_arr)).column("url_hash").to_pylist()
+        )
+        t = t.filter(keep_arr)
 
         idx = pa.compute.sort_indices(
             t,
@@ -601,6 +660,8 @@ def crawl(
         defer_arr = pa.array(defer, pa.bool_())
         fetch_now = t.filter(pa.compute.invert(defer_arr))
         deferred_tbl = t.filter(defer_arr).drop_columns(["fetch_rank"])
+        # only rows actually fetched become "seen"
+        seen.check_and_add(fetch_now.column("url_hash").to_pylist())
         return local_fetch(fetch_now), [deferred_tbl.select(FRONTIER_SCHEMA.names)]
 
     # Anonymous per-crawl actor: stats are reset every wave, so there is
@@ -639,7 +700,12 @@ def crawl(
         checked = deduped.map_batches(check_new, batch_format="pyarrow")
         allowed_ds = checked.map_batches(
             RobotsFilterStage,
-            fn_constructor_kwargs={"robots_handle": robots, "stats_handle": wave_stats},
+            fn_constructor_kwargs={
+                "robots_handle": robots,
+                "stats_handle": wave_stats,
+                "seen_handles": shard_handles,
+                "n_shards": n_sh,
+            },
             batch_format="pyarrow",
             concurrency=(1, 4),
             num_cpus=0.5,
@@ -655,9 +721,10 @@ def crawl(
         # Politeness phase 1 — salted (host, salt) grouping bounds every
         # group to ~1/S of a hot host's frontier shard; each sub-group
         # keeps only its first `budget` rows as candidates.  This
-        # materialize is the wave's mandatory barrier: ``check_and_add``
-        # mutates the seen shards, so the flagged wave must execute
-        # exactly once before the candidate/overflow branches consume it.
+        # materialize is the wave's mandatory barrier: the robots stage
+        # upstream MUTATES the seen shards (denied-row marking), so the
+        # flagged wave must execute exactly once before the
+        # candidate/overflow branches consume it.
         pre = (
             allowed_ds.map_batches(add_salt, batch_format="pyarrow")
             .groupby(["host", "salt"])
@@ -703,6 +770,7 @@ def crawl(
 
         fetched = (
             ranked.map_batches(now_batch, batch_format="pyarrow")
+            .map_batches(mark_fetch_batch, batch_format="pyarrow")
             .map_batches(
                 CrawlFetcher,
                 fn_constructor_kwargs={"sf_dir": sf_dir, **(fetcher_kwargs or {})},

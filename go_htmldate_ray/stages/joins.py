@@ -287,8 +287,8 @@ def collision_pairs(
     groups would mean one Python callback per mostly-singleton key at
     corpus scale).  Collision runs are found with one lexsort +
     np.unique; only runs with ≥2 members — actual collisions, rare by
-    construction — are expanded, with the same PAIR_CAP star-sampling
-    contract as :func:`bucket_pair_candidates`."""
+    construction — are expanded, under the PAIR_CAP star-sampling /
+    strict-mode contract documented on :func:`_expand_ids`."""
     keys = np.asarray(group.column(key_col), dtype=np.int64)
     ids = np.asarray(group.column(id_col), dtype=np.int64)
     order = np.lexsort((ids, keys))

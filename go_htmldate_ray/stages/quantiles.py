@@ -85,12 +85,13 @@ def _collect_bins(ds, col: str, lo: float, hi: float, n_bins: int, wanted: set):
     return out
 
 
-def _select_rank(
+def _refine_rank(
     ds, col: str, rank: int, lo: float, hi: float, hist: np.ndarray,
     n_bins: int, bin_row_cap: int, depth: int = 0,
 ) -> float:
     """Element at 1-based ``rank`` of the values in [lo, hi] whose
-    histogram over that range is ``hist``."""
+    histogram over that range is ``hist`` — the recursive path for bins
+    over ``bin_row_cap`` (heavy skew)."""
     cum = np.cumsum(hist)
     b = int(np.searchsorted(cum, rank))
     rank_in_bin = rank - (int(cum[b - 1]) if b else 0)
@@ -102,8 +103,6 @@ def _select_rank(
         vals = np.asarray(vals)
         return float(np.partition(vals, rank_in_bin - 1)[rank_in_bin - 1])
     # refine: restrict to the bin (by the SAME bin arithmetic) and recurse
-    import pyarrow.compute as pc
-
     def only_bin(batch: pa.Table) -> pa.Table:
         vals = np.asarray(batch.column(col), dtype=np.float64)
         keep = _bin_index(vals, lo, hi, n_bins) == b
@@ -111,7 +110,7 @@ def _select_rank(
 
     sub = ds.map_batches(only_bin, batch_format="pyarrow")
     sub_hist = _histogram(sub, col, blo, bhi, n_bins)
-    return _select_rank(
+    return _refine_rank(
         sub, col, rank_in_bin, blo, bhi, sub_hist, n_bins, bin_row_cap, depth + 1
     )
 
@@ -130,7 +129,14 @@ def exact_quantiles(
     import pandas as pd
     from ray.data.aggregate import Max, Min
 
-    proj = ds.select_columns([col])
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+
+    # Materialize the single-column projection once: count, min/max,
+    # histogram and collect are all scans over it, and an unmaterialized
+    # projection would re-read the source per pass.
+    proj = ds.select_columns([col]).materialize()
     n = proj.count()
     if n == 0:
         return pd.DataFrame(
@@ -140,17 +146,22 @@ def exact_quantiles(
     lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
     hist = _histogram(proj, col, lo, hi, n_bins)
 
+    # ranks → bins; all light bins are collected in ONE pass, heavy bins
+    # (over bin_row_cap) go through recursive refinement individually
+    cum = np.cumsum(hist)
+    rank_of = {q: max(1, math.ceil(q * n)) for q in qs}
+    bin_of = {q: int(np.searchsorted(cum, r)) for q, r in rank_of.items()}
+    light = {b for b in bin_of.values() if hist[b] <= bin_row_cap}
+    collected = _collect_bins(proj, col, lo, hi, n_bins, light) if light else {}
+
     out = []
     for q in qs:
-        if not 0.0 <= q <= 1.0:
-            raise ValueError(f"quantile must be in [0, 1], got {q}")
-        rank = max(1, math.ceil(q * n))
-        out.append(
-            {
-                "q": q,
-                "value": _select_rank(
-                    proj, col, rank, lo, hi, hist, n_bins, bin_row_cap
-                ),
-            }
-        )
+        rank, b = rank_of[q], bin_of[q]
+        if b in collected:
+            rank_in_bin = rank - (int(cum[b - 1]) if b else 0)
+            vals = np.asarray(collected[b])
+            value = float(np.partition(vals, rank_in_bin - 1)[rank_in_bin - 1])
+        else:
+            value = _refine_rank(proj, col, rank, lo, hi, hist, n_bins, bin_row_cap)
+        out.append({"q": q, "value": value})
     return pd.DataFrame(out)

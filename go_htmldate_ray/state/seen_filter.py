@@ -112,6 +112,13 @@ class SeenSet:
 
     def check_and_add(self, hashes: list[int]) -> list[bool]:
         """Batch membership-test-and-insert, preserving input order."""
+        return self._sharded_call("check_and_add", hashes)
+
+    def contains(self, hashes: list[int]) -> list[bool]:
+        """Read-only batch membership test, preserving input order."""
+        return self._sharded_call("contains", hashes)
+
+    def _sharded_call(self, method: str, hashes: list[int]) -> list[bool]:
         by_shard: dict[int, list[int]] = {}
         positions: dict[int, list[int]] = {}
         for pos, h in enumerate(hashes):
@@ -119,12 +126,13 @@ class SeenSet:
             by_shard.setdefault(s, []).append(h)
             positions.setdefault(s, []).append(pos)
         futures = {
-            s: self.shards[s].check_and_add.remote(hs) for s, hs in by_shard.items()
+            s: getattr(self.shards[s], method).remote(hs)
+            for s, hs in by_shard.items()
         }
         out = [False] * len(hashes)
         for s, fut in futures.items():
-            for pos, is_new in zip(positions[s], ray.get(fut)):
-                out[pos] = is_new
+            for pos, flag in zip(positions[s], ray.get(fut)):
+                out[pos] = flag
         return out
 
     def dump(self) -> list[list[int]]:

@@ -323,3 +323,19 @@ def test_wave_stats_counter_retry_idempotent(ray_session):
     ray.get(c.reset.remote())
     assert ray.get(c.get.remote()) == {}
     ray.kill(c)
+
+
+def test_politeness_deferred_urls_eventually_fetched():
+    """Regression: a tight politeness budget must only DELAY fetches,
+    never drop them — deferred rows stay unmarked in the seen set and
+    re-enter later waves, so the converged visited set is
+    budget-independent (both wave paths)."""
+    wide_rows, _ = _run(politeness_budget=1000, max_waves=64)
+    want = sorted(r["url"] for r in wide_rows)
+
+    tight_rows, tight_stats = _run(politeness_budget=1, max_waves=64)
+    assert sorted(r["url"] for r in tight_rows) == want
+    assert tight_stats["waves"] > 6  # the budget actually throttled
+
+    ds_rows, _ = _run(politeness_budget=1, max_waves=64, small_wave_threshold=0)
+    assert sorted(r["url"] for r in ds_rows) == want

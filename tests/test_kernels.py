@@ -301,17 +301,24 @@ def test_date_parser_config_locales():
         assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
 
     # abbreviations that double as ordinary words ("ago", "set", "led",
-    # "pro", "des") apply ONLY under an explicit language restriction —
-    # "2 hours ago 2020"-style English text must never parse as August
+    # "pro", "out", "gen", "sie", "des", …) apply ONLY under an explicit
+    # language restriction — "2 hours ago 2020" / "3 out of 2020" /
+    # "Gen 5 2020"-style text must never parse as a date unrestricted
     assert lenient_absolute_parse("3 ago 2020") is None
     assert lenient_absolute_parse("2 set 2019") is None
+    assert lenient_absolute_parse("3 out of 2020") is None
+    assert lenient_absolute_parse("gen 5 2020") is None
+    assert lenient_absolute_parse("lip 5 2020") is None
     for s, langs, ymd in [
         ("3 ago 2020", ["pt"], (2020, 8, 3)),
         ("2 set 2019", ["it"], (2019, 9, 2)),
+        ("3 out 2020", ["pt"], (2020, 10, 3)),
+        ("7 gen 2021", ["it"], (2021, 1, 7)),
         ("15 led 2021", ["cs"], (2021, 1, 15)),
         ("8 pro 2020", ["cs"], (2020, 12, 8)),
         ("4 des 2018", ["no"], (2018, 12, 4)),
         ("30 noi 2021", ["ro"], (2021, 11, 30)),
+        ("12 sie 2020", ["pl"], (2020, 8, 12)),
     ]:
         dt = lenient_absolute_parse(s, DateParserConfig(languages=langs))
         assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
