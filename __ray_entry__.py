@@ -37,7 +37,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from go_htmldate_ray.pipelines import analytics, extract_dates as ed
-    from go_htmldate_ray.stages import dedup, sampling, similarity, text_stage
+    from go_htmldate_ray.stages import cleaning, dedup, sampling, similarity, text_stage
 
     def _docs(sf_dir):
         import ray.data
@@ -69,6 +69,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lambda sf: _map(sf, text_stage.lang_id_batch, ["doc_id", "text"]),
         "winnow_fingerprints": lambda sf: _map(
             sf, text_stage.winnow_batch, ["doc_id", "text"]
+        ),
+        # Gopher-style repetition signals (duplicate-bigram fraction and
+        # most-frequent-bigram coverage).
+        "repetition_scores": lambda sf: _map(
+            sf, text_stage.repetition_batch, ["doc_id", "text"]
+        ),
+        # Corpus composition: per-language doc/token totals via per-batch
+        # partial rows (n_langs x n_blocks rows through the groupby).
+        "lang_doc_stats": lambda sf: text_stage.lang_doc_stats(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["lang", "text"])
+        ),
+        # tf-idf top-terms: doc-term tf rows -> df groupby -> bucketed
+        # distributed join -> per-bucket vectorized top-k.
+        "tfidf_top_terms": lambda sf: text_stage.tfidf_top_terms(_docs(sf), k=3),
+        # CCNet-style passage-level exact dedup (keep globally-first
+        # occurrence; chunk mode because the fixture has no newlines).
+        "paragraph_dedup": lambda sf: cleaning.paragraph_dedup_stats(
+            _docs(sf), mode="chunk", chunk_tokens=10
+        ),
+        # PII scrub over fixture text augmented with planted PII (every
+        # 5th doc) so the oracle exercises the positive side too.
+        "pii_redaction": _pii_redaction,
+        # Benchmark-leak check: 5-gram overlap vs the broadcast blocklist
+        # built from docs 0..19.
+        "decontaminate": lambda sf: cleaning.decontaminate(
+            _docs(sf), blocklist_max_id=20, n=5
+        ),
+        # Train/val/test split labels, deterministic in (seed, doc_id).
+        "dataset_split": lambda sf: sampling.dataset_split(
+            _docs(sf).select_columns(["doc_id", "lang"]), seed=11
         ),
         # Heavy-hitters vocabulary: per-batch partial counts (combiner) →
         # one token-keyed Sum groupby → total-order top-k.
@@ -127,6 +157,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(
             _embeddings(sf), threshold=0.4
+        ),
+        # Spherical k-means: deterministic sample init + 2 distributed
+        # Lloyd iterations (partial sums per batch, K-row driver combine,
+        # centroids rounded to a fixed grid); the oracle replays the
+        # iterations in SQL from the literal init centroids.
+        "kmeans_clusters": lambda sf: similarity.kmeans_assign(
+            _embeddings(sf), n_clusters=8, refine_iters=2
         ),
         # Banded-LSH near-dup pairs over the fixture AUGMENTED with three
         # planted exact duplicates (vec 0..2 copied to vec_id+10^7): the
@@ -204,6 +241,37 @@ def _embedding_dup_pairs_lsh(sf_dir):
     return _typed_df(
         embedding_dup_pairs_lsh(aug, threshold=0.9, hot_buckets="error"),
         {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
+    )
+
+
+def _pii_redaction(sf_dir):
+    """Plant deterministic PII (email + phone + IPv4) on every 5th doc —
+    the same augmentation the oracle SQL applies — then run the
+    vectorized redaction stage."""
+    import pyarrow as pa
+
+    from go_htmldate_ray.stages.cleaning import pii_redact_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        out = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            t = t or ""
+            if d % 5 == 0:
+                t = (
+                    f"{t} contact user{d}@mail.example.com or "
+                    f"+1 555 010{d % 10} from 10.0.{d % 256}.1"
+                )
+            out.append(t)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())}
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        pii_redact_batch, batch_format="pyarrow"
     )
 
 
@@ -536,6 +604,119 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
+        "repetition_scores": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       CASE WHEN length(ts) < 2 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, length(ts)),
+                                                i -> ts[i] || ' ' || ts[i+1])
+                       END AS bg
+                FROM t
+            ),
+            agg AS (
+                SELECT doc_id, length(bg)::BIGINT AS n_bigrams,
+                       length(list_distinct(bg)) AS n_uniq
+                FROM b
+            ),
+            tops AS (
+                SELECT doc_id, max(c) AS maxc FROM (
+                    SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, unnest(bg) AS g FROM b)
+                    GROUP BY doc_id, g
+                ) GROUP BY doc_id
+            )
+            SELECT a.doc_id, a.n_bigrams,
+                   CASE WHEN a.n_bigrams = 0 THEN 0.0
+                        ELSE round(1.0 - a.n_uniq::DOUBLE / a.n_bigrams, 6)
+                   END AS dup_bigram_frac,
+                   coalesce(round(tops.maxc::DOUBLE / a.n_bigrams, 6), 0.0)
+                       AS top_bigram_frac
+            FROM agg a LEFT JOIN tops USING (doc_id)""",
+        "lang_doc_stats": r"""
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_tok)::BIGINT AS total_tokens,
+                   round(sum(n_tok)::DOUBLE / count(*), 6) AS avg_tokens
+            FROM (
+                SELECT lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                       END AS n_tok
+                FROM documents
+            ) GROUP BY lang""",
+        "tfidf_top_terms": r"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+                    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                    FROM documents WHERE trim(text) != ''
+                ) GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            ranked AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf::DOUBLE / df.df DESC, tf.term ASC
+                       ) AS rank
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf, df, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 3""",
+        "paragraph_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+                FROM documents WHERE trim(text) != ''
+            ),
+            paras AS (
+                SELECT doc_id, unnest(range(1, length(ts) + 1, 10)) AS i, ts
+                FROM toks
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(array_to_string(ts[i:i+9], ' ')), 1, 16))::UBIGINT >> 1 AS h,
+                       doc_id * 1048576 + (i - 1) // 10 AS packed
+                FROM paras
+            ),
+            marked AS (
+                SELECT doc_id,
+                       CASE WHEN packed = min(packed) OVER (PARTITION BY h)
+                            THEN 0 ELSE 1 END AS dup
+                FROM hashed
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_paras, sum(dup)::BIGINT AS n_dup_paras
+            FROM marked GROUP BY doc_id""",
+        "pii_redaction": _pii_sql(),
+        "decontaminate": r"""
+            WITH g AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN length(ts) < 5 THEN [array_to_string(ts, ' ')]
+                         ELSE list_transform(range(1, length(ts) - 3),
+                                             i -> array_to_string(ts[i:i+4], ' '))
+                    END) AS gs
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+                      FROM documents WHERE trim(text) != '')
+            ),
+            bl AS (
+                SELECT list_distinct(flatten(list(gs))) AS gl FROM g WHERE doc_id < 20
+            )
+            SELECT d.doc_id,
+                   coalesce(length(list_intersect(g.gs, bl.gl)), 0)::BIGINT AS n_hits,
+                   coalesce(length(list_intersect(g.gs, bl.gl)) > 0, false) AS contaminated
+            FROM documents d LEFT JOIN g USING (doc_id) CROSS JOIN bl""",
+        "dataset_split": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN h < {int(0.8 * (1 << 63))}::UBIGINT THEN 'train'
+                        WHEN h < {int(0.9 * (1 << 63))}::UBIGINT THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         ('0x' || substr(md5('11:' || doc_id), 1, 16))::UBIGINT >> 1 AS h
+                  FROM documents)""",
+        "kmeans_clusters": _kmeans_sql(),
         "lang_id": _lang_id_sql(),
         "simhash": _SIMHASH_SQL,
         "winnow_fingerprints": _winnow_sql(),
@@ -906,6 +1087,94 @@ def _media_features_sql(n: int = 8) -> str:
         for i in range(n)
     )
     return f"SELECT doc_id AS media_id, {cols} FROM documents"
+
+
+def _pii_sql() -> str:
+    # Same plant + sequential redact order as _pii_redaction /
+    # stages/cleaning._PII_PATTERNS: email, phone, IPv4 — patterns chosen
+    # to parse identically under Python re and DuckDB's RE2.
+    from go_htmldate_ray.stages.cleaning import _PII_PATTERNS
+
+    (em, _), (ph, _), (ip, _) = _PII_PATTERNS
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id ||
+              '@mail.example.com or +1 555 010' || (doc_id % 10) ||
+              ' from 10.0.' || (doc_id % 256) || '.1'
+              ELSE text END AS t
+  FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{em}')) AS c1,
+              regexp_replace(t, '{em}', '<EMAIL>', 'g') AS t FROM aug),
+s2 AS (SELECT doc_id, c1, len(regexp_extract_all(t, '{ph}')) AS c2,
+              regexp_replace(t, '{ph}', '<PHONE>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, c1, c2, len(regexp_extract_all(t, '{ip}')) AS c3,
+              regexp_replace(t, '{ip}', '<IP>', 'g') AS t FROM s2)
+SELECT doc_id, (c1 + c2 + c3)::BIGINT AS n_redacted,
+       substr(md5(t), 1, 16) AS redacted_fp
+FROM s3"""
+
+
+def _kmeans_sql(
+    n_clusters: int = 8, refine_iters: int = 2, round_decimals: int = 6
+) -> str:
+    # Full SQL replay of stages/similarity.kmeans_assign: literal init
+    # centroids (the deterministic bounded-sample k-means — the IVF
+    # shared-constant pattern), then each distributed Lloyd iteration
+    # re-derived as CTEs: argmax-dot assignment (ties -> lowest cid),
+    # per-cell per-dim mean of unit vectors, renormalize, round to the
+    # same fixed decimal grid; empty cells keep the previous centroid.
+    import numpy as np
+
+    from go_htmldate_ray.stages.similarity import kmeans_centroids
+
+    cents = np.round(
+        kmeans_centroids(_fixture_embedding_matrix(max_vec_id=2048), n_clusters),
+        round_decimals,
+    )
+    dim = cents.shape[1]
+    rows0 = ", ".join(
+        f"({c}, [{','.join(repr(float(x)) for x in cents[c])}]::DOUBLE[])"
+        for c in range(len(cents))
+    )
+    sql = f"""
+WITH dims AS (SELECT unnest(range({dim})) AS i),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+nrm AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN 1.0
+              ELSE sqrt(list_inner_product(e, e)) END AS nrm
+  FROM vecs),
+cents0(cid, cv) AS (VALUES {rows0})"""
+    for t in range(refine_iters):
+        sql += f""",
+ip{t} AS (SELECT v.vec_id, c.cid, list_inner_product(v.e, c.cv) AS s
+          FROM vecs v, cents{t} c),
+a{t} AS (SELECT vec_id, cid AS cell FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+           FROM ip{t}) WHERE rn = 1),
+m{t} AS (
+  SELECT a.cell, d.i, sum(v.e[d.i + 1] / n.nrm) / count(*) AS mv
+  FROM a{t} a JOIN vecs v USING (vec_id) JOIN nrm n USING (vec_id), dims d
+  GROUP BY a.cell, d.i),
+nn{t} AS (SELECT cell, sqrt(sum(mv * mv)) AS cn FROM m{t} GROUP BY cell),
+fresh{t}(cid, cv) AS (
+  SELECT m.cell, list(round(m.mv / n.cn, {round_decimals}) ORDER BY m.i)
+  FROM m{t} m JOIN nn{t} n USING (cell) WHERE n.cn > 0 GROUP BY m.cell),
+cents{t + 1}(cid, cv) AS (
+  SELECT p.cid, coalesce(f.cv, p.cv)
+  FROM cents{t} p LEFT JOIN fresh{t} f ON f.cid = p.cid)"""
+    return (
+        sql
+        + f""",
+ipf AS (SELECT v.vec_id, c.cid, list_inner_product(v.e, c.cv) AS s
+        FROM vecs v, cents{refine_iters} c)
+SELECT vec_id, cid::BIGINT AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+  FROM ipf) WHERE rn = 1"""
+    )
 
 
 def _golden_corpus_sql() -> str:

@@ -65,3 +65,27 @@ def stratified_sample(
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def dataset_split(
+    ds,
+    *,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    seed: int = 11,
+    id_col: str = "doc_id",
+):
+    """Assign every row a deterministic train/val/test split label
+    (train = ``fractions[0]``, val = ``fractions[1]``, test = the rest).
+    Same md5(seed:id) uniform draw as the samplers: reproducible across
+    reruns and shard retries, no shuffle, streams batch-by-batch."""
+    t_train = int(fractions[0] * _HALF_RANGE)
+    t_val = int((fractions[0] + fractions[1]) * _HALF_RANGE)
+
+    def f(batch: pa.Table) -> pa.Table:
+        labels = []
+        for i in batch.column(id_col).to_pylist():
+            u = _keep_hash(seed, i)
+            labels.append("train" if u < t_train else "val" if u < t_val else "test")
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -624,3 +624,94 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pyarrow"
     )
+
+
+# --- distributed k-means ------------------------------------------------------
+
+
+def _lloyd_step(ds, cents: np.ndarray, round_decimals: int) -> np.ndarray:
+    """One distributed Lloyd iteration: per-batch partial (cell, count,
+    vector-sum) rows — K x n_blocks tiny rows to the driver, never the
+    vectors — combined into mean -> renormalize -> round.  Rounding to a
+    fixed decimal grid makes the refined centroids reproducible across
+    summation orders (engine block order vs the SQL oracle's scan order).
+    Empty cells keep their previous centroid."""
+    import ray
+
+    k, dim = cents.shape
+    cent_ref = ray.put(cents)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _list_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        assign = (unit @ c.T).argmax(axis=1)
+        cells, counts, sums = [], [], []
+        for cell in np.unique(assign):
+            members = unit[assign == cell]
+            cells.append(int(cell))
+            counts.append(len(members))
+            sums.append(members.sum(axis=0).tobytes())
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "cnt": pa.array(counts, pa.int64()),
+                "vsum": pa.array(sums, pa.binary()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    new = cents.copy()
+    acc = np.zeros((k, dim), dtype=np.float64)
+    n = np.zeros(k, dtype=np.int64)
+    for r in sorted(rows, key=lambda r: r["cell"]):
+        acc[r["cell"]] += np.frombuffer(r["vsum"], dtype=np.float64)
+        n[r["cell"]] += r["cnt"]
+    for c in range(k):
+        if n[c]:
+            v = acc[c] / n[c]
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                new[c] = v / nv
+    return np.round(new, round_decimals)
+
+
+def kmeans_assign(
+    ds,
+    *,
+    n_clusters: int = 8,
+    refine_iters: int = 2,
+    sample_rows: int = 2048,
+    round_decimals: int = 6,
+):
+    """embeddings → (vec_id, cluster): spherical k-means over the full
+    dataset.  Init = the deterministic bounded-sample centroids (the IVF
+    shared-constant pattern), then ``refine_iters`` distributed Lloyd
+    iterations (:func:`_lloyd_step` — partial sums per batch, a K-row
+    combine on the driver, full data never materialized), then one
+    assignment pass.  Assignment is argmax centroid dot product (ties →
+    lowest cluster id), norm-invariant, so the SQL oracle can replay
+    every iteration from the literal init centroids."""
+    import ray
+
+    cents = np.round(_ivf_centroids(ds, n_clusters, sample_rows), round_decimals)
+    for _ in range(refine_iters):
+        cents = _lloyd_step(ds, cents, round_decimals)
+    cent_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _list_matrix(batch.column("embedding"))
+        cells = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(cells, pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )

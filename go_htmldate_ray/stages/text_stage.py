@@ -267,3 +267,211 @@ def winnow_batch(batch: pa.Table, k: int = 8, window: int = 4) -> pa.Table:
             "min_fingerprint": pa.array(mins, pa.int64()),
         }
     )
+
+
+# --- repetition / per-language stats / tf-idf --------------------------------
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_bigrams, dup_bigram_frac, top_bigram_frac — Gopher-style
+    repetition signals (Rae et al. 2021): the fraction of token bigrams
+    that are repeats of an earlier bigram, and the fraction covered by
+    the single most frequent bigram.  High values flag boilerplate and
+    keyword-stuffed pages."""
+    from collections import Counter
+
+    texts = batch.column("text").to_pylist()
+    n_bg, dup_fr, top_fr = [], [], []
+    for t in texts:
+        toks = (t or "").split()
+        total = max(len(toks) - 1, 0)
+        n_bg.append(total)
+        if total == 0:
+            dup_fr.append(0.0)
+            top_fr.append(0.0)
+            continue
+        counts = Counter(zip(toks, toks[1:]))
+        dup_fr.append(round(1.0 - len(counts) / total, 6))
+        top_fr.append(round(max(counts.values()) / total, 6))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bigrams": pa.array(n_bg, pa.int64()),
+            "dup_bigram_frac": pa.array(dup_fr, pa.float64()),
+            "top_bigram_frac": pa.array(top_fr, pa.float64()),
+        }
+    )
+
+
+def lang_doc_stats(ds):
+    """documents → (lang, n_docs, total_tokens, avg_tokens) — the corpus
+    composition report.  Combiner shape: each batch emits one partial
+    row per language, the groupby moves n_languages × n_blocks rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+
+        n: dict = defaultdict(int)
+        tok: dict = defaultdict(int)
+        for lang, t in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            n[lang] += 1
+            tok[lang] += len((t or "").split())
+        langs = sorted(n)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n": pa.array([n[l] for l in langs], pa.int64()),
+                "tok": pa.array([tok[l] for l in langs], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n"), Sum("tok"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "n_docs": b.column("sum(n)").cast(pa.int64()),
+                    "total_tokens": b.column("sum(tok)").cast(pa.int64()),
+                    "avg_tokens": pa.array(
+                        [
+                            round(t / n, 6)
+                            for t, n in zip(
+                                b.column("sum(tok)").to_pylist(),
+                                b.column("sum(n)").to_pylist(),
+                            )
+                        ],
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def doc_term_freqs(ds):
+    """documents → (doc_id, term, tf) — one row per distinct doc-term."""
+    from collections import Counter
+
+    def rows(batch: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for term, tf in Counter((t or "").split()).items():
+                doc_ids.append(d)
+                terms.append(term)
+                tfs.append(tf)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        rows, batch_format="pyarrow"
+    )
+
+
+def tfidf_top_terms(ds, *, k: int = 3, n_buckets: int = 64):
+    """documents → (doc_id, term, tf, df, rank): each document's top-k
+    most distinctive terms, ranked by tf/df descending (term ascending on
+    ties) — a tf-idf ranking whose score order is exactly reproducible
+    (one IEEE division; no library-dependent log).
+
+    Plan (all light rows): doc-term tf rows → ``groupby(term).Count()``
+    document frequencies → bucketed distributed hash_join on the 63-bit
+    term hash (term strings carried through to disarm hash collisions) →
+    per-bucket vectorized top-k (lexsort + run-boundary ranks; one group
+    per *hash bucket*, never per doc)."""
+    from ray.data.aggregate import Count
+
+    from .cleaning import _hash63
+    from .joins import hash_join, _bucket_of
+
+    rows = doc_term_freqs(ds)
+
+    def add_th(batch: pa.Table, term_col: str) -> pa.Table:
+        th = pa.array(
+            [_hash63(t) for t in batch.column(term_col).to_pylist()], pa.int64()
+        )
+        return batch.append_column("th", th)
+
+    df = (
+        rows.groupby("term")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: add_th(
+                pa.table(
+                    {
+                        "term_r": b.column("term"),
+                        "df": b.column("count()").cast(pa.int64()),
+                    }
+                ),
+                "term_r",
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    tagged = rows.map_batches(lambda b: add_th(b, "term"), batch_format="pyarrow")
+    joined = hash_join(tagged, df, on="th").map_batches(
+        # th collisions would cross-match distinct terms: keep exact matches
+        lambda b: b.filter(
+            pc.equal(b.column("term"), b.column("term_r"))
+        ).select(["doc_id", "term", "tf", "df"]),
+        batch_format="pyarrow",
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bkt", _bucket_of(batch.column("doc_id"), n_buckets)
+        )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+
+    def rank_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        d = np.asarray(group.column("doc_id"), dtype=np.int64)
+        tf = np.asarray(group.column("tf"), dtype=np.int64)
+        dfv = np.asarray(group.column("df"), dtype=np.int64)
+        terms = np.asarray(group.column("term").to_pylist())
+        score = tf / dfv  # IEEE-exact, same division the oracle runs
+        order = np.lexsort((terms, -score, d))
+        d_s = d[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        counts = np.diff(np.r_[starts, len(d_s)])
+        pos = np.arange(len(d_s)) - np.repeat(starts, counts)
+        keep = pos < k
+        idx = pa.array(order[keep], pa.int64())
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id").take(idx),
+                "term": group.column("term").take(idx),
+                "tf": group.column("tf").take(idx),
+                "df": group.column("df").take(idx),
+                "rank": pa.array(pos[keep] + 1, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(rank_topk, batch_format="pyarrow")
+    )

@@ -1,0 +1,235 @@
+"""Tests for the corpus-hygiene / corpus-analysis operators added in
+round 3: passage dedup, PII redaction, decontamination, repetition
+scores, tf-idf top terms, distributed k-means, dataset split, and
+per-language stats."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_split_paragraphs_modes():
+    from go_htmldate_ray.stages.cleaning import split_paragraphs
+
+    assert split_paragraphs("a b\n\nc d\n \ne", mode="newline") == ["a b", "c d", "e"]
+    toks = " ".join(str(i) for i in range(23))
+    chunks = split_paragraphs(toks, mode="chunk", chunk_tokens=10)
+    assert len(chunks) == 3
+    assert chunks[0].split() == [str(i) for i in range(10)]
+    assert chunks[2].split() == ["20", "21", "22"]
+    assert split_paragraphs("", mode="chunk") == []
+    with pytest.raises(ValueError):
+        split_paragraphs("x", mode="nope")
+
+
+def test_paragraph_dedup_keeps_first_occurrence(ray_session):
+    from go_htmldate_ray.stages.cleaning import paragraph_dedup_stats
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"x{i}" for i in range(10))
+    # doc 0: shared + other; doc 1: shared (dup of doc 0's first chunk);
+    # doc 2: other twice (second is a dup of doc 0's and its own)
+    ds = _docs_ds(
+        [
+            (0, f"{shared} {other}"),
+            (1, shared),
+            (2, f"{other} {other}"),
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_dup_paras"])
+        for r in paragraph_dedup_stats(ds, mode="chunk", chunk_tokens=10).take_all()
+    }
+    assert got == {0: (2, 0), 1: (1, 1), 2: (2, 2)}
+
+
+def test_paragraph_dedup_newline_mode(ray_session):
+    from go_htmldate_ray.stages.cleaning import paragraph_dedup_stats
+
+    ds = _docs_ds(
+        [
+            (0, "alpha beta\n\ngamma delta"),
+            (1, "gamma delta\n\nunique here"),
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_dup_paras"])
+        for r in paragraph_dedup_stats(ds, mode="newline").take_all()
+    }
+    assert got == {0: (2, 0), 1: (2, 1)}
+
+
+def test_pii_redact_batch_counts_and_scrubs():
+    from go_htmldate_ray.stages.cleaning import pii_redact_batch
+    import hashlib
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail bob@x.org and carol@y.example.net now",
+                    "call +1 555 0100 at 192.168.1.1",
+                    "clean text only",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = pii_redact_batch(batch)
+    assert out.column("n_redacted").to_pylist() == [2, 2, 0]
+    expected = hashlib.md5(b"mail <EMAIL> and <EMAIL> now").hexdigest()[:16]
+    assert out.column("redacted_fp").to_pylist()[0] == expected
+    clean = hashlib.md5(b"clean text only").hexdigest()[:16]
+    assert out.column("redacted_fp").to_pylist()[2] == clean
+
+
+def test_decontaminate_flags_ngram_overlap(ray_session):
+    from go_htmldate_ray.stages.cleaning import decontaminate
+
+    leak = "one two three four five"
+    ds = _docs_ds(
+        [
+            (0, f"benchmark prompt {leak} answer"),  # blocklist doc
+            (5, f"training doc containing {leak} verbatim"),
+            (6, "totally unrelated training material here"),
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(ds, blocklist_max_id=1, n=5).take_all()
+    }
+    assert got[0][1] is True  # blocklist doc trivially overlaps itself
+    assert got[5][0] >= 1 and got[5][1] is True
+    assert got[6] == (0, False)
+
+
+def test_repetition_batch_fractions():
+    from go_htmldate_ray.stages.text_stage import repetition_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b a b a", "w x y z", ""], pa.string()),
+        }
+    )
+    out = repetition_batch(batch)
+    # doc 0 bigrams: ab ba ab ba -> 4 total, 2 distinct, top count 2
+    assert out.column("n_bigrams").to_pylist() == [4, 3, 0]
+    assert out.column("dup_bigram_frac").to_pylist() == [0.5, 0.0, 0.0]
+    assert out.column("top_bigram_frac").to_pylist() == [0.5, round(1 / 3, 6), 0.0]
+
+
+def test_tfidf_top_terms_ranking(ray_session):
+    from go_htmldate_ray.stages.text_stage import tfidf_top_terms
+
+    # "rare" appears only in doc 0 (df=1); "common" in all three (df=3)
+    ds = _docs_ds(
+        [
+            (0, "common rare rare"),
+            (1, "common common other"),
+            (2, "common other other"),
+        ]
+    )
+    rows = tfidf_top_terms(ds, k=2).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["df"]))
+    for v in by_doc.values():
+        v.sort()
+    # doc 0: rare tf2/df1=2.0 beats common tf1/df3
+    assert [t[1] for t in by_doc[0]] == ["rare", "common"]
+    assert by_doc[0][0][2:] == (2, 1)
+    # doc 1: other tf1/df2=0.5 < common tf2/df3=0.667 -> common first
+    assert [t[1] for t in by_doc[1]] == ["common", "other"]
+    # doc 2: other tf2/df2=1.0 beats common tf1/df3
+    assert [t[1] for t in by_doc[2]] == ["other", "common"]
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_kmeans_assign_separates_planted_clusters(ray_session):
+    import ray.data
+
+    from go_htmldate_ray.stages.similarity import kmeans_assign
+
+    rng = np.random.RandomState(0)
+    a = rng.standard_normal((40, 16)) * 0.05 + np.eye(16)[0] * 10
+    b = rng.standard_normal((40, 16)) * 0.05 + np.eye(16)[1] * 10
+    vecs = np.vstack([a, b])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(80), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+    out1 = {r["vec_id"]: r["cluster"] for r in kmeans_assign(
+        ds, n_clusters=2, refine_iters=2, sample_rows=80
+    ).take_all()}
+    clusters_a = {out1[i] for i in range(40)}
+    clusters_b = {out1[i] for i in range(40, 80)}
+    assert len(clusters_a) == 1 and len(clusters_b) == 1
+    assert clusters_a != clusters_b
+    # deterministic across runs
+    out2 = {r["vec_id"]: r["cluster"] for r in kmeans_assign(
+        ds, n_clusters=2, refine_iters=2, sample_rows=80
+    ).take_all()}
+    assert out1 == out2
+
+
+def test_dataset_split_deterministic_partition(ray_session):
+    from go_htmldate_ray.stages.sampling import dataset_split
+
+    ds = _docs_ds([(i, "t") for i in range(2000)])
+    rows = dataset_split(ds, fractions=(0.8, 0.1), seed=11).take_all()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert len(rows) == 2000
+    assert set(by_split) == {"train", "val", "test"}
+    # disjoint and exhaustive
+    assert sum(len(v) for v in by_split.values()) == 2000
+    # roughly proportional
+    assert 0.75 < len(by_split["train"]) / 2000 < 0.85
+    assert 0.06 < len(by_split["val"]) / 2000 < 0.14
+    # deterministic rerun
+    rows2 = dataset_split(ds, fractions=(0.8, 0.1), seed=11).take_all()
+    assert {r["doc_id"]: r["split"] for r in rows2} == {
+        r["doc_id"]: r["split"] for r in rows
+    }
+
+
+def test_lang_doc_stats(ray_session):
+    import ray.data
+
+    from go_htmldate_ray.stages.text_stage import lang_doc_stats
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en", "en", "de"], pa.string()),
+                "text": pa.array(["a b c", "d e", "f"], pa.string()),
+            }
+        )
+    )
+    got = {r["lang"]: r for r in lang_doc_stats(ds).take_all()}
+    assert got["en"]["n_docs"] == 2
+    assert got["en"]["total_tokens"] == 5
+    assert got["en"]["avg_tokens"] == 2.5
+    assert got["de"]["n_docs"] == 1 and got["de"]["total_tokens"] == 1
