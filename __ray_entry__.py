@@ -182,6 +182,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no full sort) — percentile_disc semantics.
         "value_quantiles": _value_quantiles,
         "windowed_events": _streaming("windowed_events"),
+        # Sliding (hopping) windows: window 2h / hop 1h — every event in
+        # two windows, combiner-before-shuffle like the tumbling variant.
+        "sliding_window_events": _streaming("sliding_window_events"),
+        # Per-group exact quantiles: one histogram pass for ALL groups
+        # (light (key,bin,cnt) rows), one combined collect pass.
+        "grouped_quantiles": _grouped_quantiles,
+        # Grouped top-N: keyed Sum groupby -> stable-hash type buckets ->
+        # vectorized in-bucket ranking.
+        "top_users_per_type": analytics.top_users_per_type,
         "asof_latest_order": _streaming("asof_join_latest_order"),
         "sessionize_events": _streaming("sessionize_events"),
         "events_by_type": analytics.events_by_type,
@@ -293,6 +302,30 @@ def _value_quantiles_sql() -> str:
         f"SELECT {q}::DOUBLE AS q, "
         f"percentile_disc({q}) WITHIN GROUP (ORDER BY value) AS value FROM events"
         for q in _QUANTILE_QS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+_GROUPED_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+def _grouped_quantiles(sf_dir):
+    from go_htmldate_ray.stages.quantiles import grouped_quantiles
+
+    return grouped_quantiles(
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"]),
+        "event_type",
+        "value",
+        _GROUPED_QS,
+    )
+
+
+def _grouped_quantiles_sql() -> str:
+    parts = [
+        f"SELECT event_type, {q}::DOUBLE AS q, "
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY value) AS value "
+        "FROM events GROUP BY event_type"
+        for q in _GROUPED_QS
     ]
     return "\nUNION ALL\n".join(parts)
 
@@ -547,6 +580,29 @@ def oracle_sql() -> dict[str, str]:
                    {_URL_SQL.replace('doc_id', 'id')} AS url
             FROM reach""",
         "value_quantiles": _value_quantiles_sql(),
+        "grouped_quantiles": _grouped_quantiles_sql(),
+        "sliding_window_events": """
+            SELECT strftime(date_trunc('hour', ts) - j.j * INTERVAL 1 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events CROSS JOIN (VALUES (0), (1)) j(j)
+            GROUP BY 1, 2""",
+        "top_users_per_type": """
+            WITH totals AS (
+                SELECT event_type, user_id, round(sum(value), 2) AS total_value
+                FROM events GROUP BY event_type, user_id
+            ),
+            ranked AS (
+                SELECT event_type, user_id, total_value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY total_value DESC, user_id ASC
+                       ) AS rank
+                FROM totals
+            )
+            SELECT event_type, user_id, total_value, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 3""",
         "windowed_events": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -230,3 +230,97 @@ def orders_customer_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def top_users_per_type(sf_dir: str, k: int = 3, n_buckets: int = 64):
+    """events → per-event-type top-k users by total value
+    (event_type, user_id, total_value, rank) — the grouped top-N shape:
+    per-batch partial sums on (type, user) → one keyed Sum groupby →
+    bucketed vectorized rank (groups are *hash buckets of event_type*,
+    never one task per type, and ranking inside a bucket is lexsort +
+    run boundaries, no per-group Python).  Ranking uses the cent-rounded
+    total so the order is exactly reproducible across summation orders."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import _bucket_of
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["event_type", "user_id"]).aggregate([("value", "sum")])
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "user_id": t.column("user_id"),
+                "part_sum": t.column("value_sum"),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("part_sum"))
+    )
+
+    # Bucketing on user_id would split a type across buckets; the rank
+    # needs all of a type's users together, so bucket on a STABLE hash
+    # of event_type (md5 — Python's builtin hash() is per-process salted
+    # and would scatter one type over many buckets).  Types are far
+    # fewer than buckets; rank work per bucket is tiny because totals
+    # are already aggregated.
+    def bucket_by_type(batch: pa.Table) -> pa.Table:
+        from ..stages.cleaning import _hash63
+
+        h = pa.array(
+            [_hash63(s) for s in batch.column("event_type").to_pylist()],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id"),
+                "total_value": pc.round(batch.column("sum(part_sum)"), ndigits=2),
+                "bkt": _bucket_of(h, n_buckets),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "user_id": pa.array([], pa.int64()),
+            "total_value": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+
+    def rank_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        et = np.asarray(group.column("event_type").to_pylist())
+        tv = np.asarray(group.column("total_value"), dtype=np.float64)
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        order = np.lexsort((uid, -tv, et))
+        et_s = et[order]
+        starts = np.flatnonzero(np.r_[True, et_s[1:] != et_s[:-1]])
+        counts = np.diff(np.r_[starts, len(et_s)])
+        pos = np.arange(len(et_s)) - np.repeat(starts, counts)
+        keep = pos < k
+        idx = pa.array(order[keep], pa.int64())
+        return pa.table(
+            {
+                "event_type": group.column("event_type").take(idx),
+                "user_id": group.column("user_id").take(idx),
+                "total_value": group.column("total_value").take(idx),
+                "rank": pa.array(pos[keep] + 1, pa.int64()),
+            }
+        )
+
+    return (
+        totals.map_batches(bucket_by_type, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(rank_topk, batch_format="pyarrow")
+    )

@@ -276,3 +276,73 @@ def sessionize_events(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+
+
+def sliding_window_events(sf_dir: str, window_hours: int = 2, hop_hours: int = 1):
+    """events → (window_start, event_type, n_events, sum_value) over
+    SLIDING windows (window > hop ⇒ each event lands in window/hop
+    windows).  Same combiner-before-shuffle shape as the tumbling
+    variant: window replication + per-batch partial aggregation is pure
+    batch arithmetic, the final groupby moves one row per
+    (window, type) per block."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    if window_hours % hop_hours:
+        raise ValueError("window must be a multiple of hop")
+    n_offsets = window_hours // hop_hours
+    hop_us = hop_hours * 3_600_000_000
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def assign_and_partial(batch: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(batch.column("ts"), multiple=hop_hours, unit="hour")
+        base_us = pc.cast(base, pa.int64())
+        parts = []
+        for j in range(n_offsets):
+            shifted = pc.cast(
+                pc.subtract(base_us, j * hop_us), pa.timestamp("us")
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": shifted,
+                        "event_type": batch.column("event_type"),
+                        "value": batch.column("value"),
+                    }
+                )
+            )
+        t = (
+            pa.concat_tables(parts)
+            .group_by(["window_start", "event_type"])
+            .aggregate([("value", "sum"), ("value", "count")])
+        )
+        return pa.table(
+            {
+                "window_start": t.column("window_start"),
+                "event_type": t.column("event_type"),
+                "part_sum": t.column("value_sum"),
+                "part_count": t.column("value_count"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(assign_and_partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("part_sum"), Sum("part_count"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": pc.strftime(
+                    b.column("window_start"), format="%Y-%m-%d %H:%M:%S"
+                ),
+                "event_type": b.column("event_type"),
+                "n_events": pc.cast(b.column("sum(part_count)"), pa.int64()),
+                "sum_value": pc.round(b.column("sum(part_sum)"), ndigits=2),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -165,3 +165,139 @@ def exact_quantiles(
             value = _refine_rank(proj, col, rank, lo, hi, hist, n_bins, bin_row_cap)
         out.append({"q": q, "value": value})
     return pd.DataFrame(out)
+
+
+def grouped_quantiles(
+    ds,
+    key: str,
+    col: str,
+    qs: list[float],
+    *,
+    n_bins: int = 1024,
+    bin_row_cap: int = 1_000_000,
+):
+    """Per-group exact discrete quantiles → pandas DataFrame
+    (key, q, value) — the grouped generalization of
+    :func:`exact_quantiles`, in the same bounded number of scans for ALL
+    groups together (not per group): one (key,count,min,max) aggregate,
+    ONE histogram pass emitting (key, bin, cnt) partials, one combined
+    collect pass for every group's light target bins; only heavy-skew
+    bins fall back to per-group recursive refinement.
+
+    Contract: ``key`` is low-cardinality (event types, languages —
+    result rows = n_groups × len(qs) land on the driver by definition).
+    """
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+
+    proj = ds.select_columns([key, col]).materialize()
+    stats = {
+        r[key]: (int(r["count()"]), float(r[f"min({col})"]), float(r[f"max({col})"]))
+        for r in proj.groupby(key).aggregate(Count(), Min(col), Max(col)).take_all()
+    }
+    if not stats:
+        return pd.DataFrame(
+            {
+                key: pd.Series([], dtype="object"),
+                "q": pd.Series([], dtype="float64"),
+                "value": pd.Series([], dtype="float64"),
+            }
+        )
+    bounds = {k: (lo, hi) for k, (_, lo, hi) in stats.items()}
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        keys_np = np.asarray(batch.column(key).to_pylist())
+        vals = np.asarray(batch.column(col), dtype=np.float64)
+        out_k, out_b, out_c = [], [], []
+        for k in np.unique(keys_np):
+            lo, hi = bounds[k]
+            mask = keys_np == k
+            bins, counts = np.unique(
+                _bin_index(vals[mask], lo, hi, n_bins), return_counts=True
+            )
+            out_k.extend([k] * len(bins))
+            out_b.extend(bins.tolist())
+            out_c.extend(counts.tolist())
+        return pa.table(
+            {
+                key: pa.array(out_k.tolist() if hasattr(out_k, "tolist") else out_k),
+                "bin": pa.array(out_b, pa.int64()),
+                "cnt": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    hist_rows = (
+        proj.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby([key, "bin"])
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )  # ≤ n_groups × n_bins rows
+    hists = {k: np.zeros(n_bins, dtype=np.int64) for k in stats}
+    for r in hist_rows:
+        hists[r[key]][r["bin"]] = r["sum(cnt)"]
+
+    # per group: ranks → bins; light (key, bin) targets collected in ONE pass
+    plan = {}
+    light: dict = {}
+    for k, (n, lo, hi) in stats.items():
+        cum = np.cumsum(hists[k])
+        rank_of = {q: max(1, math.ceil(q * n)) for q in qs}
+        bin_of = {q: int(np.searchsorted(cum, r)) for q, r in rank_of.items()}
+        plan[k] = (cum, rank_of, bin_of)
+        lt = {b for b in bin_of.values() if hists[k][b] <= bin_row_cap}
+        if lt:
+            light[k] = lt
+
+    collected: dict = {}
+    if light:
+        def pick(batch: pa.Table) -> pa.Table:
+            keys_np = np.asarray(batch.column(key).to_pylist())
+            vals = np.asarray(batch.column(col), dtype=np.float64)
+            keep = np.zeros(len(vals), dtype=bool)
+            idx = np.zeros(len(vals), dtype=np.int64)
+            for k, wanted in light.items():
+                lo, hi = bounds[k]
+                mask = keys_np == k
+                b = _bin_index(vals[mask], lo, hi, n_bins)
+                idx[mask] = b
+                keep[mask] = np.isin(b, list(wanted))
+            t = pa.table(
+                {
+                    key: batch.column(key),
+                    "bin": pa.array(idx, pa.int64()),
+                    "val": pa.array(vals, pa.float64()),
+                }
+            )
+            return t.filter(pa.array(keep))
+
+        for r in proj.map_batches(pick, batch_format="pyarrow").take_all():
+            collected.setdefault((r[key], r["bin"]), []).append(r["val"])
+
+    out = []
+    for k in stats:
+        n, lo, hi = stats[k]
+        cum, rank_of, bin_of = plan[k]
+        for q in qs:
+            rank, b = rank_of[q], bin_of[q]
+            if (k, b) in collected:
+                rank_in_bin = rank - (int(cum[b - 1]) if b else 0)
+                vals = np.asarray(collected[(k, b)])
+                value = float(np.partition(vals, rank_in_bin - 1)[rank_in_bin - 1])
+            else:
+                # heavy bin: refine within this group's rows only
+                sub = proj.map_batches(
+                    lambda t, kk=k: t.filter(pc.equal(t.column(key), kk)),
+                    batch_format="pyarrow",
+                )
+                value = _refine_rank(
+                    sub, col, rank, lo, hi, hists[k], n_bins, bin_row_cap
+                )
+            out.append({key: k, "q": q, "value": value})
+    return pd.DataFrame(out)

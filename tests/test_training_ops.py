@@ -233,3 +233,94 @@ def test_lang_doc_stats(ray_session):
     assert got["en"]["total_tokens"] == 5
     assert got["en"]["avg_tokens"] == 2.5
     assert got["de"]["n_docs"] == 1 and got["de"]["total_tokens"] == 1
+
+
+def test_sliding_window_covers_each_event_twice(ray_session):
+    from go_htmldate_ray.pipelines.streaming import (
+        sliding_window_events,
+        windowed_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tumbling = windowed_events(sf).take_all()
+    sliding = sliding_window_events(sf, window_hours=2, hop_hours=1).take_all()
+    n_tumble = sum(r["n_events"] for r in tumbling)
+    n_slide = sum(r["n_events"] for r in sliding)
+    assert n_slide == 2 * n_tumble  # every event lands in exactly 2 windows
+    # each tumbling (window, type) row also appears in the sliding result
+    # (offset j=0) with at-least-equal counts
+    slide_by_key = {(r["window_start"], r["event_type"]): r["n_events"] for r in sliding}
+    for r in tumbling:
+        assert slide_by_key[(r["window_start"], r["event_type"])] >= r["n_events"]
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    import ray.data
+
+    from go_htmldate_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.RandomState(3)
+    keys = ["a"] * 1000 + ["b"] * 317
+    vals = np.concatenate([rng.standard_normal(1000) * 5, rng.uniform(0, 1, 317)])
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+    )
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = grouped_quantiles(ds, "k", "v", qs, n_bins=64)
+    import math
+
+    for k, arr in (("a", vals[:1000]), ("b", vals[1000:])):
+        s = np.sort(arr)
+        for q in qs:
+            expected = s[max(1, math.ceil(q * len(s))) - 1]
+            row = got[(got["k"] == k) & (got["q"] == q)]
+            assert float(row["value"].iloc[0]) == expected, (k, q)
+
+
+def test_grouped_quantiles_heavy_bin_refinement(ray_session):
+    import ray.data
+
+    from go_htmldate_ray.stages.quantiles import grouped_quantiles
+
+    # one group piled on few values (every bin heavy at tiny cap) forces
+    # the per-group refinement path
+    vals = np.repeat([1.0, 2.0, 3.0], 400)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(["x"] * 1200), "v": pa.array(vals, pa.float64())})
+    )
+    got = grouped_quantiles(ds, "k", "v", [0.5], n_bins=4, bin_row_cap=50)
+    assert float(got["value"].iloc[0]) == 2.0
+
+
+def test_top_users_per_type_ranks(ray_session):
+    import ray.data
+
+    from go_htmldate_ray.pipelines import analytics
+
+    got = analytics.top_users_per_type("/root/testdata/sf0.001", k=3).take_all()
+    by_type = {}
+    for r in got:
+        by_type.setdefault(r["event_type"], []).append(r)
+    import duckdb
+
+    con = duckdb.connect()
+    expected = con.execute(
+        """
+        WITH totals AS (
+          SELECT event_type, user_id, round(sum(value),2) AS tv
+          FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1,2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY tv DESC, user_id) AS rk FROM totals)
+        SELECT event_type, user_id, tv, rk FROM r WHERE rk <= 3
+        ORDER BY event_type, rk"""
+    ).fetchall()
+    # compare at the driver's 6-decimal float canonicalization (Arrow and
+    # DuckDB cent-rounding can differ in the last ulp)
+    flat = sorted(
+        (r["event_type"], r["rank"], r["user_id"], round(r["total_value"], 6))
+        for r in got
+    )
+    exp = sorted((e[0], e[3], e[1], round(e[2], 6)) for e in expected)
+    assert flat == exp
+    for rows in by_type.values():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3]
