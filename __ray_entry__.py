@@ -75,6 +75,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": lambda sf: _map(
             sf, text_stage.repetition_batch, ["doc_id", "text"]
         ),
+        # Gopher document-quality rule filter (Rae et al. 2021 table A1);
+        # word-count bounds tightened to 30..80 so the 10..99-word fixture
+        # exercises both outcomes of the combined flag.
+        "gopher_quality": lambda sf: _map(
+            sf,
+            lambda b: text_stage.gopher_quality_batch(
+                b, min_words=30, max_words=80, min_stopword_hits=1
+            ),
+            ["doc_id", "text"],
+        ),
         # Corpus composition: per-language doc/token totals via per-batch
         # partial rows (n_langs x n_blocks rows through the groupby).
         "lang_doc_stats": lambda sf: text_stage.lang_doc_stats(
@@ -479,6 +489,54 @@ def oracle_sql() -> dict[str, str]:
                                 ['the','and','of','to','in','is','that','for','with','a'],
                                 lower(w))))::DOUBLE / length(toks), 6) END AS stopword_ratio
             FROM t""",
+        # Same word (str.split) / line ('\n' split) semantics and ASCII
+        # regexes as stages/text_stage.gopher_quality_batch; thresholds
+        # mirror the queries() wiring (30..80 words, >=1 stopword hit).
+        "gopher_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       length(toks) AS n_words,
+                       CASE WHEN length(toks) = 0 THEN 0.0
+                            ELSE round(list_aggregate(list_transform(toks,
+                                w -> length(w)), 'sum')::DOUBLE / length(toks), 6)
+                           END AS mean_word_len,
+                       CASE WHEN length(toks) = 0 THEN 0.0
+                            ELSE round(length(list_filter(toks,
+                                w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                                / length(toks), 6) END AS frac_alpha_words,
+                       length(list_intersect(
+                           list_distinct(list_transform(toks, w -> lower(w))),
+                           ['the','be','to','of','and','that','have','with']))
+                           AS stopword_hits,
+                       CASE WHEN length(toks) = 0 THEN 0.0
+                            ELSE round(((length(text) - length(replace(text, '#', '')))
+                                + (length(text) - length(replace(text, '...', ''))) / 3
+                                )::DOUBLE / length(toks), 6) END AS symbol_ratio,
+                       round(length(list_filter(lines,
+                           l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE
+                           / length(lines), 6) AS frac_bullet_lines,
+                       round(length(list_filter(lines,
+                           l -> regexp_matches(l, '\.\.\.\s*$')))::DOUBLE
+                           / length(lines), 6) AS frac_ellipsis_lines
+                FROM t
+            )
+            SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+                   stopword_hits::BIGINT AS stopword_hits, symbol_ratio,
+                   frac_bullet_lines, frac_ellipsis_lines,
+                   (n_words BETWEEN 30 AND 80
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND frac_bullet_lines <= 0.9
+                    AND frac_ellipsis_lines <= 0.3
+                    AND frac_alpha_words >= 0.8
+                    AND stopword_hits >= 1)::BIGINT AS passes
+            FROM m""",
         "vocab_top_tokens": r"""
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -317,6 +317,33 @@ def run_headline() -> dict:
     queries["sessionize"] = round(bench_query(streaming.sessionize_events), 3)
     queries["media_features"] = round(bench_query(multimodal.media_features), 3)
 
+    from go_htmldate_ray.stages import cleaning, text_stage
+
+    queries["tfidf_top_terms"] = round(
+        bench_query(
+            lambda sf: text_stage.tfidf_top_terms(
+                read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]), k=3
+            )
+        ),
+        3,
+    )
+    queries["paragraph_dedup"] = round(
+        bench_query(
+            lambda sf: cleaning.paragraph_dedup_stats(
+                read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+            )
+        ),
+        3,
+    )
+    queries["kmeans"] = round(
+        bench_query(
+            lambda sf: similarity.kmeans_assign(
+                read_parquet_clean(f"{sf}/embeddings.parquet"), n_clusters=8, refine_iters=2
+            )
+        ),
+        3,
+    )
+
     for name, (t, n) in bench_text_stage(SF_DIR).items():
         queries[f"text_{name}"] = round(t, 3)
         extra[f"text_{name}_docs_per_s"] = round(n / t, 1)

@@ -6,10 +6,9 @@ training-data pipeline, expressed Ray-Data-first:
 
 * :func:`paragraph_dedup_stats` — exact passage-level dedup (CCNet keeps
   the globally-first occurrence of every normalized paragraph).  The
-  shuffle moves one light row per passage occurrence; the keep decision
-  is a ``Min`` aggregate over a packed (doc_id, para_idx) key joined
-  back with the bucketed :func:`~go_htmldate_ray.stages.joins.hash_join`
-  — no per-key Python callbacks anywhere.
+  shuffle moves one light row per passage occurrence into its hash
+  *bucket*; the keep decision is a vectorized lexsort + run-boundary
+  scan inside the bucket — no join and no per-key Python callbacks.
 * :func:`pii_redact_batch` — vectorized regex scrub of emails, phone
   numbers and IPv4 addresses (compiled once per process).
 * :func:`decontaminate` — flags documents sharing any token n-gram with
@@ -32,8 +31,6 @@ import re
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-
-from .joins import hash_join
 
 # packed key = doc_id * 2^20 + para_idx  (supports 2^20 paragraphs/doc)
 _PARA_SHIFT = 20
@@ -64,16 +61,22 @@ def split_paragraphs(text: str, *, mode: str = "newline", chunk_tokens: int = 10
     raise ValueError(f"unknown paragraph mode: {mode}")
 
 
-def paragraph_dedup_stats(ds, *, mode: str = "chunk", chunk_tokens: int = 10):
+def paragraph_dedup_stats(
+    ds, *, mode: str = "chunk", chunk_tokens: int = 10, n_buckets: int = 64
+):
     """documents → (doc_id, n_paras, n_dup_paras).
 
     A paragraph occurrence is a *duplicate* iff an identical normalized
     paragraph occurs earlier in the corpus order (doc_id, then position)
     — exactly CCNet's keep-first rule.  Plan: flat-map light passage
-    rows → ``groupby(hash).Min(packed)`` winners → bucketed hash_join
-    back → per-doc count aggregate.  Three shuffles, all on light rows.
+    rows → ONE groupby on hash *buckets* (a bucket holds every
+    occurrence of its hashes, so first-occurrence marking is a
+    vectorized lexsort + run-boundary scan — never a per-hash Python
+    group) → per-doc count aggregate.  Two shuffles, both on light rows.
     """
-    from ray.data.aggregate import Min, Sum, Count
+    from ray.data.aggregate import Sum, Count
+
+    from .joins import _bucket_of
 
     def passage_rows(batch: pa.Table) -> pa.Table:
         doc_ids, hashes, packed = [], [], []
@@ -94,30 +97,41 @@ def paragraph_dedup_stats(ds, *, mode: str = "chunk", chunk_tokens: int = 10):
             }
         )
 
-    rows = ds.select_columns(["doc_id", "text"]).map_batches(
-        passage_rows, batch_format="pyarrow"
-    )
-    winners = (
-        rows.groupby("h")
-        .aggregate(Min("packed"))
+    rows = (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(passage_rows, batch_format="pyarrow")
         .map_batches(
-            lambda b: pa.table(
-                {"h": b.column("h"), "min_packed": b.column("min(packed)")}
-            ),
+            lambda b: b.append_column("bkt", _bucket_of(b.column("h"), n_buckets)),
             batch_format="pyarrow",
         )
     )
-    joined = hash_join(rows.select_columns(["doc_id", "h", "packed"]), winners, on="h")
 
-    def mark(batch: pa.Table) -> pa.Table:
-        dup = pc.cast(
-            pc.not_equal(batch.column("packed"), batch.column("min_packed")),
-            pa.int64(),
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "dup": pa.array([], pa.int64())}
+    )
+
+    def mark_bucket(group: pa.Table) -> pa.Table:
+        """All occurrences of a hash co-locate here: sort by (h, packed),
+        the first of each h-run is the keeper, the rest are dups."""
+        if group.num_rows == 0:
+            return empty
+        h = np.asarray(group.column("h"), dtype=np.int64)
+        packed = np.asarray(group.column("packed"), dtype=np.int64)
+        order = np.lexsort((packed, h))
+        h_s = h[order]
+        first = np.r_[True, h_s[1:] != h_s[:-1]]
+        dup = np.empty_like(first)
+        dup[order] = ~first
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "dup": pa.array(dup.astype(np.int64), pa.int64()),
+            }
         )
-        return pa.table({"doc_id": batch.column("doc_id"), "dup": dup})
 
     per_doc = (
-        joined.map_batches(mark, batch_format="pyarrow")
+        rows.groupby("bkt")
+        .map_groups(mark_bucket, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Count(), Sum("dup"))
     )

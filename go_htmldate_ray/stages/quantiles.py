@@ -227,7 +227,9 @@ def grouped_quantiles(
             out_c.extend(counts.tolist())
         return pa.table(
             {
-                key: pa.array(out_k.tolist() if hasattr(out_k, "tolist") else out_k),
+                # explicit type: an empty batch must not infer a null-typed
+                # key column (schema mismatch across blocks)
+                key: pa.array(list(out_k), type=batch.schema.field(key).type),
                 "bin": pa.array(out_b, pa.int64()),
                 "cnt": pa.array(out_c, pa.int64()),
             }

@@ -666,7 +666,10 @@ def _lloyd_step(ds, cents: np.ndarray, round_decimals: int) -> np.ndarray:
     new = cents.copy()
     acc = np.zeros((k, dim), dtype=np.float64)
     n = np.zeros(k, dtype=np.int64)
-    for r in sorted(rows, key=lambda r: r["cell"]):
+    # total-order sort key: take_all block order is nondeterministic, and
+    # float addition is order-sensitive — (cell, cnt, bytes) makes the
+    # combine bit-reproducible run to run
+    for r in sorted(rows, key=lambda r: (r["cell"], r["cnt"], r["vsum"])):
         acc[r["cell"]] += np.frombuffer(r["vsum"], dtype=np.float64)
         n[r["cell"]] += r["cnt"]
     for c in range(k):

@@ -9,6 +9,7 @@ identifier.  All are pure batch functions usable directly in
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -92,6 +93,87 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# Gopher repetition-free quality rules (Rae et al. 2021, table A1) — the
+# standard web-text document filter.  The stopword list and rule set are
+# from the paper; thresholds are parameters so small fixtures exercise
+# both outcomes.  Regexes are ASCII-literal so Python `re` and DuckDB RE2
+# agree byte-for-byte.
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_BULLET_RE = re.compile(r"^\s*[-*•]")
+_ELLIPSIS_RE = re.compile(r"\.\.\.\s*$")
+
+
+def gopher_quality_batch(
+    batch: pa.Table,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> pa.Table:
+    """doc_id + the Gopher quality signals and the combined keep flag.
+
+    Columns: n_words, mean_word_len, frac_alpha_words, stopword_hits,
+    symbol_ratio, frac_bullet_lines, frac_ellipsis_lines, passes (0/1).
+    All ratios round to 6 decimals (the SQL oracle's arithmetic); word =
+    ``str.split()`` token, line = ``'\\n'`` split segment."""
+    texts = batch.column("text").to_pylist()
+    n_words_c, mean_len_c, alpha_c, stop_c = [], [], [], []
+    sym_c, bullet_c, ellipsis_c, passes_c = [], [], [], []
+    for t in texts:
+        t = t or ""
+        toks = t.split()
+        n = len(toks)
+        n_words_c.append(n)
+        mean_len = round(sum(len(w) for w in toks) / n, 6) if n else 0.0
+        mean_len_c.append(mean_len)
+        alpha = (
+            round(sum(1 for w in toks if _ALPHA_RE.search(w)) / n, 6) if n else 0.0
+        )
+        alpha_c.append(alpha)
+        lower = {w.lower() for w in toks}
+        hits = sum(1 for sw in _GOPHER_STOPWORDS if sw in lower)
+        stop_c.append(hits)
+        sym = round((t.count("#") + t.count("...")) / n, 6) if n else 0.0
+        sym_c.append(sym)
+        lines = t.split("\n")
+        nl = len(lines)
+        bullet = round(sum(1 for l in lines if _BULLET_RE.search(l)) / nl, 6)
+        ellipsis = round(sum(1 for l in lines if _ELLIPSIS_RE.search(l)) / nl, 6)
+        bullet_c.append(bullet)
+        ellipsis_c.append(ellipsis)
+        passes_c.append(
+            int(
+                min_words <= n <= max_words
+                and min_mean_word_len <= mean_len <= max_mean_word_len
+                and sym <= max_symbol_ratio
+                and bullet <= max_bullet_frac
+                and ellipsis <= max_ellipsis_frac
+                and alpha >= min_alpha_frac
+                and hits >= min_stopword_hits
+            )
+        )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words_c, pa.int64()),
+            "mean_word_len": pa.array(mean_len_c, pa.float64()),
+            "frac_alpha_words": pa.array(alpha_c, pa.float64()),
+            "stopword_hits": pa.array(stop_c, pa.int64()),
+            "symbol_ratio": pa.array(sym_c, pa.float64()),
+            "frac_bullet_lines": pa.array(bullet_c, pa.float64()),
+            "frac_ellipsis_lines": pa.array(ellipsis_c, pa.float64()),
+            "passes": pa.array(passes_c, pa.int64()),
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """doc_id, fingerprint — md5 of whitespace-normalized lowercased text,
     first 16 hex chars (mirrors the SQL ``substr(md5(...),1,16)``)."""
@@ -108,13 +190,21 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-# Minimal stopword profiles for the n-gram-free heuristic language ID.
+# Stopword profiles for the heuristic language ID.  Dict ORDER is part of
+# the operator's semantics (ties resolve to the earliest language), and
+# the SQL oracle generator reads this dict directly — extend here, never
+# in the SQL.
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "a"},
     "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "ein", "nicht"},
     "fr": {"le", "la", "les", "et", "de", "est", "pour", "dans", "une", "que"},
     "es": {"el", "la", "los", "de", "y", "es", "para", "con", "una", "por"},
     "id": {"yang", "dan", "di", "ini", "itu", "dengan", "untuk", "dari", "pada", "ke"},
+    "pt": {"que", "não", "uma", "para", "com", "por", "mais", "como", "dos", "é"},
+    "it": {"di", "che", "il", "per", "con", "una", "del", "non", "sono", "più"},
+    "nl": {"het", "een", "van", "en", "dat", "niet", "voor", "met", "zijn", "ook"},
+    "pl": {"nie", "się", "jest", "na", "do", "że", "jak", "ale", "po", "co"},
+    "tr": {"bir", "ve", "bu", "için", "ile", "olarak", "da", "çok", "daha", "gibi"},
 }
 
 
@@ -387,47 +477,54 @@ def tfidf_top_terms(ds, *, k: int = 3, n_buckets: int = 64):
     ties) — a tf-idf ranking whose score order is exactly reproducible
     (one IEEE division; no library-dependent log).
 
-    Plan (all light rows): doc-term tf rows → ``groupby(term).Count()``
-    document frequencies → bucketed distributed hash_join on the 63-bit
-    term hash (term strings carried through to disarm hash collisions) →
-    per-bucket vectorized top-k (lexsort + run-boundary ranks; one group
-    per *hash bucket*, never per doc)."""
-    from ray.data.aggregate import Count
-
+    Plan (all light rows, TWO shuffles): doc-term tf rows tagged with a
+    term-hash bucket → ``groupby(tbkt)`` — every occurrence of a term
+    co-locates in its bucket, so document frequency is a vectorized
+    run-count over the bucket's sorted terms (exact strings, so hash
+    collisions are harmless) — → doc-hash bucket → per-bucket vectorized
+    top-k (lexsort + run-boundary ranks; one group per *hash bucket*,
+    never per term or per doc)."""
     from .cleaning import _hash63
-    from .joins import hash_join, _bucket_of
+    from .joins import _bucket_of
 
-    rows = doc_term_freqs(ds)
+    def tag_term_bucket(batch: pa.Table) -> pa.Table:
+        # hash only the UNIQUE terms of the batch (np.unique inverse
+        # broadcasts the bucket back to rows)
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        bkt_u = np.asarray([_hash63(t) % n_buckets for t in uniq], dtype=np.int64)
+        return batch.append_column("tbkt", pa.array(bkt_u[inv], pa.int64()))
 
-    def add_th(batch: pa.Table, term_col: str) -> pa.Table:
-        th = pa.array(
-            [_hash63(t) for t in batch.column(term_col).to_pylist()], pa.int64()
-        )
-        return batch.append_column("th", th)
-
-    df = (
-        rows.groupby("term")
-        .aggregate(Count())
-        .map_batches(
-            lambda b: add_th(
-                pa.table(
-                    {
-                        "term_r": b.column("term"),
-                        "df": b.column("count()").cast(pa.int64()),
-                    }
-                ),
-                "term_r",
-            ),
-            batch_format="pyarrow",
-        )
+    empty_df = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
     )
-    tagged = rows.map_batches(lambda b: add_th(b, "term"), batch_format="pyarrow")
-    joined = hash_join(tagged, df, on="th").map_batches(
-        # th collisions would cross-match distinct terms: keep exact matches
-        lambda b: b.filter(
-            pc.equal(b.column("term"), b.column("term_r"))
-        ).select(["doc_id", "term", "tf", "df"]),
-        batch_format="pyarrow",
+
+    def annotate_df(group: pa.Table) -> pa.Table:
+        """All rows of each term are in this bucket: df(term) = its row
+        count (doc-term rows are distinct per doc)."""
+        if group.num_rows == 0:
+            return empty_df
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        _, inv, counts = np.unique(terms, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "term": group.column("term"),
+                "tf": group.column("tf"),
+                "df": pa.array(counts[inv], pa.int64()),
+            }
+        )
+
+    joined = (
+        doc_term_freqs(ds)
+        .map_batches(tag_term_bucket, batch_format="pyarrow")
+        .groupby("tbkt")
+        .map_groups(annotate_df, batch_format="pyarrow")
     )
 
     def bucket(batch: pa.Table) -> pa.Table:

@@ -133,6 +133,35 @@ def test_repetition_batch_fractions():
     assert out.column("top_bigram_frac").to_pylist() == [0.5, round(1 / 3, 6), 0.0]
 
 
+def test_gopher_quality_rules():
+    from go_htmldate_ray.stages.text_stage import gopher_quality_batch
+
+    good = "the quick brown fox jumps with all of lazy dogs"
+    bullets = "- one\n- two\n* three\nplain"
+    dots = "first line...\nsecond...\nclean"
+    symbols = "# ## the of ... stuff"
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([good, bullets, dots, symbols, ""], pa.string()),
+        }
+    )
+    out = gopher_quality_batch(
+        batch, min_words=5, max_words=100, min_stopword_hits=2
+    )
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[0]["n_words"] == 10
+    assert rows[0]["frac_alpha_words"] == 1.0
+    assert rows[0]["stopword_hits"] == 3  # the, of, with
+    assert rows[1]["frac_bullet_lines"] == 0.75
+    assert rows[2]["frac_ellipsis_lines"] == round(2 / 3, 6)
+    # doc 3: 6 words, '#'x3 + '...'x1 -> 4/6 symbol ratio
+    assert rows[3]["symbol_ratio"] == round(4 / 6, 6)
+    assert rows[3]["passes"] == 0  # symbol ratio over threshold
+    assert rows[4]["n_words"] == 0 and rows[4]["passes"] == 0
+    assert rows[0]["passes"] == 1
+
+
 def test_tfidf_top_terms_ranking(ray_session):
     from go_htmldate_ray.stages.text_stage import tfidf_top_terms
 
