@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "url_dates": ed.url_dates,
         "host_page_counts": ed.host_page_counts,
+        # Corpus temporal profile: full extraction cascade -> per-year
+        # partial counts -> tiny Sum groupby.
+        "date_year_histogram": ed.date_year_histogram,
         "token_counts": lambda sf: _map(
             sf, text_stage.token_count_batch, ["doc_id", "text"]
         ),
@@ -143,6 +146,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup.near_dup_clusters(_docs(sf), hot_buckets="error"),
             {"doc_id": "int64", "cluster_rep": "int64"},
         ),
+        # The dedup ACTION: per-doc keep flag (0 for non-rep cluster
+        # members) via a light-row union + Max groupby — no drop-set
+        # broadcast.
+        "near_dup_keep": lambda sf: dedup.near_dup_keep(
+            _docs(sf), hot_buckets="error"
+        ),
         "simhash": lambda sf: _map(sf, dedup.simhash_batch, ["doc_id", "text"]),
         "token_jaccard_pairs": lambda sf: dedup.token_jaccard_pairs(
             _docs(sf), max_doc_id=200, min_jaccard=0.5
@@ -204,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_order": _streaming("asof_join_latest_order"),
         "sessionize_events": _streaming("sessionize_events"),
         "events_by_type": analytics.events_by_type,
+        # Exact COUNT(DISTINCT) per group: local pair dedup -> pair
+        # groupby -> partial-count Sum groupby.
+        "distinct_users_by_type": analytics.distinct_users_by_type,
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_segment": analytics.orders_by_segment,
         "orders_customer_join": analytics.orders_customer_join,
@@ -461,6 +473,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
                    count(*) AS n_pages
             FROM documents GROUP BY 1""",
+        "date_year_histogram": f"""
+            SELECT substr(strftime({_DATE_SQL}, '%Y-%m-%d'), 1, 4) AS year,
+                   count(*)::BIGINT AS n_pages
+            FROM documents GROUP BY 1""",
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
@@ -695,6 +711,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type""",
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type""",
         "top_users_by_value": """
             SELECT user_id, round(sum(value), 2) AS total_value
             FROM events GROUP BY user_id
@@ -836,6 +855,12 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "minhash_dedup_pairs": _minhash_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
+        "near_dup_keep": f"""
+SELECT d.doc_id,
+       CASE WHEN c.doc_id IS NOT NULL AND c.doc_id <> c.cluster_rep
+            THEN 0 ELSE 1 END::BIGINT AS keep
+FROM documents d
+LEFT JOIN ({_near_dup_clusters_sql()}) c ON c.doc_id = d.doc_id""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "embedding_dup_pairs_lsh": f"""

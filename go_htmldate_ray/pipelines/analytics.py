@@ -57,6 +57,54 @@ def _sum_aggs():
     return Sum("part_sum"), Sum("part_count")
 
 
+def distinct_users_by_type(sf_dir: str):
+    """events → (event_type, n_users): exact COUNT(DISTINCT user_id) per
+    type via the two-level shape — per-batch LOCAL pair dedup (Arrow
+    group_by, cuts the shuffle to ≤ distinct pairs per block) → one
+    groupby on the (type, user) pair → per-batch partial type counts →
+    one tiny Sum groupby.  Both shuffles carry light rows; no
+    whole-column set ever sits on one worker."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(local_dedup, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count())
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("event_type").aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": t.column("user_id_count").cast(pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "n_users": b.column("sum(n)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def top_users_by_value(sf_dir: str, n: int = 10):
     """events → top-N users by total value (groupby → sort → limit)."""
     import ray.data

@@ -66,6 +66,45 @@ def url_dates(sf_dir: str):
     return pages.map_batches(extract, batch_format="pyarrow")
 
 
+def date_year_histogram(sf_dir: str, *, skip_extensive_search: bool = True):
+    """Corpus temporal profile: extracted publication dates → per-year
+    page counts (the freshness histogram a crawl operator watches).
+
+    Partial count combiner inside ``map_batches`` (≤ n_distinct_years
+    rows per block — a few dozen) → one tiny ``Sum`` groupby; undated
+    pages are dropped, never counted as a year."""
+    from ray.data.aggregate import Sum
+
+    ds = extract_dates(sf_dir, skip_extensive_search=skip_extensive_search)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dates = pc.fill_null(pc.cast(batch.column("date_str"), pa.string()), "")
+        years = pc.utf8_slice_codeunits(dates, 0, 4)
+        years = years.filter(pc.not_equal(years, ""))
+        vc = pc.value_counts(years.combine_chunks() if isinstance(years, pa.ChunkedArray) else years)
+        return pa.table(
+            {
+                "year": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "year": b.column("year"),
+                    "n_pages": b.column("sum(n)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def host_page_counts(sf_dir: str):
     """Per-host page counts — the crawl-stats groupby (shuffle key: host)."""
     pages = read_pages(sf_dir)

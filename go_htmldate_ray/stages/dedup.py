@@ -32,6 +32,7 @@ from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 logger = logging.getLogger(__name__)
 
@@ -544,6 +545,82 @@ def connected_components(
             {"doc_id": b.column("node"), "cluster_rep": b.column("label")}
         ),
         batch_format="pyarrow",
+    )
+
+
+def near_dup_keep(
+    ds,
+    *,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+    verify_mode: str = "auto",
+    hot_buckets: str = "sample",
+    max_iters: int = 25,
+):
+    """documents → (doc_id, keep): the dedup *action* — ``keep = 0``
+    exactly for near-dup cluster members that are not their cluster's
+    min-id representative; every other document (singletons included)
+    keeps 1.
+
+    Scale shape: the corpus side contributes only (doc_id, 0) light
+    rows, the cluster side (doc_id, 1) drop rows; ONE Max-aggregate
+    groupby over int64 rows resolves the flag — no broadcast of the
+    drop set (which can be a large fraction of the corpus at high dup
+    rates) and no join."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    clusters = near_dup_clusters(
+        ds,
+        num_perm=num_perm,
+        num_bands=num_bands,
+        threshold=threshold,
+        verify_mode=verify_mode,
+        hot_buckets=hot_buckets,
+        max_iters=max_iters,
+    )
+
+    base = ds.select_columns(["doc_id"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "drop": pa.array(np.zeros(b.num_rows, dtype=np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    if isinstance(clusters, pd.DataFrame):  # typed-empty: no pairs at all
+        unioned = base
+    else:
+        drops = clusters.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    "drop": pc.cast(
+                        pc.not_equal(b.column("doc_id"), b.column("cluster_rep")),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        unioned = base.union(drops)
+    return (
+        unioned.groupby("doc_id")
+        .aggregate(Max("drop"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "keep": pc.subtract(
+                        pa.scalar(1, pa.int64()),
+                        b.column("max(drop)").cast(pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 

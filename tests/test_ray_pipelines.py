@@ -798,6 +798,68 @@ def test_near_dup_clusters_consistent_with_pairs(ray_session):
         assert rep == min(members)
 
 
+def test_near_dup_keep_matches_clusters(ray_session):
+    """keep must be 0 exactly for non-rep cluster members, 1 everywhere
+    else, and cover every document exactly once."""
+    from go_htmldate_ray.stages.dedup import near_dup_clusters, near_dup_keep
+    from go_htmldate_ray.sources.io import read_parquet_clean
+
+    sf = "/root/testdata/sf0.001"
+    lab = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in near_dup_clusters(
+            read_parquet_clean(f"{sf}/documents.parquet")
+        ).take_all()
+    }
+    keep = {
+        r["doc_id"]: r["keep"]
+        for r in near_dup_keep(read_parquet_clean(f"{sf}/documents.parquet")).take_all()
+    }
+    n_docs = read_parquet_clean(f"{sf}/documents.parquet").count()
+    assert len(keep) == n_docs
+    dropped = {d for d, k in keep.items() if k == 0}
+    expected = {d for d, rep in lab.items() if d != rep}
+    assert dropped == expected and expected, "fixture has dups to drop"
+
+
+def test_distinct_users_by_type(ray_session):
+    import duckdb
+
+    from go_htmldate_ray.pipelines.analytics import distinct_users_by_type
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in distinct_users_by_type(sf).take_all()
+    }
+    want = {
+        t: n
+        for t, n in duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) FROM "
+            f"read_parquet('{sf}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_date_year_histogram_sums_to_dated_pages(ray_session):
+    from go_htmldate_ray.pipelines.extract_dates import (
+        date_year_histogram,
+        extract_dates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = {r["year"]: r["n_pages"] for r in date_year_histogram(sf).take_all()}
+    dates = [r["date_str"] for r in extract_dates(sf).take_all()]
+    dated = [d for d in dates if d]
+    assert sum(hist.values()) == len(dated)
+    assert all(len(y) == 4 and y.isdigit() for y in hist)
+    import collections
+
+    want = collections.Counter(d[:4] for d in dated)
+    assert hist == dict(want)
+
+
 def test_deterministic_samplers(ray_session):
     """Samplers are pure functions of (id, seed): identical row sets on
     rerun, disjoint-ish across seeds, rate roughly honoured, and
