@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep": lambda sf: dedup.near_dup_keep(
             _docs(sf), hot_buckets="error"
         ),
+        # End-to-end curation funnel: quality + lang-ID in ONE text pass,
+        # near-dup keep flags joined on, per-language kept/total stats.
+        "curated_corpus_stats": _curated_corpus_stats,
         "simhash": lambda sf: _map(sf, dedup.simhash_batch, ["doc_id", "text"]),
         "token_jaccard_pairs": lambda sf: dedup.token_jaccard_pairs(
             _docs(sf), max_doc_id=200, min_jaccard=0.5
@@ -358,6 +361,12 @@ def _media_features(sf_dir):
     return media_features(sf_dir)
 
 
+def _curated_corpus_stats(sf_dir):
+    from go_htmldate_ray.pipelines.curation import curated_corpus_stats
+
+    return curated_corpus_stats(sf_dir, hot_buckets="error")
+
+
 def _crawl_reachable(sf_dir):
     from go_htmldate_ray.pipelines.crawl import crawl_reachable
 
@@ -508,51 +517,7 @@ def oracle_sql() -> dict[str, str]:
         # Same word (str.split) / line ('\n' split) semantics and ASCII
         # regexes as stages/text_stage.gopher_quality_batch; thresholds
         # mirror the queries() wiring (30..80 words, >=1 stopword hit).
-        "gopher_quality": r"""
-            WITH t AS (
-                SELECT doc_id, text,
-                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
-                       string_split(text, chr(10)) AS lines
-                FROM documents
-            ), m AS (
-                SELECT doc_id,
-                       length(toks) AS n_words,
-                       CASE WHEN length(toks) = 0 THEN 0.0
-                            ELSE round(list_aggregate(list_transform(toks,
-                                w -> length(w)), 'sum')::DOUBLE / length(toks), 6)
-                           END AS mean_word_len,
-                       CASE WHEN length(toks) = 0 THEN 0.0
-                            ELSE round(length(list_filter(toks,
-                                w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
-                                / length(toks), 6) END AS frac_alpha_words,
-                       length(list_intersect(
-                           list_distinct(list_transform(toks, w -> lower(w))),
-                           ['the','be','to','of','and','that','have','with']))
-                           AS stopword_hits,
-                       CASE WHEN length(toks) = 0 THEN 0.0
-                            ELSE round(((length(text) - length(replace(text, '#', '')))
-                                + (length(text) - length(replace(text, '...', ''))) / 3
-                                )::DOUBLE / length(toks), 6) END AS symbol_ratio,
-                       round(length(list_filter(lines,
-                           l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE
-                           / length(lines), 6) AS frac_bullet_lines,
-                       round(length(list_filter(lines,
-                           l -> regexp_matches(l, '\.\.\.\s*$')))::DOUBLE
-                           / length(lines), 6) AS frac_ellipsis_lines
-                FROM t
-            )
-            SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
-                   stopword_hits::BIGINT AS stopword_hits, symbol_ratio,
-                   frac_bullet_lines, frac_ellipsis_lines,
-                   (n_words BETWEEN 30 AND 80
-                    AND mean_word_len BETWEEN 3.0 AND 10.0
-                    AND symbol_ratio <= 0.1
-                    AND frac_bullet_lines <= 0.9
-                    AND frac_ellipsis_lines <= 0.3
-                    AND frac_alpha_words >= 0.8
-                    AND stopword_hits >= 1)::BIGINT AS passes
-            FROM m""",
+        "gopher_quality": _GOPHER_QUALITY_SQL,
         "vocab_top_tokens": r"""
             WITH toks AS (
                 SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
@@ -855,12 +820,22 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(),
         "minhash_dedup_pairs": _minhash_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
-        "near_dup_keep": f"""
-SELECT d.doc_id,
-       CASE WHEN c.doc_id IS NOT NULL AND c.doc_id <> c.cluster_rep
-            THEN 0 ELSE 1 END::BIGINT AS keep
-FROM documents d
-LEFT JOIN ({_near_dup_clusters_sql()}) c ON c.doc_id = d.doc_id""",
+        "near_dup_keep": _near_dup_keep_sql(),
+        # Composition of the gopher_quality, lang_id, and near_dup_keep
+        # oracles: per predicted language, total docs and the docs/tokens
+        # surviving quality AND dedup.
+        "curated_corpus_stats": f"""
+WITH lang AS ({_lang_id_sql()}),
+q AS ({_GOPHER_QUALITY_SQL}),
+k AS ({_near_dup_keep_sql()})
+SELECT lang.pred_lang,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN q.passes = 1 AND k.keep = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_kept,
+       sum(CASE WHEN q.passes = 1 AND k.keep = 1 THEN q.n_words ELSE 0 END)::BIGINT
+           AS kept_tokens
+FROM lang JOIN q USING (doc_id) JOIN k USING (doc_id)
+GROUP BY lang.pred_lang""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "embedding_dup_pairs_lsh": f"""
@@ -914,24 +889,77 @@ FROM documents d LEFT JOIN vals v USING (doc_id)
 """
 
 
+# Gopher quality rules SQL (also composed into the curation oracle).
+_GOPHER_QUALITY_SQL = r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       length(toks) AS n_words,
+                       CASE WHEN length(toks) = 0 THEN 0.0
+                            ELSE round(list_aggregate(list_transform(toks,
+                                w -> length(w)), 'sum')::DOUBLE / length(toks), 6)
+                           END AS mean_word_len,
+                       CASE WHEN length(toks) = 0 THEN 0.0
+                            ELSE round(length(list_filter(toks,
+                                w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                                / length(toks), 6) END AS frac_alpha_words,
+                       length(list_intersect(
+                           list_distinct(list_transform(toks, w -> lower(w))),
+                           ['the','be','to','of','and','that','have','with']))
+                           AS stopword_hits,
+                       CASE WHEN length(toks) = 0 THEN 0.0
+                            ELSE round(((length(text) - length(replace(text, '#', '')))
+                                + (length(text) - length(replace(text, '...', ''))) / 3
+                                )::DOUBLE / length(toks), 6) END AS symbol_ratio,
+                       round(length(list_filter(lines,
+                           l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE
+                           / length(lines), 6) AS frac_bullet_lines,
+                       round(length(list_filter(lines,
+                           l -> regexp_matches(l, '\.\.\.\s*$')))::DOUBLE
+                           / length(lines), 6) AS frac_ellipsis_lines
+                FROM t
+            )
+            SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+                   stopword_hits::BIGINT AS stopword_hits, symbol_ratio,
+                   frac_bullet_lines, frac_ellipsis_lines,
+                   (n_words BETWEEN 30 AND 80
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND frac_bullet_lines <= 0.9
+                    AND frac_ellipsis_lines <= 0.3
+                    AND frac_alpha_words >= 0.8
+                    AND stopword_hits >= 1)::BIGINT AS passes
+            FROM m"""
+
 def _lang_id_sql() -> str:
-    # Mirror of stages/text_stage._LANG_PROFILES + the first-strict-max
-    # argmax (insertion order en, de, fr, es, id; 'und' when no hits).
-    profiles = {
-        "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
-        "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "ein", "nicht"],
-        "fr": ["le", "la", "les", "et", "de", "est", "pour", "dans", "une", "que"],
-        "es": ["el", "la", "los", "de", "y", "es", "para", "con", "una", "por"],
-        "id": ["yang", "dan", "di", "ini", "itu", "dengan", "untuk", "dari", "pada", "ke"],
-    }
+    # Generated from stages/text_stage._LANG_PROFILES (word lists are
+    # literals, like the k-means/IVF centroid oracles) with the argmax,
+    # tokenization, and occurrence counting re-expressed independently
+    # in SQL: first-strict-max in dict insertion order, 'und' on 0 hits.
+    from go_htmldate_ray.stages.text_stage import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
 
     def lit(words):
-        return "[" + ",".join(f"'{w}'" for w in words) + "]"
+        return "[" + ",".join(f"'{w}'" for w in sorted(words)) + "]"
 
-    hits = ", ".join(
+    hits = ",\n       ".join(
         f"length(list_filter(toks, t -> list_contains({lit(ws)}, t)))::BIGINT AS h_{l}"
-        for l, ws in profiles.items()
+        for l, ws in _LANG_PROFILES.items()
     )
+    whens = []
+    for i, l in enumerate(langs):
+        conds = [f"h_{l} > 0"]
+        conds += [f"h_{l} > h_{langs[j]}" for j in range(i)]
+        conds += [f"h_{l} >= h_{langs[j]}" for j in range(i + 1, len(langs))]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{l}'")
+    when_block = "\n    ".join(whens)
+    greatest = ", ".join(f"h_{l}" for l in langs)
     return rf"""
 WITH t AS (
   SELECT doc_id,
@@ -939,18 +967,16 @@ WITH t AS (
               ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
   FROM documents
 ),
-h AS (SELECT doc_id, length(toks)::BIGINT AS n, {hits} FROM t)
+h AS (SELECT doc_id, length(toks)::BIGINT AS n,
+       {hits}
+      FROM t)
 SELECT doc_id,
   CASE
     WHEN n = 0 THEN 'und'
-    WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_id THEN 'en'
-    WHEN h_de > 0 AND h_de > h_en AND h_de >= h_fr AND h_de >= h_es AND h_de >= h_id THEN 'de'
-    WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_de AND h_fr >= h_es AND h_fr >= h_id THEN 'fr'
-    WHEN h_es > 0 AND h_es > h_en AND h_es > h_de AND h_es > h_fr AND h_es >= h_id THEN 'es'
-    WHEN h_id > 0 AND h_id > h_en AND h_id > h_de AND h_id > h_fr AND h_id > h_es THEN 'id'
+    {when_block}
     ELSE 'und' END AS pred_lang,
   CASE WHEN n = 0 THEN 0.0
-       ELSE greatest(h_en, h_de, h_fr, h_es, h_id)::DOUBLE / n END AS lang_score
+       ELSE greatest({greatest})::DOUBLE / n END AS lang_score
 FROM h"""
 
 
@@ -1096,6 +1122,16 @@ def _fixture_embedding_dim(default: int = 64) -> int:
         return len(t.column("embedding")[0])
     except Exception:
         return default
+
+
+def _near_dup_keep_sql() -> str:
+    # keep = 0 exactly for non-rep near-dup cluster members.
+    return f"""
+SELECT d.doc_id,
+       CASE WHEN c.doc_id IS NOT NULL AND c.doc_id <> c.cluster_rep
+            THEN 0 ELSE 1 END::BIGINT AS keep
+FROM documents d
+LEFT JOIN ({_near_dup_clusters_sql()}) c ON c.doc_id = d.doc_id"""
 
 
 def _near_dup_clusters_sql() -> str:

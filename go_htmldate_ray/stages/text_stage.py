@@ -192,8 +192,9 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
 
 # Stopword profiles for the heuristic language ID.  Dict ORDER is part of
 # the operator's semantics (ties resolve to the earliest language), and
-# the SQL oracle generator reads this dict directly — extend here, never
-# in the SQL.
+# the SQL oracle generator (__ray_entry__._lang_id_sql) reads this dict
+# directly — extend here, never in the SQL.  Word lists are the standard
+# top-frequency function words for each language.
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "a"},
     "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "ein", "nicht"},
@@ -205,27 +206,51 @@ _LANG_PROFILES = {
     "nl": {"het", "een", "van", "en", "dat", "niet", "voor", "met", "zijn", "ook"},
     "pl": {"nie", "się", "jest", "na", "do", "że", "jak", "ale", "po", "co"},
     "tr": {"bir", "ve", "bu", "için", "ile", "olarak", "da", "çok", "daha", "gibi"},
+    "ru": {"и", "в", "не", "на", "что", "это", "как", "его", "но", "из"},
+    "uk": {"і", "що", "це", "як", "але", "його", "вона", "був", "для", "ще"},
+    "sv": {"och", "att", "det", "som", "en", "på", "är", "av", "han", "till"},
+    "da": {"og", "at", "det", "er", "til", "ikke", "den", "jeg", "han", "hun"},
+    "fi": {"ja", "on", "ei", "että", "oli", "hän", "mutta", "se", "kun", "myös"},
+    "cs": {"je", "se", "na", "že", "to", "ale", "jako", "pro", "byl", "jsem"},
+    "ro": {"și", "în", "la", "cu", "este", "pentru", "care", "mai", "nu", "sunt"},
+    "hu": {"és", "az", "egy", "hogy", "nem", "van", "meg", "ezt", "már", "csak"},
+    "vi": {"và", "của", "là", "có", "không", "được", "trong", "người", "những", "này"},
 }
+
+# token -> [lang indices whose profile contains it]: one hash probe per
+# token instead of a pass per language.
+_LANG_NAMES = list(_LANG_PROFILES)
+_TOKEN_LANGS: dict[str, list[int]] = {}
+for _i, _profile in enumerate(_LANG_PROFILES.values()):
+    for _w in _profile:
+        _TOKEN_LANGS.setdefault(_w, []).append(_i)
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
     """doc_id, pred_lang, lang_score — stopword-profile argmax; 'und'
-    (undetermined) when no profile scores."""
+    (undetermined) when no profile scores.
+
+    Scoring is one ``Counter`` pass over the tokens plus one lookup per
+    *distinct* stopword-matching token — O(tokens + matches), not
+    O(tokens × languages)."""
+    from collections import Counter
+
     texts = batch.column("text").to_pylist()
     preds, scores = [], []
+    n_langs = len(_LANG_NAMES)
     for t in texts:
         toks = (t or "").lower().split()
         if not toks:
             preds.append("und")
             scores.append(0.0)
             continue
-        tokset = toks  # count every occurrence, not just unique
-        best_lang, best = "und", 0
-        for lang, profile in _LANG_PROFILES.items():
-            hits = sum(1 for tok in tokset if tok in profile)
-            if hits > best:
-                best, best_lang = hits, lang
-        preds.append(best_lang)
+        hits = [0] * n_langs
+        for tok, cnt in Counter(toks).items():
+            for li in _TOKEN_LANGS.get(tok, ()):
+                hits[li] += cnt
+        best = max(hits)
+        # first-strict-max: earliest language wins ties
+        preds.append(_LANG_NAMES[hits.index(best)] if best > 0 else "und")
         scores.append(best / len(toks))
     return pa.table(
         {

@@ -353,3 +353,92 @@ def test_top_users_per_type_ranks(ray_session):
     assert flat == exp
     for rows in by_type.values():
         assert sorted(r["rank"] for r in rows) == [1, 2, 3]
+
+
+def test_lang_id_breadth_and_oracle_agreement():
+    """Every _LANG_PROFILES language is predictable from a sentence of
+    its own stopwords, and the generated SQL oracle agrees with the
+    engine on planted multilingual text (including the post-round-2
+    additions: ru/uk/sv/da/fi/cs/ro/hu/vi)."""
+    import duckdb
+
+    from go_htmldate_ray.stages.text_stage import _LANG_PROFILES, lang_id_batch
+
+    rows = [(i, " ".join(sorted(ws))) for i, ws in enumerate(_LANG_PROFILES.values())]
+    n = len(rows)
+    rows.append((n, ""))                 # empty -> und
+    rows.append((n + 1, "zzz qqq xxx"))  # no hits -> und
+    # a mixed doc: 3 Finnish + 1 English stopword -> fi wins
+    rows.append((n + 2, "ja on ei the book"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    got = lang_id_batch(tbl)
+    preds = dict(zip(got.column("doc_id").to_pylist(), got.column("pred_lang").to_pylist()))
+    for i, lang in enumerate(_LANG_PROFILES):
+        assert preds[i] == lang, f"{lang}: got {preds[i]}"
+    assert preds[n] == "und" and preds[n + 1] == "und" and preds[n + 2] == "fi"
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    sql_rows = con.sql(entrymod._lang_id_sql()).fetchall()
+    sql_preds = {r[0]: r[1] for r in sql_rows}
+    sql_scores = {r[0]: round(r[2], 9) for r in sql_rows}
+    eng_scores = dict(
+        zip(
+            got.column("doc_id").to_pylist(),
+            [round(s, 9) for s in got.column("lang_score").to_pylist()],
+        )
+    )
+    assert sql_preds == preds
+    assert sql_scores == eng_scores
+
+
+def test_curated_corpus_stats_consistency(ray_session):
+    """The curation funnel equals the composition of its parts computed
+    independently: quality+lang kernels run locally over the fixture,
+    keep flags from near_dup_keep."""
+    import duckdb
+
+    from go_htmldate_ray.pipelines.curation import curated_corpus_stats
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.dedup import near_dup_keep
+    from go_htmldate_ray.stages.text_stage import gopher_quality_batch, lang_id_batch
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["pred_lang"]: (r["n_docs"], r["n_kept"], r["kept_tokens"])
+        for r in curated_corpus_stats(sf).take_all()
+    }
+
+    tbl = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).arrow()
+    q = gopher_quality_batch(
+        tbl, min_words=30, max_words=80, min_stopword_hits=1
+    )
+    lang = lang_id_batch(tbl)
+    keep = {
+        r["doc_id"]: r["keep"]
+        for r in near_dup_keep(read_parquet_clean(f"{sf}/documents.parquet")).take_all()
+    }
+    want: dict = {}
+    for doc_id, nw, p, pl in zip(
+        q.column("doc_id").to_pylist(),
+        q.column("n_words").to_pylist(),
+        q.column("passes").to_pylist(),
+        lang.column("pred_lang").to_pylist(),
+    ):
+        n, k, kt = want.get(pl, (0, 0, 0))
+        kept = int(p == 1 and keep[doc_id] == 1)
+        want[pl] = (n + 1, k + kept, kt + (nw if kept else 0))
+    assert got == want
+    # the funnel is non-trivial on the fixture: something dropped AND kept
+    total_docs = sum(v[0] for v in got.values())
+    total_kept = sum(v[1] for v in got.values())
+    assert 0 < total_kept < total_docs
