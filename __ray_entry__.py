@@ -37,7 +37,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from go_htmldate_ray.pipelines import analytics, extract_dates as ed
-    from go_htmldate_ray.stages import cleaning, dedup, sampling, similarity, text_stage
+    from go_htmldate_ray.stages import (
+        cleaning,
+        dedup,
+        sampling,
+        search,
+        similarity,
+        text_stage,
+    )
 
     def _docs(sf_dir):
         import ray.data
@@ -132,6 +139,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             seed=7,
         ).select_columns(["doc_id", "lang"]),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
+        # Incremental crawl dedup: today's docs (id >= 100) whose exact
+        # content is absent from the id < 100 snapshot — one bucketed
+        # anti-join shuffle over light hash rows.  The fixture has no
+        # natural dups across the id-100 boundary, so 5 snapshot texts
+        # are re-planted as today-ids (1e6+i) on BOTH sides — the oracle
+        # proves drops AND keeps.
+        "new_docs_vs_snapshot": _new_docs_vs_snapshot,
+        # Distributed Okapi BM25 keyword search: stats+df pass -> scoring
+        # pass with per-block top-k; fixed-point nano scores make the
+        # sum order-independent and SQL-exact.
+        "bm25_search": lambda sf: search.bm25_topk(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+            ("merge", "window", "spark"),
+            k=10,
+        ),
         # hot_buckets="error": the SQL oracle enumerates every band
         # collision pair, so a fixture hot enough to trigger star-sampling
         # must fail loudly here, not as a confusing hash mismatch.
@@ -361,6 +383,29 @@ def _media_features(sf_dir):
     return media_features(sf_dir)
 
 
+def _new_docs_vs_snapshot(sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from go_htmldate_ray.stages.dedup import new_docs_vs_snapshot
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch.column("doc_id"), 5))
+        return pa.table(
+            {
+                "doc_id": pc.add(t.column("doc_id").cast(pa.int64()), 1_000_000),
+                "text": t.column("text"),
+            }
+        )
+
+    aug = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    return new_docs_vs_snapshot(aug, snapshot_max_id=100)
+
+
 def _curated_corpus_stats(sf_dir):
     from go_htmldate_ray.pipelines.curation import curated_corpus_stats
 
@@ -533,6 +578,55 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",
+        # Engine key: first 8 md5 bytes big-endian >> 1 (text_hash_batch)
+        # = ('0x' || first 16 hex chars)::UBIGINT >> 1.
+        "new_docs_vs_snapshot": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id < 5
+            ),
+            h AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1)::BIGINT
+                           AS key
+                FROM aug
+            )
+            SELECT t.doc_id FROM h t
+            WHERE t.doc_id >= 100
+              AND NOT EXISTS (
+                  SELECT 1 FROM h s WHERE s.doc_id < 100 AND s.key = t.key
+              )""",
+        # Same fixed-point floor(contrib*1e9 + 0.5) nano arithmetic as
+        # stages/search.py::bm25_topk — DuckDB ln is bit-identical to
+        # Python math.log, and integer nano sums commute.
+        "bm25_search": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents WHERE trim(text) != ''
+            ),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                             (SELECT coalesce(sum(dl), 0) FROM dl)::DOUBLE AS wl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+                   WHERE term IN ('merge', 'window', 'spark')
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(floor(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                                 * tf.tf * (1.2 + 1)
+                                 / (tf.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * dl.dl / (stats.wl / stats.n)))
+                                 * 1000000000 + 0.5)::BIGINT) AS nano
+                FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                     CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT row_number() OVER (ORDER BY nano DESC, doc_id)::BIGINT AS rank,
+                   doc_id, nano::DOUBLE / 1000000000 AS score
+            FROM scored ORDER BY nano DESC, doc_id LIMIT 10""",
         # md5(seed:doc_id) top-63-bit threshold — identical bytes to the
         # engine's hashlib.md5(f"{seed}:{doc_id}") keep rule.
         "sample_documents": f"""

@@ -76,6 +76,42 @@ def _min_count_aggs():
     return Count(), Min("doc_id")
 
 
+def new_docs_vs_snapshot(ds, *, snapshot_max_id: int = 100):
+    """Incremental crawl dedup: documents with ``doc_id >=
+    snapshot_max_id`` ("today's crawl") whose exact text content does
+    not appear among ``doc_id < snapshot_max_id`` ("yesterday's
+    snapshot").  Returns (doc_id,) sorted by the anti-join's bucket
+    co-location (driver compares order-insensitively).
+
+    Shape: one stateless content-hash pass per side, then the bucketed
+    :func:`~go_htmldate_ray.stages.joins.anti_join` — a single light-row
+    shuffle; the snapshot side ships one int64 per distinct content per
+    block."""
+    from .joins import anti_join
+
+    hashed = ds.map_batches(text_hash_batch, batch_format="pyarrow")
+
+    def today(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("doc_id"), snapshot_max_id))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "text_hash": t.column("text_hash"),
+            }
+        )
+
+    def snapshot(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch.column("doc_id"), snapshot_max_id))
+        return pa.table({"text_hash": t.column("text_hash")})
+
+    new = anti_join(
+        hashed.map_batches(today, batch_format="pyarrow"),
+        hashed.map_batches(snapshot, batch_format="pyarrow"),
+        on="text_hash",
+    )
+    return new.select_columns(["doc_id"])
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:

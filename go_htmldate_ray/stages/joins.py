@@ -240,6 +240,75 @@ def hash_join(
     return unioned.groupby(_BUCKET).map_groups(emit_bucket, batch_format="pyarrow")
 
 
+def anti_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    n_buckets: int = DEFAULT_JOIN_BUCKETS,
+):
+    """Left ANTI equi-join: left rows whose key has NO match in right —
+    the "new since the last snapshot" / incremental-dedup exchange.
+
+    Same single bucketed sort-shuffle as :func:`hash_join`, but the
+    right side ships only its key column, locally deduplicated per
+    batch first (``pc.unique``), so a heavily-duplicated probe side
+    costs one light int64 row per distinct key per block.  Per bucket
+    the resolve is one sorted ``searchsorted`` membership test.
+
+    Returns left's columns unchanged.
+    """
+    right_on = right_on or on
+
+    left_schema = left.schema()
+    left_names = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {f"l_{c}": batch.column(c) for c in left_names}
+        key = batch.column(on).cast(pa.int64())
+        cols[_KEY] = key
+        cols[_BUCKET] = _bucket_of(key, n_buckets)
+        cols[_SIDE] = pa.array([0] * batch.num_rows, pa.int8())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        key = pc.unique(
+            batch.column(right_on).cast(pa.int64()).combine_chunks()
+        )
+        cols = {f"l_{c}": pa.nulls(len(key), left_types[c]) for c in left_names}
+        cols[_KEY] = key
+        cols[_BUCKET] = _bucket_of(key, n_buckets)
+        cols[_SIDE] = pa.array([1] * len(key), pa.int8())
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    empty = pa.table({n: pa.array([], left_types[n]) for n in left_names})
+
+    def emit_bucket(group: pa.Table) -> pa.Table:
+        side = group.column(_SIDE)
+        lrows = group.filter(pc.equal(side, 0))
+        if lrows.num_rows == 0:
+            return empty
+        rkeys = np.unique(
+            np.asarray(group.filter(pc.equal(side, 1)).column(_KEY), dtype=np.int64)
+        )
+        lk = np.asarray(lrows.column(_KEY), dtype=np.int64)
+        if len(rkeys):
+            pos = np.searchsorted(rkeys, lk)
+            pos_clip = np.minimum(pos, len(rkeys) - 1)
+            keep_mask = rkeys[pos_clip] != lk
+        else:
+            keep_mask = np.ones(len(lk), dtype=bool)
+        kept = lrows.filter(pa.array(keep_mask))
+        return pa.table({n: kept.column(f"l_{n}") for n in left_names})
+
+    return unioned.groupby(_BUCKET).map_groups(emit_bucket, batch_format="pyarrow")
+
+
 PAIR_CAP = 200  # bucket size above which all-pairs expansion is star-sampled
 
 

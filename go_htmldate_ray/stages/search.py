@@ -1,0 +1,165 @@
+"""Distributed keyword search: Okapi BM25 top-k over the corpus.
+
+The text-side counterpart of the embedding ANN operators — "find the k
+documents best matching this bag of query terms" — with the same scale
+contract: the corpus streams, the driver holds only per-term scalars and
+the final k rows.
+
+Shape (two streaming corpus passes, no all-to-all over heavy rows):
+
+1. **Stats + df pass** — one ``map_batches`` emits per-batch partial
+   rows: one per query term (df contribution) plus one sentinel row
+   carrying (doc-count, word-count) partials; a tiny ``Sum`` groupby
+   over ≤ (|terms|+1) × n_blocks light rows yields N, avgdl and every
+   df.  The driver receives ≤ |terms|+1 rows.
+2. **Scoring pass** — per-term idf values (computed with ``math.log``,
+   which is bit-identical to DuckDB's ``ln``; numpy's log differs in
+   the last ulp) close over a vectorized scorer; each batch emits its
+   local top-k (doc_id, nano) rows, then a sort over ≤ k × n_blocks
+   light rows picks the global top k.
+
+Exactness contract: each term's contribution is rounded to integer
+**nanos** (``floor(x·1e9 + 0.5)``) before summing, so the per-document
+sum is an integer — immune to float summation order — and the SQL
+oracle reproduces it bit-for-bit with the same floor expression.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+_NANO = 1e9
+
+
+def bm25_topk(
+    ds,
+    query_terms: tuple[str, ...] | list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """documents → top-k (rank, doc_id, score) by Okapi BM25 (the
+    ``+1``-inside-the-log idf variant, so scores are always positive).
+
+    Returns a pandas DataFrame of ≤ k rows (bounded by contract — the
+    only driver materialization).  Ties break on ascending doc_id.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    term_set = set(terms)
+
+    # --- pass 1: corpus stats + per-term document frequencies ---------
+    def partial_stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        df_counts = dict.fromkeys(terms, 0)
+        n_words = 0
+        for t in texts:
+            toks = (t or "").split()
+            n_words += len(toks)
+            for term in term_set.intersection(toks):
+                df_counts[term] += 1
+        rows_term = [""] + terms
+        return pa.table(
+            {
+                "term": pa.array(rows_term, pa.string()),
+                "df": pa.array([0] + [df_counts[t] for t in terms], pa.int64()),
+                "n": pa.array([batch.num_rows] + [0] * len(terms), pa.int64()),
+                "wl": pa.array([n_words] + [0] * len(terms), pa.int64()),
+            }
+        )
+
+    stats_rows = (
+        ds.map_batches(partial_stats, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df"), Sum("n"), Sum("wl"))
+        .take_all()
+    )
+    n_docs = sum(r["sum(n)"] for r in stats_rows)
+    total_words = sum(r["sum(wl)"] for r in stats_rows)
+    dfs = {r["term"]: r["sum(df)"] for r in stats_rows if r["term"]}
+    if n_docs == 0:
+        return pd.DataFrame(
+            {
+                "rank": pd.array([], dtype="int64"),
+                "doc_id": pd.array([], dtype="int64"),
+                "score": pd.array([], dtype="float64"),
+            }
+        )
+    avgdl = total_words / n_docs
+
+    # idf via math.log — bit-identical to DuckDB ln (see module doc)
+    idfs = {
+        t: math.log((n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5) + 1)
+        for t in terms
+        if dfs.get(t, 0) > 0
+    }
+    if not idfs:
+        return pd.DataFrame(
+            {
+                "rank": pd.array([], dtype="int64"),
+                "doc_id": pd.array([], dtype="int64"),
+                "score": pd.array([], dtype="float64"),
+            }
+        )
+    live_terms = list(idfs)
+
+    # --- pass 2: per-batch scoring + local top-k ----------------------
+    def score_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        out_ids, out_nanos = [], []
+        for doc_id, t in zip(doc_ids, texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            tf: dict = {}
+            for tok in toks:
+                if tok in idfs:
+                    tf[tok] = tf.get(tok, 0) + 1
+            if not tf:
+                continue
+            dl = float(len(toks))
+            nano = 0
+            for term, f in tf.items():
+                f = float(f)
+                contrib = (
+                    idfs[term]
+                    * f
+                    * (k1 + 1)
+                    / (f + k1 * (1 - b + b * dl / avgdl))
+                )
+                nano += int(np.floor(contrib * _NANO + 0.5))
+            out_ids.append(doc_id)
+            out_nanos.append(nano)
+        if len(out_ids) > k:  # local top-k: ship only k rows per block
+            order = np.lexsort((np.asarray(out_ids), -np.asarray(out_nanos)))[:k]
+            out_ids = [out_ids[i] for i in order]
+            out_nanos = [out_nanos[i] for i in order]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "nano": pa.array(out_nanos, pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(score_batch, batch_format="pyarrow")
+        .sort(key=["nano", "doc_id"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(top) + 1), dtype="int64"),
+            "doc_id": pd.array([r["doc_id"] for r in top], dtype="int64"),
+            "score": pd.array([r["nano"] / _NANO for r in top], dtype="float64"),
+        }
+    )

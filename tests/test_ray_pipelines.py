@@ -948,3 +948,133 @@ def test_exact_quantiles_vs_numpy(ray_session):
     empty = ray.data.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
     out = exact_quantiles(empty, "value", [0.5])
     assert len(out) == 0 and list(out.columns) == ["q", "value"]
+
+
+def test_anti_join_semantics():
+    """Left anti-join: keep left rows with no key match in right; matched
+    keys drop every duplicate; empty right keeps all; columns unchanged."""
+    import ray.data
+    from go_htmldate_ray.stages.joins import anti_join
+
+    left = ray.data.from_items(
+        [
+            {"k": 1, "lv": "a"},
+            {"k": 1, "lv": "b"},  # duplicate matched key: both drop
+            {"k": 2, "lv": "c"},
+            {"k": 9, "lv": "z"},  # unmatched: kept
+        ]
+    )
+    right = ray.data.from_items(
+        [{"rk": 1, "rv": 10}, {"rk": 1, "rv": 11}, {"rk": 2, "rv": 20},
+         {"rk": 7, "rv": 70}]
+    )
+    rows = anti_join(left, right, on="k", right_on="rk").take_all()
+    assert sorted((r["k"], r["lv"]) for r in rows) == [(9, "z")]
+    assert set(rows[0]) == {"k", "lv"}
+
+    empty_right = ray.data.from_items([{"rk": 99, "rv": 0}]).filter(
+        lambda r: False
+    )
+    kept = anti_join(left, empty_right, on="k", right_on="rk").take_all()
+    assert len(kept) == 4
+
+
+def test_anti_join_randomized_vs_python(ray_session):
+    """Randomized anti-join vs a Python set difference: duplicate keys on
+    both sides, half-overlapping ranges, many keys per bucket."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.joins import anti_join
+
+    rng = np.random.RandomState(23)
+    lkeys = rng.randint(0, 300, size=2000)
+    rkeys = rng.randint(150, 450, size=1500)
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(lkeys, pa.int64()),
+                  "lv": pa.array(np.arange(2000), pa.int64())})
+    )
+    right = ray.data.from_arrow(pa.table({"k": pa.array(rkeys, pa.int64())}))
+    got = sorted(
+        (r["k"], r["lv"])
+        for r in anti_join(left, right, on="k", n_buckets=16).take_all()
+    )
+    rset = set(rkeys.tolist())
+    want = sorted(
+        (int(k), int(v)) for k, v in zip(lkeys, np.arange(2000))
+        if int(k) not in rset
+    )
+    assert got == want and len(got) > 0
+
+
+def test_new_docs_vs_snapshot():
+    """Incremental dedup: today's rows whose exact text already exists in
+    the snapshot drop; genuinely new texts survive."""
+    import ray.data
+    from go_htmldate_ray.stages.dedup import new_docs_vs_snapshot
+
+    rows = [{"doc_id": i, "text": f"snapshot doc {i}"} for i in range(10)]
+    rows += [
+        {"doc_id": 100, "text": "snapshot doc 3"},   # dup of snapshot: drop
+        {"doc_id": 101, "text": "snapshot doc 7"},   # dup of snapshot: drop
+        {"doc_id": 102, "text": "fresh content A"},  # new: keep
+        {"doc_id": 103, "text": "fresh content B"},  # new: keep
+        {"doc_id": 104, "text": "fresh content A"},  # dup of today only: keep
+    ]
+    out = new_docs_vs_snapshot(
+        ray.data.from_items(rows), snapshot_max_id=100
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == [102, 103, 104]
+
+
+def test_bm25_topk_vs_python_reference(ray_session):
+    """Distributed BM25 matches a single-process reference with the same
+    nano fixed-point rule on a randomized corpus; k bounds the output;
+    all-absent query terms give a typed empty frame."""
+    import math
+
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.search import bm25_topk
+
+    rng = np.random.RandomState(37)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(300):
+        n = rng.randint(3, 60)
+        docs.append(" ".join(vocab[j] for j in rng.randint(0, 40, size=n)))
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    )
+    terms, k1, b = ("w1", "w7", "w33"), 1.2, 0.75
+
+    tok = [d.split() for d in docs]
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in tok) / n_docs
+    dfs = {t: sum(1 for d in tok if t in d) for t in terms}
+    idfs = {t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1)
+            for t in terms if dfs[t] > 0}
+    nanos = {}
+    for i, d in enumerate(tok):
+        nano = 0
+        for t, idf in idfs.items():
+            f = float(d.count(t))
+            if f:
+                contrib = idf * f * (k1 + 1) / (
+                    f + k1 * (1 - b + b * len(d) / avgdl))
+                nano += int(np.floor(contrib * 1e9 + 0.5))
+        if nano:
+            nanos[i] = nano
+    want = sorted(nanos.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = bm25_topk(ds, terms, k=10, k1=k1, b=b)
+    assert list(got["doc_id"]) == [i for i, _ in want]
+    assert list(got["rank"]) == list(range(1, len(want) + 1))
+    for s, (_, nano) in zip(got["score"], want):
+        assert s == nano / 1e9
+
+    missing = bm25_topk(ds, ("zz_not_in_corpus",), k=5)
+    assert len(missing) == 0
+    assert list(missing.columns) == ["rank", "doc_id", "score"]
+
+    with pytest.raises(ValueError):
+        bm25_topk(ds, ())
