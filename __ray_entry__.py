@@ -154,6 +154,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("merge", "window", "spark"),
             k=10,
         ),
+        # Classic index-build exchange: exact per-batch tf rows, one
+        # term-hash-bucket shuffle to stamp each term's df.
+        "inverted_index": lambda sf: search.build_inverted_index(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ),
+        # Memorization diagnostic: word 5-grams present in >=2 distinct
+        # docs; light (hash, doc) rows -> Count groupby.
+        "dup_ngrams": lambda sf: dedup.dup_ngrams(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+            n=5,
+            min_docs=2,
+        ),
+        # Domain-quota curation: keep the 10 lowest-doc_id docs per
+        # source via the salted two-phase cap (skew-safe).
+        "cap_per_source": lambda sf: sampling.cap_per_group(
+            read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "source"]
+            ),
+            group_col="source",
+            cap=10,
+        ),
         # hot_buckets="error": the SQL oracle enumerates every band
         # collision pair, so a fixture hot enough to trigger star-sampling
         # must fail loudly here, not as a confusing hash mismatch.
@@ -627,6 +648,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY nano DESC, doc_id)::BIGINT AS rank,
                    doc_id, nano::DOUBLE / 1000000000 AS score
             FROM scored ORDER BY nano DESC, doc_id LIMIT 10""",
+        # Whitespace tokenization identical to the engine's (trim +
+        # split on whitespace runs); df = postings per term.
+        "inverted_index": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents WHERE trim(text) != ''
+            ),
+            tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY term, doc_id)
+            SELECT term, doc_id, tf,
+                   count(*) OVER (PARTITION BY term)::BIGINT AS df
+            FROM tf""",
+        # Same md5-int63 gram hash as the engine (_hash63); DISTINCT
+        # (doc, gram) first = engine's per-doc gram set.
+        "dup_ngrams": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) != ''
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       (('0x' || substr(md5(array_to_string(a[i:i+4], ' ')), 1, 16))::UBIGINT >> 1)::BIGINT AS ngram_hash
+                FROM toks, unnest(range(1, len(a) - 3)) AS t(i)
+            )
+            SELECT ngram_hash, count(*)::BIGINT AS n_docs
+            FROM grams GROUP BY ngram_hash HAVING count(*) >= 2""",
+        "cap_per_source": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10""",
         # md5(seed:doc_id) top-63-bit threshold — identical bytes to the
         # engine's hashlib.md5(f"{seed}:{doc_id}") keep rule.
         "sample_documents": f"""

@@ -112,6 +112,53 @@ def new_docs_vs_snapshot(ds, *, snapshot_max_id: int = 100):
     return new.select_columns(["doc_id"])
 
 
+def dup_ngrams(ds, *, n: int = 5, min_docs: int = 2):
+    """Memorization / near-dup diagnostic: word ``n``-grams that occur in
+    at least ``min_docs`` distinct documents → (ngram_hash, n_docs).
+
+    Shape: per-batch pass emits one light (int64 hash) row per distinct
+    (n-gram, document) pair — a document lives in exactly one batch, so
+    the pairs are globally unique and a plain ``Count`` groupby equals
+    COUNT(DISTINCT doc) — then one shuffle over those light rows and a
+    vectorized filter.  The n-gram text itself never enters the
+    exchange; the hash is the md5-based int63 shared with the SQL
+    oracle (``_hash63``).
+    """
+    from ray.data.aggregate import Count
+
+    from .cleaning import _hash63
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hashes: list[int] = []
+        for t in texts:
+            toks = (t or "").split()
+            if len(toks) < n:
+                continue
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            hashes.extend(_hash63(g) for g in grams)
+        return pa.table({"ngram_hash": pa.array(hashes, pa.int64())})
+
+    counted = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("ngram_hash")
+        .aggregate(Count())
+    )
+
+    def keep_dups(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("count()"), min_docs))
+        return pa.table(
+            {
+                "ngram_hash": t.column("ngram_hash"),
+                "n_docs": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return counted.map_batches(keep_dups, batch_format="pyarrow")
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:

@@ -89,3 +89,84 @@ def dataset_split(
         return batch.append_column("split", pa.array(labels, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+def cap_per_group(
+    ds,
+    *,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+    n_hash_buckets: int = 64,
+):
+    """Per-group quota: keep at most ``cap`` rows per ``group_col`` value
+    (the domain-quota curation rule — "no single host may dominate the
+    corpus"), preferring the smallest ``id_col`` deterministically.
+    Returns the kept rows with the input's columns.
+
+    Skew-safe two-phase shape (the salted pattern the crawl politeness
+    stage uses): phase 1 groups on the SALTED key
+    ``md5(group) * salt_buckets + id % salt_buckets`` and keeps the
+    ``cap`` smallest ids per (group, sub-bucket), so a mega-group's rows
+    split across ``salt_buckets`` tasks and at most
+    ``salt_buckets × cap`` rows per group survive into phase 2; phase 2
+    groups on a HASH BUCKET of the group value (never one Python call
+    per group value).  Both phases resolve their caps with one
+    group-aware lexsort + run-boundary rank per task — a salt-key hash
+    collision merging two groups therefore stays correct, it just ranks
+    them side by side.
+    """
+    import numpy as np
+
+    from .cleaning import _hash63
+    from .joins import _bucket_of
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+
+    schema = ds.schema()
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+    empty = pa.table({c: pa.array([], types[c]) for c in names})
+
+    def _group_hashes(batch: pa.Table) -> "np.ndarray":
+        return np.array(
+            [_hash63(str(g)) for g in batch.column(group_col).to_pylist()],
+            dtype=np.int64,
+        )
+
+    def _rank_cap(group: pa.Table, drop: str) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        g = np.asarray(group.column(group_col).to_pylist())
+        ids = np.asarray(group.column(id_col), dtype=np.int64)
+        order = np.lexsort((ids, g))
+        g_s = g[order]
+        starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+        rank = np.arange(len(g_s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(g_s)])
+        )
+        keep = pa.array(np.sort(order[rank < cap]), pa.int64())
+        return group.take(keep).drop_columns([drop])
+
+    def salt(batch: pa.Table) -> pa.Table:
+        gh = _group_hashes(batch)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        # truncate the hash so the packed key can't overflow int64
+        key = (gh % (1 << 40)) * salt_buckets + ids % salt_buckets
+        return batch.append_column("__salt", pa.array(key, pa.int64()))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        gh = pa.array(_group_hashes(batch), pa.int64())
+        return batch.append_column("__bkt", _bucket_of(gh, n_hash_buckets))
+
+    phase1 = (
+        ds.map_batches(salt, batch_format="pyarrow")
+        .groupby("__salt")
+        .map_groups(lambda g: _rank_cap(g, "__salt"), batch_format="pyarrow")
+    )
+    return (
+        phase1.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(lambda g: _rank_cap(g, "__bkt"), batch_format="pyarrow")
+    )

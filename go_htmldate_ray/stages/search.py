@@ -30,8 +30,97 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _NANO = 1e9
+
+
+def _tokens_with_docs(batch: pa.Table) -> tuple[pa.Array, pa.Array]:
+    """Vectorized whitespace tokenization: (term, doc_id) flat columns.
+
+    Arrow's ``utf8_split_whitespace`` emits empty strings at leading /
+    trailing whitespace (unlike Python ``str.split`` and the SQL
+    ``trim + regexp_split`` the oracles use), so empties are filtered.
+    """
+    toks = pc.utf8_split_whitespace(batch.column("text").combine_chunks())
+    flat = pc.list_flatten(toks)
+    docs = pc.take(
+        batch.column("doc_id").combine_chunks().cast(pa.int64()),
+        pc.list_parent_indices(toks),
+    )
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), docs.filter(keep)
+
+
+def build_inverted_index(ds, *, n_buckets: int = 64):
+    """documents → posting rows (term, doc_id, tf, df) — the classic
+    index-build exchange: tf rows are exact after one stateless
+    per-batch aggregation (a document lives in exactly one batch, so
+    per-batch (term, doc_id) counts are already global), and ONE
+    term-hash-bucket shuffle co-locates each term's postings to stamp
+    its document frequency.  No row ever carries text heavier than the
+    term itself; output streams (proportional to input — index-build
+    semantics), never materializes on the driver.
+
+    The bucket key is a stable md5-based hash of the term (Python's
+    ``hash()`` is per-process salted), ≫ #terms-per-bucket granularity
+    via ``n_buckets`` so no per-term Python callback ever runs.
+    """
+    from .cleaning import _hash63
+    from .joins import _bucket_of
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        term, doc = _tokens_with_docs(batch)
+        t = pa.table({"term": term, "doc_id": doc}).group_by(
+            ["term", "doc_id"]
+        ).aggregate([([], "count_all")])
+        h = pa.array(
+            [_hash63(s) for s in t.column("term").to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "doc_id": t.column("doc_id"),
+                "tf": t.column("count_all").cast(pa.int64()),
+                "bkt": _bucket_of(h, n_buckets),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+
+    def stamp_df(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        terms = np.asarray(group.column("term").to_pylist())
+        order = np.lexsort(
+            (np.asarray(group.column("doc_id"), dtype=np.int64), terms)
+        )
+        terms_s = terms[order]
+        starts = np.flatnonzero(np.r_[True, terms_s[1:] != terms_s[:-1]])
+        counts = np.diff(np.r_[starts, len(terms_s)])
+        df = np.repeat(counts, counts)
+        idx = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "term": group.column("term").take(idx),
+                "doc_id": group.column("doc_id").take(idx),
+                "tf": group.column("tf").take(idx),
+                "df": pa.array(df, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(stamp_df, batch_format="pyarrow")
+    )
 
 
 def bm25_topk(

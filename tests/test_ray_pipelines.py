@@ -1078,3 +1078,85 @@ def test_bm25_topk_vs_python_reference(ray_session):
 
     with pytest.raises(ValueError):
         bm25_topk(ds, ())
+
+
+def test_inverted_index():
+    """Posting rows carry exact tf and a per-term df stamped through the
+    term-hash-bucket shuffle; empty/whitespace docs contribute nothing."""
+    import ray.data
+    from go_htmldate_ray.stages.search import build_inverted_index
+
+    docs = [
+        {"doc_id": 0, "text": "apple banana apple"},
+        {"doc_id": 1, "text": "  banana   cherry "},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "   "},
+        {"doc_id": 4, "text": "apple"},
+    ]
+    rows = build_inverted_index(ray.data.from_items(docs)).take_all()
+    got = sorted((r["term"], r["doc_id"], r["tf"], r["df"]) for r in rows)
+    assert got == [
+        ("apple", 0, 2, 2),
+        ("apple", 4, 1, 2),
+        ("banana", 0, 1, 2),
+        ("banana", 1, 1, 2),
+        ("cherry", 1, 1, 1),
+    ]
+
+
+def test_dup_ngrams():
+    """5-grams shared by >=2 docs are counted once per doc (within-doc
+    repeats collapse); unique grams are dropped."""
+    import ray.data
+    from go_htmldate_ray.stages.cleaning import _hash63
+    from go_htmldate_ray.stages.dedup import dup_ngrams
+
+    shared = "one two three four five"
+    docs = [
+        {"doc_id": 0, "text": shared + " tail0"},
+        {"doc_id": 1, "text": "head1 " + shared},
+        # within-doc repeat of the shared gram: still one (gram, doc) pair
+        {"doc_id": 2, "text": shared + " " + shared},
+        {"doc_id": 3, "text": "totally different words here now okay"},
+        {"doc_id": 4, "text": "short doc"},  # < 5 tokens: no grams
+    ]
+    rows = dup_ngrams(ray.data.from_items(docs), n=5, min_docs=2).take_all()
+    by_hash = {r["ngram_hash"]: r["n_docs"] for r in rows}
+    assert by_hash[_hash63(shared)] == 3
+    # doc2's self-overlap grams ("five one two three four" etc.) appear
+    # in only one doc; nothing from doc3/doc4 collides
+    assert all(n >= 2 for n in by_hash.values())
+    assert _hash63("totally different words here now") not in by_hash
+
+
+def test_cap_per_group_vs_python(ray_session):
+    """Salted two-phase quota matches the reference row_number()<=cap
+    rule on randomized data with a mega-group (50% of all rows)."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.sampling import cap_per_group
+
+    rng = np.random.RandomState(41)
+    n = 4000
+    groups = np.where(
+        rng.rand(n) < 0.5, "mega", np.char.add("g", rng.randint(0, 40, n).astype(str))
+    )
+    ids = rng.permutation(n * 3)[:n]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "source": pa.array(groups.tolist(), pa.string())})
+    )
+    out = cap_per_group(
+        ds, group_col="source", cap=7, salt_buckets=8
+    ).take_all()
+    got = sorted((r["source"], r["doc_id"]) for r in out)
+
+    want = []
+    for g in set(groups.tolist()):
+        gids = sorted(int(i) for i, gg in zip(ids, groups) if gg == g)
+        want.extend((g, i) for i in gids[:7])
+    assert got == sorted(want)
+
+    # cap larger than every group: identity (all rows kept)
+    all_rows = cap_per_group(ds, group_col="source", cap=n + 1).take_all()
+    assert len(all_rows) == n
