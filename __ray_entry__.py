@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("merge", "window", "spark"),
             k=10,
         ),
+        # Pregel-style PageRank over the crawl link graph (5 rounds,
+        # integer fixed-point units so sums commute; oracle = unrolled
+        # iteration CTEs with identical integer arithmetic).
+        "pagerank": _pagerank,
         # Classic index-build exchange: exact per-batch tf rows, one
         # term-hash-bucket shuffle to stamp each term's df.
         "inverted_index": lambda sf: search.build_inverted_index(
@@ -404,6 +408,77 @@ def _media_features(sf_dir):
     return media_features(sf_dir)
 
 
+def _pagerank(sf_dir):
+    """PageRank over the same deterministic link graph the crawl oracle
+    uses: every doc links to (13d+1)%N and (29d+7)%N."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_htmldate_ray.stages.graph import pagerank
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column("doc_id").cast(pa.int64())})
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([d, d]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([(13 * d + 1) % n, (29 * d + 7) % n]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return pagerank(
+        docs.map_batches(nodes, batch_format="pyarrow"),
+        docs.map_batches(edges, batch_format="pyarrow"),
+        iters=5,
+    )
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled power-iteration CTEs with the engine's exact integer
+    rule: base = (1e15*15)//(100*N); transfer = (r*85)//(100*outdeg)."""
+    total = 10**15
+    parts = [
+        f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT doc_id AS src,
+                   (doc_id*13+1) % (SELECT n FROM nn) AS dst FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id*29+7) % (SELECT n FROM nn) FROM documents
+        ),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id AS id,
+                      ({total} // (SELECT n FROM nn))::BIGINT AS r
+               FROM documents)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        r{k} AS (
+            SELECT p.id,
+                   (({total} * 15) // (100 * (SELECT n FROM nn))
+                    + coalesce(c.s, 0))::BIGINT AS r
+            FROM r{k - 1} p
+            LEFT JOIN (
+                SELECT e.dst AS id, sum((r.r * 85) // (100 * d.outdeg)) AS s
+                FROM edges e JOIN r{k - 1} r ON r.id = e.src
+                             JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+            ) c ON c.id = p.id
+        )"""
+        )
+    parts.append(f"\n        SELECT id AS doc_id, r AS rank_units FROM r{iters}")
+    return "".join(parts)
+
+
 def _new_docs_vs_snapshot(sf_dir):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -648,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY nano DESC, doc_id)::BIGINT AS rank,
                    doc_id, nano::DOUBLE / 1000000000 AS score
             FROM scored ORDER BY nano DESC, doc_id LIMIT 10""",
+        "pagerank": _pagerank_sql(iters=5),
         # Whitespace tokenization identical to the engine's (trim +
         # split on whitespace runs); df = postings per term.
         "inverted_index": r"""

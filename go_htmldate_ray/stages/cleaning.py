@@ -42,6 +42,21 @@ def _hash63(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 1
 
 
+# Per-process memo for Zipfian inputs (vocabulary terms, group values):
+# each worker md5-hashes a repeated string once, ever.
+_HASH63_CACHE: dict[str, int] = {}
+_HASH63_CACHE_CAP = 1 << 20
+
+
+def _hash63_cached(s: str) -> int:
+    h = _HASH63_CACHE.get(s)
+    if h is None:
+        h = _hash63(s)
+        if len(_HASH63_CACHE) < _HASH63_CACHE_CAP:
+            _HASH63_CACHE[s] = h
+    return h
+
+
 def split_paragraphs(text: str, *, mode: str = "newline", chunk_tokens: int = 10):
     """Passage list of a document.
 

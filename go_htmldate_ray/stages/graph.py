@@ -1,0 +1,167 @@
+"""Distributed link-graph analytics over the crawl graph.
+
+The crawl tier's graph side: PageRank over a (src, dst) edge dataset —
+the canonical iterative Pregel-style exchange.  Per iteration the rank
+vector joins the (outdegree-stamped) edge list through the bucketed
+:func:`~go_htmldate_ray.stages.joins.hash_join` (one light-row shuffle),
+contributions aggregate with one keyed ``Sum`` groupby (second shuffle),
+and the dataset is REBASED — ``from_arrow_refs`` over the materialized
+blocks with a pinned block count — because a per-round ``materialize``
+in a loop otherwise accumulates stats lineage and block-count growth
+exponentially (see ``dedup.connected_components``; observed as a driver
+hang by round ~6).
+
+Exactness contract: ranks are integers in units of ``total`` (default
+10^15) and every transfer is the exact integer expression
+``(r * damping_num) // (damping_den * outdeg)``, so sums commute and a
+SQL oracle with unrolled iteration CTEs reproduces the result
+bit-for-bit.  Dangling-node mass (outdeg 0) is dropped, the common
+sparse-implementation variant — the oracle does the same.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pagerank(
+    nodes,
+    edges,
+    *,
+    iters: int = 5,
+    total: int = 10**15,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    n_buckets: int = 64,
+):
+    """(nodes: ``id``, edges: ``src``/``dst``) → Dataset (doc_id,
+    rank_units) after ``iters`` synchronous power-iteration rounds.
+
+    ``rank_units`` sums to ≤ ``total`` (minus floor losses and dangling
+    leakage); divide by ``total`` for the float rank.  Nodes absent from
+    every edge still receive the teleport base each round.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank_units": pa.array([], pa.int64()),
+                }
+            )
+        )
+    base = (total * (damping_den - damping_num)) // (damping_den * n_nodes)
+    r0 = total // n_nodes
+
+    def rebase(mat):
+        return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
+    # ~2M rank rows per block, like connected_components
+    n_blocks = max(1, min(512, n_nodes // 2_000_000 + 1))
+
+    # One-time: stamp each edge with its source's outdegree (per-batch
+    # partial counts → keyed Sum → bucketed join back onto the edges).
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src").cast(pa.int64()),
+                "dst": batch.column("dst").cast(pa.int64()),
+            }
+        )
+
+    def partial_deg(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["src"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "dsrc": t.column("src"),
+                "part": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(edge_rows, batch_format="pyarrow")
+    deg = (
+        e.map_batches(partial_deg, batch_format="pyarrow")
+        .groupby("dsrc")
+        .aggregate(Sum("part"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "dsrc": b.column("dsrc"),
+                    "outdeg": b.column("sum(part)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    edges_deg = rebase(
+        hash_join(e, deg, on="src", right_on="dsrc", n_buckets=n_buckets)
+        .repartition(n_blocks)
+        .materialize()
+    )
+
+    def node_rows(value: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("id").cast(pa.int64())
+            return pa.table(
+                {"id": ids, "c": pa.array([value] * len(ids), pa.int64())}
+            )
+
+        return f
+
+    base_rows = rebase(
+        nodes.map_batches(node_rows(base), batch_format="pyarrow")
+        .repartition(n_blocks)
+        .materialize()
+    )
+    ranks = rebase(
+        nodes.map_batches(node_rows(r0), batch_format="pyarrow")
+        .repartition(n_blocks)
+        .materialize()
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        r = np.asarray(batch.column("c"), dtype=np.int64)
+        outdeg = np.asarray(batch.column("outdeg"), dtype=np.int64)
+        return pa.table(
+            {
+                "id": batch.column("dst"),
+                "c": pa.array(
+                    (r * damping_num) // (damping_den * outdeg), pa.int64()
+                ),
+            }
+        )
+
+    for _ in range(iters):
+        joined = hash_join(
+            edges_deg, ranks, on="src", right_on="id", n_buckets=n_buckets
+        )
+        contribs = joined.map_batches(contrib, batch_format="pyarrow")
+        ranks = (
+            base_rows.union(contribs)
+            .groupby("id")
+            .aggregate(Sum("c"))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "id": b.column("id"),
+                        "c": b.column("sum(c)").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        ranks = rebase(ranks.repartition(n_blocks).materialize())
+
+    return ranks.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("id"), "rank_units": b.column("c")}
+        ),
+        batch_format="pyarrow",
+    )

@@ -118,7 +118,7 @@ def cap_per_group(
     """
     import numpy as np
 
-    from .cleaning import _hash63
+    from .cleaning import _hash63_cached
     from .joins import _bucket_of
 
     if cap < 1:
@@ -131,7 +131,7 @@ def cap_per_group(
 
     def _group_hashes(batch: pa.Table) -> "np.ndarray":
         return np.array(
-            [_hash63(str(g)) for g in batch.column(group_col).to_pylist()],
+            [_hash63_cached(str(g)) for g in batch.column(group_col).to_pylist()],
             dtype=np.int64,
         )
 

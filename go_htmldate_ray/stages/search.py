@@ -66,7 +66,7 @@ def build_inverted_index(ds, *, n_buckets: int = 64):
     ``hash()`` is per-process salted), ≫ #terms-per-bucket granularity
     via ``n_buckets`` so no per-term Python callback ever runs.
     """
-    from .cleaning import _hash63
+    from .cleaning import _hash63_cached
     from .joins import _bucket_of
 
     def tf_rows(batch: pa.Table) -> pa.Table:
@@ -75,7 +75,7 @@ def build_inverted_index(ds, *, n_buckets: int = 64):
             ["term", "doc_id"]
         ).aggregate([([], "count_all")])
         h = pa.array(
-            [_hash63(s) for s in t.column("term").to_pylist()], pa.int64()
+            [_hash63_cached(s) for s in t.column("term").to_pylist()], pa.int64()
         )
         return pa.table(
             {

@@ -1160,3 +1160,44 @@ def test_cap_per_group_vs_python(ray_session):
     # cap larger than every group: identity (all rows kept)
     all_rows = cap_per_group(ds, group_col="source", cap=n + 1).take_all()
     assert len(all_rows) == n
+
+
+def test_pagerank_vs_python_reference(ray_session):
+    """Integer fixed-point PageRank matches a single-process reference on
+    a graph with a dangling node (mass dropped) and a node with no
+    in-edges (teleport base only)."""
+    import ray.data
+    from go_htmldate_ray.stages.graph import pagerank
+
+    # 0->1, 0->2, 1->2, 2->0, 3 dangling (no out), 4->2; nobody links 3, 4
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 2)]
+    node_ids = [0, 1, 2, 3, 4]
+    nodes = ray.data.from_items([{"id": i} for i in node_ids])
+    edges = ray.data.from_items([{"src": s, "dst": d} for s, d in edge_list])
+    iters, total = 4, 10**15
+
+    out = {r["doc_id"]: r["rank_units"]
+           for r in pagerank(nodes, edges, iters=iters).take_all()}
+
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(node_ids)
+    base = (total * 15) // (100 * n)
+    r = {i: total // n for i in node_ids}
+    for _ in range(iters):
+        nxt = {i: base for i in node_ids}
+        for s, d in edge_list:
+            nxt[d] += (r[s] * 85) // (100 * outdeg[s])
+        r = nxt
+    assert out == r
+    # node 3 (dangling, no in-edges) and 4 (no in-edges) sit at base
+    assert out[3] == base and out[4] == base
+
+    # empty node set -> typed empty result
+    none = pagerank(
+        ray.data.from_items([{"id": 1}]).filter(lambda _: False),
+        edges,
+        iters=2,
+    )
+    assert none.count() == 0
