@@ -408,7 +408,7 @@ def _media_features(sf_dir):
     return media_features(sf_dir)
 
 
-def _pagerank(sf_dir):
+def _pagerank(sf_dir, iters: int = 5):
     """PageRank over the same deterministic link graph the crawl oracle
     uses: every doc links to (13d+1)%N and (29d+7)%N."""
     import numpy as np
@@ -437,7 +437,7 @@ def _pagerank(sf_dir):
     return pagerank(
         docs.map_batches(nodes, batch_format="pyarrow"),
         docs.map_batches(edges, batch_format="pyarrow"),
-        iters=5,
+        iters=iters,
     )
 
 

@@ -41,6 +41,8 @@ def _init_ray():
 
 
 def _consume(ds) -> int:
+    if not hasattr(ds, "iter_batches"):  # small driver-side result (e.g. top-k)
+        return len(ds)
     n = 0
     for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
         n += batch.num_rows
@@ -342,6 +344,32 @@ def run_headline() -> dict:
             )
         ),
         3,
+    )
+
+    from go_htmldate_ray.stages import search as search_stage
+
+    queries["bm25_search"] = round(
+        bench_query(
+            lambda sf: search_stage.bm25_topk(
+                read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+                ("merge", "window", "spark"),
+                k=10,
+            )
+        ),
+        3,
+    )
+    queries["inverted_index"] = round(
+        bench_query(
+            lambda sf: search_stage.build_inverted_index(
+                read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+            )
+        ),
+        3,
+    )
+    import __ray_entry__ as entrymod
+
+    queries["pagerank"] = round(
+        bench_query(lambda sf: entrymod._pagerank(sf, iters=3)), 3
     )
 
     for name, (t, n) in bench_text_stage(SF_DIR).items():

@@ -33,7 +33,7 @@ def pagerank(
     total: int = 10**15,
     damping_num: int = 85,
     damping_den: int = 100,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """(nodes: ``id``, edges: ``src``/``dst``) → Dataset (doc_id,
     rank_units) after ``iters`` synchronous power-iteration rounds.
@@ -59,6 +59,12 @@ def pagerank(
         )
     base = (total * (damping_den - damping_num)) // (damping_den * n_nodes)
     r0 = total // n_nodes
+    if n_buckets is None:
+        # Per-iteration shuffle task count scales with buckets; size to
+        # the node count (~500k rank rows per bucket, floor 8) so a
+        # small graph doesn't pay 64 near-empty tasks × 2 shuffles ×
+        # iters in pure scheduling overhead.
+        n_buckets = max(8, min(256, n_nodes // 500_000 + 8))
 
     def rebase(mat):
         return ray.data.from_arrow_refs(mat.to_arrow_refs())
