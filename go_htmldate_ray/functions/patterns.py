@@ -261,6 +261,117 @@ LOCALE_MONTHS: dict[str, dict[str, int]] = {
         "januar": 1, "februar": 2, "mars": 3, "mai": 5, "juni": 6,
         "juli": 7, "august": 8, "oktober": 10, "desember": 12,
     },
+    # nominative + genitive forms for the inflecting languages, as
+    # go-dateparser's per-locale translation data does
+    "sk": {
+        "január": 1, "januára": 1, "február": 2, "februára": 2,
+        "marec": 3, "marca": 3, "apríl": 4, "apríla": 4, "máj": 5,
+        "mája": 5, "jún": 6, "júna": 6, "júl": 7, "júla": 7,
+        "august": 8, "augusta": 8, "september": 9, "septembra": 9,
+        "október": 10, "októbra": 10, "november": 11, "novembra": 11,
+        "december": 12, "decembra": 12,
+    },
+    "sl": {
+        "januar": 1, "januarja": 1, "februar": 2, "februarja": 2,
+        "marec": 3, "marca": 3, "april": 4, "aprila": 4, "maj": 5,
+        "maja": 5, "junij": 6, "junija": 6, "julij": 7, "julija": 7,
+        "avgust": 8, "avgusta": 8, "september": 9, "septembra": 9,
+        "oktober": 10, "oktobra": 10, "november": 11, "novembra": 11,
+        "december": 12, "decembra": 12,
+    },
+    # hr "listopad(a)" (October) is EXCLUDED here: it collides with
+    # Polish/Czech listopad (November) in the unrestricted merge — it
+    # lives in the restricted table, applied only under an explicit
+    # languages=["hr"] config.
+    "hr": {
+        "siječanj": 1, "siječnja": 1, "veljača": 2, "veljače": 2,
+        "ožujak": 3, "ožujka": 3, "travanj": 4, "travnja": 4,
+        "svibanj": 5, "svibnja": 5, "lipanj": 6, "lipnja": 6,
+        "srpanj": 7, "srpnja": 7, "kolovoz": 8, "kolovoza": 8,
+        "rujan": 9, "rujna": 9, "studeni": 11, "studenog": 11,
+        "studenoga": 11, "prosinac": 12, "prosinca": 12,
+    },
+    "sr": {
+        "januara": 1, "februara": 2, "mart": 3, "marta": 3,
+        "aprila": 4, "jun": 6, "juna": 6, "jul": 7, "jula": 7,
+        "avgusta": 8, "septembar": 9, "oktobar": 10, "novembar": 11,
+        "decembar": 12,
+        "јануар": 1, "јануара": 1, "фебруар": 2, "фебруара": 2,
+        "март": 3, "марта": 3, "април": 4, "априла": 4, "мај": 5,
+        "маја": 5, "јун": 6, "јуна": 6, "јул": 7, "јула": 7,
+        "август": 8, "августа": 8, "септембар": 9, "септембра": 9,
+        "октобар": 10, "октобра": 10, "новембар": 11, "новембра": 11,
+        "децембар": 12, "децембра": 12,
+    },
+    "bg": {
+        "януари": 1, "февруари": 2, "март": 3, "април": 4, "май": 5,
+        "юни": 6, "юли": 7, "август": 8, "септември": 9,
+        "октомври": 10, "ноември": 11, "декември": 12,
+    },
+    "lt": {
+        "sausis": 1, "sausio": 1, "vasaris": 2, "vasario": 2,
+        "kovas": 3, "kovo": 3, "balandis": 4, "balandžio": 4,
+        "gegužė": 5, "gegužės": 5, "birželis": 6, "birželio": 6,
+        "liepa": 7, "liepos": 7, "rugpjūtis": 8, "rugpjūčio": 8,
+        "rugsėjis": 9, "rugsėjo": 9, "spalis": 10, "spalio": 10,
+        "lapkritis": 11, "lapkričio": 11, "gruodis": 12, "gruodžio": 12,
+    },
+    "lv": {
+        "janvāris": 1, "janvāra": 1, "februāris": 2, "februāra": 2,
+        "marts": 3, "marta": 3, "aprīlis": 4, "aprīļa": 4,
+        "maijs": 5, "maija": 5, "jūnijs": 6, "jūnija": 6,
+        "jūlijs": 7, "jūlija": 7, "augusts": 8, "augusta": 8,
+        "septembris": 9, "septembra": 9, "oktobris": 10, "oktobra": 10,
+        "novembris": 11, "novembra": 11, "decembris": 12, "decembra": 12,
+    },
+    "et": {
+        "jaanuar": 1, "jaanuari": 1, "veebruar": 2, "veebruari": 2,
+        "märts": 3, "märtsi": 3, "aprill": 4, "aprilli": 4, "mai": 5,
+        "juuni": 6, "juuli": 7, "august": 8, "augusti": 8,
+        "september": 9, "septembri": 9, "oktoober": 10, "oktoobri": 10,
+        "november": 11, "novembri": 11, "detsember": 12, "detsembri": 12,
+    },
+    "ca": {
+        "gener": 1, "febrer": 2, "març": 3, "abril": 4, "maig": 5,
+        "juny": 6, "juliol": 7, "agost": 8, "setembre": 9,
+        "octubre": 10, "novembre": 11, "desembre": 12,
+    },
+    "gl": {
+        "xaneiro": 1, "febreiro": 2, "marzo": 3, "abril": 4, "maio": 5,
+        "xuño": 6, "xullo": 7, "agosto": 8, "setembro": 9,
+        "outubro": 10, "novembro": 11, "decembro": 12,
+    },
+    "is": {
+        "janúar": 1, "febrúar": 2, "mars": 3, "apríl": 4, "maí": 5,
+        "júní": 6, "júlí": 7, "ágúst": 8, "september": 9,
+        "október": 10, "nóvember": 11, "desember": 12,
+    },
+    "he": {
+        "ינואר": 1, "פברואר": 2, "מרץ": 3, "מרס": 3, "אפריל": 4,
+        "מאי": 5, "יוני": 6, "יולי": 7, "אוגוסט": 8, "ספטמבר": 9,
+        "אוקטובר": 10, "נובמבר": 11, "דצמבר": 12,
+    },
+    # Gregorian month names as used in Persian-language pages (Solar
+    # Hijri calendar dates are out of scope, as in go-dateparser's
+    # default Gregorian setting)
+    "fa": {
+        "ژانویه": 1, "فوریه": 2, "مارس": 3, "آوریل": 4, "مه": 5,
+        "ژوئن": 6, "ژوئیه": 7, "جولای": 7, "اوت": 8, "سپتامبر": 9,
+        "اکتبر": 10, "نوامبر": 11, "دسامبر": 12,
+    },
+    # Thai month names (pages using the Buddhist era year are NOT
+    # converted — same as go-dateparser without the buddhist setting)
+    "th": {
+        "มกราคม": 1, "กุมภาพันธ์": 2, "มีนาคม": 3, "เมษายน": 4,
+        "พฤษภาคม": 5, "มิถุนายน": 6, "กรกฎาคม": 7, "สิงหาคม": 8,
+        "กันยายน": 9, "ตุลาคม": 10, "พฤศจิกายน": 11, "ธันวาคม": 12,
+    },
+    "hi": {
+        "जनवरी": 1, "फ़रवरी": 2, "फरवरी": 2, "मार्च": 3, "अप्रैल": 4,
+        "मई": 5, "जून": 6, "जुलाई": 7, "अगस्त": 8, "सितंबर": 9,
+        "सितम्बर": 9, "अक्टूबर": 10, "अक्तूबर": 10, "नवंबर": 11,
+        "नवम्बर": 11, "दिसंबर": 12, "दिसम्बर": 12,
+    },
 }
 
 # Month ABBREVIATIONS that are safe in the unrestricted merge: none of
@@ -303,6 +414,8 @@ _LOCALE_MONTH_ABBREVS_RESTRICTED: dict[str, dict[str, int]] = {
     "no": {"des": 12},
     "da": {"des": 12},
     "ro": {"noi": 11},
+    # hr October collides with pl/cs November in the global bag
+    "hr": {"listopad": 10, "listopada": 10},
 }
 
 for _lang, _tbl in _LOCALE_MONTH_ABBREVS_SAFE.items():
@@ -360,7 +473,21 @@ _SKIP_WORDS = frozenset({
     "klo",  # fi time marker
 })
 _TIME_OF_DAY = re.compile(r"\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?")
-_TOKEN = re.compile(r"[^\W\d_]+|\d+", re.UNICODE)
+# Combining marks (category Mn/Mc) are not matched by the \w letter
+# class but are integral to Thai / Devanagari / Hebrew-pointed /
+# Arabic-vowelled month names — a token may CONTINUE with them.
+_COMBINING = (
+    "̀-ͯ"  # Latin diacritics
+    "҃-҉"  # Cyrillic
+    "֑-ׇ"  # Hebrew points
+    "ؐ-ًؚ-ٰٟ"  # Arabic
+    "ऀ-ःऺ-ॏ॑-ॗॢॣ"  # Devanagari
+    "ัิ-ฺ็-๎"  # Thai
+    "᪰-᫿᷀-᷿⃐-⃿︠-︯"
+)
+_TOKEN = re.compile(
+    rf"[^\W\d_](?:[^\W\d_]|[{_COMBINING}])*|\d+", re.UNICODE
+)
 
 
 def lenient_absolute_parse(s: str, cfg=None) -> Optional[datetime]:

@@ -278,6 +278,26 @@ def test_date_parser_config_locales():
         ("joi 5 ianuarie 2022", (2022, 1, 5)),                 # ro
         ("понедельник 1 марта 2019 года", (2019, 3, 1)),       # ru
         ("szerda, 2020. január 5", (2020, 1, 5)),              # hu
+        # round-3 locale batch
+        ("15. januára 2021", (2021, 1, 15)),     # sk
+        ("8. avgusta 2019", (2019, 8, 8)),       # sl
+        ("23. ožujka 2022", (2022, 3, 23)),      # hr
+        ("4. децембра 2020", (2020, 12, 4)),     # sr (cyrillic)
+        ("4. decembra 2020", (2020, 12, 4)),     # sr/sk (latin)
+        ("17 октомври 2018", (2018, 10, 17)),    # bg
+        ("5 gruodžio 2020", (2020, 12, 5)),      # lt
+        ("9 jūlija 2021", (2021, 7, 9)),         # lv
+        ("3. märtsi 2023", (2023, 3, 3)),        # et
+        ("12 de març de 2021", (2021, 3, 12)),   # ca
+        ("25 de xaneiro de 2019", (2019, 1, 25)),  # gl
+        ("7. ágúst 2022", (2022, 8, 7)),         # is
+        ("14 ינואר 2021", (2021, 1, 14)),         # he
+        ("11 سپتامبر 2001", (2001, 9, 11)),       # fa
+        # Thai / Devanagari month names contain combining marks the \w
+        # letter class splits on — the tokenizer must keep them attached
+        ("21 มีนาคม 2021", (2021, 3, 21)),        # th
+        ("26 अगस्त 2020", (2020, 8, 26)),          # hi
+        ("3 दिसम्बर 2022", (2022, 12, 3)),         # hi
     ]
     for s, ymd in cases:
         dt = lenient_absolute_parse(s)
@@ -319,9 +339,15 @@ def test_date_parser_config_locales():
         ("4 des 2018", ["no"], (2018, 12, 4)),
         ("30 noi 2021", ["ro"], (2021, 11, 30)),
         ("12 sie 2020", ["pl"], (2020, 8, 12)),
+        # hr listopad = October ONLY under languages=["hr"]; the
+        # unrestricted bag keeps the pl/cs reading (November)
+        ("14 listopada 2020", ["hr"], (2020, 10, 14)),
     ]:
         dt = lenient_absolute_parse(s, DateParserConfig(languages=langs))
         assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+    d = lenient_absolute_parse("14 listopada 2020")
+    assert (d.year, d.month, d.day) == (2020, 11, 14)
 
 
 def test_date_parser_config_order_and_strictness():
