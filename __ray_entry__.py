@@ -154,10 +154,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("merge", "window", "spark"),
             k=10,
         ),
+        # Collocation mining: top-20 bigrams by PMI (combiner partials →
+        # two keyed Sums → two bucketed joins to attach unigram counts).
+        "bigram_collocations": lambda sf: text_stage.bigram_collocations(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["text"]),
+            k=20,
+            min_count=5,
+        ),
+        # HyperLogLog distinct-text sketch: per-block register maxima →
+        # one Max groupby over ≤2^p light rows; registers are pure
+        # md5-derived integers the SQL oracle recomputes exactly.
+        "hll_text_registers": lambda sf: _sketches().hll_registers(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["text"]),
+            col="text",
+            p=10,
+        ),
         # Pregel-style PageRank over the crawl link graph (5 rounds,
         # integer fixed-point units so sums commute; oracle = unrolled
         # iteration CTEs with identical integer arithmetic).
         "pagerank": _pagerank,
+        # In-degree distribution of the same graph (zero-degree nodes
+        # included): two light-row keyed aggregations.
+        "link_degree_histogram": _degree_histogram,
         # Classic index-build exchange: exact per-batch tf rows, one
         # term-hash-bucket shuffle to stamp each term's df.
         "inverted_index": lambda sf: search.build_inverted_index(
@@ -408,13 +426,17 @@ def _media_features(sf_dir):
     return media_features(sf_dir)
 
 
-def _pagerank(sf_dir, iters: int = 5):
-    """PageRank over the same deterministic link graph the crawl oracle
+def _sketches():
+    from go_htmldate_ray.stages import sketches
+
+    return sketches
+
+
+def _link_graph(sf_dir):
+    """(nodes, edges) of the deterministic link graph the crawl oracle
     uses: every doc links to (13d+1)%N and (29d+7)%N."""
     import numpy as np
     import pyarrow as pa
-
-    from go_htmldate_ray.stages.graph import pagerank
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n = docs.count()
@@ -434,11 +456,24 @@ def _pagerank(sf_dir, iters: int = 5):
             }
         )
 
-    return pagerank(
+    return (
         docs.map_batches(nodes, batch_format="pyarrow"),
         docs.map_batches(edges, batch_format="pyarrow"),
-        iters=iters,
     )
+
+
+def _pagerank(sf_dir, iters: int = 5):
+    from go_htmldate_ray.stages.graph import pagerank
+
+    nodes, edges = _link_graph(sf_dir)
+    return pagerank(nodes, edges, iters=iters)
+
+
+def _degree_histogram(sf_dir):
+    from go_htmldate_ray.stages.graph import degree_histogram
+
+    nodes, edges = _link_graph(sf_dir)
+    return degree_histogram(nodes, edges, col="dst")
 
 
 def _pagerank_sql(iters: int = 5) -> str:
@@ -723,7 +758,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY nano DESC, doc_id)::BIGINT AS rank,
                    doc_id, nano::DOUBLE / 1000000000 AS score
             FROM scored ORDER BY nano DESC, doc_id LIMIT 10""",
+        # Nano fixed-point PMI on exact-integer ratios converted to
+        # double once per side — ln and floor agree bit-for-bit.
+        "bigram_collocations": r"""
+            WITH d AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) != ''
+            ),
+            uni AS (SELECT unnest(a) AS term FROM d),
+            cu AS (SELECT term, count(*)::BIGINT AS c FROM uni GROUP BY term),
+            tot AS (SELECT (SELECT count(*) FROM uni)::BIGINT AS tu,
+                           (SELECT coalesce(sum(len(a) - 1), 0) FROM d)::BIGINT AS tb),
+            bi AS (SELECT a[i] AS x, a[i+1] AS y
+                   FROM d, unnest(range(1, len(a))) t(i)),
+            cb AS (SELECT x, y, count(*)::BIGINT AS n_xy FROM bi
+                   GROUP BY x, y HAVING count(*) >= 5),
+            scored AS (
+                SELECT cb.x, cb.y, cb.n_xy,
+                       floor(ln((cb.n_xy::HUGEINT * tot.tu * tot.tu)::DOUBLE
+                                / (tot.tb::HUGEINT * cx.c * cy.c)::DOUBLE)
+                             * 1000000000 + 0.5)::BIGINT AS nano
+                FROM cb JOIN cu cx ON cx.term = cb.x
+                        JOIN cu cy ON cy.term = cb.y
+                     CROSS JOIN tot
+            )
+            SELECT x, y, n_xy, nano::DOUBLE / 1000000000 AS score
+            FROM scored ORDER BY nano DESC, x, y LIMIT 20""",
+        # Exact register parity: DuckDB bin/strpos gives an integer
+        # leading-zero count — no float log2 on either side.
+        "hll_text_registers": """
+            WITH h AS (
+                SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+                FROM documents WHERE text IS NOT NULL
+            ),
+            parts AS (
+                SELECT (h >> 54)::BIGINT AS bucket,
+                       (h % (1::UBIGINT << 54))::UBIGINT AS rest
+                FROM h
+            )
+            SELECT bucket,
+                   max(CASE WHEN rest = 0 THEN 55
+                            ELSE strpos(lpad(bin(rest), 54, '0'), '1')
+                       END)::BIGINT AS rho_max
+            FROM parts GROUP BY bucket""",
         "pagerank": _pagerank_sql(iters=5),
+        "link_degree_histogram": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            edges AS (
+                SELECT doc_id AS src,
+                       (doc_id*13+1) % (SELECT n FROM nn) AS dst FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id*29+7) % (SELECT n FROM nn) FROM documents
+            ),
+            deg AS (
+                SELECT d.doc_id AS id, count(e.dst)::BIGINT AS indeg
+                FROM documents d LEFT JOIN edges e ON e.dst = d.doc_id
+                GROUP BY d.doc_id
+            )
+            SELECT indeg AS degree, count(*)::BIGINT AS n_nodes
+            FROM deg GROUP BY indeg""",
         # Whitespace tokenization identical to the engine's (trim +
         # split on whitespace runs); df = postings per term.
         "inverted_index": r"""

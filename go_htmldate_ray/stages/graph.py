@@ -171,3 +171,54 @@ def pagerank(
         ),
         batch_format="pyarrow",
     )
+
+def degree_histogram(nodes, edges, *, col: str = "dst"):
+    """Link-graph degree distribution: (degree, n_nodes) histogram of
+    per-node in-degree (``col="dst"``) or out-degree (``col="src"``),
+    including zero-degree nodes.
+
+    Shape: per-batch partial degree counts + zero rows for every node →
+    one keyed Sum groupby (full per-node degrees) → a second tiny
+    groupby over ≤ max_degree light rows.  Both exchanges move one
+    int64 row per node — never an edge payload.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([col]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "id": t.column(col).cast(pa.int64()),
+                "c": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def node_zero(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").cast(pa.int64())
+        return pa.table(
+            {"id": ids, "c": pa.array([0] * len(ids), pa.int64())}
+        )
+
+    per_node = (
+        edges.map_batches(edge_partial, batch_format="pyarrow")
+        .union(nodes.map_batches(node_zero, batch_format="pyarrow"))
+        .groupby("id")
+        .aggregate(Sum("c"))
+    )
+    hist = (
+        per_node.map_batches(
+            lambda b: pa.table({"degree": b.column("sum(c)").cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("degree")
+        .aggregate(Count())
+    )
+    return hist.map_batches(
+        lambda b: pa.table(
+            {
+                "degree": b.column("degree"),
+                "n_nodes": b.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,126 @@
+"""Sketch operators: approximate distinct counting for 100 TB streams.
+
+``hll_registers`` builds a HyperLogLog register table with ONE tiny
+shuffle: per-batch partial register maxima (≤ 2^p light rows per block)
+→ a keyed ``Max`` groupby.  The registers are pure integers derived
+from md5, so a SQL oracle reproduces them bit-for-bit (DuckDB
+``bin``/``strpos`` gives an exact leading-zero count — no float log2
+anywhere on either side).  The float *estimate* is a driver-side fold
+over ≤ 2^p rows (``hll_estimate``), verified statistically in pytest —
+approximation quality is not SQL-expressible, register exactness is.
+
+At 100 TB the value: distinct-URL / distinct-document counts without
+the exact-distinct shuffle (`analytics.distinct_users_by_type` moves
+every key; this moves 2^p × n_blocks rows, constant per block).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _md5_u64(values: list) -> np.ndarray:
+    """Big-endian first 8 md5 bytes of str(v) — the full 64-bit hash
+    (matches SQL ``('0x'||substr(md5(v),1,16))::UBIGINT``)."""
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.md5(str(v).encode("utf-8")).digest()[:8], "big"
+            )
+            for v in values
+        ],
+        dtype=np.uint64,
+    )
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length (no float log2 — values above 2^53
+    would round across power-of-two boundaries)."""
+    v = v.copy()
+    bl = np.zeros(v.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl[v > 0] += 1
+    return bl
+
+
+def hll_registers(ds, *, col: str, p: int = 10):
+    """column → non-empty HLL registers (bucket, rho_max); nulls skipped.
+
+    bucket = top ``p`` hash bits; rho = leading zeros of the remaining
+    ``64-p`` bits + 1 (the classic HLL rank).  Output ≤ 2^p rows.
+    """
+    from ray.data.aggregate import Max
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    rest_bits = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chunk = batch.column(col).drop_null()
+        vals = chunk.to_pylist()
+        if not vals:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        h = _md5_u64(vals)
+        bucket = (h >> np.uint64(rest_bits)).astype(np.int64)
+        rest = h & ((np.uint64(1) << np.uint64(rest_bits)) - np.uint64(1))
+        rho = rest_bits - _bit_length_u64(rest) + 1
+        # local max per bucket (combiner): ships ≤ 2^p rows per block
+        order = np.lexsort((-rho, bucket))
+        b_s, r_s = bucket[order], rho[order]
+        first = np.r_[True, b_s[1:] != b_s[:-1]]
+        return pa.table(
+            {
+                "bucket": pa.array(b_s[first], pa.int64()),
+                "rho": pa.array(r_s[first], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("bucket").aggregate(
+        Max("rho")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "bucket": b.column("bucket"),
+                "rho_max": b.column("max(rho)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def hll_estimate(registers, *, p: int = 10) -> float:
+    """Fold ≤ 2^p register rows into the HLL cardinality estimate
+    (Flajolet et al. 2007 bias constant + small-range linear counting).
+    ``registers`` is the :func:`hll_registers` result (Dataset or rows).
+    """
+    m = 1 << p
+    rows = registers.take_all() if hasattr(registers, "take_all") else registers
+    reg = np.zeros(m, dtype=np.int64)
+    for r in rows:
+        reg[r["bucket"]] = r["rho_max"]
+    if p == 4:
+        alpha = 0.673
+    elif p == 5:
+        alpha = 0.697
+    elif p == 6:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(reg == 0))
+        if zeros:
+            return float(m * np.log(m / zeros))
+    return float(est)

@@ -298,6 +298,189 @@ def top_tokens(ds, *, k: int = 100):
     return totals.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def bigram_collocations(ds, *, k: int = 20, min_count: int = 5):
+    """documents → top-k word bigrams by PMI (x, y, n_xy, score) — the
+    collocation miner (phrase detection for tokenizer/vocab builds).
+
+    PMI = ln(c_xy · T_uni² / (T_bi · c_x · c_y)), with unigram
+    probabilities over the token total and the bigram probability over
+    the bigram total.  Scores are nano fixed-point (floor(x·1e9 + .5))
+    on a ratio whose numerator/denominator are EXACT integers converted
+    to double once on each side — the SQL oracle reproduces the doubles
+    (and DuckDB ``ln`` == Python ``math.log``) bit-for-bit.
+
+    Shape: per-batch Counter combiners (one partial row per distinct
+    unigram/bigram per block) → two keyed Sum groupbys → TWO bucketed
+    hash-joins attach c_x and c_y to each surviving bigram (bigrams are
+    pre-filtered to ``n_xy ≥ min_count`` before the joins) → per-block
+    top-k + one k-row sort.  The unigram table is materialized once and
+    re-read by both joins; nothing vocabulary-sized touches the driver.
+    """
+    import math
+
+    from collections import Counter
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .cleaning import _hash63_cached
+    from .joins import hash_join
+
+    def partial_uni(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        t_uni = 0
+        t_bi = 0
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").split()
+            counts.update(toks)
+            t_uni += len(toks)
+            t_bi += max(0, len(toks) - 1)
+        terms = [""] + list(counts.keys())
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "c": pa.array([0] + list(counts.values()), pa.int64()),
+                "tu": pa.array([t_uni] + [0] * len(counts), pa.int64()),
+                "tb": pa.array([t_bi] + [0] * len(counts), pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.map_batches(partial_uni, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c"), Sum("tu"), Sum("tb"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "term": b.column("term"),
+                    "c": b.column("sum(c)").cast(pa.int64()),
+                    "tu": b.column("sum(tu)").cast(pa.int64()),
+                    "tb": b.column("sum(tb)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    sentinel = uni.filter(expr="term == ''").take_all()
+    t_uni = sentinel[0]["tu"] if sentinel else 0
+    t_bi = sentinel[0]["tb"] if sentinel else 0
+    empty_out = pd.DataFrame(
+        {
+            "x": pd.Series([], dtype=object),
+            "y": pd.Series([], dtype=object),
+            "n_xy": pd.array([], dtype="int64"),
+            "score": pd.array([], dtype="float64"),
+        }
+    )
+    if t_bi == 0:
+        return empty_out
+
+    def uni_side(out_count: str):
+        def f(batch: pa.Table) -> pa.Table:
+            terms = batch.column("term").to_pylist()
+            keep = [t != "" for t in terms]
+            t2 = batch.filter(pa.array(keep, pa.bool_()))
+            return pa.table(
+                {
+                    "uh": pa.array(
+                        [_hash63_cached(t) for t in t2.column("term").to_pylist()],
+                        pa.int64(),
+                    ),
+                    out_count: t2.column("c"),
+                }
+            )
+
+        return f
+
+    def partial_bi(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").split()
+            counts.update(zip(toks, toks[1:]))
+        xs, ys = (
+            ([p[0] for p in counts], [p[1] for p in counts])
+            if counts
+            else ([], [])
+        )
+        return pa.table(
+            {
+                "x": pa.array(xs, pa.string()),
+                "y": pa.array(ys, pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def frequent_with_keys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("sum(c)"), min_count))
+        xs = t.column("x").to_pylist()
+        ys = t.column("y").to_pylist()
+        return pa.table(
+            {
+                "x": t.column("x"),
+                "y": t.column("y"),
+                "n_xy": t.column("sum(c)").cast(pa.int64()),
+                "xh": pa.array([_hash63_cached(s) for s in xs], pa.int64()),
+                "yh": pa.array([_hash63_cached(s) for s in ys], pa.int64()),
+            }
+        )
+
+    bi = (
+        ds.map_batches(partial_bi, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("c"))
+        .map_batches(frequent_with_keys, batch_format="pyarrow")
+    )
+    j1 = hash_join(
+        bi, uni.map_batches(uni_side("c_x"), batch_format="pyarrow"),
+        on="xh", right_on="uh",
+    )
+    j2 = hash_join(
+        j1, uni.map_batches(uni_side("c_y"), batch_format="pyarrow"),
+        on="yh", right_on="uh",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_xy = batch.column("n_xy").to_pylist()
+        c_x = batch.column("c_x").to_pylist()
+        c_y = batch.column("c_y").to_pylist()
+        nanos = [
+            int(
+                math.floor(
+                    math.log(
+                        float(cxy * t_uni * t_uni) / float(t_bi * cx * cy)
+                    )
+                    * 1e9
+                    + 0.5
+                )
+            )
+            for cxy, cx, cy in zip(n_xy, c_x, c_y)
+        ]
+        return pa.table(
+            {
+                "x": batch.column("x"),
+                "y": batch.column("y"),
+                "n_xy": batch.column("n_xy"),
+                "nano": pa.array(nanos, pa.int64()),
+            }
+        )
+
+    top = (
+        j2.map_batches(score, batch_format="pyarrow")
+        .sort(key=["nano", "x", "y"], descending=[True, False, False])
+        .limit(k)
+        .take_all()
+    )
+    return pd.DataFrame(
+        {
+            "x": pd.Series([r["x"] for r in top], dtype=object),
+            "y": pd.Series([r["y"] for r in top], dtype=object),
+            "n_xy": pd.array([r["n_xy"] for r in top], dtype="int64"),
+            "score": pd.array([r["nano"] / 1e9 for r in top], dtype="float64"),
+        }
+    )
+
+
 # --- rolling-hash winnowing fingerprints -------------------------------------
 
 _ROLL_BASE = 257

@@ -1201,3 +1201,111 @@ def test_pagerank_vs_python_reference(ray_session):
         iters=2,
     )
     assert none.count() == 0
+
+
+def test_hll_registers_and_estimate(ray_session):
+    """HLL sketch: estimate within ~3σ of true cardinality on 20k
+    distinct values (σ = 1.04/√m ≈ 3.25% at p=10); duplicates don't
+    move the registers; nulls are skipped; small range uses linear
+    counting and is near-exact."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.sketches import hll_estimate, hll_registers
+
+    true_n = 20_000
+    vals = [f"value-{i}" for i in range(true_n)]
+    ds = ray.data.from_items(
+        [{"text": v} for v in vals]
+        + [{"text": vals[i % 100]} for i in range(5000)]  # duplicates
+        + [{"text": None}] * 50
+    )
+    regs = hll_registers(ds, col="text", p=10)
+    est = hll_estimate(regs, p=10)
+    assert abs(est - true_n) / true_n < 0.10
+
+    # duplicates alone give the identical register table
+    regs_dup = hll_registers(
+        ray.data.from_items([{"text": vals[0]}, {"text": vals[0]}]),
+        col="text",
+        p=10,
+    ).take_all()
+    regs_one = hll_registers(
+        ray.data.from_items([{"text": vals[0]}]), col="text", p=10
+    ).take_all()
+    assert regs_dup == regs_one and len(regs_one) == 1
+
+    # small cardinality -> linear counting, near exact
+    small = ray.data.from_items([{"text": f"s{i}"} for i in range(30)])
+    est_small = hll_estimate(hll_registers(small, col="text", p=10), p=10)
+    assert abs(est_small - 30) <= 2
+
+
+def test_degree_histogram(ray_session):
+    """In/out-degree histograms include zero-degree nodes and count
+    varied degrees correctly."""
+    import ray.data
+    from go_htmldate_ray.stages.graph import degree_histogram
+
+    nodes = ray.data.from_items([{"id": i} for i in range(6)])
+    # in-degrees: 0->3, 1->1, 2->2, 3..5->0 ; out-degrees: 0:0,1:2,2:2,3:1,4:1,5:0
+    edges = ray.data.from_items(
+        [{"src": 1, "dst": 0}, {"src": 2, "dst": 0}, {"src": 3, "dst": 0},
+         {"src": 4, "dst": 1}, {"src": 1, "dst": 2}, {"src": 2, "dst": 2}]
+    )
+    got_in = {r["degree"]: r["n_nodes"]
+              for r in degree_histogram(nodes, edges, col="dst").take_all()}
+    assert got_in == {0: 3, 1: 1, 2: 1, 3: 1}
+    got_out = {r["degree"]: r["n_nodes"]
+               for r in degree_histogram(nodes, edges, col="src").take_all()}
+    assert got_out == {0: 2, 1: 2, 2: 2}
+
+
+def test_bigram_collocations_vs_python(ray_session):
+    """PMI collocations match a single-process reference (same nano
+    rule) on a corpus with a planted strong collocation."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.text_stage import bigram_collocations
+
+    rng = np.random.RandomState(5)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = []
+    for i in range(200):
+        toks = [vocab[j] for j in rng.randint(0, 30, size=rng.randint(5, 40))]
+        if i % 3 == 0:
+            # plant "san francisco" so a high-PMI pair exists
+            pos = rng.randint(0, len(toks))
+            toks[pos:pos] = ["san", "francisco"]
+        docs.append(" ".join(toks))
+    ds = ray.data.from_items([{"text": t} for t in docs], override_num_blocks=4)
+    k, mc = 10, 4
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    tu = tb = 0
+    for d in docs:
+        toks = d.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+        tu += len(toks)
+        tb += max(0, len(toks) - 1)
+    scored = []
+    for (x, y), c in bi.items():
+        if c < mc:
+            continue
+        nano = int(math.floor(
+            math.log(float(c * tu * tu) / float(tb * uni[x] * uni[y])) * 1e9 + 0.5))
+        scored.append((x, y, c, nano))
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = scored[:k]
+
+    got = bigram_collocations(ds, k=k, min_count=mc)
+    assert list(zip(got["x"], got["y"], got["n_xy"])) == [
+        (x, y, c) for x, y, c, _ in want
+    ]
+    for s, (_, _, _, nano) in zip(got["score"], want):
+        assert s == nano / 1e9
+    assert (got["x"][0], got["y"][0]) == ("san", "francisco")
