@@ -154,6 +154,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("merge", "window", "spark"),
             k=10,
         ),
+        # Weighted sampling without replacement (Efraimidis-Spirakis):
+        # deterministic md5 uniforms, nano fixed-point ln(u)/w keys,
+        # per-block top-k -> one k-row sort.
+        "weighted_sample_docs": lambda sf: sampling.weighted_sample(
+            read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]
+            ),
+            weight_col="n_chars",
+            k=50,
+            seed=7,
+        ),
+        # Count-Min token-frequency sketch: per-block cell combiners ->
+        # one keyed Sum over <= depth*width light rows; counters are
+        # md5-derived integers the SQL oracle recomputes.
+        "countmin_tokens": lambda sf: _sketches().countmin_sketch(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["text"]),
+            col="text",
+            depth=4,
+            width=256,
+        ),
         # Collocation mining: top-20 bigrams by PMI (combiner partials →
         # two keyed Sums → two bucketed joins to attach unigram counts).
         "bigram_collocations": lambda sf: text_stage.bigram_collocations(
@@ -758,6 +778,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY nano DESC, doc_id)::BIGINT AS rank,
                    doc_id, nano::DOUBLE / 1000000000 AS score
             FROM scored ORDER BY nano DESC, doc_id LIMIT 10""",
+        # u = (md5-int63 + 1) / 2^63 exactly as the engine computes it;
+        # ln and the nano floor agree bit-for-bit.
+        "weighted_sample_docs": r"""
+            WITH h AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5('7:' || doc_id), 1, 16))::UBIGINT >> 1)
+                           AS h63,
+                       n_chars
+                FROM documents WHERE n_chars > 0
+            ),
+            keyed AS (
+                SELECT doc_id,
+                       floor(ln((h63 + 1)::DOUBLE / 9223372036854775808)
+                             / n_chars::DOUBLE * 1000000000 + 0.5)::BIGINT AS nano
+                FROM h
+            )
+            SELECT row_number() OVER (ORDER BY nano DESC, doc_id)::BIGINT AS rank,
+                   doc_id
+            FROM keyed ORDER BY nano DESC, doc_id LIMIT 50""",
+        "countmin_tokens": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents WHERE trim(text) != ''
+            ),
+            tc AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
+            cells AS (
+                SELECT r.j AS row_id,
+                       ((('0x' || substr(md5(r.j || ':' || tc.term), 1, 16))::UBIGINT >> 1)
+                        % 256)::BIGINT AS col_id,
+                       tc.c
+                FROM tc CROSS JOIN (VALUES (0), (1), (2), (3)) r(j)
+            )
+            SELECT row_id::BIGINT AS row_id, col_id, sum(c)::BIGINT AS counter
+            FROM cells GROUP BY row_id, col_id""",
         # Nano fixed-point PMI on exact-integer ratios converted to
         # double once per side — ln and floor agree bit-for-bit.
         "bigram_collocations": r"""

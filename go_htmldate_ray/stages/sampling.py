@@ -170,3 +170,56 @@ def cap_per_group(
         .groupby("__bkt")
         .map_groups(lambda g: _rank_cap(g, "__bkt"), batch_format="pyarrow")
     )
+
+def weighted_sample(ds, *, weight_col: str, k: int, seed: int = 7, id_col: str = "doc_id"):
+    """Distributed weighted sampling without replacement
+    (Efraimidis–Spirakis): the k rows with the largest ln(u)/w keys win,
+    where u = md5(seed:id)-uniform on (0,1] — deterministic in
+    (seed, id), so reruns and shard retries pick the same sample.
+
+    Shape: stateless per-batch key computation + per-block top-k
+    (ships ≤ k light rows per block) → one k×n_blocks sort; the only
+    driver materialization is the k-row result.  Keys are nano
+    fixed-point on IEEE-identical arithmetic so the SQL oracle
+    reproduces the exact ranking.  Rows with weight ≤ 0 are excluded.
+    Returns a pandas DataFrame (rank, id).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ws = batch.column(weight_col).to_pylist()
+        out_ids, out_nano = [], []
+        for i, w in zip(ids, ws):
+            if w is None or w <= 0:
+                continue
+            u = float(_keep_hash(seed, i) + 1) / float(_HALF_RANGE)
+            nano = int(math.floor(math.log(u) / float(w) * 1e9 + 0.5))
+            out_ids.append(i)
+            out_nano.append(nano)
+        if len(out_ids) > k:  # local top-k: largest nano (closest to 0)
+            order = np.lexsort((np.asarray(out_ids), -np.asarray(out_nano)))[:k]
+            out_ids = [out_ids[j] for j in order]
+            out_nano = [out_nano[j] for j in order]
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "nano": pa.array(out_nano, pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .sort(key=["nano", id_col], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(top) + 1), dtype="int64"),
+            id_col: pd.array([r[id_col] for r in top], dtype="int64"),
+        }
+    )

@@ -124,3 +124,65 @@ def hll_estimate(registers, *, p: int = 10) -> float:
         if zeros:
             return float(m * np.log(m / zeros))
     return float(est)
+
+def countmin_sketch(ds, *, col: str = "text", depth: int = 4, width: int = 256):
+    """Token-frequency Count-Min sketch over a text column: counters
+    (row_id, col_id, counter) with counter = Σ counts of tokens whose
+    row-``row_id`` hash lands in col_id.
+
+    Per-batch Counter combiner (one partial row per (row, col) per
+    block, ≤ depth×width) → one keyed Sum groupby over light rows.  The
+    row hashes are md5(f"{row}:{token}") — pure integers the SQL oracle
+    recomputes.  Query with :func:`countmin_estimate` (min over rows:
+    an upper-bounded overestimate, never an undercount).
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .cleaning import _hash63_cached
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column(col).to_pylist():
+            counts.update((t or "").split())
+        cells: Counter = Counter()
+        for tok, c in counts.items():
+            for j in range(depth):
+                cells[(j, _hash63_cached(f"{j}:{tok}") % width)] += c
+        return pa.table(
+            {
+                "row_id": pa.array([rc[0] for rc in cells], pa.int64()),
+                "col_id": pa.array([rc[1] for rc in cells], pa.int64()),
+                "c": pa.array(list(cells.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row_id", "col_id"])
+        .aggregate(Sum("c"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "row_id": b.column("row_id"),
+                "col_id": b.column("col_id"),
+                "counter": b.column("sum(c)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def countmin_estimate(sketch, token: str, *, depth: int = 4, width: int = 256) -> int:
+    """Point-query the sketch: min over rows of the token's counter.
+    ``sketch`` is the :func:`countmin_sketch` result (Dataset or rows)."""
+    from .cleaning import _hash63_cached
+
+    rows = sketch.take_all() if hasattr(sketch, "take_all") else sketch
+    table = {(r["row_id"], r["col_id"]): r["counter"] for r in rows}
+    return min(
+        table.get((j, _hash63_cached(f"{j}:{token}") % width), 0)
+        for j in range(depth)
+    )

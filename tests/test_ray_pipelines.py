@@ -1309,3 +1309,81 @@ def test_bigram_collocations_vs_python(ray_session):
     for s, (_, _, _, nano) in zip(got["score"], want):
         assert s == nano / 1e9
     assert (got["x"][0], got["y"][0]) == ("san", "francisco")
+
+
+def test_weighted_sample_vs_python(ray_session):
+    """Efraimidis-Spirakis sample matches the single-process ranking;
+    higher-weight rows win more often; zero/negative weights excluded;
+    deterministic across runs."""
+    import math
+
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.sampling import _keep_hash, weighted_sample
+
+    rng = np.random.RandomState(3)
+    n = 500
+    weights = rng.randint(1, 1000, size=n).tolist()
+    weights[7] = 0    # excluded
+    weights[9] = -5   # excluded
+    rows = [{"doc_id": i, "w": weights[i]} for i in range(n)]
+    ds = ray.data.from_items(rows, override_num_blocks=8)
+    k, seed = 25, 11
+
+    ref = []
+    for i, w in enumerate(weights):
+        if w <= 0:
+            continue
+        u = float(_keep_hash(seed, i) + 1) / float(1 << 63)
+        ref.append((int(math.floor(math.log(u) / float(w) * 1e9 + 0.5)), i))
+    ref.sort(key=lambda t: (-t[0], t[1]))
+    want = [i for _, i in ref[:k]]
+
+    got = weighted_sample(ds, weight_col="w", k=k, seed=seed)
+    assert list(got["doc_id"]) == want
+    assert list(got["rank"]) == list(range(1, k + 1))
+    again = weighted_sample(ds, weight_col="w", k=k, seed=seed)
+    assert list(again["doc_id"]) == want
+
+    # weight sensitivity: a huge-weight row nearly always makes the cut
+    rows2 = [{"doc_id": i, "w": 1} for i in range(200)] + [
+        {"doc_id": 999, "w": 10**9}
+    ]
+    got2 = weighted_sample(
+        ray.data.from_items(rows2, override_num_blocks=4), weight_col="w", k=5, seed=2
+    )
+    assert 999 in list(got2["doc_id"])
+
+
+def test_countmin_sketch(ray_session):
+    """Count-Min never undercounts, is exact for tokens with no
+    collisions at this width, and the sketch is one Sum groupby over
+    light cell rows."""
+    from collections import Counter
+
+    import ray.data
+    from go_htmldate_ray.stages.sketches import countmin_estimate, countmin_sketch
+
+    docs = [
+        "apple banana apple cherry",
+        "banana banana durian",
+        "apple elderberry",
+        "",
+    ] * 10
+    ds = ray.data.from_items(
+        [{"text": t} for t in docs], override_num_blocks=4
+    )
+    sketch = countmin_sketch(ds, col="text", depth=4, width=256).take_all()
+
+    truth: Counter = Counter()
+    for t in docs:
+        truth.update(t.split())
+    for tok, c in truth.items():
+        est = countmin_estimate(sketch, tok, depth=4, width=256)
+        assert est >= c  # CM guarantee: never under
+    # 5 distinct tokens in 256 columns: no collisions, estimates exact
+    assert all(
+        countmin_estimate(sketch, tok, depth=4, width=256) == c
+        for tok, c in truth.items()
+    )
+    assert countmin_estimate(sketch, "never-seen", depth=4, width=256) == 0
