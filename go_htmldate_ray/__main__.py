@@ -4,6 +4,7 @@ Usage:
     python -m go_htmldate_ray extract FILE [--original] [--fast] [--time]
     python -m go_htmldate_ray pipeline SF_DIR OUT_DIR [--extensive]
     python -m go_htmldate_ray dedup SF_DIR OUT_DIR [--mode exact|pairs|clusters]
+    python -m go_htmldate_ray search SF_DIR TERM [TERM...] [--k N]
     python -m go_htmldate_ray crawl SF_DIR [--budget N] [--max-waves N]
                                     [--checkpoint DIR] [--resume]
 
@@ -49,6 +50,11 @@ def main(argv=None) -> int:
         "clusters = connected-component labels",
     )
     p_dedup.add_argument("--threshold", type=float, default=0.8)
+
+    p_search = sub.add_parser("search", help="BM25 keyword search over a documents table")
+    p_search.add_argument("sf_dir")
+    p_search.add_argument("terms", nargs="+", help="query terms")
+    p_search.add_argument("--k", type=int, default=10)
 
     p_crawl = sub.add_parser("crawl", help="run the frontier crawl scheduler")
     p_crawl.add_argument("sf_dir")
@@ -123,6 +129,17 @@ def main(argv=None) -> int:
             "rows": pads.dataset(args.out_dir, format="parquet").count_rows(),
             "out": args.out_dir,
         }))
+        return 0
+
+    if args.cmd == "search":
+        from .sources.io import read_parquet_clean
+        from .stages.search import bm25_topk
+
+        docs = read_parquet_clean(
+            f"{args.sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        df = bm25_topk(docs, args.terms, k=args.k)
+        print(df.to_json(orient="records"))
         return 0
 
     if args.cmd == "crawl":

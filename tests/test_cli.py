@@ -67,3 +67,18 @@ def test_cli_dedup_clusters(tmp_path, ray_session):
     t = pads.dataset(out, format="parquet").to_table()
     assert t.num_rows > 0
     assert set(t.column_names) == {"doc_id", "cluster_rep"}
+
+
+def test_cli_search(ray_session):
+    import json
+
+    out = subprocess.run(
+        [sys.executable, "-m", "go_htmldate_ray", "search",
+         "/root/testdata/sf0.001", "merge", "window", "--k", "3"],
+        capture_output=True, text=True, cwd=REPO, timeout=180,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(rows) == 3
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["score"] >= rows[1]["score"] >= rows[2]["score"]
