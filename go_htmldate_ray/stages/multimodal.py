@@ -152,6 +152,107 @@ def bmp_resize(payload: bytes, width: int, height: int) -> tuple[bytes, int, int
     return encode_bmp(out), width, height
 
 
+# --- real numpy-only netpbm (PPM/PGM) codec ----------------------------------
+# The other codec-library-free family: P6/P5 binary and P3/P2 ASCII,
+# maxval <= 255.
+
+
+def _pnm_header(payload: bytes):
+    """Parse magic, width, height, maxval; return (magic, w, h, maxval,
+    pixel_data_offset).  Netpbm headers are whitespace-separated tokens
+    with '#' comments running to end-of-line."""
+    if len(payload) < 2 or payload[0:1] != b"P" or payload[1:2] not in b"2356":
+        raise ValueError("not a PPM/PGM payload")
+    magic = payload[:2].decode()
+    tokens = []
+    i = 2
+    n = len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    if len(tokens) < 3:
+        raise ValueError("truncated PNM header")
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        raise ValueError(f"unsupported PNM geometry/maxval: {w}x{h}/{maxval}")
+    if magic in ("P5", "P6"):
+        i += 1  # exactly ONE whitespace byte separates header and raster
+    return magic, w, h, maxval, i
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB array from a P6/P5 binary or P3/P2 ASCII
+    netpbm image (grayscale is broadcast to 3 channels)."""
+    magic, w, h, maxval, off = _pnm_header(payload)
+    channels = 3 if magic in ("P3", "P6") else 1
+    count = w * h * channels
+    if magic in ("P5", "P6"):
+        if len(payload) < off + count:
+            raise ValueError("truncated PNM raster")
+        px = np.frombuffer(payload, dtype=np.uint8, count=count, offset=off)
+    else:
+        vals = payload[off:].split()
+        if len(vals) < count:
+            raise ValueError("truncated ASCII PNM raster")
+        px = np.array([int(v) for v in vals[:count]], dtype=np.int64)
+        if (px > maxval).any() or (px < 0).any():
+            raise ValueError("PNM sample out of range")
+        px = px.astype(np.uint8)
+    if maxval != 255:  # rescale to full range (round-half-up like netpbm)
+        px = ((px.astype(np.uint32) * 255 + maxval // 2) // maxval).astype(
+            np.uint8
+        )
+    img = px.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary P6 bytes from an (h, w, 3) uint8 RGB array — exact
+    roundtrip inverse of :func:`decode_pnm` at maxval 255."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniffing decoder over the codec-free formats: BMP or netpbm."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return decode_pnm(payload)
+
+
+def pnm_image_features(payload: bytes) -> np.ndarray:
+    """The :func:`bmp_image_features` 8-dim kernel over PPM/PGM input."""
+    img = decode_pnm(payload)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3).astype(np.float64)
+    gray = flat.mean(axis=1)
+    return np.array(
+        [
+            w / 4096.0,
+            h / 4096.0,
+            flat[:, 0].mean() / 255.0,
+            flat[:, 1].mean() / 255.0,
+            flat[:, 2].mean() / 255.0,
+            gray.std() / 255.0,
+            gray.min() / 255.0,
+            gray.max() / 255.0,
+        ]
+    )
+
+
 class ImageDecodeStage:
     """Actor-pool stage: decode media payloads → feature vectors.
 

@@ -1387,3 +1387,67 @@ def test_countmin_sketch(ray_session):
         for tok, c in truth.items()
     )
     assert countmin_estimate(sketch, "never-seen", depth=4, width=256) == 0
+
+
+def test_pnm_codec_and_dispatch():
+    """decode_pnm handles P6/P5 binary and P3/P2 ASCII (with comments and
+    maxval rescale); encode_ppm roundtrips exactly; decode_image sniffs
+    BMP vs netpbm; features flow through ImageDecodeStage."""
+    import numpy as np
+    import pytest
+    import ray.data
+    from go_htmldate_ray.stages.multimodal import (
+        ImageDecodeStage,
+        decode_image,
+        decode_pnm,
+        encode_bmp,
+        encode_ppm,
+        pnm_image_features,
+    )
+
+    rng = np.random.RandomState(13)
+    for h, w in [(3, 5), (1, 1), (4, 2)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_pnm(encode_ppm(img)), img), (h, w)
+
+    # ASCII P3 with a comment line
+    p3 = b"P3\n# a comment\n2 1\n255\n255 0 0  0 0 255\n"
+    img = decode_pnm(p3)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0] and img[0, 1].tolist() == [0, 0, 255]
+
+    # P5 grayscale broadcast to RGB; maxval 15 rescales 15 -> 255
+    p5 = b"P5\n2 1\n15\n" + bytes([15, 0])
+    g = decode_pnm(p5)
+    assert g[0, 0].tolist() == [255, 255, 255] and g[0, 1].tolist() == [0, 0, 0]
+
+    # P2 ASCII grayscale
+    p2 = b"P2\n1 2\n255\n128\n64\n"
+    g2 = decode_pnm(p2)
+    assert g2.shape == (2, 1, 3) and g2[0, 0, 0] == 128 and g2[1, 0, 0] == 64
+
+    # sniffing dispatch: BMP bytes -> BMP path, PPM bytes -> PNM path
+    img = rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+    for bad in (b"", b"P9\n1 1\n255\nX", b"P6\n2 2\n255\nxx",
+                b"P6\n0 1\n255\n", b"P6\n1 1\n70000\n"):
+        with pytest.raises(ValueError):
+            decode_pnm(bad)
+
+    # through the actor stage with the real PNM kernel
+    solid = np.full((2, 3, 3), 200, dtype=np.uint8)
+    ds = ray.data.from_items(
+        [{"media_id": 1, "media_type": "image", "payload": encode_ppm(solid)}]
+    )
+    out = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"feature_fn": pnm_image_features},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=1,
+    ).take_all()
+    assert len(out) == 1
+    feats = out[0]["features"]
+    assert abs(feats[2] - 200 / 255) < 1e-9 and feats[5] == 0.0
