@@ -154,6 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ("merge", "window", "spark"),
             k=10,
         ),
+        # Token-budget estimate: whitespace + GPT-2-style pre-tokenizer
+        # piece counts (ASCII-literal pattern, Python-re/RE2 identical).
+        "bpe_token_counts": lambda sf: read_parquet_clean(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(text_stage.bpe_token_count_batch, batch_format="pyarrow"),
         # Weighted sampling without replacement (Efraimidis-Spirakis):
         # deterministic md5 uniforms, nano fixed-point ln(u)/w keys,
         # per-block top-k -> one k-row sort.
@@ -778,6 +783,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY nano DESC, doc_id)::BIGINT AS rank,
                    doc_id, nano::DOUBLE / 1000000000 AS score
             FROM scored ORDER BY nano DESC, doc_id LIMIT 10""",
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
+                   ))::BIGINT AS n_bpe_tokens
+            FROM documents""",
         # u = (md5-int63 + 1) / 2^63 exactly as the engine computes it;
         # ln and the nano floor agree bit-for-bit.
         "weighted_sample_docs": r"""

@@ -28,6 +28,35 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, ASCII-literal so Python `re` and
+# DuckDB RE2 agree byte-for-byte (contractions, letter runs, digit runs,
+# symbol runs — each with an optional leading space — then whitespace).
+_BPE_PAT = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens (whitespace), n_bpe_tokens (GPT-2-style
+    pre-tokenizer pieces incl. whitespace runs) — the token-budget
+    estimator a training pipeline runs corpus-wide.  Stateless batch
+    map; the compiled pattern is module-level (built once per worker).
+    """
+    texts = batch.column("text").to_pylist()
+    ws, bpe = [], []
+    for t in texts:
+        t = t or ""
+        ws.append(len(t.split()))
+        bpe.append(len(_BPE_PAT.findall(t)))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(ws, pa.int64()),
+            "n_bpe_tokens": pa.array(bpe, pa.int64()),
+        }
+    )
+
+
 _PUNCT = set(".,;:!?'\"()[]{}-")
 # 256-entry byte lookup: every punct char is ASCII, and ASCII byte values
 # never occur inside UTF-8 continuation sequences, so counting punct bytes

@@ -1451,3 +1451,29 @@ def test_pnm_codec_and_dispatch():
     assert len(out) == 1
     feats = out[0]["features"]
     assert abs(feats[2] - 200 / 255) < 1e-9 and feats[5] == 0.0
+
+
+def test_bpe_token_count_batch():
+    """BPE-ish pre-tokenizer counts match hand-derivable pieces:
+    contractions split off, letter/digit/symbol runs each one piece,
+    whitespace runs one piece."""
+    import pyarrow as pa
+    from go_htmldate_ray.stages.text_stage import bpe_token_count_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "it's over-the dog",  # it|'s| over|-|the| dog = 6
+                    "abc123 !!",           # abc|123| !! = 3
+                    "",
+                    None,
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = bpe_token_count_batch(batch)
+    assert out.column("n_bpe_tokens").to_pylist() == [6, 3, 0, 0]
+    assert out.column("n_tokens").to_pylist() == [3, 2, 0, 0]
