@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_segment": analytics.orders_by_segment,
         "orders_customer_join": analytics.orders_customer_join,
+        # LEFT OUTER variant: unmatched orders keep a null segment.
+        "orders_customer_left_join": analytics.orders_customer_left_join,
         "pricing_summary": analytics.pricing_summary,
     }
 
@@ -1068,6 +1070,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
                    round(o.o_totalprice, 2) AS o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "orders_customer_left_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
+                   round(o.o_totalprice, 2) AS o_totalprice
+            FROM orders o LEFT JOIN (
+                SELECT * FROM customer WHERE c_custkey < 50
+            ) c ON o.o_custkey = c.c_custkey""",
         "orders_by_segment": """
             SELECT c.c_mktsegment, count(*) AS n_orders,
                    round(sum(o.o_totalprice), 2) AS total_price

@@ -280,6 +280,35 @@ def orders_customer_join(sf_dir: str):
     )
 
 
+def orders_customer_left_join(sf_dir: str, custkey_cap: int = 50):
+    """orders LEFT OUTER JOIN a restricted customer slice (c_custkey <
+    ``custkey_cap``) — exercises hash_join's ``how="left"`` path: every
+    order survives, unmatched orders carry a null segment."""
+    from ..stages.joins import hash_join
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr=f"c_custkey < {custkey_cap}")
+    joined = hash_join(
+        orders, customer, on="o_custkey", right_on="c_custkey", how="left"
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "o_totalprice": _round2(b.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def top_users_per_type(sf_dir: str, k: int = 3, n_buckets: int = 64):
     """events → per-event-type top-k users by total value
     (event_type, user_id, total_value, rank) — the grouped top-N shape:

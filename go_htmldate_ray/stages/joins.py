@@ -143,8 +143,11 @@ def hash_join(
     on: str,
     right_on: str | None = None,
     n_buckets: int = DEFAULT_JOIN_BUCKETS,
+    how: str = "inner",
 ):
-    """General distributed inner equi-join via one keyed sort-shuffle.
+    """General distributed equi-join via one keyed sort-shuffle
+    (``how="inner"`` or ``"left"`` — left outer keeps unmatched left
+    rows with nulls in the right columns).
 
     Both sides are tagged and unioned; one ``groupby`` on the key's hash
     bucket co-locates matching rows; each bucket emits the cartesian
@@ -157,6 +160,8 @@ def hash_join(
     caller's responsibility.  Skewed keys amplify the within-group
     cartesian — this is an equi-join; pre-aggregate hot keys first.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     right_on = right_on or on
 
     left_schema = left.schema()
@@ -199,13 +204,26 @@ def hash_join(
     ]
     empty = pa.table({n: pa.array([], t) for n, t in out_fields})
 
+    def _left_only(lrows: pa.Table, mask: np.ndarray) -> pa.Table:
+        """Unmatched left rows + typed nulls for the right columns."""
+        kept = lrows.filter(pa.array(mask))
+        cols = {n: kept.column(f"l_{n}") for n in left_names}
+        cols.update(
+            {n: pa.nulls(kept.num_rows, right_types[n]) for n in right_names}
+        )
+        return pa.table(cols)
+
     def emit_bucket(group: pa.Table) -> pa.Table:
         side = group.column(_SIDE)
         lrows = group.filter(pc.equal(side, 0))
         rrows = group.filter(pc.equal(side, 1))
-        if lrows.num_rows == 0 or rrows.num_rows == 0:
+        if lrows.num_rows == 0:
             return empty
         lk = np.asarray(lrows.column(_KEY), dtype=np.int64)
+        if rrows.num_rows == 0:
+            if how == "left":
+                return _left_only(lrows, np.ones(len(lk), dtype=bool))
+            return empty
         rk = np.asarray(rrows.column(_KEY), dtype=np.int64)
         l_order = np.argsort(lk, kind="stable")
         r_order = np.argsort(rk, kind="stable")
@@ -217,8 +235,17 @@ def hash_join(
         li = np.searchsorted(ru, lu)
         li_clip = np.minimum(li, len(ru) - 1)
         common = ru[li_clip] == lu
+        outer = None
+        if how == "left" and not common.all():
+            mk = lu[common]
+            if len(mk):
+                pos = np.minimum(np.searchsorted(mk, lk), len(mk) - 1)
+                unmatched = mk[pos] != lk
+            else:
+                unmatched = np.ones(len(lk), dtype=bool)
+            outer = _left_only(lrows, unmatched)
         if not common.any():
-            return empty
+            return outer if outer is not None else empty
         lc, ls = l_cnt[common], l_start[common]
         rc = r_cnt[li_clip[common]]
         rs = r_start[li_clip[common]]
@@ -235,7 +262,10 @@ def hash_join(
             cols[n] = lrows.column(f"l_{n}").take(l_idx)
         for n in right_names:
             cols[n] = rrows.column(f"r_{n}").take(r_idx)
-        return pa.table(cols)
+        inner = pa.table(cols)
+        if outer is not None and outer.num_rows:
+            return pa.concat_tables([inner, outer])
+        return inner
 
     return unioned.groupby(_BUCKET).map_groups(emit_bucket, batch_format="pyarrow")
 

@@ -1477,3 +1477,67 @@ def test_bpe_token_count_batch():
     out = bpe_token_count_batch(batch)
     assert out.column("n_bpe_tokens").to_pylist() == [6, 3, 0, 0]
     assert out.column("n_tokens").to_pylist() == [3, 2, 0, 0]
+
+
+def test_left_join_semantics(ray_session):
+    """how='left': unmatched left rows survive with typed nulls; matched
+    keys behave exactly like the inner join; randomized equivalence with
+    a Python reference."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.joins import hash_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "lv": "a"}, {"k": 1, "lv": "b"}, {"k": 2, "lv": "c"},
+         {"k": 9, "lv": "z"}]
+    )
+    right = ray.data.from_items(
+        [{"rk": 1, "rv": 10}, {"rk": 1, "rv": 11}, {"rk": 2, "rv": 20},
+         {"rk": 7, "rv": 70}]
+    )
+    rows = hash_join(left, right, on="k", right_on="rk", how="left").take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in rows)
+    assert got == [
+        (1, "a", 10), (1, "a", 11), (1, "b", 10), (1, "b", 11),
+        (2, "c", 20), (9, "z", None),
+    ]
+
+    # empty right side (typed — a fn-filtered empty Dataset loses its
+    # schema, the known Ray empty-block gotcha): all left rows, null rv
+    empty_right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())})
+    )
+    rows2 = hash_join(left, empty_right, on="k", right_on="rk", how="left").take_all()
+    assert sorted(r["k"] for r in rows2) == [1, 1, 2, 9]
+    assert all(r["rv"] is None for r in rows2)
+
+    rng = np.random.RandomState(31)
+    lkeys = rng.randint(0, 200, size=1000)
+    rkeys = rng.randint(100, 300, size=800)
+    lds = ray.data.from_arrow(
+        pa.table({"k": pa.array(lkeys, pa.int64()),
+                  "lv": pa.array(np.arange(1000), pa.int64())})
+    )
+    rds = ray.data.from_arrow(
+        pa.table({"rk": pa.array(rkeys, pa.int64()),
+                  "rv": pa.array(np.arange(800), pa.int64())})
+    )
+    got = sorted(
+        (r["k"], r["lv"], r["rv"] if r["rv"] is not None else -1)
+        for r in hash_join(lds, rds, on="k", right_on="rk",
+                           n_buckets=16, how="left").take_all()
+    )
+    rmap: dict = {}
+    for k, v in zip(rkeys.tolist(), range(800)):
+        rmap.setdefault(k, []).append(v)
+    want = []
+    for k, v in zip(lkeys.tolist(), range(1000)):
+        if k in rmap:
+            want.extend((k, v, rv) for rv in rmap[k])
+        else:
+            want.append((k, v, -1))
+    assert got == sorted(want)
+
+    import pytest
+    with pytest.raises(ValueError):
+        hash_join(left, right, on="k", right_on="rk", how="full")
