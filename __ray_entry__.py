@@ -314,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": analytics.orders_customer_join,
         # LEFT OUTER variant: unmatched orders keep a null segment.
         "orders_customer_left_join": analytics.orders_customer_left_join,
+        # FULL OUTER variant: customer-only rows surface too.
+        "orders_customer_full_join": analytics.orders_customer_full_join,
         "pricing_summary": analytics.pricing_summary,
     }
 
@@ -1074,6 +1076,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
                    round(o.o_totalprice, 2) AS o_totalprice
             FROM orders o LEFT JOIN (
+                SELECT * FROM customer WHERE c_custkey < 50
+            ) c ON o.o_custkey = c.c_custkey""",
+        "orders_customer_full_join": """
+            SELECT o.o_orderkey,
+                   coalesce(o.o_custkey, c.c_custkey) AS o_custkey,
+                   c.c_mktsegment,
+                   round(o.o_totalprice, 2) AS o_totalprice
+            FROM (SELECT * FROM orders WHERE o_orderkey < 1000) o
+            FULL JOIN (
                 SELECT * FROM customer WHERE c_custkey < 50
             ) c ON o.o_custkey = c.c_custkey""",
         "orders_by_segment": """

