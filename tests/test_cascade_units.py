@@ -327,3 +327,19 @@ def test_custom_cascade_stage_hook():
                     min_date=dt(2020, 1, 1, tzinfo=timezone.utc)),
     )
     assert r3.format() == "2021-03-04"
+
+
+# --- tryDiscard (extractors_test.go:28-34) -----------------------------------
+
+def test_discard_unwanted():
+    """The wm-ipp (Wayback toolbar) element is pruned before extraction;
+    sibling content survives."""
+    from go_htmldate_ray import dom
+    from go_htmldate_ray.extract import discard_unwanted
+
+    doc = dom.parse_html(
+        b'<html><body><div id="wm-ipp">000</div><div>AAA</div></body></html>'
+    )
+    discard_unwanted(doc)
+    text = doc.text_content()
+    assert "AAA" in text and "000" not in text
