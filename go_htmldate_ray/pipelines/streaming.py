@@ -299,7 +299,10 @@ def sliding_window_events(sf_dir: str, window_hours: int = 2, hop_hours: int = 1
 
     def assign_and_partial(batch: pa.Table) -> pa.Table:
         base = pc.floor_temporal(batch.column("ts"), multiple=hop_hours, unit="hour")
-        base_us = pc.cast(base, pa.int64())
+        # pin the unit before dropping to int64 arithmetic — a ts column
+        # stored as timestamp[ns]/[s] would otherwise shift by the wrong
+        # magnitude when hop_us is subtracted
+        base_us = pc.cast(pc.cast(base, pa.timestamp("us")), pa.int64())
         parts = []
         for j in range(n_offsets):
             shifted = pc.cast(

@@ -101,6 +101,13 @@ def paragraph_dedup_stats(
             for i, p in enumerate(
                 split_paragraphs(t, mode=mode, chunk_tokens=chunk_tokens)
             ):
+                if i >= 1 << _PARA_SHIFT:
+                    # fail loudly rather than let the OR bleed into the
+                    # doc_id bits and silently mis-order keep-first
+                    raise ValueError(
+                        f"doc {d} has >= 2^{_PARA_SHIFT} passages; raise "
+                        "chunk_tokens or _PARA_SHIFT"
+                    )
                 doc_ids.append(d)
                 hashes.append(_hash63(p))
                 packed.append((d << _PARA_SHIFT) | i)
@@ -166,12 +173,14 @@ def paragraph_dedup_stats(
 
 # Patterns chosen to have identical semantics in Python re and DuckDB's
 # RE2 (no backrefs / lookaround): email, international-ish phone, IPv4.
+# re.ASCII pins Python's \b to RE2's ASCII-only word boundary — without
+# it 'café10.0.0.1' redacts under RE2 but not under Unicode-\b Python.
 _PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
     (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
 ]
-_PII_COMPILED = [(re.compile(p), r) for p, r in _PII_PATTERNS]
+_PII_COMPILED = [(re.compile(p, re.ASCII), r) for p, r in _PII_PATTERNS]
 
 
 def pii_redact_batch(batch: pa.Table) -> pa.Table:

@@ -112,22 +112,31 @@ def pagerank(
         .materialize()
     )
 
-    def node_rows(value: int):
+    def node_rows(value: int, marker: int):
         def f(batch: pa.Table) -> pa.Table:
             ids = batch.column("id").cast(pa.int64())
             return pa.table(
-                {"id": ids, "c": pa.array([value] * len(ids), pa.int64())}
+                {
+                    "id": ids,
+                    "c": pa.array([value] * len(ids), pa.int64()),
+                    # marker=1 on base rows lets the post-groupby filter
+                    # drop mass sent to edge dsts OUTSIDE the node set
+                    # (phantom ids), matching the oracle's LEFT JOIN on
+                    # real node ids
+                    "b": pa.array([marker] * len(ids), pa.int64()),
+                }
             )
 
         return f
 
     base_rows = rebase(
-        nodes.map_batches(node_rows(base), batch_format="pyarrow")
+        nodes.map_batches(node_rows(base, 1), batch_format="pyarrow")
         .repartition(n_blocks)
         .materialize()
     )
     ranks = rebase(
-        nodes.map_batches(node_rows(r0), batch_format="pyarrow")
+        nodes.map_batches(node_rows(r0, 1), batch_format="pyarrow")
+        .select_columns(["id", "c"])
         .repartition(n_blocks)
         .materialize()
     )
@@ -135,12 +144,25 @@ def pagerank(
     def contrib(batch: pa.Table) -> pa.Table:
         r = np.asarray(batch.column("c"), dtype=np.int64)
         outdeg = np.asarray(batch.column("outdeg"), dtype=np.int64)
+        n = len(r)
         return pa.table(
             {
                 "id": batch.column("dst"),
                 "c": pa.array(
                     (r * damping_num) // (damping_den * outdeg), pa.int64()
                 ),
+                "b": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def keep_real_nodes(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        real = pc.greater(b.column("sum(b)"), 0)
+        return pa.table(
+            {
+                "id": b.column("id").filter(real),
+                "c": b.column("sum(c)").filter(real).cast(pa.int64()),
             }
         )
 
@@ -152,16 +174,8 @@ def pagerank(
         ranks = (
             base_rows.union(contribs)
             .groupby("id")
-            .aggregate(Sum("c"))
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "id": b.column("id"),
-                        "c": b.column("sum(c)").cast(pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+            .aggregate(Sum("c"), Sum("b"))
+            .map_batches(keep_real_nodes, batch_format="pyarrow")
         )
         ranks = rebase(ranks.repartition(n_blocks).materialize())
 
@@ -186,30 +200,45 @@ def degree_histogram(nodes, edges, *, col: str = "dst"):
 
     def edge_partial(batch: pa.Table) -> pa.Table:
         t = batch.group_by([col]).aggregate([([], "count_all")])
+        n = len(t)
         return pa.table(
             {
                 "id": t.column(col).cast(pa.int64()),
                 "c": t.column("count_all").cast(pa.int64()),
+                "b": pa.array([0] * n, pa.int64()),
             }
         )
 
     def node_zero(batch: pa.Table) -> pa.Table:
         ids = batch.column("id").cast(pa.int64())
+        n = len(ids)
+        # b=1 marks real node rows; edge endpoints outside the node set
+        # (phantom ids) then aggregate to sum(b)=0 and are dropped below
         return pa.table(
-            {"id": ids, "c": pa.array([0] * len(ids), pa.int64())}
+            {
+                "id": ids,
+                "c": pa.array([0] * n, pa.int64()),
+                "b": pa.array([1] * n, pa.int64()),
+            }
         )
 
     per_node = (
         edges.map_batches(edge_partial, batch_format="pyarrow")
         .union(nodes.map_batches(node_zero, batch_format="pyarrow"))
         .groupby("id")
-        .aggregate(Sum("c"))
+        .aggregate(Sum("c"), Sum("b"))
     )
-    hist = (
-        per_node.map_batches(
-            lambda b: pa.table({"degree": b.column("sum(c)").cast(pa.int64())}),
-            batch_format="pyarrow",
+
+    def real_node_degrees(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        real = pc.greater(b.column("sum(b)"), 0)
+        return pa.table(
+            {"degree": b.column("sum(c)").filter(real).cast(pa.int64())}
         )
+
+    hist = (
+        per_node.map_batches(real_node_degrees, batch_format="pyarrow")
         .groupby("degree")
         .aggregate(Count())
     )

@@ -118,12 +118,9 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + pix
 
 
-def bmp_image_features(payload: bytes) -> np.ndarray:
-    """Real 8-dim image features from a BMP payload: [w/4096, h/4096,
-    mean R, mean G, mean B, gray std, gray min, gray max] (channel values
-    scaled to [0, 1]) — a genuine decode→extract kernel for
-    :class:`ImageDecodeStage`, no codec library needed."""
-    img = decode_bmp(payload)
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """The shared 8-dim feature kernel: [w/4096, h/4096, mean R, mean G,
+    mean B, gray std, gray min, gray max] (channel values in [0, 1])."""
     h, w = img.shape[:2]
     flat = img.reshape(-1, 3).astype(np.float64)
     gray = flat.mean(axis=1)
@@ -139,6 +136,13 @@ def bmp_image_features(payload: bytes) -> np.ndarray:
             gray.max() / 255.0,
         ]
     )
+
+
+def bmp_image_features(payload: bytes) -> np.ndarray:
+    """Real 8-dim image features from a BMP payload — a genuine
+    decode→extract kernel for :class:`ImageDecodeStage`, no codec
+    library needed."""
+    return _image_features(decode_bmp(payload))
 
 
 def bmp_resize(payload: bytes, width: int, height: int) -> tuple[bytes, int, int]:
@@ -234,23 +238,8 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def pnm_image_features(payload: bytes) -> np.ndarray:
-    """The :func:`bmp_image_features` 8-dim kernel over PPM/PGM input."""
-    img = decode_pnm(payload)
-    h, w = img.shape[:2]
-    flat = img.reshape(-1, 3).astype(np.float64)
-    gray = flat.mean(axis=1)
-    return np.array(
-        [
-            w / 4096.0,
-            h / 4096.0,
-            flat[:, 0].mean() / 255.0,
-            flat[:, 1].mean() / 255.0,
-            flat[:, 2].mean() / 255.0,
-            gray.std() / 255.0,
-            gray.min() / 255.0,
-            gray.max() / 255.0,
-        ]
-    )
+    """The shared :func:`_image_features` kernel over PPM/PGM input."""
+    return _image_features(decode_pnm(payload))
 
 
 class ImageDecodeStage:

@@ -78,6 +78,15 @@ def dataset_split(
     (train = ``fractions[0]``, val = ``fractions[1]``, test = the rest).
     Same md5(seed:id) uniform draw as the samplers: reproducible across
     reruns and shard retries, no shuffle, streams batch-by-batch."""
+    if (
+        len(fractions) != 2
+        or min(fractions) < 0
+        or fractions[0] + fractions[1] > 1
+    ):
+        raise ValueError(
+            f"fractions must be two non-negative values summing to <= 1, "
+            f"got {fractions!r}"
+        )
     t_train = int(fractions[0] * _HALF_RANGE)
     t_val = int((fractions[0] + fractions[1]) * _HALF_RANGE)
 

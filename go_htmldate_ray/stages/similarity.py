@@ -647,7 +647,10 @@ def _lloyd_step(ds, cents: np.ndarray, round_decimals: int) -> np.ndarray:
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = mat / norms
-        assign = (unit @ c.T).argmax(axis=1)
+        # assign on RAW vectors (norm-invariant in exact math) so the
+        # arithmetic matches the SQL oracle's list_inner_product(v.e, cv)
+        # bit-for-bit at the ulp level; only the mean uses unit vectors
+        assign = (mat @ c.T).argmax(axis=1)
         cells, counts, sums = [], [], []
         for cell in np.unique(assign):
             members = unit[assign == cell]

@@ -721,15 +721,18 @@ def tfidf_top_terms(ds, *, k: int = 3, n_buckets: int = 64):
     collisions are harmless) — → doc-hash bucket → per-bucket vectorized
     top-k (lexsort + run-boundary ranks; one group per *hash bucket*,
     never per term or per doc)."""
-    from .cleaning import _hash63
+    from .cleaning import _hash63_cached
     from .joins import _bucket_of
 
     def tag_term_bucket(batch: pa.Table) -> pa.Table:
         # hash only the UNIQUE terms of the batch (np.unique inverse
-        # broadcasts the bucket back to rows)
+        # broadcasts the bucket back to rows); cached hash — the Zipfian
+        # head terms recur in every batch, md5 them once per worker
         terms = np.asarray(batch.column("term").to_pylist(), dtype=object)
         uniq, inv = np.unique(terms, return_inverse=True)
-        bkt_u = np.asarray([_hash63(t) % n_buckets for t in uniq], dtype=np.int64)
+        bkt_u = np.asarray(
+            [_hash63_cached(t) % n_buckets for t in uniq], dtype=np.int64
+        )
         return batch.append_column("tbkt", pa.array(bkt_u[inv], pa.int64()))
 
     empty_df = pa.table(

@@ -1260,6 +1260,43 @@ def test_degree_histogram(ray_session):
     assert got_out == {0: 2, 1: 2, 2: 2}
 
 
+def test_graph_ops_drop_phantom_edge_endpoints(ray_session):
+    """Edge endpoints absent from the node set must not create rank or
+    histogram rows (the SQL oracles restrict every round to real node
+    ids via LEFT JOIN — the engine has to agree)."""
+    import ray.data
+    from go_htmldate_ray.stages.graph import degree_histogram, pagerank
+
+    nodes = ray.data.from_items([{"id": i} for i in range(3)])
+    # dst=99 and src=98 are NOT nodes
+    edges = ray.data.from_items(
+        [{"src": 0, "dst": 1}, {"src": 0, "dst": 99}, {"src": 98, "dst": 2}]
+    )
+    ranks = pagerank(nodes, edges, iters=3).take_all()
+    assert sorted(r["doc_id"] for r in ranks) == [0, 1, 2]
+
+    # reference: same integer rule restricted to real nodes; 0 has
+    # outdeg 2 (the phantom edge still splits its mass), src 98's
+    # contribution to node 2 is dropped with the phantom src's rank row
+    total, n = 10**15, 3
+    base = (total * 15) // (100 * n)
+    r = {i: total // n for i in range(3)}
+    for _ in range(3):
+        nxt = {i: base for i in range(3)}
+        nxt[1] += (r[0] * 85) // (100 * 2)
+        r = nxt
+    assert {x["doc_id"]: x["rank_units"] for x in ranks} == r
+
+    hist_in = {r["degree"]: r["n_nodes"]
+               for r in degree_histogram(nodes, edges, col="dst").take_all()}
+    # in-degrees over real nodes only: 0:0, 1:1, 2:1 (99 excluded)
+    assert hist_in == {0: 1, 1: 2}
+    hist_out = {r["degree"]: r["n_nodes"]
+                for r in degree_histogram(nodes, edges, col="src").take_all()}
+    # out-degrees: 0:2, 1:0, 2:0 (98 excluded)
+    assert hist_out == {0: 2, 2: 1}
+
+
 def test_bigram_collocations_vs_python(ray_session):
     """PMI collocations match a single-process reference (same nano
     rule) on a corpus with a planted strong collocation."""

@@ -283,6 +283,36 @@ def test_sliding_window_covers_each_event_twice(ray_session):
         assert slide_by_key[(r["window_start"], r["event_type"])] >= r["n_events"]
 
 
+def test_sliding_window_unit_independent(ray_session, tmp_path):
+    """A ts column stored as timestamp[ns] (pandas' default) must produce
+    the same windows as the us-stored fixture — the int64 hop arithmetic
+    pins the unit first."""
+    import pyarrow.parquet as pq
+
+    from go_htmldate_ray.pipelines.streaming import sliding_window_events
+    from go_htmldate_ray.sources.io import read_parquet_clean
+
+    sf = "/root/testdata/sf0.001"
+    src = read_parquet_clean(f"{sf}/events.parquet").take_all()
+    tbl = pa.Table.from_pylist(src)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl.column("ts").cast(pa.timestamp("ns")),
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    want = sorted(
+        (r["window_start"], r["event_type"], r["n_events"])
+        for r in sliding_window_events(sf).take_all()
+    )
+    got = sorted(
+        (r["window_start"], r["event_type"], r["n_events"])
+        for r in sliding_window_events(str(tmp_path)).take_all()
+    )
+    assert got == want
+
+
 def test_grouped_quantiles_matches_numpy(ray_session):
     import ray.data
 
