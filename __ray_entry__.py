@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         sampling,
         search,
+        selection,
         similarity,
         text_stage,
     )
@@ -119,6 +120,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Train/val/test split labels, deterministic in (seed, doc_id).
         "dataset_split": lambda sf: sampling.dataset_split(
             _docs(sf).select_columns(["doc_id", "lang"]), seed=11
+        ),
+        # CCNet-style LM quality signal: corpus-trained Laplace char-
+        # bigram model (one count pass, broadcast once), per-doc total
+        # NLL in exact integer nanos; perplexity derives downstream.
+        "charlm_nll": lambda sf: _lm().charlm_nll(
+            read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ),
+        # DSIR data selection (arXiv:2302.03169): hashed-unigram
+        # log-likelihood-ratio weights, target = lang='en'; nano
+        # fixed-point so the per-doc sum is an exact integer.
+        "dsir_weights": lambda sf: selection.dsir_weights(
+            _docs(sf), target_col="lang", target_value="en"
+        ),
+        # The resampling half: top-50 most target-like docs — a total
+        # order on (weight desc, doc_id), light rows only.
+        "dsir_select": lambda sf: selection.dsir_select(
+            _docs(sf), k=50, target_col="lang", target_value="en"
         ),
         # Heavy-hitters vocabulary: per-batch partial counts (combiner) →
         # one token-keyed Sum groupby → total-order top-k.
@@ -459,6 +479,12 @@ def _sketches():
     from go_htmldate_ray.stages import sketches
 
     return sketches
+
+
+def _lm():
+    from go_htmldate_ray.stages import lm
+
+    return lm
 
 
 def _link_graph(sf_dir):
@@ -1214,6 +1240,32 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, lang,
                          ('0x' || substr(md5('11:' || doc_id), 1, 16))::UBIGINT >> 1 AS h
                   FROM documents)""",
+        # stages/lm.py::charlm_nll — Laplace char-bigram NLL; codepoint
+        # semantics (DuckDB length/substr) match the engine's UTF-32
+        # arrays; nano floor arithmetic identical to Python math.
+        "charlm_nll": r"""
+WITH v AS (
+  SELECT count(DISTINCT substr(text, i, 1)) AS v
+  FROM (SELECT text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents WHERE length(text) >= 1)),
+bg AS (
+  SELECT doc_id, substr(text, i, 1) AS a, substr(text, i + 1, 1) AS b
+  FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+        FROM documents WHERE length(text) >= 2)),
+c1 AS (SELECT a, count(*)::BIGINT AS c FROM bg GROUP BY a),
+c2 AS (SELECT a, b, count(*)::BIGINT AS c FROM bg GROUP BY a, b)
+SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(floor(-ln((c2.c + 1)::DOUBLE / (c1.c + v.v)::DOUBLE)
+                 * 1e9 + 0.5))::BIGINT AS nll_nano
+FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a), v
+GROUP BY bg.doc_id""",
+        # stages/selection.py::dsir_weights — Laplace-smoothed hashed-
+        # unigram log ratios (target = lang='en') in integer nanos;
+        # ln/floor arithmetic identical to Python math.log/floor.
+        "dsir_weights": _dsir_sql(),
+        "dsir_select": _dsir_sql()
+        + """
+ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         "kmeans_clusters": _kmeans_sql(),
         "lang_id": _lang_id_sql(),
         "simhash": _SIMHASH_SQL,
@@ -1662,6 +1714,32 @@ def _media_features_sql(n: int = 8) -> str:
         for i in range(n)
     )
     return f"SELECT doc_id AS media_id, {cols} FROM documents"
+
+
+def _dsir_sql(n_buckets: int = 4096) -> str:
+    # Recomputes stages/selection.py exactly: same md5-int63 token
+    # bucket, same (+1, +n_buckets) smoothing, same nano rounding.
+    # craw/ctgt totals stay far below 2^53, so DuckDB's int->DOUBLE->
+    # divide matches Python's correctly-rounded int/int division.
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         ((('0x' || substr(md5(tok), 1, 16))::UBIGINT >> 1)
+          % {n_buckets})::BIGINT AS bkt
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents WHERE trim(text) != '')),
+c AS (SELECT bkt, count(*)::BIGINT AS craw,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ctgt
+      FROM b GROUP BY bkt),
+tot AS (SELECT sum(craw)::BIGINT AS traw, sum(ctgt)::BIGINT AS ttgt FROM c),
+w AS (SELECT bkt,
+             floor((ln((ctgt + 1)::DOUBLE / (tot.ttgt + {n_buckets})::DOUBLE)
+                    - ln((craw + 1)::DOUBLE / (tot.traw + {n_buckets})::DOUBLE))
+                   * 1e9 + 0.5)::BIGINT AS wn
+      FROM c, tot)
+SELECT b.doc_id, sum(w.wn)::BIGINT AS weight_nano
+FROM b JOIN w USING (bkt) GROUP BY b.doc_id"""
 
 
 def _pii_sql() -> str:

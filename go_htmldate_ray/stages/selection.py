@@ -1,0 +1,176 @@
+"""Data selection via importance resampling (DSIR, Xie et al. 2023,
+arXiv:2302.03169): score every document by how much more likely its
+hashed-unigram features are under a *target* distribution than under the
+raw corpus, then keep the top-weighted documents.
+
+The published recipe, re-expressed Ray-Data-first in two streaming
+passes over the corpus (never materializing it):
+
+1. **Feature-count pass** — one ``map_batches`` emits per-batch partial
+   (bucket, raw-count, target-count) rows for the ≤ ``n_buckets``
+   hashed-unigram features, then ONE tiny keyed ``Sum`` groupby; the
+   driver receives ≤ ``n_buckets`` light rows (the only
+   materialization).
+2. **Scoring pass** — the per-bucket log-likelihood-ratio table (an
+   int64 array, ``ray.put`` once, read zero-copy in every task) scores
+   each document as the integer sum of its tokens' bucket weights.
+
+Exactness contract (shared with :mod:`.search`): per-bucket log ratios
+are rounded to integer **nanos** (``floor(x·1e9 + 0.5)``, ``math.log``
+is bit-identical to DuckDB's ``ln``) before the per-document sum, so
+document weights are exact integers — immune to float summation order —
+and the SQL oracle reproduces them bit-for-bit.  Laplace (+1) smoothing
+over ``n_buckets`` possible features keeps every ratio finite.
+
+Documents with no tokens have no feature evidence and are omitted (the
+SQL side drops them in the same place: unnest of an empty token array).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_NANO = 1e9
+
+
+def _token_buckets(flat: pa.Array, n_buckets: int) -> np.ndarray:
+    """Bucket id per token, md5-hashing only the batch's UNIQUE terms
+    (np.unique inverse broadcasts back to token rows; Zipfian head terms
+    hit the per-worker cache)."""
+    from .cleaning import _hash63_cached
+
+    terms = np.asarray(flat.to_pylist(), dtype=object)
+    if len(terms) == 0:
+        return np.zeros(0, dtype=np.int64)
+    uniq, inv = np.unique(terms, return_inverse=True)
+    bu = np.asarray(
+        [_hash63_cached(t) % n_buckets for t in uniq], dtype=np.int64
+    )
+    return bu[inv]
+
+
+def _bucket_weights(
+    ds,
+    *,
+    target_col: str,
+    target_value: str,
+    n_buckets: int,
+) -> np.ndarray:
+    """Feature-count pass → int64 nano log-ratio weight per bucket."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch.column("text").combine_chunks())
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        is_tgt = pc.take(
+            pc.equal(batch.column(target_col).combine_chunks(), target_value),
+            parents,
+        )
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        tgt = np.asarray(is_tgt.filter(keep).fill_null(False))
+        bids = _token_buckets(flat, n_buckets)
+        craw = np.bincount(bids, minlength=n_buckets)
+        ctgt = np.bincount(bids[tgt], minlength=n_buckets)
+        nz = np.nonzero(craw)[0]
+        return pa.table(
+            {
+                "bkt": pa.array(nz, pa.int64()),
+                "craw": pa.array(craw[nz], pa.int64()),
+                "ctgt": pa.array(ctgt[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bkt")
+        .aggregate(Sum("craw"), Sum("ctgt"))
+        .take_all()  # bounded: <= n_buckets light rows
+    )
+    craw = np.zeros(n_buckets, dtype=np.int64)
+    ctgt = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        craw[r["bkt"]] = r["sum(craw)"]
+        ctgt[r["bkt"]] = r["sum(ctgt)"]
+    t_raw = int(craw.sum())
+    t_tgt = int(ctgt.sum())
+    wn = np.zeros(n_buckets, dtype=np.int64)
+    for b in np.nonzero(craw)[0]:
+        x = math.log((int(ctgt[b]) + 1) / (t_tgt + n_buckets)) - math.log(
+            (int(craw[b]) + 1) / (t_raw + n_buckets)
+        )
+        wn[b] = int(math.floor(x * _NANO + 0.5))
+    return wn
+
+
+def dsir_weights(
+    ds,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+):
+    """documents → (doc_id, weight_nano): per-document DSIR importance
+    weight (nano fixed-point log-likelihood ratio of target vs raw
+    hashed-unigram models).  Higher = more target-like."""
+    import ray
+
+    wn_ref = ray.put(_bucket_weights(
+        ds, target_col=target_col, target_value=target_value,
+        n_buckets=n_buckets,
+    ))
+
+    def score(batch: pa.Table) -> pa.Table:
+        wn = ray.get(wn_ref)  # zero-copy int64 array from plasma
+        toks = pc.utf8_split_whitespace(batch.column("text").combine_chunks())
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par = np.asarray(parents.filter(keep), dtype=np.int64)
+        bids = _token_buckets(flat, n_buckets)
+        n = len(batch)
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, par, wn[bids])
+        has_tok = np.bincount(par, minlength=n) > 0
+        ids = np.asarray(
+            batch.column("doc_id").combine_chunks().cast(pa.int64())
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[has_tok], pa.int64()),
+                "weight_nano": pa.array(sums[has_tok], pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text", target_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def dsir_select(
+    ds,
+    *,
+    k: int = 50,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+):
+    """The resampling half: the ``k`` most target-like documents by
+    (weight desc, doc_id asc) — a total order, so the cut is exact.
+    ``sort + limit`` moves only light (doc_id, weight) rows."""
+    return (
+        dsir_weights(
+            ds,
+            target_col=target_col,
+            target_value=target_value,
+            n_buckets=n_buckets,
+        )
+        .sort(key=["weight_nano", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

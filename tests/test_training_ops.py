@@ -244,6 +244,112 @@ def test_dataset_split_deterministic_partition(ray_session):
     }
 
 
+def test_dsir_weights_vs_python_reference(ray_session):
+    """DSIR weights match a single-process reference on a planted corpus
+    and rank target-like docs above off-target ones; empty docs are
+    omitted; dsir_select returns the exact top-k total order."""
+    import math
+
+    import ray.data
+
+    from go_htmldate_ray.stages.cleaning import _hash63
+    from go_htmldate_ray.stages.selection import dsir_select, dsir_weights
+
+    B = 4096
+    docs = [
+        {"doc_id": 0, "lang": "en", "text": "the quick brown fox jumps"},
+        {"doc_id": 1, "lang": "en", "text": "the lazy dog sleeps"},
+        {"doc_id": 2, "lang": "de", "text": "der schnelle braune fuchs"},
+        {"doc_id": 3, "lang": "de", "text": "the quick brown fox"},  # en-like text
+        {"doc_id": 4, "lang": "en", "text": ""},  # no tokens -> omitted
+        {"doc_id": 5, "lang": "fr", "text": "le renard brun rapide saute"},
+    ]
+    ds = ray.data.from_items(docs)
+    got = {r["doc_id"]: r["weight_nano"]
+           for r in dsir_weights(ds, n_buckets=B).take_all()}
+
+    # single-process reference with identical arithmetic
+    craw, ctgt = {}, {}
+    for d in docs:
+        for t in d["text"].split():
+            b = _hash63(t) % B
+            craw[b] = craw.get(b, 0) + 1
+            if d["lang"] == "en":
+                ctgt[b] = ctgt.get(b, 0) + 1
+    t_raw, t_tgt = sum(craw.values()), sum(ctgt.values())
+    wn = {
+        b: math.floor(
+            (math.log((ctgt.get(b, 0) + 1) / (t_tgt + B))
+             - math.log((c + 1) / (t_raw + B))) * 1e9 + 0.5
+        )
+        for b, c in craw.items()
+    }
+    want = {}
+    for d in docs:
+        toks = d["text"].split()
+        if toks:
+            want[d["doc_id"]] = sum(wn[_hash63(t) % B] for t in toks)
+    assert got == want
+    assert 4 not in got
+    # en-vocabulary docs outrank the German/French ones
+    assert min(got[0], got[1], got[3]) > max(got[2], got[5])
+
+    sel = dsir_select(ds, k=3, n_buckets=B).take_all()
+    expect = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["doc_id"], r["weight_nano"]) for r in sel] == expect
+
+
+def test_charlm_nll_vs_python_reference(ray_session):
+    """Char-bigram NLL matches a single-process reference (same Laplace
+    smoothing and nano rounding) on a small unicode corpus; short docs
+    are omitted; a repetitive doc scores lower NLL/char than a doc full
+    of corpus-rare characters."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from go_htmldate_ray.stages.lm import charlm_nll
+
+    docs = [
+        {"doc_id": 0, "text": "abababababababab"},     # repetitive
+        {"doc_id": 1, "text": "abab xyz qédà ab"},     # rare chars
+        {"doc_id": 2, "text": "a"},                    # 1 char -> omitted
+        {"doc_id": 3, "text": ""},                     # empty -> omitted
+        {"doc_id": 4, "text": None},                   # null -> omitted
+        {"doc_id": 5, "text": "ababab ababab"},
+    ]
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll_nano"])
+           for r in charlm_nll(ray.data.from_items(docs)).take_all()}
+    assert set(got) == {0, 1, 5}
+
+    # reference
+    c1, c2, chars = Counter(), Counter(), set()
+    for d in docs:
+        t = d["text"] or ""
+        chars.update(t)
+        for a, b in zip(t, t[1:]):
+            c1[a] += 1
+            c2[(a, b)] += 1
+    v = len(chars)
+    want = {}
+    for d in docs:
+        t = d["text"] or ""
+        if len(t) < 2:
+            continue
+        nll = sum(
+            math.floor(
+                -math.log((c2[(a, b)] + 1) / (c1[a] + v)) * 1e9 + 0.5
+            )
+            for a, b in zip(t, t[1:])
+        )
+        want[d["doc_id"]] = (len(t) - 1, nll)
+    assert got == want
+
+    per_char = {k: nll / n for k, (n, nll) in got.items()}
+    assert per_char[0] < per_char[1]
+
+
 def test_lang_doc_stats(ray_session):
     import ray.data
 
