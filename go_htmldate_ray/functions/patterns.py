@@ -14,6 +14,7 @@ terminating NUL byte that the ``[^0-9]`` class matches); we encode that as
 from __future__ import annotations
 
 import re
+import unicodedata
 from datetime import datetime, timezone
 from typing import Iterator, Optional
 
@@ -372,6 +373,134 @@ LOCALE_MONTHS: dict[str, dict[str, int]] = {
         "सितम्बर": 9, "अक्टूबर": 10, "अक्तूबर": 10, "नवंबर": 11,
         "नवम्बर": 11, "दिसंबर": 12, "दिसम्बर": 12,
     },
+    "id": {
+        "januari": 1, "februari": 2, "maret": 3, "april": 4, "mei": 5,
+        "juni": 6, "juli": 7, "agustus": 8, "september": 9,
+        "oktober": 10, "november": 11, "desember": 12,
+    },
+    # ms "mac" (March) is EXCLUDED here: it is an ordinary English word
+    # — restricted table, like cs "led" / pt "out".
+    "ms": {
+        "januari": 1, "februari": 2, "april": 4, "mei": 5, "jun": 6,
+        "julai": 7, "ogos": 8, "september": 9, "oktober": 10,
+        "november": 11, "disember": 12,
+    },
+    "tl": {
+        "enero": 1, "pebrero": 2, "marso": 3, "abril": 4, "mayo": 5,
+        "hunyo": 6, "hulyo": 7, "agosto": 8, "setyembre": 9,
+        "oktubre": 10, "nobyembre": 11, "disyembre": 12,
+    },
+    "sw": {
+        "januari": 1, "februari": 2, "machi": 3, "aprili": 4, "mei": 5,
+        "juni": 6, "julai": 7, "agosti": 8, "septemba": 9,
+        "oktoba": 10, "novemba": 11, "desemba": 12,
+    },
+    # af "junie"/"julie" are EXCLUDED here: common given names in
+    # English prose — restricted table.
+    "af": {
+        "januarie": 1, "februarie": 2, "maart": 3, "april": 4, "mei": 5,
+        "augustus": 8, "september": 9, "oktober": 10, "november": 11,
+        "desember": 12,
+    },
+    "az": {
+        "yanvar": 1, "fevral": 2, "mart": 3, "aprel": 4, "may": 5,
+        "iyun": 6, "iyul": 7, "avqust": 8, "sentyabr": 9,
+        "oktyabr": 10, "noyabr": 11, "dekabr": 12,
+    },
+    "uz": {
+        "yanvar": 1, "fevral": 2, "mart": 3, "aprel": 4, "may": 5,
+        "iyun": 6, "iyul": 7, "avgust": 8, "sentabr": 9, "sentyabr": 9,
+        "oktabr": 10, "oktyabr": 10, "noyabr": 11, "dekabr": 12,
+    },
+    "sq": {
+        "janar": 1, "shkurt": 2, "mars": 3, "prill": 4, "maj": 5,
+        "qershor": 6, "korrik": 7, "gusht": 8, "shtator": 9,
+        "tetor": 10, "nëntor": 11, "nentor": 11, "dhjetor": 12,
+    },
+    "bs": {
+        "januar": 1, "februar": 2, "mart": 3, "april": 4, "maj": 5,
+        "juni": 6, "juli": 7, "avgust": 8, "august": 8,
+        "septembar": 9, "oktobar": 10, "novembar": 11, "decembar": 12,
+    },
+    "mk": {
+        "јануари": 1, "февруари": 2, "март": 3, "април": 4, "мај": 5,
+        "јуни": 6, "јули": 7, "август": 8, "септември": 9,
+        "октомври": 10, "ноември": 11, "декември": 12,
+    },
+    "be": {
+        "студзень": 1, "студзеня": 1, "люты": 2, "лютага": 2,
+        "сакавік": 3, "сакавіка": 3, "красавік": 4, "красавіка": 4,
+        "май": 5, "мая": 5, "чэрвень": 6, "чэрвеня": 6, "ліпень": 7,
+        "ліпеня": 7, "жнівень": 8, "жніўня": 8, "верасень": 9,
+        "верасня": 9, "кастрычнік": 10, "кастрычніка": 10,
+        "лістапад": 11, "лістапада": 11, "снежань": 12, "снежня": 12,
+    },
+    "kk": {
+        "қаңтар": 1, "ақпан": 2, "наурыз": 3, "сәуір": 4, "мамыр": 5,
+        "маусым": 6, "шілде": 7, "тамыз": 8, "қыркүйек": 9,
+        "қазан": 10, "қараша": 11, "желтоқсан": 12,
+    },
+    # nominative + genitive (-ի), as the inflecting-language tables above
+    "hy": {
+        "հունվար": 1, "հունվարի": 1, "փետրվար": 2, "փետրվարի": 2,
+        "մարտ": 3, "մարտի": 3, "ապրիլ": 4, "ապրիլի": 4, "մայիս": 5,
+        "մայիսի": 5, "հունիս": 6, "հունիսի": 6, "հուլիս": 7,
+        "հուլիսի": 7, "օգոստոս": 8, "օգոստոսի": 8, "սեպտեմբեր": 9,
+        "սեպտեմբերի": 9, "հոկտեմբեր": 10, "հոկտեմբերի": 10,
+        "նոյեմբեր": 11, "նոյեմբերի": 11, "դեկտեմբեր": 12,
+        "դեկտեմբերի": 12,
+    },
+    # nominative + dative (-ს) case forms
+    "ka": {
+        "იანვარი": 1, "იანვარს": 1, "თებერვალი": 2, "თებერვალს": 2,
+        "მარტი": 3, "მარტს": 3, "აპრილი": 4, "აპრილს": 4,
+        "მაისი": 5, "მაისს": 5, "ივნისი": 6, "ივნისს": 6,
+        "ივლისი": 7, "ივლისს": 7, "აგვისტო": 8, "აგვისტოს": 8,
+        "სექტემბერი": 9, "სექტემბერს": 9, "ოქტომბერი": 10,
+        "ოქტომბერს": 10, "ნოემბერი": 11, "ნოემბერს": 11,
+        "დეკემბერი": 12, "დეკემბერს": 12,
+    },
+    "bn": {
+        "জানুয়ারি": 1, "জানুয়ারী": 1, "ফেব্রুয়ারি": 2, "ফেব্রুয়ারী": 2,
+        "মার্চ": 3, "এপ্রিল": 4, "মে": 5, "জুন": 6, "জুলাই": 7,
+        "আগস্ট": 8, "অগাস্ট": 8, "সেপ্টেম্বর": 9, "অক্টোবর": 10,
+        "নভেম্বর": 11, "ডিসেম্বর": 12,
+    },
+    "ta": {
+        "ஜனவரி": 1, "பிப்ரவரி": 2, "மார்ச்": 3, "ஏப்ரல்": 4, "மே": 5,
+        "ஜூன்": 6, "ஜூலை": 7, "ஆகஸ்ட்": 8, "செப்டம்பர்": 9,
+        "அக்டோபர்": 10, "நவம்பர்": 11, "டிசம்பர்": 12,
+    },
+    # Urdu month names differ from the ar table's (distinct strings, no
+    # collision in the merged bag)
+    "ur": {
+        "جنوری": 1, "فروری": 2, "مارچ": 3, "اپریل": 4, "مئی": 5,
+        "جون": 6, "جولائی": 7, "اگست": 8, "ستمبر": 9, "اکتوبر": 10,
+        "نومبر": 11, "دسمبر": 12,
+    },
+    "cy": {
+        "ionawr": 1, "chwefror": 2, "mawrth": 3, "ebrill": 4, "mai": 5,
+        "mehefin": 6, "gorffennaf": 7, "awst": 8, "medi": 9,
+        "hydref": 10, "tachwedd": 11, "rhagfyr": 12,
+    },
+    # single-token months only (Meán/Deireadh Fómhair are two-word and
+    # outside the tokenizer's single-word month match)
+    "ga": {
+        "eanáir": 1, "feabhra": 2, "márta": 3, "aibreán": 4,
+        "aibreáin": 4, "bealtaine": 5, "meitheamh": 6, "iúil": 7,
+        "lúnasa": 8, "samhain": 11, "nollaig": 12,
+    },
+    "eu": {
+        "urtarrila": 1, "otsaila": 2, "martxoa": 3, "apirila": 4,
+        "maiatza": 5, "ekaina": 6, "uztaila": 7, "abuztua": 8,
+        "iraila": 9, "urria": 10, "azaroa": 11, "abendua": 12,
+    },
+    "mt": {
+        "jannar": 1, "frar": 2, "marzu": 3, "april": 4, "mejju": 5,
+        "ġunju": 6, "gunju": 6, "lulju": 7, "awwissu": 8,
+        "settembru": 9, "ottubru": 10, "novembru": 11,
+        "diċembru": 12, "dicembru": 12,
+    },
 }
 
 # Month ABBREVIATIONS that are safe in the unrestricted merge: none of
@@ -406,6 +535,8 @@ _LOCALE_MONTH_ABBREVS_SAFE: dict[str, dict[str, int]] = {
 # language, never as a global bag.  ("3 out of 2020" must NOT parse
 # as October; "of" is a skip word, so an unrestricted "out" would.)
 _LOCALE_MONTH_ABBREVS_RESTRICTED: dict[str, dict[str, int]] = {
+    "ms": {"mac": 3},
+    "af": {"junie": 6, "julie": 7},
     "es": {"ago": 8},
     "it": {"ago": 8, "set": 9, "gen": 1, "mag": 5, "lug": 7},
     "pt": {"ago": 8, "set": 9, "out": 10},
@@ -429,6 +560,13 @@ for _tbl in LOCALE_MONTHS.values():
 # ja/zh/ko locale translations reduce these to numeric triples).
 _CJK_DATE = re.compile(
     r"(\d{4})\s*[年년]\s*(\d{1,2})\s*[月월]\s*(\d{1,2})\s*[日일]?"
+)
+
+# Vietnamese dates are numeric with marker words ("ngày 5 tháng 3 năm
+# 2021"); go-dateparser's vi translations reduce them the same way.
+# Requires the literal "tháng", so the unrestricted bag stays safe.
+_VI_DATE = re.compile(
+    r"(?i)(?:ngày\s+)?([0-3]?\d)\s+tháng\s+([01]?\d)(?:,?\s+năm)?,?\s+(\d{4})"
 )
 
 _ORDINAL_SUFFIXES = frozenset({"st", "nd", "rd", "th"})
@@ -476,14 +614,14 @@ _TIME_OF_DAY = re.compile(r"\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?")
 # Combining marks (category Mn/Mc) are not matched by the \w letter
 # class but are integral to Thai / Devanagari / Hebrew-pointed /
 # Arabic-vowelled month names — a token may CONTINUE with them.
-_COMBINING = (
-    "̀-ͯ"  # Latin diacritics
-    "҃-҉"  # Cyrillic
-    "֑-ׇ"  # Hebrew points
-    "ؐ-ًؚ-ٰٟ"  # Arabic
-    "ऀ-ःऺ-ॏ॑-ॗॢॣ"  # Devanagari
-    "ัิ-ฺ็-๎"  # Thai
-    "᪰-᫿᷀-᷿⃐-⃿︠-︯"
+# Every BMP combining mark (Mn/Mc/Me): the hand-enumerated ranges
+# this replaces missed scripts (Bengali nukta/matras, Tamil pulli,
+# ...) and silently split their month names mid-word.  Generated
+# once at import (~10 ms).
+_COMBINING = "".join(
+    re.escape(chr(c))
+    for c in range(0x0300, 0x10000)
+    if unicodedata.category(chr(c)) in ("Mn", "Mc", "Me")
 )
 _TOKEN = re.compile(
     rf"[^\W\d_](?:[^\W\d_]|[{_COMBINING}])*|\d+", re.UNICODE
@@ -529,6 +667,17 @@ def lenient_absolute_parse(s: str, cfg=None) -> Optional[datetime]:
             try:
                 return datetime(
                     int(m_cjk.group(1)), int(m_cjk.group(2)), int(m_cjk.group(3)),
+                    tzinfo=timezone.utc,
+                )
+            except ValueError:
+                pass
+
+    if languages is None or "vi" in languages:
+        m_vi = _VI_DATE.search(s)
+        if m_vi is not None:
+            try:
+                return datetime(
+                    int(m_vi.group(3)), int(m_vi.group(2)), int(m_vi.group(1)),
                     tzinfo=timezone.utc,
                 )
             except ValueError:

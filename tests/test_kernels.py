@@ -350,6 +350,81 @@ def test_date_parser_config_locales():
     assert (d.year, d.month, d.day) == (2020, 11, 14)
 
 
+def test_locale_months_round4_batch():
+    from go_htmldate_ray.functions.kernels import DateParserConfig
+    from go_htmldate_ray.functions.patterns import lenient_absolute_parse
+
+    cases = [
+        ("17 agustus 1945", (1945, 8, 17)),      # id
+        ("31 ogos 1957", (1957, 8, 31)),         # ms
+        ("12 hunyo 1898", (1898, 6, 12)),        # tl
+        ("9 machi 2021", (2021, 3, 9)),          # sw
+        ("27 februarie 2019", (2019, 2, 27)),    # af
+        ("28 may 2020", (2020, 5, 28)),          # az/en
+        ("28 iyun 2018", (2018, 6, 28)),         # az/uz
+        ("28 noyabr 2015", (2015, 11, 28)),      # az/uz
+        ("28 nëntor 1912", (1912, 11, 28)),      # sq
+        ("25 novembar 2017", (2017, 11, 25)),    # bs/sr
+        ("2 август 1903", (1903, 8, 2)),         # mk/sr/ru
+        ("25 сакавіка 2018", (2018, 3, 25)),     # be
+        ("16 желтоқсан 1991", (1991, 12, 16)),   # kk
+        ("21 սեպտեմբերի 1991", (1991, 9, 21)),   # hy
+        ("26 მაისს 1918", (1918, 5, 26)),        # ka
+        ("21 ফেব্রুয়ারি 1952", (1952, 2, 21)),     # bn
+        ("15 ஆகஸ்ட் 1947", (1947, 8, 15)),        # ta
+        ("14 اگست 1947", (1947, 8, 14)),          # ur
+        ("1 mawrth 1979", (1979, 3, 1)),          # cy
+        ("17 márta 1958", (1958, 3, 17)),         # ga
+        ("3 abendua 2020", (2020, 12, 3)),        # eu
+        ("21 settembru 1964", (1964, 9, 21)),     # mt
+        # Vietnamese numeric marker-word form (regex path, like CJK)
+        ("ngày 2 tháng 9 năm 1945", (1945, 9, 2)),
+        ("5 tháng 3 2021", (2021, 3, 5)),
+    ]
+    for s, ymd in cases:
+        dt = lenient_absolute_parse(s)
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+    # ambiguous-in-prose forms stay behind the language restriction
+    assert lenient_absolute_parse("3 mac 2015") is None       # ms March
+    assert lenient_absolute_parse("2 julie 2008") is None     # af July
+    for s, langs, ymd in [
+        ("3 mac 2015", ["ms"], (2015, 3, 3)),
+        ("2 julie 2008", ["af"], (2008, 7, 2)),
+        ("4 junie 2010", ["af"], (2010, 6, 4)),
+    ]:
+        dt = lenient_absolute_parse(s, DateParserConfig(languages=langs))
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+    # vi is gated like CJK: excluded when languages names other locales
+    assert lenient_absolute_parse(
+        "ngày 2 tháng 9 năm 1945", DateParserConfig(languages=["pt"])
+    ) is None
+
+
+def test_locale_month_tables_collision_free():
+    """The unrestricted merge is only sound if no two locales assign the
+    SAME lowercase word DIFFERENT month numbers (the hr-listopad rule).
+    Guards future locale additions."""
+    from go_htmldate_ray.functions.constants import MONTH_NUMBER
+    from go_htmldate_ray.functions.patterns import (
+        _LOCALE_MONTH_ABBREVS_SAFE,
+        LOCALE_MONTHS,
+    )
+
+    merged: dict[str, tuple[str, int]] = {
+        k: ("base", v) for k, v in MONTH_NUMBER.items()
+    }
+    for lang, tbl in list(LOCALE_MONTHS.items()) + list(
+        _LOCALE_MONTH_ABBREVS_SAFE.items()
+    ):
+        for word, num in tbl.items():
+            assert word == word.lower(), (lang, word)
+            prev = merged.get(word)
+            assert prev is None or prev[1] == num, (word, prev, lang, num)
+            merged[word] = (lang, num)
+
+
 def test_date_parser_config_order_and_strictness():
     from datetime import datetime
     from go_htmldate_ray.functions.kernels import DateParserConfig
