@@ -121,6 +121,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": lambda sf: sampling.dataset_split(
             _docs(sf).select_columns(["doc_id", "lang"]), seed=11
         ),
+        # LM concat-and-chunk packing layout: global ordered prefix sum
+        # (range buckets -> driver carry prefix -> per-bucket vectorized
+        # cumsum) maps every doc to its context-window span.
+        "packed_sequences": lambda sf: _packing().pack_sequences(
+            read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            context_len=512,
+        ),
         # CCNet-style LM quality signal: corpus-trained Laplace char-
         # bigram model (one count pass, broadcast once), per-doc total
         # NLL in exact integer nanos; perplexity derives downstream.
@@ -485,6 +494,12 @@ def _lm():
     from go_htmldate_ray.stages import lm
 
     return lm
+
+
+def _packing():
+    from go_htmldate_ray.stages import packing
+
+    return packing
 
 
 def _link_graph(sf_dir):
@@ -1240,6 +1255,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, lang,
                          ('0x' || substr(md5('11:' || doc_id), 1, 16))::UBIGINT >> 1 AS h
                   FROM documents)""",
+        # stages/packing.py::pack_sequences — exact-integer window
+        # cumsum reproduces the distributed range-bucket prefix sum.
+        "packed_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+         length(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n
+  FROM documents WHERE trim(text) != ''),
+c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id)::BIGINT AS cum FROM t)
+SELECT doc_id, n AS n_tokens, (cum - n) AS start_offset,
+       ((cum - n) // 512)::BIGINT AS first_pack,
+       ((cum - 1) // 512)::BIGINT AS last_pack
+FROM c""",
         # stages/lm.py::charlm_nll — Laplace char-bigram NLL; codepoint
         # semantics (DuckDB length/substr) match the engine's UTF-32
         # arrays; nano floor arithmetic identical to Python math.

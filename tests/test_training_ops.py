@@ -299,6 +299,68 @@ def test_dsir_weights_vs_python_reference(ray_session):
     assert [(r["doc_id"], r["weight_nano"]) for r in sel] == expect
 
 
+def test_ordered_cumsum_matches_numpy(ray_session):
+    """Distributed range-bucket prefix sum == numpy cumsum in key order,
+    including with non-contiguous and clustered keys (skewed buckets
+    stay correct, just imbalanced)."""
+    import ray.data
+
+    from go_htmldate_ray.stages.packing import ordered_cumsum
+
+    rng = np.random.RandomState(7)
+    keys = np.concatenate(
+        [rng.choice(10_000, size=300, replace=False),
+         100_000 + rng.choice(50, size=40, replace=False)]  # cluster
+    )
+    vals = rng.randint(0, 1000, size=len(keys))
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ).repartition(8)
+    got = {r["k"]: r["cum"]
+           for r in ordered_cumsum(ds, order_col="k", value_col="v",
+                                   n_buckets=16).take_all()}
+    order = np.argsort(keys)
+    want = dict(zip(keys[order].tolist(), np.cumsum(vals[order]).tolist()))
+    assert got == want
+
+    # empty input -> typed empty with the cum column
+    empty = ordered_cumsum(
+        ray.data.from_arrow(
+            pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        ),
+        order_col="k", value_col="v",
+    )
+    assert empty.count() == 0 and "cum" in empty.schema().names
+
+
+def test_pack_sequences_layout(ray_session):
+    """Concat-and-chunk layout: offsets are the cumsum of token counts
+    in doc_id order, pack spans honor context_len boundaries, empty
+    docs are omitted."""
+    import ray.data
+
+    from go_htmldate_ray.stages.packing import pack_sequences
+
+    docs = [
+        {"doc_id": 0, "text": "a b c"},          # 3 toks, off 0, packs 0-0
+        {"doc_id": 1, "text": " ".join("x" * 1 for _ in range(6))},  # 6 toks
+        {"doc_id": 2, "text": ""},               # omitted
+        {"doc_id": 3, "text": "p q"},            # 2 toks
+    ]
+    out = {r["doc_id"]: r for r in pack_sequences(
+        ray.data.from_items(docs), context_len=4).take_all()}
+    assert set(out) == {0, 1, 3}
+    assert (out[0]["start_offset"], out[0]["first_pack"], out[0]["last_pack"]) == (0, 0, 0)
+    # doc 1: offsets 3..8 -> packs 0..2 (crosses two boundaries)
+    assert (out[1]["start_offset"], out[1]["first_pack"], out[1]["last_pack"]) == (3, 0, 2)
+    # doc 3: offsets 9..10 -> pack 2
+    assert (out[3]["start_offset"], out[3]["first_pack"], out[3]["last_pack"]) == (9, 2, 2)
+
+    import pytest
+    with pytest.raises(ValueError):
+        pack_sequences(ray.data.from_items(docs), context_len=0)
+
+
 def test_charlm_nll_vs_python_reference(ray_session):
     """Char-bigram NLL matches a single-process reference (same Laplace
     smoothing and nano rounding) on a small unicode corpus; short docs
