@@ -366,6 +366,38 @@ def run_headline() -> dict:
         ),
         3,
     )
+    from go_htmldate_ray.stages import lm, packing, selection
+
+    queries["dsir_weights"] = round(
+        bench_query(
+            lambda sf: selection.dsir_weights(
+                read_parquet_clean(f"{sf}/documents.parquet")
+            )
+        ),
+        3,
+    )
+    queries["charlm_nll"] = round(
+        bench_query(
+            lambda sf: lm.charlm_nll(
+                read_parquet_clean(
+                    f"{sf}/documents.parquet", columns=["doc_id", "text"]
+                )
+            )
+        ),
+        3,
+    )
+    queries["pack_sequences"] = round(
+        bench_query(
+            lambda sf: packing.pack_sequences(
+                read_parquet_clean(
+                    f"{sf}/documents.parquet", columns=["doc_id", "text"]
+                ),
+                context_len=512,
+            )
+        ),
+        3,
+    )
+
     import __ray_entry__ as entrymod
 
     queries["pagerank"] = round(

@@ -38,19 +38,19 @@ _NANO = 1e9
 
 
 def _token_buckets(flat: pa.Array, n_buckets: int) -> np.ndarray:
-    """Bucket id per token, md5-hashing only the batch's UNIQUE terms
-    (np.unique inverse broadcasts back to token rows; Zipfian head terms
-    hit the per-worker cache)."""
+    """Bucket id per token.  The per-worker md5 memo makes a direct map
+    faster than np.unique + inverse (an object-array unique pays a
+    Python string-compare sort; the Zipfian head is all cache hits)."""
     from .cleaning import _hash63_cached
 
-    terms = np.asarray(flat.to_pylist(), dtype=object)
-    if len(terms) == 0:
+    toks = flat.to_pylist()
+    if not toks:
         return np.zeros(0, dtype=np.int64)
-    uniq, inv = np.unique(terms, return_inverse=True)
-    bu = np.asarray(
-        [_hash63_cached(t) % n_buckets for t in uniq], dtype=np.int64
+    return np.fromiter(
+        (_hash63_cached(t) % n_buckets for t in toks),
+        dtype=np.int64,
+        count=len(toks),
     )
-    return bu[inv]
 
 
 def _bucket_weights(
