@@ -121,6 +121,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": lambda sf: sampling.dataset_split(
             _docs(sf).select_columns(["doc_id", "lang"]), seed=11
         ),
+        # Distributed BPE merge training (arXiv:1508.07909): corpus ->
+        # weighted word-vocab dataset, then per merge round one light
+        # pair-count shuffle + per-block argmax + stateless merge apply.
+        # No SQL oracle: k data-dependent sequential-rewrite rounds are
+        # the iterative-algorithm exemption; parity is pinned to the
+        # single-process reference in tests/test_training_ops.py.
+        "bpe_merge_table": lambda sf: _bpe().bpe_train(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["text"]),
+            n_merges=16,
+        ),
         # LM concat-and-chunk packing layout: global ordered prefix sum
         # (range buckets -> driver carry prefix -> per-bucket vectorized
         # cumsum) maps every doc to its context-window span.
@@ -500,6 +510,12 @@ def _packing():
     from go_htmldate_ray.stages import packing
 
     return packing
+
+
+def _bpe():
+    from go_htmldate_ray.stages import bpe
+
+    return bpe
 
 
 def _link_graph(sf_dir):

@@ -299,6 +299,65 @@ def test_dsir_weights_vs_python_reference(ray_session):
     assert [(r["doc_id"], r["weight_nano"]) for r in sel] == expect
 
 
+def test_bpe_train_matches_reference(ray_session):
+    """Distributed BPE merge training reproduces the single-process
+    textbook algorithm (same greedy leftmost merge, same (count desc,
+    pair asc) tie-break) on a randomized corpus, under repartitioning."""
+    import ray.data
+
+    from go_htmldate_ray.stages.bpe import bpe_reference, bpe_train
+
+    rng = np.random.RandomState(11)
+    vocab = ["low", "lower", "lowest", "newer", "newest", "wider",
+             "aaa", "ab", "ba"]
+    docs = [
+        {"doc_id": i,
+         "text": " ".join(vocab[j] for j in rng.randint(0, len(vocab), 30))}
+        for i in range(40)
+    ]
+    ds = ray.data.from_items(docs).repartition(7)
+    got = [(r["rank"], r["left"], r["right"], r["count"])
+           for r in bpe_train(ds, n_merges=12, n_blocks=4).take_all()]
+
+    wc: dict[str, int] = {}
+    for d in docs:
+        for w in d["text"].split():
+            wc[w] = wc.get(w, 0) + 1
+    want = bpe_reference(wc, 12)
+    assert sorted(got) == want
+
+    # 'aaa' exercises the leftmost non-overlap rule: (a,a) count is 2
+    # per occurrence pre-merge but only ONE (aa,a) pair remains after
+
+
+def test_bpe_apply_counts_pieces(ray_session):
+    import ray.data
+
+    from go_htmldate_ray.stages.bpe import bpe_apply, bpe_reference
+
+    wc = {"low": 5, "lowest": 2}
+    merges = bpe_reference(wc, 3)  # learns 'lo', 'low', ...
+    docs = [
+        {"doc_id": 0, "text": "low lowest low"},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "unseen"},
+    ]
+    out = {r["doc_id"]: r["n_pieces"]
+           for r in bpe_apply(ray.data.from_items(docs), merges).take_all()}
+    # reference-apply per word
+    from go_htmldate_ray.stages.bpe import _merge_word
+
+    def pieces(w):
+        syms = [*w]
+        for _, l, r, _c in sorted(merges):
+            syms = _merge_word(syms, l, r)
+        return len(syms)
+
+    assert out[0] == 2 * pieces("low") + pieces("lowest")
+    assert out[1] == 0
+    assert out[2] == pieces("unseen")
+
+
 def test_ordered_cumsum_matches_numpy(ray_session):
     """Distributed range-bucket prefix sum == numpy cumsum in key order,
     including with non-contiguous and clustered keys (skewed buckets
