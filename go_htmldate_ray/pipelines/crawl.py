@@ -400,15 +400,22 @@ def _unpack_frontier(batch: pa.Table) -> pa.Table:
 _POLITENESS_SALT = 16  # sub-groups per host in the politeness shuffle
 
 
-def _politeness_precut(group: pa.Table, budget: int) -> pa.Table:
+_DEFAULT_RANK_KEYS = ("depth", "url")
+
+
+def _politeness_precut(
+    group: pa.Table, budget: int, keys: tuple = _DEFAULT_RANK_KEYS
+) -> pa.Table:
     """Phase 1 of the salted politeness shuffle: within one (host, salt)
-    sub-group, only the first ``budget`` rows by (depth, url) can possibly
-    make the host's global top-``budget`` — flag them as candidates and
-    defer the rest immediately.  A host owning half the frontier is split
-    across ``_POLITENESS_SALT`` groups, so no single map_groups task ever
-    receives a mega-host's whole shard (SURVEY §4.2 skew splitting)."""
+    sub-group, only the first ``budget`` rows by the rank keys (default
+    (depth, url); (prio, depth, url) when a priority_fn is set) can
+    possibly make the host's global top-``budget`` — flag them as
+    candidates and defer the rest immediately.  A host owning half the
+    frontier is split across ``_POLITENESS_SALT`` groups, so no single
+    map_groups task ever receives a mega-host's whole shard (SURVEY
+    §4.2 skew splitting)."""
     order = pa.compute.sort_indices(
-        group, sort_keys=[("depth", "ascending"), ("url", "ascending")]
+        group, sort_keys=[(k, "ascending") for k in keys]
     )
     g = group.take(order).drop_columns(["salt"])
     n = g.num_rows
@@ -417,9 +424,11 @@ def _politeness_precut(group: pa.Table, budget: int) -> pa.Table:
     )
 
 
-def _politeness_rank(group: pa.Table, budget: int) -> pa.Table:
+def _politeness_rank(
+    group: pa.Table, budget: int, keys: tuple = _DEFAULT_RANK_KEYS
+) -> pa.Table:
     order = pa.compute.sort_indices(
-        group, sort_keys=[("depth", "ascending"), ("url", "ascending")]
+        group, sort_keys=[(k, "ascending") for k in keys]
     )
     g = group.take(order)
     n = g.num_rows
@@ -442,12 +451,19 @@ def crawl(
     fetch_concurrency=(1, 8),
     small_wave_threshold: int = 100_000,
     fetcher_kwargs: Optional[dict] = None,
+    priority_fn=None,
 ):
     """Run the crawl; returns (visited Dataset, stats dict).
 
     The visited log has one row per fetched page with its wave, per-host
     fetch rank, extracted date and discovered link count — (wave, host,
     fetch_rank) is the total crawl order.
+
+    ``priority_fn: url -> int`` (optional) ranks each host's frontier
+    by (priority, depth, url) instead of (depth, url) — the SURVEY §1.2
+    per-host priority-heap knob.  It must be a pure function of the url
+    (priority is recomputed after shuffles, never shipped through the
+    dedup exchange); lower values fetch first.
     """
     import ray
     import ray.data
@@ -639,15 +655,23 @@ def crawl(
         )
         t = t.filter(keep_arr)
 
+        if priority_fn is not None:
+            t = t.append_column(
+                "prio",
+                pa.array(
+                    [priority_fn(u) for u in t.column("url").to_pylist()],
+                    pa.int64(),
+                ),
+            )
+        rank_cols = ("prio",) * (priority_fn is not None) + _DEFAULT_RANK_KEYS
         idx = pa.compute.sort_indices(
             t,
-            sort_keys=[
-                ("host", "ascending"),
-                ("depth", "ascending"),
-                ("url", "ascending"),
-            ],
+            sort_keys=[("host", "ascending")]
+            + [(k, "ascending") for k in rank_cols],
         )
         t = t.take(idx)
+        if priority_fn is not None:
+            t = t.drop_columns(["prio"])
         hosts = t.column("host").to_pylist()
         ranks, defer = [], []
         prev, r = None, 0
@@ -716,7 +740,25 @@ def crawl(
             import numpy as np
 
             salt = b.column("url_hash").to_numpy() % _POLITENESS_SALT
-            return b.append_column("salt", pa.array(salt, pa.int64()))
+            b = b.append_column("salt", pa.array(salt, pa.int64()))
+            if priority_fn is not None:
+                # priority is a pure function of the url, so it is
+                # stamped here (post-dedup) rather than shipped through
+                # the url_hash exchange
+                b = b.append_column(
+                    "prio",
+                    pa.array(
+                        [priority_fn(u) for u in b.column("url").to_pylist()],
+                        pa.int64(),
+                    ),
+                )
+            return b
+
+        rank_keys = (
+            ("prio",) + _DEFAULT_RANK_KEYS
+            if priority_fn is not None
+            else _DEFAULT_RANK_KEYS
+        )
 
         # Politeness phase 1 — salted (host, salt) grouping bounds every
         # group to ~1/S of a hot host's frontier shard; each sub-group
@@ -729,7 +771,7 @@ def crawl(
             allowed_ds.map_batches(add_salt, batch_format="pyarrow")
             .groupby(["host", "salt"])
             .map_groups(
-                lambda g: _politeness_precut(g, politeness_budget),
+                lambda g: _politeness_precut(g, politeness_budget, rank_keys),
                 batch_format="pyarrow",
             )
             .materialize()
@@ -750,7 +792,7 @@ def crawl(
             pre.map_batches(cand_batch, batch_format="pyarrow")
             .groupby("host")
             .map_groups(
-                lambda g: _politeness_rank(g, politeness_budget),
+                lambda g: _politeness_rank(g, politeness_budget, rank_keys),
                 batch_format="pyarrow",
             )
             .materialize()
