@@ -501,6 +501,178 @@ LOCALE_MONTHS: dict[str, dict[str, int]] = {
         "settembru": 9, "ottubru": 10, "novembru": 11,
         "diċembru": 12, "dicembru": 12,
     },
+    # ---- round-5 batch: Indic / SE-Asian scripts (collision-proof by
+    # script) + Latin-script locales with the ambiguous-in-prose forms
+    # routed to the restricted table, continuing go-dateparser's
+    # per-locale translation layout (extractors.go:193-207).
+    "mr": {
+        "जानेवारी": 1, "फेब्रुवारी": 2, "मार्च": 3, "एप्रिल": 4, "मे": 5,
+        "जून": 6, "जुलै": 7, "ऑगस्ट": 8, "सप्टेंबर": 9, "ऑक्टोबर": 10,
+        "नोव्हेंबर": 11, "डिसेंबर": 12,
+    },
+    "gu": {
+        "જાન્યુઆરી": 1, "ફેબ્રુઆરી": 2, "માર્ચ": 3, "એપ્રિલ": 4, "મે": 5,
+        "જૂન": 6, "જુલાઈ": 7, "ઑગસ્ટ": 8, "ઓગસ્ટ": 8, "સપ્ટેમ્બર": 9,
+        "ઑક્ટોબર": 10, "ઓક્ટોબર": 10, "નવેમ્બર": 11, "ડિસેમ્બર": 12,
+    },
+    "kn": {
+        "ಜನವರಿ": 1, "ಫೆಬ್ರವರಿ": 2, "ಮಾರ್ಚ್": 3, "ಏಪ್ರಿಲ್": 4, "ಮೇ": 5,
+        "ಜೂನ್": 6, "ಜುಲೈ": 7, "ಆಗಸ್ಟ್": 8, "ಸೆಪ್ಟೆಂಬರ್": 9,
+        "ಅಕ್ಟೋಬರ್": 10, "ನವೆಂಬರ್": 11, "ಡಿಸೆಂಬರ್": 12,
+    },
+    "te": {
+        "జనవరి": 1, "ఫిబ్రవరి": 2, "మార్చి": 3, "ఏప్రిల్": 4, "మే": 5,
+        "జూన్": 6, "జులై": 7, "జూలై": 7, "ఆగస్టు": 8, "సెప్టెంబర్": 9,
+        "అక్టోబర్": 10, "నవంబర్": 11, "డిసెంబర్": 12,
+    },
+    "ml": {
+        "ജനുവരി": 1, "ഫെബ്രുവരി": 2, "മാർച്ച്": 3, "ഏപ്രിൽ": 4,
+        "മേയ്": 5, "മെയ്": 5, "ജൂൺ": 6, "ജൂലൈ": 7, "ഓഗസ്റ്റ്": 8,
+        "ആഗസ്റ്റ്": 8, "സെപ്റ്റംബർ": 9, "ഒക്ടോബർ": 10, "നവംബർ": 11,
+        "ഡിസംബർ": 12,
+    },
+    "pa": {
+        "ਜਨਵਰੀ": 1, "ਫ਼ਰਵਰੀ": 2, "ਫਰਵਰੀ": 2, "ਮਾਰਚ": 3, "ਅਪ੍ਰੈਲ": 4,
+        "ਮਈ": 5, "ਜੂਨ": 6, "ਜੁਲਾਈ": 7, "ਅਗਸਤ": 8, "ਸਤੰਬਰ": 9,
+        "ਅਕਤੂਬਰ": 10, "ਨਵੰਬਰ": 11, "ਦਸੰਬਰ": 12,
+    },
+    "ne": {
+        "जनवरी": 1, "फेब्रुअरी": 2, "मार्च": 3, "अप्रिल": 4, "मे": 5,
+        "जुन": 6, "जुलाई": 7, "अगस्ट": 8, "सेप्टेम्बर": 9,
+        "अक्टोबर": 10, "नोभेम्बर": 11, "डिसेम्बर": 12,
+    },
+    "si": {
+        "ජනවාරි": 1, "පෙබරවාරි": 2, "මාර්තු": 3, "අප්‍රේල්": 4,
+        "මැයි": 5, "ජූනි": 6, "ජූලි": 7, "අගෝස්තු": 8,
+        "සැප්තැම්බර්": 9, "ඔක්තෝබර්": 10, "ඔක්තෝම්බර්": 10,
+        "නොවැම්බර්": 11, "දෙසැම්බර්": 12,
+    },
+    # Khmer months usually carry the ខែ ("month") prefix attached to the
+    # name; both bare and prefixed forms are listed.
+    "km": {
+        "មករា": 1, "កុម្ភៈ": 2, "មីនា": 3, "មេសា": 4, "ឧសភា": 5,
+        "មិថុនា": 6, "កក្កដា": 7, "សីហា": 8, "កញ្ញា": 9, "តុលា": 10,
+        "វិច្ឆិកា": 11, "ធ្នូ": 12,
+        "ខែមករា": 1, "ខែកុម្ភៈ": 2, "ខែមីនា": 3, "ខែមេសា": 4,
+        "ខែឧសភា": 5, "ខែមិថុនា": 6, "ខែកក្កដា": 7, "ខែសីហា": 8,
+        "ខែកញ្ញា": 9, "ខែតុលា": 10, "ខែវិច្ឆិកា": 11, "ខែធ្នូ": 12,
+    },
+    "lo": {
+        "ມັງກອນ": 1, "ກຸມພາ": 2, "ມີນາ": 3, "ເມສາ": 4, "ພຶດສະພາ": 5,
+        "ມິຖຸນາ": 6, "ກໍລະກົດ": 7, "ສິງຫາ": 8, "ກັນຍາ": 9, "ຕຸລາ": 10,
+        "ພະຈິກ": 11, "ທັນວາ": 12,
+    },
+    "my": {
+        "ဇန်နဝါရီ": 1, "ဖေဖော်ဝါရီ": 2, "မတ်": 3, "ဧပြီ": 4, "မေ": 5,
+        "ဇွန်": 6, "ဇူလိုင်": 7, "သြဂုတ်": 8, "ဩဂုတ်": 8,
+        "စက်တင်ဘာ": 9, "အောက်တိုဘာ": 10, "နိုဝင်ဘာ": 11, "ဒီဇင်ဘာ": 12,
+    },
+    "am": {
+        "ጃንዋሪ": 1, "ፌብሩዋሪ": 2, "ማርች": 3, "ኤፕሪል": 4, "ሜይ": 5,
+        "ጁን": 6, "ጁላይ": 7, "ኦገስት": 8, "ሴፕቴምበር": 9, "ኦክቶበር": 10,
+        "ኖቬምበር": 11, "ዲሴምበር": 12,
+    },
+    # eo "aŭgusto" only: the ASCII fold "augusto" is a common
+    # Portuguese/Spanish given name — restricted table.
+    "eo": {
+        "januaro": 1, "februaro": 2, "marto": 3, "aprilo": 4, "majo": 5,
+        "junio": 6, "julio": 7, "aŭgusto": 8, "septembro": 9,
+        "oktobro": 10, "novembro": 11, "decembro": 12,
+    },
+    # fo is entirely shared strings (da/no/is forms, same values); the
+    # table still matters for DateParserConfig.languages=["fo"].
+    "fo": {
+        "januar": 1, "februar": 2, "mars": 3, "apríl": 4, "mai": 5,
+        "juni": 6, "juli": 7, "august": 8, "september": 9,
+        "oktober": 10, "november": 11, "desember": 12,
+    },
+    "fy": {
+        "jannewaris": 1, "febrewaris": 2, "maart": 3, "april": 4,
+        "maaie": 5, "juny": 6, "july": 7, "augustus": 8,
+        "septimber": 9, "oktober": 10, "novimber": 11, "desimber": 12,
+    },
+    # lb "mee" (May) is Malay prose ("mee goreng") — restricted table.
+    "lb": {
+        "januar": 1, "februar": 2, "mäerz": 3, "abrëll": 4, "juni": 6,
+        "juli": 7, "august": 8, "september": 9, "oktober": 10,
+        "november": 11, "dezember": 12,
+    },
+    "oc": {
+        "genièr": 1, "febrièr": 2, "març": 3, "abril": 4, "mai": 5,
+        "junh": 6, "julhet": 7, "agost": 8, "setembre": 9,
+        "octobre": 10, "novembre": 11, "decembre": 12,
+    },
+    # br "mae" (May) is the Welsh copula, "here" (October) English,
+    # "du" (November) a French/skip word — all restricted.  C'hwevrer
+    # (February) contains an apostrophe the single-word tokenizer
+    # splits, so it is out of reach (same rule as ga's two-word months).
+    "br": {
+        "genver": 1, "meurzh": 3, "ebrel": 4, "mezheven": 6,
+        "gouere": 7, "eost": 8, "gwengolo": 9, "kerzu": 12,
+    },
+    # ht "mas"/"me"/"jen"/"out" are everyday words (es/en/pt) —
+    # restricted; "out" is additionally skipped there because the pt
+    # restricted table claims it for October.
+    "ht": {
+        "janvye": 1, "fevriye": 2, "avril": 4, "jiyè": 7, "septanm": 9,
+        "oktòb": 10, "novanm": 11, "desanm": 12,
+    },
+    "so": {
+        "janaayo": 1, "febraayo": 2, "maarso": 3, "abriil": 4, "may": 5,
+        "juun": 6, "luuliyo": 7, "ogost": 8, "sebteembar": 9,
+        "oktoobar": 10, "nofeembar": 11, "diseembar": 12,
+    },
+    "ha": {
+        "janairu": 1, "faburairu": 2, "maris": 3, "afirilu": 4,
+        "mayu": 5, "yuni": 6, "yuli": 7, "agusta": 8, "satumba": 9,
+        "oktoba": 10, "nuwamba": 11, "disamba": 12,
+    },
+    "zu": {
+        "januwari": 1, "februwari": 2, "mashi": 3, "ephreli": 4,
+        "meyi": 5, "juni": 6, "julayi": 7, "agasti": 8,
+        "septhemba": 9, "okthoba": 10, "novemba": 11, "disemba": 12,
+    },
+    # rw "mata" (April) is Spanish prose — restricted table.
+    "rw": {
+        "mutarama": 1, "gashyantare": 2, "werurwe": 3, "gicurasi": 5,
+        "kamena": 6, "nyakanga": 7, "kanama": 8, "nzeri": 9,
+        "ukwakira": 10, "ugushyingo": 11, "ukuboza": 12,
+    },
+    "mg": {
+        "janoary": 1, "febroary": 2, "martsa": 3, "aprily": 4, "mey": 5,
+        "jona": 6, "jolay": 7, "aogositra": 8, "septambra": 9,
+        "oktobra": 10, "novambra": 11, "desambra": 12,
+    },
+    "ceb": {
+        "enero": 1, "pebrero": 2, "marso": 3, "abril": 4, "mayo": 5,
+        "hunyo": 6, "hulyo": 7, "agosto": 8, "septiyembre": 9,
+        "oktubre": 10, "nobiyembre": 11, "disyembre": 12,
+    },
+    # tt/tg borrow the Russian names with Tatar гыйнвар / Tajik
+    # soft-sign-less forms as the only new strings.
+    "tt": {
+        "гыйнвар": 1, "февраль": 2, "март": 3, "апрель": 4, "май": 5,
+        "июнь": 6, "июль": 7, "август": 8, "сентябрь": 9,
+        "октябрь": 10, "ноябрь": 11, "декабрь": 12,
+    },
+    "tg": {
+        "январ": 1, "феврал": 2, "март": 3, "апрел": 4, "май": 5,
+        "июн": 6, "июл": 7, "август": 8, "сентябр": 9, "октябр": 10,
+        "ноябр": 11, "декабр": 12,
+    },
+    "tk": {
+        "ýanwar": 1, "fewral": 2, "mart": 3, "aprel": 4, "maý": 5,
+        "iýun": 6, "iýul": 7, "awgust": 8, "sentýabr": 9,
+        "oktýabr": 10, "noýabr": 11, "dekabr": 12,
+    },
+    # ps shares most strings with ur/fa (same values); جنوري / فبروري /
+    # اګست / سپتمبر are the Pashto-specific forms.  "می" (May) doubles
+    # as the Persian verb particle — restricted table.
+    "ps": {
+        "جنوري": 1, "فبروري": 2, "مارچ": 3, "اپریل": 4, "جون": 6,
+        "جولای": 7, "اګست": 8, "سپتمبر": 9, "اکتوبر": 10, "نومبر": 11,
+        "دسمبر": 12,
+    },
 }
 
 # Month ABBREVIATIONS that are safe in the unrestricted merge: none of
@@ -547,6 +719,13 @@ _LOCALE_MONTH_ABBREVS_RESTRICTED: dict[str, dict[str, int]] = {
     "ro": {"noi": 11},
     # hr October collides with pl/cs November in the global bag
     "hr": {"listopad": 10, "listopada": 10},
+    # round-5 batch (rationales at the owning LOCALE_MONTHS tables)
+    "eo": {"augusto": 8},
+    "lb": {"mee": 5},
+    "br": {"mae": 5, "here": 10, "du": 11},
+    "ht": {"mas": 3, "me": 5, "jen": 6},
+    "rw": {"mata": 4},
+    "ps": {"می": 5},
 }
 
 for _lang, _tbl in _LOCALE_MONTH_ABBREVS_SAFE.items():
@@ -623,8 +802,11 @@ _COMBINING = "".join(
     for c in range(0x0300, 0x10000)
     if unicodedata.category(chr(c)) in ("Mn", "Mc", "Me")
 )
+# ZWJ/ZWNJ (Cf, so outside \w and the mark class) are word-internal in
+# Sinhala conjuncts (අප්‍රේල්) and Persian morphology — a token may
+# continue through them as well.
 _TOKEN = re.compile(
-    rf"[^\W\d_](?:[^\W\d_]|[{_COMBINING}])*|\d+", re.UNICODE
+    rf"[^\W\d_](?:[^\W\d_]|[{_COMBINING}\u200c\u200d])*|\d+", re.UNICODE
 )
 
 

@@ -402,6 +402,73 @@ def test_locale_months_round4_batch():
     ) is None
 
 
+def test_locale_months_round5_batch():
+    from go_htmldate_ray.functions.kernels import DateParserConfig
+    from go_htmldate_ray.functions.patterns import lenient_absolute_parse
+
+    cases = [
+        ("26 जानेवारी 1950", (1950, 1, 26)),      # mr
+        ("30 જાન્યુઆરી 1948", (1948, 1, 30)),      # gu
+        ("1 ನವೆಂಬರ್ 1956", (1956, 11, 1)),        # kn
+        ("2 జూన్ 2014", (2014, 6, 2)),            # te
+        ("1 നവംബർ 1956", (1956, 11, 1)),          # ml
+        ("13 ਅਪ੍ਰੈਲ 1919", (1919, 4, 13)),         # pa
+        ("20 सेप्टेम्बर 2015", (2015, 9, 20)),      # ne
+        ("4 අප්‍රේල් 2019", (2019, 4, 4)),          # si (ZWJ conjunct)
+        ("9 វិច្ឆិកា 1953", (1953, 11, 9)),        # km bare
+        ("9 ខែវិច្ឆិកា 1953", (1953, 11, 9)),      # km ខែ-prefixed
+        ("2 ທັນວາ 1975", (1975, 12, 2)),          # lo
+        ("4 ဇန်နဝါရီ 1948", (1948, 1, 4)),        # my
+        ("28 ሜይ 1993", (1993, 5, 28)),            # am
+        ("15 decembro 1859", (1859, 12, 15)),     # eo
+        ("29 aŭgusto 2020", (2020, 8, 29)),       # eo circumflex form
+        ("25 apríl 2021", (2021, 4, 25)),         # fo/is shared
+        ("11 jannewaris 2019", (2019, 1, 11)),    # fy
+        ("23 abrëll 2017", (2017, 4, 23)),        # lb
+        ("14 julhet 1789", (1789, 7, 14)),        # oc
+        ("7 gwengolo 2004", (2004, 9, 7)),        # br
+        ("1 janvye 2004", (2004, 1, 1)),          # ht
+        ("1 luuliyo 1960", (1960, 7, 1)),         # so
+        ("1 oktoobar 2022", (2022, 10, 1)),       # so
+        ("12 faburairu 2003", (2003, 2, 12)),     # ha
+        ("16 disemba 1998", (1998, 12, 16)),      # zu
+        ("4 nyakanga 1994", (1994, 7, 4)),        # rw
+        ("26 jona 1960", (1960, 6, 26)),          # mg
+        ("27 septiyembre 2013", (2013, 9, 27)),   # ceb
+        ("15 гыйнвар 2021", (2021, 1, 15)),       # tt
+        ("9 сентябр 1991", (1991, 9, 9)),         # tg
+        ("27 oktýabr 1991", (1991, 10, 27)),      # tk
+        ("19 اګست 1919", (1919, 8, 19)),          # ps
+    ]
+    for s, ymd in cases:
+        dt = lenient_absolute_parse(s)
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+    # ambiguous-in-prose forms stay behind the language restriction
+    for s in [
+        "3 augusto 2020",   # eo ASCII fold = given name
+        "5 mee 2021",       # lb May = Malay noodles
+        "2 mae 2020",       # br May = Welsh copula
+        "4 here 2020",      # br October = English adverb
+        "3 mas 2019",       # ht March = es "mas"
+        "9 mata 2018",      # rw April = es prose
+    ]:
+        assert lenient_absolute_parse(s) is None, s
+    for s, langs, ymd in [
+        ("3 augusto 2020", ["eo"], (2020, 8, 3)),
+        ("5 mee 2021", ["lb"], (2021, 5, 5)),
+        ("2 mae 2020", ["br"], (2020, 5, 2)),
+        ("4 here 2020", ["br"], (2020, 10, 4)),
+        ("6 du 2020", ["br"], (2020, 11, 6)),
+        ("3 mas 2019", ["ht"], (2019, 3, 3)),
+        ("7 me 2019", ["ht"], (2019, 5, 7)),
+        ("9 mata 2018", ["rw"], (2018, 4, 9)),
+        ("21 می 2022", ["ps"], (2022, 5, 21)),
+    ]:
+        dt = lenient_absolute_parse(s, DateParserConfig(languages=langs))
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+
 def test_locale_month_tables_collision_free():
     """The unrestricted merge is only sound if no two locales assign the
     SAME lowercase word DIFFERENT month numbers (the hr-listopad rule).
