@@ -74,6 +74,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: _map(
             sf, text_stage.quality_batch, ["doc_id", "text"]
         ),
+        # RAG/LM context chunking: overlapping 100-char windows, stride
+        # 80 — a stateless flat expansion (rows ≈ len/stride per doc).
+        "chunk_documents": lambda sf: _map(
+            sf,
+            lambda b: text_stage.chunk_batch(b, size=100, stride=80),
+            ["doc_id", "text"],
+        ),
+        # Unicode hygiene: NFC audit over fixture text with planted
+        # decomposed characters (every 7th doc) so both sides trigger.
+        "normalize_text": _normalize_text,
+        # Arrow-native URL decomposition over the synthesized frontier.
+        "url_components": ed.url_components,
         "fingerprints": lambda sf: _map(
             sf, text_stage.fingerprint_batch, ["doc_id", "text"]
         ),
@@ -411,6 +423,35 @@ def _embedding_dup_pairs_lsh(sf_dir):
     )
 
 
+def _normalize_text(sf_dir):
+    """Plant decomposed Unicode (combining acute) on every 7th doc — the
+    same augmentation the oracle SQL applies with chr(769) — so the NFC
+    audit exercises both the already-normalized and the recomposed
+    paths on the all-ASCII fixture."""
+    import pyarrow as pa
+
+    from go_htmldate_ray.stages.cleaning import nfc_normalize_batch
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        out = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            t = t or ""
+            if d % 7 == 0:
+                t = t + " cafe\u0301"
+            out.append(t)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())}
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        nfc_normalize_batch, batch_format="pyarrow"
+    )
+
+
 def _pii_redaction(sf_dir):
     """Plant deterministic PII (email + phone + IPv4) on every 5th doc —
     the same augmentation the oracle SQL applies — then run the
@@ -744,6 +785,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
                    count(*) AS n_pages
             FROM documents GROUP BY 1""",
+        "chunk_documents": r"""
+            WITH s AS (
+                SELECT unnest(generate_series(
+                    1,
+                    (SELECT max(greatest(length(text), 1)) FROM documents),
+                    80)) AS g
+            )
+            SELECT d.doc_id,
+                   CAST((s.g - 1) // 80 AS BIGINT) AS chunk_id,
+                   s.g::BIGINT AS chunk_start,
+                   substring(d.text, s.g::INT, 100) AS chunk_text
+            FROM documents d JOIN s ON s.g <= greatest(length(d.text), 1)""",
+        "normalize_text": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 7 = 0
+                                    THEN ' cafe' || chr(769) ELSE '' END AS raw
+                FROM documents
+            )
+            SELECT doc_id,
+                   (raw = nfc_normalize(raw)) AS was_nfc,
+                   length(nfc_normalize(raw))::BIGINT AS n_chars_norm,
+                   md5(nfc_normalize(raw)) AS norm_md5
+            FROM t""",
+        "url_components": f"""
+            SELECT doc_id,
+                   'https' AS scheme,
+                   'site' || (doc_id % 97) || '.example.org' AS host,
+                   CASE WHEN doc_id % 4 = 2
+                        THEN strftime({_DATE_SQL}, '/%Y/%m/%d/')
+                             || 'post-' || doc_id || '.html'
+                        ELSE '/article/' || doc_id || '.html' END AS path,
+                   (CASE WHEN doc_id % 4 = 2 THEN 4 ELSE 2 END)::BIGINT
+                       AS path_depth,
+                   CASE WHEN doc_id % 4 = 2
+                        THEN 'post-' || doc_id || '.html'
+                        ELSE doc_id || '.html' END AS filename
+            FROM documents""",
         "date_year_histogram": f"""
             SELECT substr(strftime({_DATE_SQL}, '%Y-%m-%d'), 1, 4) AS year,
                    count(*)::BIGINT AS n_pages

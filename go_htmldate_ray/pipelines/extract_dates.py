@@ -126,3 +126,39 @@ def host_page_counts(sf_dir: str):
         lambda b: pa.table({"host": b.column("host"), "n_pages": b.column("count()")}),
         batch_format="pyarrow",
     )
+
+
+def url_components(sf_dir: str):
+    """Structural URL decomposition — scheme / host / path / depth /
+    filename per page, entirely as ``pyarrow.compute`` kernels (one
+    RE2 extract + substring arithmetic, zero Python per row).  The
+    canonical pre-step of host-level sampling, path-prefix filters and
+    sitemap diffing over a Common-Crawl-style frontier."""
+    pages = read_pages(sf_dir)
+
+    def split(batch: pa.Table) -> pa.Table:
+        urls = pc.cast(batch.column("url"), pa.string())
+        m = pc.extract_regex(
+            urls,
+            r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<path>[^?#]*)",
+        )
+        scheme = pc.fill_null(pc.struct_field(m, "scheme"), "")
+        host = pc.fill_null(pc.struct_field(m, "host"), "")
+        path = pc.fill_null(pc.struct_field(m, "path"), "")
+        depth = pc.count_substring(path, "/").cast(pa.int64())
+        # filename = path after the last '/'; '' when path is empty
+        fname = pc.fill_null(
+            pc.struct_field(pc.extract_regex(path, r"/(?P<f>[^/]*)$"), "f"), ""
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "scheme": scheme,
+                "host": host,
+                "path": path,
+                "path_depth": depth,
+                "filename": fname,
+            }
+        )
+
+    return pages.map_batches(split, batch_format="pyarrow")

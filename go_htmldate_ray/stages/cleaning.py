@@ -278,3 +278,33 @@ def decontaminate(ds, *, blocklist_max_id: int = 20, n: int = 5):
     return ds.select_columns(["doc_id", "text"]).map_batches(
         probe, batch_format="pyarrow"
     )
+
+
+def nfc_normalize_batch(batch: pa.Table) -> pa.Table:
+    """Unicode NFC normalization audit: doc_id, was_nfc (text already
+    composed), n_chars_norm, norm_md5 (md5 of the normalized UTF-8).
+
+    The md5 column makes the full normalized text hash-comparable
+    without shipping it; stateless batch map (unicodedata's NFC is the
+    same composition DuckDB's nfc_normalize applies, so the oracle can
+    recompute all three columns exactly)."""
+    import hashlib
+    import unicodedata
+
+    doc_ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    was_nfc, n_chars, md5s = [], [], []
+    for t in texts:
+        t = t or ""
+        norm = unicodedata.normalize("NFC", t)
+        was_nfc.append(norm == t)
+        n_chars.append(len(norm))
+        md5s.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "was_nfc": pa.array(was_nfc, pa.bool_()),
+            "n_chars_norm": pa.array(n_chars, pa.int64()),
+            "norm_md5": pa.array(md5s, pa.string()),
+        }
+    )

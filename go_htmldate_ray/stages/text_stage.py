@@ -812,3 +812,37 @@ def tfidf_top_terms(ds, *, k: int = 3, n_buckets: int = 64):
         .groupby("bkt")
         .map_groups(rank_topk, batch_format="pyarrow")
     )
+
+
+def chunk_batch(batch: pa.Table, *, size: int = 100, stride: int = 80) -> pa.Table:
+    """Overlapping fixed-width character chunks per document — the
+    context-window chunking step of a RAG / LM-ingest pipeline.
+
+    One output row per (doc, window): ``chunk_start`` is 1-based (SQL
+    ``substring`` convention) and windows step by ``stride`` with
+    ``size - stride`` characters of overlap; an empty document still
+    yields one empty chunk so no doc silently disappears.  Stateless
+    flat batch map: the expansion is local to the block, so the stage
+    streams at any corpus size (output ≈ len/stride rows per doc).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id, out_chunk, out_start, out_text = [], [], [], []
+    for doc_id, t in zip(doc_ids, texts):
+        t = t or ""
+        n = max(len(t), 1)
+        for k, s in enumerate(range(0, n, stride)):
+            out_id.append(doc_id)
+            out_chunk.append(k)
+            out_start.append(s + 1)
+            out_text.append(t[s : s + size])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_chunk, pa.int64()),
+            "chunk_start": pa.array(out_start, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+        }
+    )

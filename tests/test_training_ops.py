@@ -699,3 +699,74 @@ def test_curated_corpus_stats_consistency(ray_session):
     total_docs = sum(v[0] for v in got.values())
     total_kept = sum(v[1] for v in got.values())
     assert 0 < total_kept < total_docs
+
+
+def test_chunk_batch_covers_and_overlaps():
+    import pyarrow as pa
+
+    from go_htmldate_ray.stages.text_stage import chunk_batch
+
+    texts = ["a" * 250, "xyz", "", "b" * 80, "c" * 81]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = chunk_batch(batch, size=100, stride=80).to_pylist()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, t in enumerate(texts):
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        # starts step by stride; ids are dense from 0
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        assert [r["chunk_start"] for r in rows] == [1 + 80 * k for k in range(len(rows))]
+        # stitching chunk prefixes of stride chars + last chunk == text
+        stitched = "".join(r["chunk_text"][:80] for r in rows[:-1]) + rows[-1]["chunk_text"]
+        assert stitched == t
+        # consecutive chunks overlap by size - stride chars
+        for a, b in zip(rows, rows[1:]):
+            assert a["chunk_text"][80:] == b["chunk_text"][: len(a["chunk_text"]) - 80]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == ""
+    assert len(by_doc[3]) == 1      # len == stride: one chunk only
+    assert len(by_doc[4]) == 2      # len == stride + 1: second window
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_batch(batch, size=0, stride=80)
+
+
+def test_nfc_normalize_batch():
+    import hashlib
+
+    import pyarrow as pa
+
+    from go_htmldate_ray.stages.cleaning import nfc_normalize_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["plain ascii", "cafe\u0301", "caf\u00e9"], pa.string()),
+        }
+    )
+    rows = nfc_normalize_batch(batch).to_pylist()
+    assert rows[0]["was_nfc"] and rows[2]["was_nfc"]
+    assert not rows[1]["was_nfc"]
+    # decomposed and precomposed normalize to the same md5 / length
+    assert rows[1]["norm_md5"] == rows[2]["norm_md5"]
+    assert rows[1]["n_chars_norm"] == rows[2]["n_chars_norm"] == 4
+    assert rows[0]["norm_md5"] == hashlib.md5(b"plain ascii").hexdigest()
+
+
+def test_url_components(ray_session):
+    from go_htmldate_ray.pipelines.extract_dates import url_components
+
+    rows = url_components("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert r["scheme"] == "https"
+        assert r["host"].endswith(".example.org")
+        assert r["path"].startswith("/")
+        assert r["path_depth"] == r["path"].count("/")
+        assert r["filename"] == r["path"].rsplit("/", 1)[1]
+        assert r["filename"].endswith(".html")
