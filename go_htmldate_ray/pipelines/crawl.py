@@ -42,6 +42,7 @@ the urllib :class:`~go_htmldate_ray.stages.fetch_stage.HttpFetcher`
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 from typing import Optional
@@ -227,12 +228,17 @@ class RobotsFilterStage:
     downstream stay unmarked so later waves fetch them.  Batch drop
     counts go to the wave stats counter."""
 
-    def __init__(self, robots_handle, stats_handle, seen_handles, n_shards):
+    def __init__(
+        self, robots_handle, stats_handle, seen_handles, n_shards,
+        politeness_budget=None,
+    ):
         self.robots = robots_handle
         self.stats = stats_handle
         self.seen_handles = seen_handles
         self.n_shards = n_shards
+        self.politeness_budget = politeness_budget
         self.cache: dict[str, list] = {}
+        self.delays: dict[str, float] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
@@ -243,12 +249,28 @@ class RobotsFilterStage:
         missing = sorted({h for h in hosts if h not in self.cache})
         if missing:
             self.cache.update(ray.get(self.robots.get_rules.remote(missing)))
+            self.delays.update(ray.get(self.robots.get_delays.remote(missing)))
         keep = []
         for url, host in zip(t.column("url").to_pylist(), hosts):
             path = url.split(host, 1)[-1] if host else "/"
             keep.append(allowed(path, self.cache.get(host, [])))
         keep_arr = pa.array(keep, pa.bool_())
         out = t.filter(keep_arr)
+        if self.politeness_budget is not None:
+            # Crawl-delay → per-host wave budget, stamped as a column so
+            # the downstream politeness groupby needs no actor lookup
+            out = out.append_column(
+                "host_budget",
+                pa.array(
+                    [
+                        _host_budget(
+                            self.politeness_budget, self.delays.get(h, 0.0)
+                        )
+                        for h in out.column("host").to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            )
         _mark_seen(
             t.filter(pa.compute.invert(keep_arr)).column("url_hash").to_pylist(),
             self.seen_handles,
@@ -403,6 +425,27 @@ _POLITENESS_SALT = 16  # sub-groups per host in the politeness shuffle
 _DEFAULT_RANK_KEYS = ("depth", "url")
 
 
+def _host_budget(budget: int, delay: float) -> int:
+    """Per-host wave budget under a robots Crawl-delay.
+
+    The wave is the discrete token-bucket window: ``budget`` tokens per
+    wave at the default 1-request rate; a Crawl-delay of ``d`` seconds
+    cuts the refill rate to 1/d, i.e. ``budget // ceil(d)`` fetches per
+    wave, floored at 1 so delayed hosts still make progress (a pure
+    defer — the reachable set is unchanged, only spread over waves)."""
+    if delay and delay > 0:
+        return max(1, budget // math.ceil(delay))
+    return budget
+
+
+def _group_budget(g: pa.Table, budget: int) -> int:
+    """Effective budget for one host's group: the stamped host_budget
+    column when the robots stage attached one (constant per host)."""
+    if "host_budget" in g.column_names and g.num_rows:
+        return min(budget, g.column("host_budget")[0].as_py())
+    return budget
+
+
 def _politeness_precut(
     group: pa.Table, budget: int, keys: tuple = _DEFAULT_RANK_KEYS
 ) -> pa.Table:
@@ -414,6 +457,7 @@ def _politeness_precut(
     frontier is split across ``_POLITENESS_SALT`` groups, so no single
     map_groups task ever receives a mega-host's whole shard (SURVEY
     §4.2 skew splitting)."""
+    budget = _group_budget(group, budget)
     order = pa.compute.sort_indices(
         group, sort_keys=[(k, "ascending") for k in keys]
     )
@@ -427,10 +471,13 @@ def _politeness_precut(
 def _politeness_rank(
     group: pa.Table, budget: int, keys: tuple = _DEFAULT_RANK_KEYS
 ) -> pa.Table:
+    budget = _group_budget(group, budget)
     order = pa.compute.sort_indices(
         group, sort_keys=[(k, "ascending") for k in keys]
     )
     g = group.take(order)
+    if "host_budget" in g.column_names:
+        g = g.drop_columns(["host_budget"])
     n = g.num_rows
     ranks = list(range(n))
     defer = [r >= budget for r in ranks]
@@ -524,14 +571,17 @@ def crawl(
                 raise FileNotFoundError(
                     f"crawl checkpoint missing {dp} (and no legacy seen.json loaded)"
                 )
+        robots_ckpt = json.loads(
+            open(os.path.join(checkpoint_dir, "robots.json")).read()
+        )
+        if "rules" in robots_ckpt and "delays" in robots_ckpt:
+            rules_map, delays_map = robots_ckpt["rules"], robots_ckpt["delays"]
+        else:  # legacy layout: a bare host → rules dict, no delays
+            rules_map, delays_map = robots_ckpt, None
         ray.get(
             robots.load.remote(
-                {
-                    h: [tuple(r) for r in rules]
-                    for h, rules in json.loads(
-                        open(os.path.join(checkpoint_dir, "robots.json")).read()
-                    ).items()
-                }
+                {h: [tuple(r) for r in rules] for h, rules in rules_map.items()},
+                delays_map,
             )
         )
     else:
@@ -673,13 +723,14 @@ def crawl(
         if priority_fn is not None:
             t = t.drop_columns(["prio"])
         hosts = t.column("host").to_pylist()
+        delays = ray.get(robots.get_delays.remote(sorted(set(hosts))))
         ranks, defer = [], []
         prev, r = None, 0
         for h in hosts:
             r = r + 1 if h == prev else 0
             prev = h
             ranks.append(r)
-            defer.append(r >= politeness_budget)
+            defer.append(r >= _host_budget(politeness_budget, delays.get(h, 0.0)))
         t = t.append_column("fetch_rank", pa.array(ranks, pa.int64()))
         defer_arr = pa.array(defer, pa.bool_())
         fetch_now = t.filter(pa.compute.invert(defer_arr))
@@ -729,6 +780,7 @@ def crawl(
                 "stats_handle": wave_stats,
                 "seen_handles": shard_handles,
                 "n_shards": n_sh,
+                "politeness_budget": politeness_budget,
             },
             batch_format="pyarrow",
             concurrency=(1, 4),
@@ -918,7 +970,12 @@ def crawl(
             os.path.join(checkpoint_dir, f"seen_delta_{wave}.json"), "w"
         ).write(json.dumps(seen.drain_deltas()))
         open(os.path.join(checkpoint_dir, "robots.json"), "w").write(
-            json.dumps(ray.get(robots.all_rules.remote()))
+            json.dumps(
+                {
+                    "rules": ray.get(robots.all_rules.remote()),
+                    "delays": ray.get(robots.all_delays.remote()),
+                }
+            )
         )
         lineage.append(
             {

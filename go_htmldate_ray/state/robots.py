@@ -37,6 +37,26 @@ def parse_robots(text: str) -> list[tuple[str, str]]:
     return rules
 
 
+def parse_crawl_delay(text: str) -> float:
+    """robots.txt Crawl-delay (seconds) for User-agent: *; 0.0 = none."""
+    applies = False
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            applies = value == "*"
+        elif applies and key == "crawl-delay":
+            try:
+                return max(0.0, float(value))
+            except ValueError:
+                return 0.0
+    return 0.0
+
+
 def allowed(path: str, rules: list[tuple[str, str]]) -> bool:
     """Longest-prefix-match wins; allow on tie/no-match (Google semantics)."""
     best_len = -1
@@ -52,28 +72,58 @@ _SYNTH_HOST = re.compile(r"site(\d+)\.example\.org")
 
 
 def synthetic_robots_txt(host: str) -> str:
-    """Deterministic robots policy for the synthetic corpus."""
+    """Deterministic robots policy for the synthetic corpus: hosts with
+    index % 13 == 0 disallow /article/, hosts with index % 11 == 3
+    declare a Crawl-delay of 2 s (independent residues, so a host can
+    carry both directives)."""
     m = _SYNTH_HOST.fullmatch(host)
-    if m and int(m.group(1)) % 13 == 0:
-        return "User-agent: *\nDisallow: /article/\n"
-    return "User-agent: *\nAllow: /\n"
+    idx = int(m.group(1)) if m else -1
+    delay = "Crawl-delay: 2\n" if idx >= 0 and idx % 11 == 3 else ""
+    if idx >= 0 and idx % 13 == 0:
+        return f"User-agent: *\nDisallow: /article/\n{delay}"
+    return f"User-agent: *\nAllow: /\n{delay}"
 
 
 @ray.remote
 class RobotsCache:
-    """host → rules, fetched once per host."""
+    """host → (rules, crawl-delay), fetched once per host."""
 
     def __init__(self):
         self.rules: dict[str, list[tuple[str, str]]] = {}
+        self.delays: dict[str, float] = {}
+
+    def _fetch(self, host: str) -> None:
+        if host not in self.rules:
+            text = synthetic_robots_txt(host)
+            self.rules[host] = parse_robots(text)
+            self.delays[host] = parse_crawl_delay(text)
 
     def get_rules(self, hosts: list[str]) -> dict[str, list[tuple[str, str]]]:
         for host in hosts:
-            if host not in self.rules:
-                self.rules[host] = parse_robots(synthetic_robots_txt(host))
+            self._fetch(host)
         return {h: self.rules[h] for h in hosts}
+
+    def get_delays(self, hosts: list[str]) -> dict[str, float]:
+        for host in hosts:
+            self._fetch(host)
+        return {h: self.delays[h] for h in hosts}
 
     def all_rules(self) -> dict[str, list[tuple[str, str]]]:
         return dict(self.rules)
 
-    def load(self, rules: dict[str, list[tuple[str, str]]]) -> None:
+    def all_delays(self) -> dict[str, float]:
+        return dict(self.delays)
+
+    def load(
+        self,
+        rules: dict[str, list[tuple[str, str]]],
+        delays: dict[str, float] | None = None,
+    ) -> None:
         self.rules.update(rules)
+        if delays is None:
+            # legacy checkpoint (rules only): delays are re-derivable
+            # from the deterministic robots source
+            delays = {
+                h: parse_crawl_delay(synthetic_robots_txt(h)) for h in rules
+            }
+        self.delays.update(delays)

@@ -90,6 +90,61 @@ def test_robots_disallowed_never_fetched():
     assert stats["robots_denied"] > 0
 
 
+def test_crawl_delay_caps_per_wave_fetches():
+    """Hosts declaring Crawl-delay: 2 (index % 11 == 3) get at most
+    budget // 2 fetches per wave — the wave-discretized token bucket —
+    on BOTH the driver and the dataset wave paths, and the crawl still
+    converges to the same visited set as an undelayed-budget run."""
+    from collections import Counter
+
+    budget = 4
+    for extra in ({}, {"small_wave_threshold": 0}):
+        rows, _ = _run(politeness_budget=budget, **extra)
+        per_wave_host = Counter((r["wave"], r["host"]) for r in rows)
+        saw_delay_host = False
+        for (wave, host), n in per_wave_host.items():
+            idx = int(host.split(".")[0].removeprefix("site"))
+            if idx % 11 == 3:
+                assert n <= budget // 2, (wave, host, n)
+                saw_delay_host = saw_delay_host or n == budget // 2
+            else:
+                assert n <= budget, (wave, host, n)
+        assert saw_delay_host  # the cap actually binds somewhere
+
+    # delays defer, never drop: visited set == a no-delay-capped
+    # high-budget run's set
+    big, _ = _run(politeness_budget=1000)
+    assert {r["url"] for r in rows} == {r["url"] for r in big}
+
+
+def test_parse_crawl_delay():
+    from go_htmldate_ray.state.robots import (
+        parse_crawl_delay,
+        synthetic_robots_txt,
+    )
+
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 2\n") == 2.0
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 1.5\n") == 1.5
+    assert parse_crawl_delay("User-agent: x\nCrawl-delay: 9\n") == 0.0
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") == 0.0
+    assert parse_crawl_delay("User-agent: *\nAllow: /\n") == 0.0
+    assert parse_crawl_delay(synthetic_robots_txt("site3.example.org")) == 2.0
+    assert parse_crawl_delay(synthetic_robots_txt("site4.example.org")) == 0.0
+    # host 91: % 13 == 0 (disallow) AND % 11 == 3 (delay) — both apply
+    txt = synthetic_robots_txt("site91.example.org")
+    assert "Disallow: /article/" in txt and parse_crawl_delay(txt) == 2.0
+
+
+def test_host_budget_rule():
+    from go_htmldate_ray.pipelines.crawl import _host_budget
+
+    assert _host_budget(4, 0.0) == 4
+    assert _host_budget(4, 2.0) == 2
+    assert _host_budget(4, 1.5) == 2
+    assert _host_budget(4, 10.0) == 1   # floored at 1: progress guaranteed
+    assert _host_budget(1000, 2.0) == 500
+
+
 def test_dates_extracted_during_crawl():
     rows, _ = _run(max_waves=3)
     from go_htmldate_ray.sources.pages import page_date
