@@ -52,7 +52,7 @@ import pyarrow.parquet as pq
 
 from ..sources.pages import build_page_html, count_documents, page_url
 from ..state.robots import allowed
-from ..state.urls import canonicalize, host_of, url_hash
+from ..state.urls import canonicalize, host_of, host_of_canonical_batch, url_hash
 
 FRONTIER_SCHEMA = pa.schema(
     [
@@ -374,17 +374,19 @@ def _prededup_block(batch: pa.Table) -> pa.Table:
     merge with no per-group task."""
     import numpy as np
 
-    packed = _pack_rows(
-        batch.column("depth").to_pylist(),
-        batch.column("discovered_wave").to_pylist(),
-        batch.column("url").to_pylist(),
+    # all-Arrow pack (lpad/cast/join kernels — this combiner sees every
+    # frontier row every wave); scalar _pack_rows keeps the same layout
+    # for the tests and the seed path
+    pad = lambda col: pa.compute.utf8_lpad(
+        pa.compute.cast(col, pa.string()), _PACK_WIDTH, "0"
     )
-    t = pa.table(
-        {
-            "url_hash": batch.column("url_hash"),
-            "packed": pa.array(packed, pa.string()),
-        }
+    packed = pa.compute.binary_join_element_wise(
+        pad(batch.column("depth")),
+        pad(batch.column("discovered_wave")),
+        pa.compute.cast(batch.column("url"), pa.string()),
+        "|",
     )
+    t = pa.table({"url_hash": batch.column("url_hash"), "packed": packed})
     order = pa.compute.sort_indices(
         t, sort_keys=[("url_hash", "ascending"), ("packed", "ascending")]
     )
@@ -399,22 +401,30 @@ def _prededup_block(batch: pa.Table) -> pa.Table:
 
 def _unpack_frontier(batch: pa.Table) -> pa.Table:
     """(url_hash, min(packed)) → full frontier schema (host recomputed
-    from the url — cheaper than shipping it through the shuffle)."""
-    packs = batch.column("min(packed)").to_pylist()
-    depths, waves, urls, hosts = [], [], [], []
-    for s in packs:
-        depths.append(int(s[:_PACK_WIDTH]))
-        waves.append(int(s[_PACK_WIDTH + 1 : 2 * _PACK_WIDTH + 1]))
-        u = s[2 * _PACK_WIDTH + 2 :]
-        urls.append(u)
-        hosts.append(host_of(u))
+    from the url — cheaper than shipping it through the shuffle).
+
+    All-Arrow unpack: the pack layout is fixed-width, so depth/wave are
+    scalar-offset codeunit slices + casts, and the host is the
+    vectorized canonical-authority kernel — this runs over the ENTIRE
+    deduped frontier every wave, so no Python per row."""
+    import pyarrow.compute as pc
+
+    packs = batch.column("min(packed)")
+    if isinstance(packs, pa.ChunkedArray):
+        packs = packs.combine_chunks()
+    depths = pc.cast(pc.utf8_slice_codeunits(packs, 0, _PACK_WIDTH), pa.int64())
+    waves = pc.cast(
+        pc.utf8_slice_codeunits(packs, _PACK_WIDTH + 1, 2 * _PACK_WIDTH + 1),
+        pa.int64(),
+    )
+    urls = pc.utf8_slice_codeunits(packs, 2 * _PACK_WIDTH + 2, 2**31 - 1)
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
+            "url": urls,
             "url_hash": batch.column("url_hash"),
-            "host": pa.array(hosts, pa.string()),
-            "depth": pa.array(depths, pa.int64()),
-            "discovered_wave": pa.array(waves, pa.int64()),
+            "host": host_of_canonical_batch(urls),
+            "depth": depths,
+            "discovered_wave": waves,
         }
     )
 

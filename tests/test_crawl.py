@@ -117,6 +117,75 @@ def test_crawl_delay_caps_per_wave_fetches():
     assert {r["url"] for r in rows} == {r["url"] for r in big}
 
 
+def test_prededup_pack_unpack_parity():
+    """The all-Arrow pack in _prededup_block must produce byte-identical
+    packed keys to the scalar _pack_rows layout (the Min aggregate
+    compares them lexicographically across blocks), and _unpack_frontier
+    must invert it exactly."""
+    import pyarrow as pa
+
+    from go_htmldate_ray.pipelines.crawl import (
+        _pack_rows,
+        _prededup_block,
+        _unpack_frontier,
+    )
+
+    urls = ["https://a.org/x", "https://b.org/y", "https://a.org/x"]
+    batch = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "url_hash": pa.array([5, 9, 5], pa.int64()),
+            "host": pa.array(["a.org", "b.org", "a.org"], pa.string()),
+            "depth": pa.array([3, 0, 1], pa.int64()),
+            "discovered_wave": pa.array([1, 2, 0], pa.int64()),
+        }
+    )
+    out = _prededup_block(batch)
+    # per-hash packed minimum inside the block: (1,0) beats (3,1) for hash 5
+    assert sorted(out.column("packed").to_pylist()) == sorted(
+        _pack_rows([1, 0], [0, 2], [urls[0], urls[1]])
+    )
+    rt = _unpack_frontier(
+        pa.table(
+            {
+                "url_hash": out.column("url_hash"),
+                "min(packed)": out.column("packed"),
+            }
+        )
+    ).to_pylist()
+    assert {
+        (r["url"], r["host"], r["depth"], r["discovered_wave"]) for r in rt
+    } == {(urls[0], "a.org", 1, 0), (urls[1], "b.org", 0, 2)}
+
+
+def test_host_of_canonical_batch_matches_scalar():
+    """The vectorized host kernel used by the wave unpack must agree
+    with urlsplit-based host_of on every canonicalize() output."""
+    import pyarrow as pa
+
+    from go_htmldate_ray.state.urls import (
+        canonicalize,
+        host_of,
+        host_of_canonical_batch,
+    )
+
+    raw = [
+        "https://SiteX.Example.org/a/b",
+        "http://user:pw@host.com:8080/x",
+        "https://h.org:443/q?x=1#frag",
+        "http://h.org:80/",
+        "https://a.b.c:9999",
+        "not a url",
+        "",
+        "https://h.org/path:8080/x",
+        "https://h.org?q=1",
+        "https://site0.example.org/article/0.html",
+    ]
+    canon = [canonicalize(u) for u in raw]
+    vec = host_of_canonical_batch(pa.array(canon, pa.string())).to_pylist()
+    assert vec == [host_of(u) for u in canon]
+
+
 def test_parse_crawl_delay():
     from go_htmldate_ray.state.robots import (
         parse_crawl_delay,
