@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _normalize_text,
         # Arrow-native URL decomposition over the synthesized frontier.
         "url_components": ed.url_components,
+        # Sitemap ingestion: distributed host discovery -> per-host
+        # sitemap fetch+parse inside the mapper (frontier bootstrap).
+        "sitemap_urls": _sitemap_urls,
         "fingerprints": lambda sf: _map(
             sf, text_stage.fingerprint_batch, ["doc_id", "text"]
         ),
@@ -421,6 +424,12 @@ def _embedding_dup_pairs_lsh(sf_dir):
         embedding_dup_pairs_lsh(aug, threshold=0.9, hot_buckets="error"),
         {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
     )
+
+
+def _sitemap_urls(sf_dir):
+    from go_htmldate_ray.sources.sitemap import sitemap_urls
+
+    return sitemap_urls(sf_dir)
 
 
 def _normalize_text(sf_dir):
@@ -822,6 +831,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 4 = 2
                         THEN 'post-' || doc_id || '.html'
                         ELSE doc_id || '.html' END AS filename
+            FROM documents""",
+        "sitemap_urls": f"""
+            SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
+                   {_URL_SQL} AS url,
+                   strftime({_DATE_SQL}, '%Y-%m-%d') AS lastmod
             FROM documents""",
         "date_year_histogram": f"""
             SELECT substr(strftime({_DATE_SQL}, '%Y-%m-%d'), 1, 4) AS year,

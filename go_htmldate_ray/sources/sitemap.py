@@ -1,0 +1,103 @@
+"""Sitemap ingestion — the frontier-bootstrap source a production crawl
+runs before (or alongside) link discovery.
+
+``parse_sitemap`` handles the sitemaps.org ``<urlset>`` subset (one
+``<loc>`` per ``<url>``, optional ``<lastmod>``); the synthetic sitemap
+mirrors the deterministic page space (every page of a host, lastmod =
+its publication date), so the ingested table is independently
+recomputable in SQL from the documents fixture.
+
+The pipeline shape is the scale shape: the host list is derived
+distributedly from the corpus (per-block distinct + one tiny groupby on
+host), and each host's sitemap is fetched+parsed inside ``map_batches``
+— the expansion is local to the block, the driver never sees URLs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from .pages import N_HOSTS, count_documents, page_date, page_url
+
+_URL_ENTRY = re.compile(
+    r"<url>\s*<loc>([^<]+)</loc>\s*(?:<lastmod>([^<]*)</lastmod>\s*)?</url>"
+)
+
+_SYNTH_HOST = re.compile(r"site(\d+)\.example\.org")
+
+
+def parse_sitemap(xml: str) -> list[tuple[str, str]]:
+    """sitemap.xml → [(loc, lastmod-or-'')]; tolerant of missing
+    lastmod and surrounding whitespace, ignores anything outside
+    <url> entries."""
+    return [(m.group(1).strip(), (m.group(2) or "").strip())
+            for m in _URL_ENTRY.finditer(xml)]
+
+
+def synthetic_sitemap_xml(host: str, n_docs: int) -> str:
+    """Deterministic sitemap for a synthetic host: one entry per page
+    hosted there (doc_id ≡ host index mod N_HOSTS), lastmod = the
+    page's publication date."""
+    m = _SYNTH_HOST.fullmatch(host)
+    entries = []
+    if m is not None:
+        idx = int(m.group(1))
+        if 0 <= idx < N_HOSTS:
+            for doc_id in range(idx, n_docs, N_HOSTS):
+                entries.append(
+                    f"  <url><loc>{page_url(doc_id)}</loc>"
+                    f"<lastmod>{page_date(doc_id).isoformat()}</lastmod></url>"
+                )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "\n".join(entries)
+        + "\n</urlset>\n"
+    )
+
+
+def sitemap_urls(sf_dir: str):
+    """Ingest every host's sitemap → (host, url, lastmod) Dataset.
+
+    Host discovery is a per-block distinct + one groupby on host (the
+    shuffle moves ≤ N_HOSTS light rows per block); the per-host sitemap
+    fetch+parse runs in the mapper, so at web scale this is one
+    sitemap HTTP fetch per distinct host, never a driver loop."""
+    import numpy as np
+
+    from .io import read_parquet_clean
+
+    n_docs = count_documents(sf_dir)
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def hosts_partial(b: pa.Table) -> pa.Table:
+        idx = np.unique(np.asarray(b.column("doc_id"), dtype=np.int64) % N_HOSTS)
+        return pa.table(
+            {"host": pa.array([f"site{i}.example.org" for i in idx], pa.string())}
+        )
+
+    hosts = (
+        ds.map_batches(hosts_partial, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .select_columns(["host"])
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        out_h, out_u, out_m = [], [], []
+        for h in b.column("host").to_pylist():
+            for loc, mod in parse_sitemap(synthetic_sitemap_xml(h, n_docs)):
+                out_h.append(h)
+                out_u.append(loc)
+                out_m.append(mod)
+        return pa.table(
+            {
+                "host": pa.array(out_h, pa.string()),
+                "url": pa.array(out_u, pa.string()),
+                "lastmod": pa.array(out_m, pa.string()),
+            }
+        )
+
+    return hosts.map_batches(expand, batch_format="pyarrow")

@@ -117,6 +117,61 @@ def test_crawl_delay_caps_per_wave_fetches():
     assert {r["url"] for r in rows} == {r["url"] for r in big}
 
 
+def test_parse_sitemap():
+    from go_htmldate_ray.sources.sitemap import (
+        parse_sitemap,
+        synthetic_sitemap_xml,
+    )
+
+    xml = """<?xml version="1.0"?>
+    <urlset>
+      <url><loc>https://a.org/x</loc><lastmod>2020-01-02</lastmod></url>
+      <url><loc> https://a.org/y </loc></url>
+      <url><lastmod>orphan</lastmod></url>
+      <notaurl><loc>https://a.org/z</loc></notaurl>
+    </urlset>"""
+    assert parse_sitemap(xml) == [
+        ("https://a.org/x", "2020-01-02"),
+        ("https://a.org/y", ""),
+    ]
+    assert parse_sitemap("") == []
+    assert parse_sitemap("<urlset></urlset>") == []
+
+    # synthetic sitemap covers exactly the host's page space
+    from go_htmldate_ray.sources.pages import page_date, page_url
+
+    ents = parse_sitemap(synthetic_sitemap_xml("site3.example.org", 500))
+    assert [u for u, _ in ents] == [page_url(d) for d in range(3, 500, 97)]
+    assert all(
+        m == page_date(d).isoformat()
+        for (_, m), d in zip(ents, range(3, 500, 97))
+    )
+    assert parse_sitemap(synthetic_sitemap_xml("other.example.com", 500)) == []
+
+
+def test_sitemap_seeds_crawl():
+    """Seeding the crawl from one host's sitemap fetches exactly that
+    host's pages plus their robots-allowed link closure."""
+    from go_htmldate_ray.pipelines.crawl import crawl
+    from go_htmldate_ray.sources.pages import count_documents
+    from go_htmldate_ray.sources.sitemap import (
+        parse_sitemap,
+        synthetic_sitemap_xml,
+    )
+
+    n = count_documents(SF)
+    seeds = [u for u, _ in parse_sitemap(synthetic_sitemap_xml("site1.example.org", n))]
+    assert seeds
+    visited, stats = crawl(
+        SF, seeds=seeds, namespace=_ns(), max_waves=40, politeness_budget=1000
+    )
+    urls = {r["url"] for r in visited.take_all()}
+    assert set(seeds) <= urls  # every sitemap URL of the host was fetched
+    import shutil
+
+    shutil.rmtree(stats["checkpoint_dir"], ignore_errors=True)
+
+
 def test_prededup_pack_unpack_parity():
     """The all-Arrow pack in _prededup_block must produce byte-identical
     packed keys to the scalar _pack_rows layout (the Min aggregate
