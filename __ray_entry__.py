@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Sitemap ingestion: distributed host discovery -> per-host
         # sitemap fetch+parse inside the mapper (frontier bootstrap).
         "sitemap_urls": _sitemap_urls,
+        # HTML -> visible-text extraction over the synthesized pages
+        # (block-walk rule documented in stages/text_extract.py; the
+        # oracle recomputes the exact text from the fixture columns).
+        "page_texts": _page_texts,
         "fingerprints": lambda sf: _map(
             sf, text_stage.fingerprint_batch, ["doc_id", "text"]
         ),
@@ -424,6 +428,12 @@ def _embedding_dup_pairs_lsh(sf_dir):
         embedding_dup_pairs_lsh(aug, threshold=0.9, hot_buckets="error"),
         {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
     )
+
+
+def _page_texts(sf_dir):
+    from go_htmldate_ray.stages.text_extract import page_texts
+
+    return page_texts(sf_dir)
 
 
 def _sitemap_urls(sf_dir):
@@ -837,6 +847,39 @@ def oracle_sql() -> dict[str, str]:
                    {_URL_SQL} AS url,
                    strftime({_DATE_SQL}, '%Y-%m-%d') AS lastmod
             FROM documents""",
+        "page_texts": f"""
+            WITH s AS (
+                SELECT unnest(generate_series(
+                    1,
+                    (SELECT max(greatest(length(text), 1)) FROM documents),
+                    400)) AS g
+            ),
+            chunks AS (
+                SELECT d.doc_id,
+                       string_agg(
+                           nullif(trim(regexp_replace(
+                               substring(d.text, s.g::INT, 400),
+                               '\\s+', ' ', 'g')), ''),
+                           chr(10) ORDER BY s.g) AS body
+                FROM documents d JOIN s ON s.g <= greatest(length(d.text), 1)
+                GROUP BY d.doc_id
+            ),
+            exp AS (
+                SELECT d.doc_id,
+                       'Document ' || d.doc_id
+                       || CASE WHEN d.doc_id % 4 = 3
+                               THEN chr(10) || strftime({_DATE_SQL}, '%Y-%m-%d')
+                               ELSE '' END
+                       || COALESCE(chr(10) || c.body, '')
+                       || chr(10) || 'related '
+                       || ((d.doc_id * 13 + 1) % (SELECT count(*) FROM documents))
+                       || ' related '
+                       || ((d.doc_id * 29 + 7) % (SELECT count(*) FROM documents))
+                           AS t
+                FROM documents d JOIN chunks c USING (doc_id)
+            )
+            SELECT doc_id, length(t)::BIGINT AS n_chars, md5(t) AS text_md5
+            FROM exp""",
         "date_year_histogram": f"""
             SELECT substr(strftime({_DATE_SQL}, '%Y-%m-%d'), 1, 4) AS year,
                    count(*)::BIGINT AS n_pages

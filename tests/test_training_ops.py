@@ -770,3 +770,52 @@ def test_url_components(ray_session):
         assert r["path_depth"] == r["path"].count("/")
         assert r["filename"] == r["path"].rsplit("/", 1)[1]
         assert r["filename"].endswith(".html")
+
+
+def test_extract_visible_text_rules():
+    from go_htmldate_ray import dom
+    from go_htmldate_ray.stages.text_extract import extract_visible_text
+
+    html = b"""<html><head><title>T</title><style>p{color:red}</style></head>
+    <body><div>a<span> b </span>c</div>
+    <script>var x = "hidden";</script>
+    <p>  one   two </p><p></p>
+    <ul><li>item1</li><li>item2</li></ul>
+    <footer><a href="/x">l1</a> <a href="/y">l2</a></footer></body></html>"""
+    out = extract_visible_text(dom.parse_html(html))
+    assert out == "a b c\none two\nitem1\nitem2\nl1 l2"
+
+    # head/title/style/script are invisible; inline joins, blocks split
+    assert "T" not in out and "hidden" not in out and "color" not in out
+
+    # hostile inputs never raise
+    for raw in [b"", b"\x00\xff", b"<p>unclosed", b"plain text only"]:
+        extract_visible_text(dom.parse_html(raw))
+    assert extract_visible_text(dom.parse_html(b"plain text only")) == \
+        "plain text only"
+
+
+def test_page_text_batch_matches_scalar():
+    import hashlib
+
+    import pyarrow as pa
+
+    from go_htmldate_ray import dom
+    from go_htmldate_ray.sources.pages import build_page_html
+    from go_htmldate_ray.stages.text_extract import (
+        extract_visible_text,
+        page_text_batch,
+    )
+
+    htmls = [build_page_html(d, "word " * 90, "en", 500) for d in range(4)]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+    rows = page_text_batch(batch).to_pylist()
+    for r, h in zip(rows, htmls):
+        t = extract_visible_text(dom.parse_html(h))
+        assert r["n_chars"] == len(t)
+        assert r["text_md5"] == hashlib.md5(t.encode()).hexdigest()
