@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (block-walk rule documented in stages/text_extract.py; the
         # oracle recomputes the exact text from the fixture columns).
         "page_texts": _page_texts,
+        # Freshness: WARC capture date minus extracted publication date.
+        "page_staleness": ed.page_staleness,
         "fingerprints": lambda sf: _map(
             sf, text_stage.fingerprint_batch, ["doc_id", "text"]
         ),
@@ -880,6 +882,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, length(t)::BIGINT AS n_chars, md5(t) AS text_md5
             FROM exp""",
+        "page_staleness": f"""
+            SELECT doc_id,
+                   ((DATE '2024-01-01' + (doc_id // 86400)::INTEGER)
+                    - {_DATE_SQL})::BIGINT AS age_days
+            FROM documents""",
         "date_year_histogram": f"""
             SELECT substr(strftime({_DATE_SQL}, '%Y-%m-%d'), 1, 4) AS year,
                    count(*)::BIGINT AS n_pages

@@ -162,3 +162,49 @@ def url_components(sf_dir: str):
         )
 
     return pages.map_batches(split, batch_format="pyarrow")
+
+
+def page_staleness(sf_dir: str, *, skip_extensive_search: bool = True):
+    """Capture-time freshness: days between each page's WARC capture
+    timestamp and its extracted publication date — the signal a recrawl
+    scheduler ranks hosts by.  Negative = published after capture.
+
+    The extractor stage passes the pages schema through, so warc_ts
+    rides along; the age arithmetic is integer day-numbers (epoch-µs
+    floor-divided), exactly the DATE-subtraction the SQL oracle runs."""
+    pages = read_pages(sf_dir)
+    extracted = pages.map_batches(
+        HtmldateExtractor,
+        fn_constructor_kwargs={
+            "use_original_date": True,
+            "skip_extensive_search": skip_extensive_search,
+        },
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+        num_cpus=1,
+        max_restarts=0,
+    )
+
+    _DAY_US = 86_400_000_000
+
+    def age(batch: pa.Table) -> pa.Table:
+        pub = pc.strptime(
+            pc.cast(batch.column("date_str"), pa.string()),
+            format="%Y-%m-%d",
+            unit="us",
+            error_is_null=True,
+        )
+        pub_us = pc.cast(pub, pa.int64()).to_numpy(zero_copy_only=False)
+        warc_us = pc.cast(
+            pc.cast(batch.column("warc_ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        age_days = warc_us // _DAY_US - pub_us // _DAY_US
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "age_days": pa.array(age_days, pa.int64()),
+            }
+        )
+
+    return extracted.map_batches(age, batch_format="pyarrow")
