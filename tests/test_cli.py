@@ -69,16 +69,19 @@ def test_cli_dedup_clusters(tmp_path, ray_session):
     assert set(t.column_names) == {"doc_id", "cluster_rep"}
 
 
-def test_cli_search(ray_session):
+def test_cli_search(ray_session, capsys):
+    # In-process (shares the session Ray): a subprocess would boot a
+    # SECOND Ray runtime next to the pytest session's, which is slow
+    # enough to blow the timeout on a busy box.  The true-subprocess CLI
+    # surface is covered by the extract tests above (which never init Ray).
     import json
 
-    out = subprocess.run(
-        [sys.executable, "-m", "go_htmldate_ray", "search",
-         "/root/testdata/sf0.001", "merge", "window", "--k", "3"],
-        capture_output=True, text=True, cwd=REPO, timeout=180,
-    )
-    assert out.returncode == 0, out.stderr[-500:]
-    rows = json.loads(out.stdout.strip().splitlines()[-1])
+    from go_htmldate_ray.__main__ import main
+
+    rc = main(["search", "/root/testdata/sf0.001", "merge", "window", "--k", "3"])
+    captured = capsys.readouterr()
+    assert rc == 0, captured.err[-500:]
+    rows = json.loads(captured.out.strip().splitlines()[-1])
     assert len(rows) == 3
     assert [r["rank"] for r in rows] == [1, 2, 3]
     assert rows[0]["score"] >= rows[1]["score"] >= rows[2]["score"]
