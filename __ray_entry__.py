@@ -64,6 +64,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, skip_extensive_search=False
         ),
         "url_dates": ed.url_dates,
+        # Container round-trip: synthetic pages written as gzip'd WARC
+        # shards (ISO 28500), read back via read_binary_files + per-shard
+        # parse, doc_id recovered from the URL, then the same extraction
+        # cascade — verified against the extract_dates oracle.
+        "warc_extract_dates": ed.warc_extract_dates,
         "host_page_counts": ed.host_page_counts,
         # Corpus temporal profile: full extraction cascade -> per-year
         # partial counts -> tiny Sum groupby.
@@ -793,6 +798,10 @@ def oracle_sql() -> dict[str, str]:
                    strftime({_DATE_SQL}, '%Y-%m-%d') AS date_str
             FROM documents""",
         "extract_dates_extensive": f"""
+            SELECT doc_id, {_URL_SQL} AS url,
+                   strftime({_DATE_SQL}, '%Y-%m-%d') AS date_str
+            FROM documents""",
+        "warc_extract_dates": f"""
             SELECT doc_id, {_URL_SQL} AS url,
                    strftime({_DATE_SQL}, '%Y-%m-%d') AS date_str
             FROM documents""",

@@ -164,6 +164,61 @@ def url_components(sf_dir: str):
     return pages.map_batches(split, batch_format="pyarrow")
 
 
+def warc_extract_dates(sf_dir: str, *, shard_dir: str | None = None):
+    """End-to-end Common-Crawl shape: WARC shards → parse → date extract.
+
+    The synthetic page space is materialized once as gzip'd WARC shards
+    (cached under /tmp keyed by sf dir + row count — rebuilt only when
+    the fixture changes), then read back through the real container
+    path: ``read_binary_files`` → per-shard WARC parse → doc_id
+    recovered from the URL (CC records carry no foreign ids) →
+    actor-pool extractor.  Output matches :func:`extract_dates`, so the
+    same SQL oracle verifies the whole container round-trip."""
+    import os
+
+    from ..sources.pages import count_documents
+    from ..sources.warc import read_warc, synthesize_warc_shards
+
+    n_docs = count_documents(sf_dir)
+    if shard_dir is None:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        shard_dir = f"/tmp/ghr-warc-{tag}-{n_docs}"
+    done_marker = os.path.join(shard_dir, ".complete")
+    if not os.path.exists(done_marker):
+        # (re)build; a crashed partial synth lacks the marker and is
+        # overwritten shard-by-shard (deterministic names)
+        manifest = synthesize_warc_shards(sf_dir, shard_dir)
+        n_written = int(pc.sum(manifest.column("n_records")).as_py() or 0)
+        if n_written != n_docs:
+            raise RuntimeError(
+                f"warc synth wrote {n_written} records, expected {n_docs}"
+            )
+        with open(done_marker, "w") as f:
+            f.write(str(n_docs))
+
+    pages = read_warc(shard_dir)
+
+    def add_doc_id(batch: pa.Table) -> pa.Table:
+        ids = pc.struct_field(
+            pc.extract_regex(batch.column("url"), r"(?P<id>[0-9]+)\.html$"), "id"
+        )
+        return batch.append_column("doc_id", pc.cast(ids, pa.int64()))
+
+    extracted = pages.map_batches(add_doc_id, batch_format="pyarrow").map_batches(
+        HtmldateExtractor,
+        fn_constructor_kwargs={
+            "use_original_date": True,
+            "skip_extensive_search": True,
+        },
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+        num_cpus=1,
+        max_restarts=0,
+    )
+    return extracted.select_columns(["doc_id", "url", "date_str"])
+
+
 def page_staleness(sf_dir: str, *, skip_extensive_search: bool = True):
     """Capture-time freshness: days between each page's WARC capture
     timestamp and its extracted publication date — the signal a recrawl

@@ -1,0 +1,251 @@
+"""WARC (ISO 28500 / WARC 1.0) source + sink — the container format
+Common-Crawl-style corpora actually arrive in.
+
+The north rule fixes the engine's logical input as a Parquet table of
+``(url, warc_ts, html, text, lang)``; in production that table is *made*
+from WARC archives.  This module closes the loop:
+
+* :func:`build_warc_record` / :func:`write_warc_file` — serialize
+  ``response`` records per the public WARC 1.0 spec (version line,
+  named headers, ``Content-Length``-framed HTTP block, CRLF CRLF
+  terminator), optionally one gzip member per record — the Common Crawl
+  on-disk convention, which lets a reader split a shard at member
+  boundaries without decompressing the whole file.
+* :func:`parse_warc` — tolerant streaming parser: walks version-line →
+  header block → ``Content-Length`` bytes, keeps ``response`` records,
+  skips ``warcinfo``/``request``/unknown types and malformed tails
+  rather than raising (a 100 TB crawl always contains truncated shards).
+* :func:`synthesize_warc_shards` — distributed sink: the documents
+  table streams through ``map_batches`` and every task writes its own
+  shard file (named by the batch's min doc_id — batches partition the
+  id space, so names are collision-free); the driver sees only a small
+  manifest of (path, n_records).
+* :func:`read_warc` — Ray Data source: ``read_binary_files`` over the
+  shard directory → per-file parse inside ``map_batches`` → the
+  input-hint page schema ``(url, warc_ts, html)``.  One file is one
+  read task, so at real scale parallelism = number of shard files
+  (Common Crawl ships ~1 GB shards precisely so this is enough).
+
+No counterpart in the reference (go-htmldate reads single documents);
+the record framing follows the public WARC 1.0 specification only.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from datetime import datetime, timezone
+
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+_SOFTWARE = b"go-htmldate-ray-warc/1.0"
+
+
+def _warc_date(ts: datetime) -> bytes:
+    return ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+
+
+def _record_id(url: str, ts: datetime) -> bytes:
+    # deterministic urn:uuid derived from (url, ts): re-synthesizing a
+    # shard yields byte-identical records (resumable, diffable output)
+    h = hashlib.md5(f"{url}|{ts.isoformat()}".encode()).hexdigest()
+    return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>".encode()
+
+
+def build_warc_record(url: str, ts: datetime, html: bytes) -> bytes:
+    """One WARC 1.0 ``response`` record wrapping an HTTP/1.1 200 reply."""
+    http_head = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: text/html; charset=UTF-8" + _CRLF
+        + b"Content-Length: " + str(len(html)).encode() + _CRLF + _CRLF
+    )
+    block = http_head + html
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Record-ID: " + _record_id(url, ts) + _CRLF
+        + b"WARC-Date: " + _warc_date(ts) + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + b"Content-Length: " + str(len(block)).encode() + _CRLF + _CRLF
+    )
+    return head + block + _CRLF + _CRLF
+
+
+def build_warcinfo(filename: str) -> bytes:
+    """Leading ``warcinfo`` record (readers must skip it — ours does)."""
+    body = b"software: " + _SOFTWARE + _CRLF + b"format: WARC File Format 1.0" + _CRLF
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: warcinfo" + _CRLF
+        + b"WARC-Record-ID: " + _record_id(filename, datetime(2024, 1, 1, tzinfo=timezone.utc)) + _CRLF
+        + b"WARC-Date: 2024-01-01T00:00:00Z" + _CRLF
+        + b"WARC-Filename: " + filename.encode() + _CRLF
+        + b"Content-Type: application/warc-fields" + _CRLF
+        + b"Content-Length: " + str(len(body)).encode() + _CRLF + _CRLF
+    )
+    return head + body + _CRLF + _CRLF
+
+
+def write_warc_file(
+    path: str, records, *, gzip_members: bool = True
+) -> int:
+    """Write ``(url, ts, html)`` triples as one WARC file; returns the
+    record count.  ``gzip_members=True`` compresses each record as its
+    own gzip member (the Common Crawl layout)."""
+    import os
+
+    n = 0
+    with open(path, "wb") as f:
+        info = build_warcinfo(os.path.basename(path))
+        f.write(_gz(info) if gzip_members else info)
+        for url, ts, html in records:
+            rec = build_warc_record(url, ts, html or b"")
+            f.write(_gz(rec) if gzip_members else rec)
+            n += 1
+    return n
+
+
+def _gz(data: bytes) -> bytes:
+    buf = io.BytesIO()
+    # mtime pinned: gzip members are byte-deterministic across runs
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(data)
+    return buf.getvalue()
+
+
+def parse_warc(data: bytes):
+    """WARC file bytes (plain or gzip'd) → list of (url, ts, html).
+
+    Only ``response`` records are returned; the HTTP head inside the
+    content block is stripped at the first CRLF CRLF.  Malformed or
+    truncated tails end the scan silently — a distributed reader must
+    degrade per-shard, not raise per-corpus."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)  # concatenated members supported
+        except OSError:
+            return []
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ver_end = data.find(_CRLF, pos)
+        if ver_end < 0 or not data[pos:ver_end].startswith(b"WARC/"):
+            break
+        head_end = data.find(_CRLF + _CRLF, ver_end)
+        if head_end < 0:
+            break
+        headers = {}
+        for line in data[ver_end + 2 : head_end].split(_CRLF):
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            break
+        block_start = head_end + 4
+        block_end = block_start + length
+        if block_end > n:
+            break  # truncated record
+        if headers.get(b"warc-type") == b"response":
+            url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+            ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
+            try:
+                ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ").replace(
+                    tzinfo=timezone.utc
+                )
+            except ValueError:
+                ts = None
+            block = data[block_start:block_end]
+            sep = block.find(_CRLF + _CRLF)
+            html = block[sep + 4 :] if sep >= 0 else block
+            out.append((url, ts, html))
+        pos = block_end
+        # skip the two record-terminating CRLFs (tolerate their absence)
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+    return out
+
+
+def synthesize_warc_shards(sf_dir: str, out_dir: str, *, gzip_members: bool = True):
+    """Materialize the deterministic synthetic page space as WARC shards.
+
+    Streams the documents table through ``map_batches``; every task
+    writes one shard (min-doc_id-named — collision-free because batches
+    partition the id set) and emits a one-row manifest.  Returns the
+    manifest as a small pyarrow Table (path, n_records)."""
+    import os
+
+    from .io import read_parquet_clean
+    from .pages import WARC_EPOCH, build_page_html, count_documents, page_url
+    from datetime import timedelta
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_docs = count_documents(sf_dir)
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    ext = "warc.gz" if gzip_members else "warc"
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        path = os.path.join(out_dir, f"part-{min(ids):010d}.{ext}")
+        records = (
+            (
+                page_url(i),
+                WARC_EPOCH + timedelta(seconds=i),
+                build_page_html(i, t or "", lg or "en", n_docs),
+            )
+            for i, t, lg in zip(ids, texts, langs)
+        )
+        n = write_warc_file(path, records, gzip_members=gzip_members)
+        return pa.table({"path": pa.array([path]), "n_records": pa.array([n], pa.int64())})
+
+    import ray
+
+    # manifest is tiny (one row per shard): block refs → driver is fine
+    refs = ds.map_batches(
+        write_shard, batch_format="pyarrow", batch_size=512
+    ).to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    return (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table(
+            {"path": pa.array([], pa.string()), "n_records": pa.array([], pa.int64())}
+        )
+    )
+
+
+def read_warc(path: str):
+    """WARC shard file/directory → pages Dataset ``(url, warc_ts, html)``.
+
+    ``read_binary_files`` makes one read task per shard; the parse runs
+    inside the mapper, so shards decompress in parallel and the rows
+    stream straight into downstream stages (never via the driver)."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(path, file_extensions=["warc", "gz"])
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        urls, tss, htmls = [], [], []
+        for blob in batch.column("bytes").to_pylist():
+            for url, ts, html in parse_warc(blob):
+                urls.append(url)
+                tss.append(ts)
+                htmls.append(html)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(parse_batch, batch_format="pyarrow", batch_size=4)

@@ -1,0 +1,109 @@
+"""WARC source/sink tests (public ISO 28500 / WARC 1.0 framing)."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from go_htmldate_ray.sources.warc import (
+    build_warc_record,
+    build_warcinfo,
+    parse_warc,
+    write_warc_file,
+)
+
+TS = datetime(2024, 3, 5, 12, 30, 0, tzinfo=timezone.utc)
+
+
+def test_record_roundtrip():
+    rec = build_warc_record("https://a.example.org/x.html", TS, b"<html>hi</html>")
+    out = parse_warc(rec)
+    assert out == [("https://a.example.org/x.html", TS, b"<html>hi</html>")]
+
+
+def test_warcinfo_skipped_and_multiple_records():
+    data = (
+        build_warcinfo("f.warc")
+        + build_warc_record("https://h/1.html", TS, b"one")
+        + build_warc_record("https://h/2.html", TS, b"two\r\n\r\nwith crlf body")
+    )
+    out = parse_warc(data)
+    assert [u for u, _, _ in out] == ["https://h/1.html", "https://h/2.html"]
+    # body containing CRLFCRLF must survive (split happens on the HTTP
+    # head boundary only, via Content-Length framing)
+    assert out[1][2] == b"two\r\n\r\nwith crlf body"
+
+
+def test_truncated_tail_is_dropped_not_raised():
+    good = build_warc_record("https://h/1.html", TS, b"ok")
+    bad = build_warc_record("https://h/2.html", TS, b"x" * 100)[:-60]
+    out = parse_warc(good + bad)
+    assert [u for u, _, _ in out] == ["https://h/1.html"]
+    assert parse_warc(b"garbage not warc") == []
+
+
+def test_gzip_member_file_roundtrip(tmp_path):
+    p = str(tmp_path / "t.warc.gz")
+    records = [
+        (f"https://h/{i}.html", TS, f"<html>{i}</html>".encode()) for i in range(5)
+    ]
+    n = write_warc_file(p, records, gzip_members=True)
+    assert n == 5
+    data = open(p, "rb").read()
+    assert data[:2] == b"\x1f\x8b"
+    out = parse_warc(data)
+    assert out == records
+
+
+def test_plain_file_roundtrip(tmp_path):
+    p = str(tmp_path / "t.warc")
+    records = [("https://h/0.html", TS, b"")]
+    write_warc_file(p, records, gzip_members=False)
+    assert parse_warc(open(p, "rb").read()) == records
+
+
+def test_deterministic_bytes(tmp_path):
+    # rewriting the same shard yields byte-identical output (pinned gzip
+    # mtime, content-derived record ids) — resumable/diffable sinks
+    a = str(tmp_path / "a.warc.gz")
+    records = [("https://h/1.html", TS, b"x")]
+    write_warc_file(a, records)
+    first = open(a, "rb").read()
+    write_warc_file(a, records)
+    assert open(a, "rb").read() == first
+
+
+def test_shard_synthesis_and_ray_read(ray_session, tmp_path):
+    from go_htmldate_ray.sources.pages import count_documents
+    from go_htmldate_ray.sources.warc import read_warc, synthesize_warc_shards
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    manifest = synthesize_warc_shards(sf, out)
+    n_docs = count_documents(sf)
+    assert sum(manifest.column("n_records").to_pylist()) == n_docs
+
+    pages = read_warc(out)
+    t = pages.take_all()
+    assert len(t) == n_docs
+    urls = {r["url"] for r in t}
+    assert all(u.startswith("https://site") for u in urls)
+    row = min(t, key=lambda r: r["url"])
+    assert row["html"].startswith(b"<html")
+    assert row["warc_ts"] is not None
+
+
+def test_warc_extract_dates_matches_parquet_path(ray_session, tmp_path):
+    from go_htmldate_ray.pipelines.extract_dates import (
+        extract_dates,
+        warc_extract_dates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    via_warc = {
+        r["doc_id"]: r["date_str"]
+        for r in warc_extract_dates(sf, shard_dir=str(tmp_path / "w")).take_all()
+    }
+    via_parquet = {
+        r["doc_id"]: r["date_str"] for r in extract_dates(sf).take_all()
+    }
+    assert via_warc == via_parquet
