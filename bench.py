@@ -404,6 +404,20 @@ def run_headline() -> dict:
         bench_query(lambda sf: entrymod._pagerank(sf, iters=3)), 3
     )
 
+    # Container ingestion path: gzip'd WARC shards → parse → doc_id
+    # recovery → extraction cascade.  Shards are synthesized once
+    # (cached under /tmp) so the timed section is the read+extract
+    # throughput a CC-ingest job would see.
+    from go_htmldate_ray.pipelines.extract_dates import warc_extract_dates
+    from go_htmldate_ray.sources.pages import count_documents
+
+    warc_extract_dates(SF_DIR)  # warm the shard cache (untimed synth)
+    t = bench_query(warc_extract_dates)
+    queries["warc_roundtrip"] = round(t, 3)
+    extra["warc_roundtrip_pages_per_s"] = round(
+        count_documents(SF_DIR) / t, 1
+    )
+
     for name, (t, n) in bench_text_stage(SF_DIR).items():
         queries[f"text_{name}"] = round(t, 3)
         extra[f"text_{name}_docs_per_s"] = round(n / t, 1)
