@@ -89,9 +89,23 @@ class CrawlFetcher:
     extracts the publication date and outlinks from the parsed DOM.
     """
 
-    def __init__(self, sf_dir: str, http_base: Optional[str] = None, **http_kwargs):
+    def __init__(
+        self,
+        sf_dir: str,
+        http_base: Optional[str] = None,
+        archive_dir: Optional[str] = None,
+        **http_kwargs,
+    ):
         from ..functions.kernels import Options
 
+        # Optional WARC archiving: every fetch batch is written as one
+        # gzip'd WARC shard (the Common-Crawl archiver behavior).  Shard
+        # names derive from the batch's min url_hash — a URL is fetched
+        # at most once per crawl (seen-set discipline), so names are
+        # collision-free across actors and waves without coordination.
+        self.archive_dir = archive_dir
+        if archive_dir is not None:
+            os.makedirs(archive_dir, exist_ok=True)
         self.http = None
         if http_base is not None:
             # Live-HTTP mode: pages are served by an HTTP endpoint that
@@ -134,12 +148,33 @@ class CrawlFetcher:
         )
         return doc_id, html
 
+    def _write_archive(self, archived: list[tuple[str, bytes]]) -> None:
+        """One gzip'd WARC shard per fetch batch.  The capture timestamp
+        is derived from the url hash (clock-free → re-running a wave
+        rewrites byte-identical shards, keeping the archive resumable);
+        a live-HTTP deployment would stamp the true fetch time here."""
+        from datetime import timedelta
+
+        from ..sources.pages import WARC_EPOCH
+        from ..sources.warc import write_warc_file
+
+        min_h = min(url_hash(u) for u, _ in archived)
+        path = os.path.join(self.archive_dir, f"fetch-{min_h & (2**64 - 1):016x}.warc.gz")
+        write_warc_file(
+            path,
+            (
+                (u, WARC_EPOCH + timedelta(seconds=url_hash(u) % 86_400), h)
+                for u, h in archived
+            ),
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .. import dom
         from ..extract import from_document
 
         urls = batch.column("url").to_pylist()
         doc_ids, dates, links_col = [], [], []
+        archived: list[tuple[str, bytes]] = []
         for url in urls:
             fetched = self._fetch(url)
             if fetched is None:
@@ -148,6 +183,8 @@ class CrawlFetcher:
                 links_col.append([])
                 continue
             doc_id, html = fetched
+            if self.archive_dir is not None:
+                archived.append((url, html))
             tree = dom.parse_html(html)
             links = []
             for el in tree.iter_elements():
@@ -159,6 +196,8 @@ class CrawlFetcher:
             doc_ids.append(doc_id)
             dates.append(result.format() or None)
             links_col.append(links)
+        if archived:
+            self._write_archive(archived)
         out = batch.select(["url", "host", "depth", "discovered_wave", "fetch_rank"])
         out = out.append_column("doc_id", pa.array(doc_ids, pa.int64()))
         out = out.append_column("date_str", pa.array(dates, pa.string()))

@@ -92,6 +92,32 @@ def test_shard_synthesis_and_ray_read(ray_session, tmp_path):
     assert row["warc_ts"] is not None
 
 
+def test_crawl_archives_fetches_as_warc(ray_session, tmp_path):
+    import shutil
+
+    from go_htmldate_ray.pipelines.crawl import crawl
+    from go_htmldate_ray.sources.warc import read_warc
+
+    archive = str(tmp_path / "archive")
+    visited, stats = crawl(
+        "/root/testdata/sf0.001",
+        politeness_budget=1000,
+        max_waves=64,
+        fetcher_kwargs={"archive_dir": archive},
+    )
+    visited_urls = {r["url"] for r in visited.select_columns(["url"]).take_all()}
+    shutil.rmtree(stats["checkpoint_dir"], ignore_errors=True)
+
+    rows = read_warc(archive).take_all()
+    archived_urls = {r["url"] for r in rows}
+    # every successfully fetched page is archived exactly once; visited
+    # rows with no page behind them (doc_id None) never reach the archive
+    assert archived_urls
+    assert archived_urls <= visited_urls
+    assert len(rows) == len(archived_urls)
+    assert all(r["html"].startswith(b"<html") for r in rows)
+
+
 def test_warc_extract_dates_matches_parquet_path(ray_session, tmp_path):
     from go_htmldate_ray.pipelines.extract_dates import (
         extract_dates,
