@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parse, doc_id recovered from the URL, then the same extraction
         # cascade — verified against the extract_dates oracle.
         "warc_extract_dates": ed.warc_extract_dates,
+        # CDX random access: distributed (url, shard, offset, length)
+        # index over the gzip'd shards, then ONE seek+bounded-read per
+        # selected record — no shard scan — into the extraction cascade.
+        "warc_random_access": lambda sf: ed.warc_random_access_dates(sf),
         "host_page_counts": ed.host_page_counts,
         # Corpus temporal profile: full extraction cascade -> per-year
         # partial counts -> tiny Sum groupby.
@@ -805,6 +809,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_URL_SQL} AS url,
                    strftime({_DATE_SQL}, '%Y-%m-%d') AS date_str
             FROM documents""",
+        "warc_random_access": f"""
+            SELECT doc_id, {_URL_SQL} AS url,
+                   strftime({_DATE_SQL}, '%Y-%m-%d') AS date_str
+            FROM documents WHERE doc_id < 20""",
         "url_dates": f"""
             SELECT doc_id,
                    CASE WHEN doc_id % 4 = 2

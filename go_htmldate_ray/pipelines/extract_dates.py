@@ -174,27 +174,12 @@ def warc_extract_dates(sf_dir: str, *, shard_dir: str | None = None):
     recovered from the URL (CC records carry no foreign ids) →
     actor-pool extractor.  Output matches :func:`extract_dates`, so the
     same SQL oracle verifies the whole container round-trip."""
-    import os
+    from ..sources.warc import read_warc
 
-    from ..sources.pages import count_documents
-    from ..sources.warc import read_warc, synthesize_warc_shards
-
-    n_docs = count_documents(sf_dir)
     if shard_dir is None:
-        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-        shard_dir = f"/tmp/ghr-warc-{tag}-{n_docs}"
-    done_marker = os.path.join(shard_dir, ".complete")
-    if not os.path.exists(done_marker):
-        # (re)build; a crashed partial synth lacks the marker and is
-        # overwritten shard-by-shard (deterministic names)
-        manifest = synthesize_warc_shards(sf_dir, shard_dir)
-        n_written = int(pc.sum(manifest.column("n_records")).as_py() or 0)
-        if n_written != n_docs:
-            raise RuntimeError(
-                f"warc synth wrote {n_written} records, expected {n_docs}"
-            )
-        with open(done_marker, "w") as f:
-            f.write(str(n_docs))
+        shard_dir = _warc_shard_cache(sf_dir)
+    else:
+        _build_shards(sf_dir, shard_dir)
 
     pages = read_warc(shard_dir)
 
@@ -215,6 +200,101 @@ def warc_extract_dates(sf_dir: str, *, shard_dir: str | None = None):
         concurrency=(1, 8),
         num_cpus=1,
         max_restarts=0,
+    )
+    return extracted.select_columns(["doc_id", "url", "date_str"])
+
+
+def _build_shards(sf_dir: str, shard_dir: str) -> None:
+    """Synthesize WARC shards into shard_dir unless the completion
+    marker is present (a crashed partial synth lacks the marker and is
+    overwritten shard-by-shard — names are deterministic)."""
+    import os
+
+    from ..sources.pages import count_documents
+    from ..sources.warc import synthesize_warc_shards
+
+    done_marker = os.path.join(shard_dir, ".complete")
+    if os.path.exists(done_marker):
+        return
+    n_docs = count_documents(sf_dir)
+    manifest = synthesize_warc_shards(sf_dir, shard_dir)
+    n_written = int(pc.sum(manifest.column("n_records")).as_py() or 0)
+    if n_written != n_docs:
+        raise RuntimeError(f"warc synth wrote {n_written} records, expected {n_docs}")
+    with open(done_marker, "w") as f:
+        f.write(str(n_docs))
+
+
+def _warc_shard_cache(sf_dir: str) -> str:
+    """Shared /tmp shard cache used by the WARC queries (built once)."""
+    import os
+
+    from ..sources.pages import count_documents
+
+    n_docs = count_documents(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    shard_dir = f"/tmp/ghr-warc-{tag}-{n_docs}"
+    _build_shards(sf_dir, shard_dir)
+    return shard_dir
+
+
+def warc_random_access_dates(sf_dir: str, *, max_doc_id: int = 20):
+    """CDX-indexed random access: build the ``(url, shard, offset,
+    length)`` index distributedly, select the target records, and fetch
+    each ONE by seek+bounded-read — no shard scan — then extract its
+    date.  The per-record path a link-following service (or a targeted
+    recrawl) uses against a WARC archive; verified against the same SQL
+    oracle as the full-scan pipeline, restricted to the same ids."""
+    import os
+
+    from ..sources.warc import cdx_index, read_warc_record
+
+    shard_dir = _warc_shard_cache(sf_dir)
+    index = cdx_index(shard_dir)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch.column("url"), r"(?P<id>[0-9]+)\.html$"), "id"
+            ),
+            pa.int64(),
+        )
+        batch = batch.append_column("doc_id", ids)
+        return batch.filter(pc.less(ids, max_doc_id))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for shard, off, length in zip(
+            batch.column("shard").to_pylist(),
+            batch.column("offset").to_pylist(),
+            batch.column("length").to_pylist(),
+        ):
+            rec = read_warc_record(os.path.join(shard_dir, shard), off, length)
+            urls.append(rec[0] if rec else "")
+            htmls.append(rec[2] if rec else b"")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    extracted = (
+        index.map_batches(pick, batch_format="pyarrow")
+        .map_batches(fetch, batch_format="pyarrow")
+        .map_batches(
+            HtmldateExtractor,
+            fn_constructor_kwargs={
+                "use_original_date": True,
+                "skip_extensive_search": True,
+            },
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+            num_cpus=1,
+            max_restarts=0,
+        )
     )
     return extracted.select_columns(["doc_id", "url", "date_str"])
 

@@ -91,21 +91,26 @@ def build_warcinfo(filename: str) -> bytes:
 
 def write_warc_file(
     path: str, records, *, gzip_members: bool = True
-) -> int:
-    """Write ``(url, ts, html)`` triples as one WARC file; returns the
-    record count.  ``gzip_members=True`` compresses each record as its
-    own gzip member (the Common Crawl layout)."""
+) -> list[tuple[str, int, int]]:
+    """Write ``(url, ts, html)`` triples as one WARC file; returns CDX
+    entries ``(url, byte_offset, byte_length)`` — one per record, the
+    member coordinates a CDX index needs for random access.
+    ``gzip_members=True`` compresses each record as its own gzip member
+    (the Common Crawl layout, which makes those coordinates seekable)."""
     import os
 
-    n = 0
+    entries: list[tuple[str, int, int]] = []
     with open(path, "wb") as f:
         info = build_warcinfo(os.path.basename(path))
         f.write(_gz(info) if gzip_members else info)
+        pos = f.tell()
         for url, ts, html in records:
             rec = build_warc_record(url, ts, html or b"")
-            f.write(_gz(rec) if gzip_members else rec)
-            n += 1
-    return n
+            data = _gz(rec) if gzip_members else rec
+            f.write(data)
+            entries.append((url, pos, len(data)))
+            pos += len(data)
+    return entries
 
 
 def _gz(data: bytes) -> bytes:
@@ -204,7 +209,7 @@ def synthesize_warc_shards(sf_dir: str, out_dir: str, *, gzip_members: bool = Tr
             )
             for i, t, lg in zip(ids, texts, langs)
         )
-        n = write_warc_file(path, records, gzip_members=gzip_members)
+        n = len(write_warc_file(path, records, gzip_members=gzip_members))
         return pa.table({"path": pa.array([path]), "n_records": pa.array([n], pa.int64())})
 
     import ray
@@ -221,6 +226,85 @@ def synthesize_warc_shards(sf_dir: str, out_dir: str, *, gzip_members: bool = Tr
             {"path": pa.array([], pa.string()), "n_records": pa.array([], pa.int64())}
         )
     )
+
+
+def walk_gzip_members(data: bytes):
+    """Yield ``(offset, length)`` of each gzip member in a
+    member-concatenated file — the shard-side half of CDX indexing.
+    Non-gzip input yields nothing."""
+    import zlib
+
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(data[pos:])
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0 or not d.eof:
+            break  # truncated member
+        yield pos, consumed
+        pos += consumed
+
+
+def cdx_index(path: str):
+    """Shard dir → CDX Dataset ``(url, shard, offset, length)``.
+
+    One read task per shard: gzip members are walked for their byte
+    coordinates and each member's WARC header is parsed for the target
+    URI; warcinfo members are skipped.  The result is the lookup table
+    that makes single-record random access (``read_warc_record``)
+    possible without scanning shards — Common Crawl's CDX(J) service in
+    table form, buildable and queryable as a plain Dataset."""
+    import os
+
+    import ray.data
+
+    # One light row per shard file (the driver only lists names); the
+    # raw-byte read happens in the mapper.  read_binary_files is NOT
+    # used here because it auto-decompresses .gz by extension, which
+    # destroys the member byte coordinates this index exists to record.
+    paths = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith((".warc", ".warc.gz"))
+    ) if os.path.isdir(path) else [path]
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def index_batch(batch: pa.Table) -> pa.Table:
+        urls, shards, offs, lens = [], [], [], []
+        for p in batch.column("path").to_pylist():
+            with open(p, "rb") as f:
+                blob = f.read()
+            shard = os.path.basename(p)
+            for off, length in walk_gzip_members(blob):
+                recs = parse_warc(blob[off : off + length])
+                if not recs:  # warcinfo / non-response member
+                    continue
+                urls.append(recs[0][0])
+                shards.append(shard)
+                offs.append(off)
+                lens.append(length)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "shard": pa.array(shards, pa.string()),
+                "offset": pa.array(offs, pa.int64()),
+                "length": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(index_batch, batch_format="pyarrow", batch_size=4)
+
+
+def read_warc_record(path: str, offset: int, length: int):
+    """Random access: read ONE record by its CDX coordinates (seek +
+    bounded read, nothing else of the shard touched) → (url, ts, html)
+    or None."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read(length)
+    recs = parse_warc(data)
+    return recs[0] if recs else None
 
 
 def read_warc(path: str):

@@ -46,8 +46,8 @@ def test_gzip_member_file_roundtrip(tmp_path):
     records = [
         (f"https://h/{i}.html", TS, f"<html>{i}</html>".encode()) for i in range(5)
     ]
-    n = write_warc_file(p, records, gzip_members=True)
-    assert n == 5
+    entries = write_warc_file(p, records, gzip_members=True)
+    assert len(entries) == 5
     data = open(p, "rb").read()
     assert data[:2] == b"\x1f\x8b"
     out = parse_warc(data)
@@ -90,6 +90,67 @@ def test_shard_synthesis_and_ray_read(ray_session, tmp_path):
     row = min(t, key=lambda r: r["url"])
     assert row["html"].startswith(b"<html")
     assert row["warc_ts"] is not None
+
+
+def test_gzip_member_walk_and_random_access(tmp_path):
+    from go_htmldate_ray.sources.warc import (
+        read_warc_record,
+        walk_gzip_members,
+    )
+
+    p = str(tmp_path / "t.warc.gz")
+    records = [
+        (f"https://h/{i}.html", TS, f"<html>{i}</html>".encode()) for i in range(4)
+    ]
+    entries = write_warc_file(p, records, gzip_members=True)
+    assert [u for u, _, _ in entries] == [u for u, _, _ in records]
+
+    data = open(p, "rb").read()
+    members = list(walk_gzip_members(data))
+    # warcinfo member + one per record, covering the file exactly
+    assert len(members) == 5
+    assert members[0][0] == 0
+    assert members[-1][0] + members[-1][1] == len(data)
+    # writer-reported coordinates == walked coordinates (minus warcinfo)
+    assert [(o, l) for _, o, l in entries] == members[1:]
+
+    for (url, off, length), (_, _, html) in zip(entries, records):
+        rec = read_warc_record(p, off, length)
+        assert rec is not None
+        assert rec[0] == url
+        assert rec[2] == html
+
+    # truncated final member is not yielded
+    assert len(list(walk_gzip_members(data[:-10]))) == 4
+
+
+def test_cdx_index_and_random_access_query(ray_session, tmp_path):
+    from go_htmldate_ray.pipelines.extract_dates import (
+        extract_dates,
+        warc_random_access_dates,
+    )
+    from go_htmldate_ray.sources.pages import count_documents
+    from go_htmldate_ray.sources.warc import cdx_index, synthesize_warc_shards
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    synthesize_warc_shards(sf, out)
+
+    idx = cdx_index(out).take_all()
+    assert len(idx) == count_documents(sf)
+    assert len({r["url"] for r in idx}) == len(idx)
+    assert all(r["length"] > 0 and r["offset"] >= 0 for r in idx)
+
+    via_ra = {
+        r["doc_id"]: r["date_str"] for r in warc_random_access_dates(sf).take_all()
+    }
+    assert set(via_ra) == set(range(20))
+    via_full = {
+        r["doc_id"]: r["date_str"]
+        for r in extract_dates(sf).take_all()
+        if r["doc_id"] < 20
+    }
+    assert via_ra == via_full
 
 
 def test_crawl_archives_fetches_as_warc(ray_session, tmp_path):
