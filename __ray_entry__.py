@@ -98,12 +98,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Sitemap ingestion: distributed host discovery -> per-host
         # sitemap fetch+parse inside the mapper (frontier bootstrap).
         "sitemap_urls": _sitemap_urls,
+        # Robots-driven bootstrap: hosts -> robots.txt Sitemap: directives
+        # -> declared sitemaps (same result set, plus the robots hop).
+        "sitemap_from_robots": _sitemap_from_robots,
         # HTML -> visible-text extraction over the synthesized pages
         # (block-walk rule documented in stages/text_extract.py; the
         # oracle recomputes the exact text from the fixture columns).
         "page_texts": _page_texts,
         # Freshness: WARC capture date minus extracted publication date.
         "page_staleness": ed.page_staleness,
+        # Recrawl prioritization: per-host page count + exact integer
+        # total staleness (partial combine per block -> tiny Sum groupby).
+        "host_staleness": ed.host_staleness,
         "fingerprints": lambda sf: _map(
             sf, text_stage.fingerprint_batch, ["doc_id", "text"]
         ),
@@ -451,6 +457,12 @@ def _sitemap_urls(sf_dir):
     from go_htmldate_ray.sources.sitemap import sitemap_urls
 
     return sitemap_urls(sf_dir)
+
+
+def _sitemap_from_robots(sf_dir):
+    from go_htmldate_ray.sources.sitemap import sitemap_urls_from_robots
+
+    return sitemap_urls_from_robots(sf_dir)
 
 
 def _normalize_text(sf_dir):
@@ -866,6 +878,11 @@ def oracle_sql() -> dict[str, str]:
                    {_URL_SQL} AS url,
                    strftime({_DATE_SQL}, '%Y-%m-%d') AS lastmod
             FROM documents""",
+        "sitemap_from_robots": f"""
+            SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
+                   {_URL_SQL} AS url,
+                   strftime({_DATE_SQL}, '%Y-%m-%d') AS lastmod
+            FROM documents""",
         "page_texts": f"""
             WITH s AS (
                 SELECT unnest(generate_series(
@@ -904,6 +921,12 @@ def oracle_sql() -> dict[str, str]:
                    ((DATE '2024-01-01' + (doc_id // 86400)::INTEGER)
                     - {_DATE_SQL})::BIGINT AS age_days
             FROM documents""",
+        "host_staleness": f"""
+            SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
+                   count(*)::BIGINT AS n_pages,
+                   SUM(((DATE '2024-01-01' + (doc_id // 86400)::INTEGER)
+                        - {_DATE_SQL})::BIGINT)::BIGINT AS sum_age_days
+            FROM documents GROUP BY 1""",
         "date_year_histogram": f"""
             SELECT substr(strftime({_DATE_SQL}, '%Y-%m-%d'), 1, 4) AS year,
                    count(*)::BIGINT AS n_pages

@@ -204,6 +204,95 @@ def warc_extract_dates(sf_dir: str, *, shard_dir: str | None = None):
     return extracted.select_columns(["doc_id", "url", "date_str"])
 
 
+def host_staleness(sf_dir: str):
+    """Recrawl prioritization signal: per-host page count + total
+    capture-vs-publication age.  The table a recrawl scheduler sorts by
+    (stalest hosts first) when allocating the next crawl budget.
+
+    Shape: extractor actor pool (warc_ts rides through) → per-batch
+    partial ``(host, n, sum_age)`` rows — ≤ n_distinct_hosts per block —
+    → one tiny Sum groupby.  Ages are exact integer day-numbers, so the
+    oracle is pure integer SQL (no float-average representation drift)."""
+    from ray.data.aggregate import Sum
+
+    pages = read_pages(sf_dir)
+    extracted = pages.map_batches(
+        HtmldateExtractor,
+        fn_constructor_kwargs={
+            "use_original_date": True,
+            "skip_extensive_search": True,
+        },
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+        num_cpus=1,
+        max_restarts=0,
+    )
+
+    _DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        hosts = pc.fill_null(
+            pc.struct_field(
+                pc.extract_regex(
+                    batch.column("url"),
+                    r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)",
+                ),
+                "host",
+            ),
+            "",
+        )
+        pub = pc.strptime(
+            pc.cast(batch.column("date_str"), pa.string()),
+            format="%Y-%m-%d",
+            unit="us",
+            error_is_null=True,
+        )
+        pub_us = pc.cast(pub, pa.int64()).to_numpy(zero_copy_only=False)
+        warc_us = pc.cast(
+            pc.cast(batch.column("warc_ts"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        age = warc_us // _DAY_US - pub_us // _DAY_US
+        t = pa.table(
+            {"host": hosts, "age": pa.array(age, pa.int64())}
+        )
+        # per-block combine: one row per distinct host in this batch
+        idx = pc.sort_indices(t, sort_keys=[("host", "ascending")])
+        t = t.take(idx)
+        h = t.column("host").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], h[1:] != h[:-1])) if len(h) else np.array([], bool)
+        )
+        bounds = np.append(starts, len(h))
+        ages = t.column("age").to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(ages, starts) if len(h) else np.array([], np.int64)
+        return pa.table(
+            {
+                "host": pa.array([h[i] for i in starts], pa.string()),
+                "n": pa.array(bounds[1:] - starts, pa.int64()),
+                "sum_age": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        extracted.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n"), Sum("sum_age"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "host": b.column("host"),
+                    "n_pages": b.column("sum(n)").cast(pa.int64()),
+                    "sum_age_days": b.column("sum(sum_age)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _build_shards(sf_dir: str, shard_dir: str) -> None:
     """Synthesize WARC shards into shard_dir unless the completion
     marker is present (a crashed partial synth lacks the marker and is

@@ -58,6 +58,59 @@ def synthetic_sitemap_xml(host: str, n_docs: int) -> str:
     )
 
 
+def sitemap_urls_from_robots(sf_dir: str):
+    """Sitemap ingestion bootstrapped the way production crawlers do it:
+    discover hosts → fetch each host's robots.txt → follow its
+    ``Sitemap:`` directives → parse the declared sitemaps.
+
+    Same distributed shape as :func:`sitemap_urls` (light host rows
+    through one tiny groupby; robots fetch + sitemap fetch + parse all
+    inside the mapper), plus the robots hop.  A host whose robots.txt
+    declares no sitemap contributes nothing — frontier bootstrap
+    degrades per-host, never fails the job."""
+    from urllib.parse import urlsplit
+
+    from ..state.robots import parse_sitemap_directives, synthetic_robots_txt
+    from .io import read_parquet_clean
+
+    import numpy as np
+
+    n_docs = count_documents(sf_dir)
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def hosts_partial(b: pa.Table) -> pa.Table:
+        idx = np.unique(np.asarray(b.column("doc_id"), dtype=np.int64) % N_HOSTS)
+        return pa.table(
+            {"host": pa.array([f"site{i}.example.org" for i in idx], pa.string())}
+        )
+
+    hosts = (
+        ds.map_batches(hosts_partial, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .select_columns(["host"])
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        out_h, out_u, out_m = [], [], []
+        for h in b.column("host").to_pylist():
+            for sm_url in parse_sitemap_directives(synthetic_robots_txt(h)):
+                sm_host = urlsplit(sm_url).hostname or h
+                for loc, mod in parse_sitemap(synthetic_sitemap_xml(sm_host, n_docs)):
+                    out_h.append(h)
+                    out_u.append(loc)
+                    out_m.append(mod)
+        return pa.table(
+            {
+                "host": pa.array(out_h, pa.string()),
+                "url": pa.array(out_u, pa.string()),
+                "lastmod": pa.array(out_m, pa.string()),
+            }
+        )
+
+    return hosts.map_batches(expand, batch_format="pyarrow")
+
+
 def sitemap_urls(sf_dir: str):
     """Ingest every host's sitemap → (host, url, lastmod) Dataset.
 

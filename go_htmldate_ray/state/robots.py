@@ -57,6 +57,21 @@ def parse_crawl_delay(text: str) -> float:
     return 0.0
 
 
+def parse_sitemap_directives(text: str) -> list[str]:
+    """robots.txt ``Sitemap:`` URLs.  Per the sitemaps.org protocol the
+    directive is global (independent of any User-agent group), so no
+    agent tracking here."""
+    out: list[str] = []
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
 def allowed(path: str, rules: list[tuple[str, str]]) -> bool:
     """Longest-prefix-match wins; allow on tie/no-match (Google semantics)."""
     best_len = -1
@@ -79,9 +94,10 @@ def synthetic_robots_txt(host: str) -> str:
     m = _SYNTH_HOST.fullmatch(host)
     idx = int(m.group(1)) if m else -1
     delay = "Crawl-delay: 2\n" if idx >= 0 and idx % 11 == 3 else ""
+    sitemap = f"Sitemap: https://{host}/sitemap.xml\n" if idx >= 0 else ""
     if idx >= 0 and idx % 13 == 0:
-        return f"User-agent: *\nDisallow: /article/\n{delay}"
-    return f"User-agent: *\nAllow: /\n{delay}"
+        return f"User-agent: *\nDisallow: /article/\n{delay}{sitemap}"
+    return f"User-agent: *\nAllow: /\n{delay}{sitemap}"
 
 
 @ray.remote

@@ -149,6 +149,51 @@ def test_parse_sitemap():
     assert parse_sitemap(synthetic_sitemap_xml("other.example.com", 500)) == []
 
 
+def test_robots_sitemap_directives():
+    from go_htmldate_ray.state.robots import (
+        parse_sitemap_directives,
+        synthetic_robots_txt,
+    )
+
+    txt = (
+        "User-agent: *\nDisallow: /private/\n"
+        "Sitemap: https://a.org/sitemap.xml\n"
+        "# Sitemap: https://a.org/commented.xml\n"
+        "User-agent: other\n"
+        "Sitemap: https://a.org/sm2.xml\n"  # global directive: still counts
+        "sitemap:https://a.org/sm3.xml\n"  # case/space tolerant
+    )
+    assert parse_sitemap_directives(txt) == [
+        "https://a.org/sitemap.xml",
+        "https://a.org/sm2.xml",
+        "https://a.org/sm3.xml",
+    ]
+    assert parse_sitemap_directives("") == []
+    # every synthetic host declares its sitemap; foreign hosts none
+    assert parse_sitemap_directives(synthetic_robots_txt("site5.example.org")) == [
+        "https://site5.example.org/sitemap.xml"
+    ]
+    assert parse_sitemap_directives(synthetic_robots_txt("other.com")) == []
+
+
+def test_sitemap_from_robots_matches_direct(ray_session):
+    from go_htmldate_ray.sources.sitemap import (
+        sitemap_urls,
+        sitemap_urls_from_robots,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    direct = {
+        (r["host"], r["url"], r["lastmod"]) for r in sitemap_urls(sf).take_all()
+    }
+    via_robots = {
+        (r["host"], r["url"], r["lastmod"])
+        for r in sitemap_urls_from_robots(sf).take_all()
+    }
+    assert via_robots == direct
+    assert direct
+
+
 def test_sitemap_seeds_crawl():
     """Seeding the crawl from one host's sitemap fetches exactly that
     host's pages plus their robots-allowed link closure."""
