@@ -25,6 +25,34 @@ _URL_ENTRY = re.compile(
     r"<url>\s*<loc>([^<]+)</loc>\s*(?:<lastmod>([^<]*)</lastmod>\s*)?</url>"
 )
 
+_INDEX_ENTRY = re.compile(
+    r"<sitemap>\s*<loc>([^<]+)</loc>\s*(?:<lastmod>([^<]*)</lastmod>\s*)?</sitemap>"
+)
+
+
+def parse_sitemap_index(xml: str) -> list[str]:
+    """sitemapindex XML → child sitemap locations (sitemaps.org's
+    second document type: an index of sub-sitemaps, used by sites whose
+    URL space exceeds the 50k-entries-per-file protocol cap).  Returns
+    [] for a plain urlset document."""
+    return [m.group(1).strip() for m in _INDEX_ENTRY.finditer(xml)]
+
+
+def expand_sitemap(xml: str, fetch, *, max_depth: int = 2) -> list[tuple[str, str]]:
+    """Parse a sitemap OR sitemapindex document into (loc, lastmod)
+    entries, following index children via ``fetch(url) -> xml`` up to
+    ``max_depth`` levels (the protocol allows one level of nesting; the
+    bound guards against cyclic indexes on hostile sites)."""
+    children = parse_sitemap_index(xml)
+    if not children or max_depth <= 0:
+        return parse_sitemap(xml)
+    out: list[tuple[str, str]] = []
+    for child_url in children:
+        child_xml = fetch(child_url)
+        if child_xml:
+            out.extend(expand_sitemap(child_xml, fetch, max_depth=max_depth - 1))
+    return out
+
 _SYNTH_HOST = re.compile(r"site(\d+)\.example\.org")
 
 
@@ -91,12 +119,20 @@ def sitemap_urls_from_robots(sf_dir: str):
         .select_columns(["host"])
     )
 
+    def fetch_sitemap_xml(sm_url: str) -> str:
+        # sandbox fetch: declared sitemap URL → its host's synthetic
+        # sitemap (a live deployment swaps in an HTTP fetch here)
+        return synthetic_sitemap_xml(urlsplit(sm_url).hostname or "", n_docs)
+
     def expand(b: pa.Table) -> pa.Table:
         out_h, out_u, out_m = [], [], []
         for h in b.column("host").to_pylist():
             for sm_url in parse_sitemap_directives(synthetic_robots_txt(h)):
-                sm_host = urlsplit(sm_url).hostname or h
-                for loc, mod in parse_sitemap(synthetic_sitemap_xml(sm_host, n_docs)):
+                # expand_sitemap handles both document types (urlset and
+                # sitemapindex), following index children via the fetch
+                for loc, mod in expand_sitemap(
+                    fetch_sitemap_xml(sm_url), fetch_sitemap_xml
+                ):
                     out_h.append(h)
                     out_u.append(loc)
                     out_m.append(mod)

@@ -149,6 +149,43 @@ def test_parse_sitemap():
     assert parse_sitemap(synthetic_sitemap_xml("other.example.com", 500)) == []
 
 
+def test_sitemap_index_expansion():
+    from go_htmldate_ray.sources.sitemap import (
+        expand_sitemap,
+        parse_sitemap_index,
+    )
+
+    index = """<?xml version="1.0"?>
+    <sitemapindex>
+      <sitemap><loc>https://a.org/sm1.xml</loc><lastmod>2024-01-01</lastmod></sitemap>
+      <sitemap><loc> https://a.org/sm2.xml </loc></sitemap>
+    </sitemapindex>"""
+    assert parse_sitemap_index(index) == [
+        "https://a.org/sm1.xml",
+        "https://a.org/sm2.xml",
+    ]
+    assert parse_sitemap_index("<urlset></urlset>") == []
+
+    store = {
+        "https://a.org/sm1.xml": "<urlset><url><loc>https://a.org/p1</loc>"
+        "<lastmod>2020-05-06</lastmod></url></urlset>",
+        "https://a.org/sm2.xml": "<urlset><url><loc>https://a.org/p2</loc></url></urlset>",
+    }
+    got = expand_sitemap(index, lambda u: store.get(u, ""))
+    assert got == [("https://a.org/p1", "2020-05-06"), ("https://a.org/p2", "")]
+
+    # plain urlset passes straight through
+    assert expand_sitemap(store["https://a.org/sm2.xml"], lambda u: "") == [
+        ("https://a.org/p2", "")
+    ]
+
+    # cyclic index terminates at the depth bound with no entries
+    cyc = "<sitemapindex><sitemap><loc>https://a.org/self.xml</loc></sitemap></sitemapindex>"
+    assert expand_sitemap(cyc, lambda u: cyc) == []
+    # missing child fetches degrade to nothing, never raise
+    assert expand_sitemap(index, lambda u: "") == []
+
+
 def test_robots_sitemap_directives():
     from go_htmldate_ray.state.robots import (
         parse_sitemap_directives,
