@@ -581,7 +581,14 @@ def crawl(
     # from the checkpoint files, so cross-call naming would only race
     # against the previous call's actors being refcount-killed.
     seen = SeenSet(n_shards=n_shards)
-    robots = RobotsCache.remote()
+    # Live-HTTP mode fetches robots.txt over the same endpoint the page
+    # fetcher uses (one request per host, cached in the actor); the
+    # sandbox default is the deterministic synthetic policy.
+    _fk = fetcher_kwargs or {}
+    robots = RobotsCache.remote(
+        http_base=_fk.get("http_base"),
+        timeout=_fk.get("timeout", 10.0),
+    )
 
     start_wave = 0
     manifest_path = os.path.join(checkpoint_dir, "manifest.json")

@@ -102,15 +102,43 @@ def synthetic_robots_txt(host: str) -> str:
 
 @ray.remote
 class RobotsCache:
-    """host → (rules, crawl-delay), fetched once per host."""
+    """host → (rules, crawl-delay), fetched once per host.
 
-    def __init__(self):
+    ``http_base`` switches the robots source from the synthetic policy
+    to a live HTTP fetch of ``{http_base}/{host}/robots.txt`` (the same
+    host-prefix mapping the live-HTTP page fetcher uses).  A missing or
+    unreachable robots.txt yields permissive empty rules — the standard
+    crawler behavior — and the outcome is cached either way, so each
+    host costs at most one robots request per crawl."""
+
+    def __init__(self, http_base: str | None = None, timeout: float = 10.0):
         self.rules: dict[str, list[tuple[str, str]]] = {}
         self.delays: dict[str, float] = {}
+        self.http_base = http_base.rstrip("/") if http_base else None
+        self.timeout = timeout
+
+    def _robots_text(self, host: str) -> str:
+        if self.http_base is None:
+            return synthetic_robots_txt(host)
+        from urllib.request import Request, urlopen
+
+        try:
+            with urlopen(
+                Request(
+                    f"{self.http_base}/{host}/robots.txt",
+                    headers={"User-Agent": "go-htmldate-ray-crawler"},
+                ),
+                timeout=self.timeout,
+            ) as resp:
+                if resp.status != 200:
+                    return ""
+                return resp.read(1 << 20).decode("utf-8", "replace")
+        except OSError:
+            return ""
 
     def _fetch(self, host: str) -> None:
         if host not in self.rules:
-            text = synthetic_robots_txt(host)
+            text = self._robots_text(host)
             self.rules[host] = parse_robots(text)
             self.delays[host] = parse_crawl_delay(text)
 

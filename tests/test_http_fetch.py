@@ -90,7 +90,17 @@ class _SyntheticWebHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         from go_htmldate_ray.pipelines.crawl import doc_id_of_url
         from go_htmldate_ray.sources.pages import build_page_html
+        from go_htmldate_ray.state.robots import synthetic_robots_txt
 
+        if self.path.endswith("/robots.txt"):
+            host = self.path.rsplit("/robots.txt", 1)[0].strip("/")
+            body = synthetic_robots_txt(host).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         doc_id = doc_id_of_url(self.path)
         if doc_id is None or doc_id >= self.n_docs:
             self.send_response(404)
@@ -128,6 +138,26 @@ def synthetic_web():
     thread.start()
     yield f"http://127.0.0.1:{httpd.server_port}"
     httpd.shutdown()
+
+
+def test_robots_cache_http_mode(ray_session, synthetic_web):
+    import ray
+
+    from go_htmldate_ray.state.robots import RobotsCache, allowed
+
+    # live fetch: the loopback server serves each host's synthetic policy
+    cache = RobotsCache.remote(http_base=synthetic_web, timeout=5)
+    rules = ray.get(cache.get_rules.remote(["site0.example.org", "site1.example.org"]))
+    assert not allowed("/article/1.html", rules["site0.example.org"])  # 0 % 13 == 0
+    assert allowed("/article/1.html", rules["site1.example.org"])
+    delays = ray.get(cache.get_delays.remote(["site3.example.org"]))
+    assert delays["site3.example.org"] == 2.0  # 3 % 11 == 3 -> Crawl-delay: 2
+
+    # unreachable endpoint: permissive empty rules, never an exception
+    dead = RobotsCache.remote(http_base="http://127.0.0.1:9", timeout=0.5)
+    rules = ray.get(dead.get_rules.remote(["site0.example.org"]))
+    assert rules["site0.example.org"] == []
+    assert allowed("/article/1.html", rules["site0.example.org"])
 
 
 def test_crawl_over_live_http(ray_session, synthetic_web):
