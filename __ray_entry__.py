@@ -380,6 +380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_per_type": analytics.top_users_per_type,
         "asof_latest_order": _streaming("asof_join_latest_order"),
         "sessionize_events": _streaming("sessionize_events"),
+        # Distributed range (interval) join: grid-cell equi-join
+        # reduction + exact containment filter over overlapping windows.
+        "events_in_windows": _streaming("events_in_windows"),
         "events_by_type": analytics.events_by_type,
         # Exact COUNT(DISTINCT) per group: local pair dedup -> pair
         # groupby -> partial-count Sum groupby.
@@ -1271,6 +1274,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "events_in_windows": """
+            WITH w AS (
+                SELECT i::BIGINT AS window_id,
+                       TIMESTAMP '2024-01-01' + i * (INTERVAL 4 HOUR) AS wstart,
+                       TIMESTAMP '2024-01-01' + i * (INTERVAL 4 HOUR)
+                           + (2 + (i % 5)) * (INTERVAL 1 HOUR) AS wend
+                FROM generate_series(0, 179) s(i)
+            )
+            SELECT e.event_id, w.window_id
+            FROM events e JOIN w ON e.ts >= w.wstart AND e.ts < w.wend""",
         "asof_latest_order": """
             SELECT e.event_id,
                    coalesce(o.o_orderkey, -1) AS o_orderkey

@@ -349,3 +349,55 @@ def sliding_window_events(sf_dir: str, window_hours: int = 2, hop_hours: int = 1
         ),
         batch_format="pyarrow",
     )
+
+
+N_MAINTENANCE_WINDOWS = 180  # one per 4h over the events month
+_WINDOW_STRIDE_US = 4 * 3600 * 1_000_000
+_EVENTS_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def maintenance_windows() -> pa.Table:
+    """Deterministic overlapping interval table: window i starts at
+    epoch + i·4h and lasts 2h + (i mod 5)h (2–6h, so ~40% of windows
+    overlap their successor) — recomputable in SQL from the formula."""
+    import numpy as np
+
+    i = np.arange(N_MAINTENANCE_WINDOWS, dtype=np.int64)
+    starts = _EVENTS_EPOCH_US + i * _WINDOW_STRIDE_US
+    ends = starts + (2 + (i % 5)) * 3600 * 1_000_000
+    return pa.table(
+        {
+            "window_id": pa.array(i, pa.int64()),
+            "wstart": pa.array(starts, pa.timestamp("us")),
+            "wend": pa.array(ends, pa.timestamp("us")),
+        }
+    )
+
+
+def events_in_windows(sf_dir: str):
+    """Range (interval) join: events × overlapping maintenance windows →
+    one row per (event, containing window).
+
+    The general :func:`~go_htmldate_ray.stages.joins.range_join` shape:
+    grid-cell equi-join reduction (grid = the 4 h window stride, so
+    interval replication ≤ 2–3 cells) followed by the exact containment
+    filter.  The window table here is tiny, but the join deliberately
+    runs the distributed two-sided path — the same code handles a
+    billion-interval right side."""
+    import ray.data
+
+    from ..stages.joins import range_join
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    windows = ray.data.from_arrow(maintenance_windows())
+    joined = range_join(
+        events,
+        windows,
+        left_ts="ts",
+        right_start="wstart",
+        right_end="wend",
+        grid_us=_WINDOW_STRIDE_US,
+    )
+    return joined.select_columns(["event_id", "window_id"])

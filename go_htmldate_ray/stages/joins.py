@@ -441,3 +441,81 @@ def collision_pairs(
     )
 
 
+
+
+_CELL = "__range_cell"
+
+
+def range_join(
+    left,
+    right,
+    *,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    grid_us: int,
+    n_buckets: int = DEFAULT_JOIN_BUCKETS,
+):
+    """Distributed range (interval) join: left rows whose ``left_ts``
+    falls inside a right row's half-open ``[right_start, right_end)``.
+
+    The classic grid-bucket reduction of a range join to an equi-join:
+    each interval is replicated to every ``grid_us``-wide time cell it
+    overlaps (a per-batch vectorized flat expansion — replication factor
+    ≈ width/grid + 1), each point row is stamped with its single cell,
+    and one :func:`hash_join` on the cell co-locates candidates; the
+    exact containment predicate filters the cell-cartesian afterwards.
+    All timestamps are compared as int64 epoch-µs (no tz/unit drift).
+
+    Pick ``grid_us`` near the typical interval width: much smaller
+    multiplies interval replication, much larger multiplies the
+    per-cell cartesian.  Time-skewed points (one hot cell) inherit the
+    equi-join's skew caveat — widen the grid or pre-split hot windows.
+    Column layout: all left columns + all right columns (the cell key
+    is internal and dropped).
+    """
+
+    def _us(col):
+        return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+    def stamp_left(batch: pa.Table) -> pa.Table:
+        ts = _us(batch.column(left_ts))
+        # integer divide (epoch-µs are positive, so trunc == floor)
+        cell = pc.cast(
+            pc.divide(ts, pa.scalar(grid_us, pa.int64())), pa.int64()
+        )
+        return batch.append_column(_CELL, cell)
+
+    def expand_right(batch: pa.Table) -> pa.Table:
+        starts = _us(batch.column(right_start)).to_numpy(zero_copy_only=False)
+        ends = _us(batch.column(right_end)).to_numpy(zero_copy_only=False)
+        first = starts // grid_us
+        # last cell of the half-open interval: floor((end-1)/grid);
+        # empty/negative intervals expand to zero cells
+        last = np.maximum(first - 1, (ends - 1) // grid_us)
+        counts = np.maximum(last - first + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+        # per-row 0..count-1 offsets via a segmented iota
+        total = int(counts.sum())
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        cells = np.repeat(first, counts) + offs
+        out = batch.take(pa.array(idx, pa.int64()))
+        return out.append_column(_CELL, pa.array(cells, pa.int64()))
+
+    left_cells = left.map_batches(stamp_left, batch_format="pyarrow")
+    right_cells = right.map_batches(expand_right, batch_format="pyarrow")
+    joined = hash_join(
+        left_cells, right_cells, on=_CELL, n_buckets=n_buckets, how="inner"
+    )
+
+    def contain(batch: pa.Table) -> pa.Table:
+        ts = _us(batch.column(left_ts))
+        ok = pc.and_(
+            pc.greater_equal(ts, _us(batch.column(right_start))),
+            pc.less(ts, _us(batch.column(right_end))),
+        )
+        return batch.filter(ok).drop_columns([_CELL])
+
+    return joined.map_batches(contain, batch_format="pyarrow")

@@ -1605,3 +1605,81 @@ def test_full_join_semantics(ray_session):
     rows2 = hash_join(empty_left, right, on="k", right_on="rk", how="full").take_all()
     assert sorted((r["k"], r["rv"]) for r in rows2) == [(1, 10), (2, 20), (7, 70)]
     assert all(r["lv"] is None for r in rows2)
+
+
+def test_range_join_vs_bruteforce(ray_session):
+    """Randomized micro-corpus: range_join == O(n·m) reference, across
+    grid sizes (replication factors) and boundary conditions."""
+    import numpy as np
+    import ray.data
+
+    from go_htmldate_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(7)
+    n_pts, n_iv = 400, 60
+    ts = rng.integers(0, 10_000, n_pts) * 1_000_000
+    starts = rng.integers(0, 9_000, n_iv) * 1_000_000
+    widths = rng.integers(0, 2_000, n_iv) * 1_000_000  # incl. zero-width
+    left = pa.table(
+        {
+            "pid": pa.array(np.arange(n_pts), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "iid": pa.array(np.arange(n_iv), pa.int64()),
+            "s": pa.array(starts, pa.timestamp("us")),
+            "e": pa.array(starts + widths, pa.timestamp("us")),
+        }
+    )
+    expect = {
+        (int(p), int(i))
+        for p in range(n_pts)
+        for i in range(n_iv)
+        if starts[i] <= ts[p] < starts[i] + widths[i]
+    }
+    for grid_s in (100, 1500, 20_000):  # tiny grid = heavy replication
+        got = range_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            left_ts="ts",
+            right_start="s",
+            right_end="e",
+            grid_us=grid_s * 1_000_000,
+            n_buckets=8,
+        ).take_all()
+        assert {(r["pid"], r["iid"]) for r in got} == expect
+        assert len(got) == len(expect)  # no duplicate emissions
+
+
+def test_range_join_boundaries(ray_session):
+    import ray.data
+
+    from go_htmldate_ray.stages.joins import range_join
+
+    us = 1_000_000
+    left = pa.table(
+        {
+            "pid": pa.array([0, 1, 2, 3], pa.int64()),
+            # exactly at start (in), exactly at end (out), inside, far out
+            "ts": pa.array([10 * us, 20 * us, 15 * us, 99 * us], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "iid": pa.array([7], pa.int64()),
+            "s": pa.array([10 * us], pa.timestamp("us")),
+            "e": pa.array([20 * us], pa.timestamp("us")),
+        }
+    )
+    got = range_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        left_ts="ts",
+        right_start="s",
+        right_end="e",
+        grid_us=3 * us,  # interval spans 4 cells
+        n_buckets=4,
+    ).take_all()
+    assert {(r["pid"], r["iid"]) for r in got} == {(0, 7), (2, 7)}
