@@ -383,6 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Distributed range (interval) join: grid-cell equi-join
         # reduction + exact containment filter over overlapping windows.
         "events_in_windows": _streaming("events_in_windows"),
+        # Interval-overlap join: both sides grid-expanded, one equi-join,
+        # first-shared-cell emission (exactly-once, no distinct shuffle).
+        "orders_overlapping_windows": _streaming("orders_overlapping_windows"),
         "events_by_type": analytics.events_by_type,
         # Exact COUNT(DISTINCT) per group: local pair dedup -> pair
         # groupby -> partial-count Sum groupby.
@@ -1284,6 +1287,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.event_id, w.window_id
             FROM events e JOIN w ON e.ts >= w.wstart AND e.ts < w.wend""",
+        "orders_overlapping_windows": """
+            WITH w AS (
+                SELECT i::BIGINT AS window_id,
+                       TIMESTAMP '1995-01-01' + i * 10 * (INTERVAL 1 DAY) AS wstart,
+                       TIMESTAMP '1995-01-01' + i * 10 * (INTERVAL 1 DAY)
+                           + (3 + (i % 9)) * (INTERVAL 1 DAY) AS wend
+                FROM generate_series(0, 239) s(i)
+            ),
+            spans AS (
+                SELECT o_orderkey, o_orderdate AS ostart,
+                       o_orderdate + (1 + (o_orderkey % 7)) * (INTERVAL 1 DAY) AS oend
+                FROM orders
+            )
+            SELECT s.o_orderkey, w.window_id
+            FROM spans s JOIN w ON s.ostart < w.wend AND w.wstart < s.oend""",
         "asof_latest_order": """
             SELECT e.event_id,
                    coalesce(o.o_orderkey, -1) AS o_orderkey

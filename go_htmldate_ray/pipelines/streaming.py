@@ -401,3 +401,72 @@ def events_in_windows(sf_dir: str):
         grid_us=_WINDOW_STRIDE_US,
     )
     return joined.select_columns(["event_id", "window_id"])
+
+
+N_SERVICE_WINDOWS = 240  # one per 10 days over the 1995-2001 orders span
+_SERVICE_STRIDE_US = 10 * 86_400 * 1_000_000
+_ORDERS_EPOCH_US = 788_918_400_000_000  # 1995-01-01T00:00:00Z
+_DAY_US = 86_400 * 1_000_000
+
+
+def service_windows() -> pa.Table:
+    """Formula-literal interval table over the orders era: window i
+    starts at 1995-01-01 + i·10d and lasts 3 + (i mod 9) days."""
+    import numpy as np
+
+    i = np.arange(N_SERVICE_WINDOWS, dtype=np.int64)
+    starts = _ORDERS_EPOCH_US + i * _SERVICE_STRIDE_US
+    ends = starts + (3 + (i % 9)) * _DAY_US
+    return pa.table(
+        {
+            "window_id": pa.array(i, pa.int64()),
+            "wstart": pa.array(starts, pa.timestamp("us")),
+            "wend": pa.array(ends, pa.timestamp("us")),
+        }
+    )
+
+
+def orders_overlapping_windows(sf_dir: str):
+    """Interval-overlap join: order fulfillment spans
+    ``[o_orderdate, +1..7 days)`` × service windows → one row per
+    overlapping (order, window) pair.
+
+    Exercises the two-sided
+    :func:`~go_htmldate_ray.stages.joins.interval_overlap_join`
+    (both sides grid-expanded, first-shared-cell dedup — no distinct
+    shuffle) with the grid at the window stride."""
+    import ray.data
+
+    from ..stages.joins import interval_overlap_join
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def add_span(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        start_us = pc.cast(
+            pc.cast(batch.column("o_orderdate"), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keys = np.asarray(batch.column("o_orderkey"), dtype=np.int64)
+        end_us = start_us + (1 + keys % 7) * _DAY_US
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "ostart": pa.array(start_us, pa.timestamp("us")),
+                "oend": pa.array(end_us, pa.timestamp("us")),
+            }
+        )
+
+    spans = orders.map_batches(add_span, batch_format="pyarrow")
+    joined = interval_overlap_join(
+        spans,
+        ray.data.from_arrow(service_windows()),
+        left_start="ostart",
+        left_end="oend",
+        right_start="wstart",
+        right_end="wend",
+        grid_us=_SERVICE_STRIDE_US,
+    )
+    return joined.select_columns(["o_orderkey", "window_id"])

@@ -446,6 +446,32 @@ def collision_pairs(
 _CELL = "__range_cell"
 
 
+def _ts_us(col):
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
+def _expand_cells(batch: pa.Table, start_col: str, end_col: str, grid_us: int) -> pa.Table:
+    """Replicate each half-open-interval row to every grid cell it
+    overlaps (vectorized repeat + segmented iota; empty intervals expand
+    to zero cells)."""
+    starts = _ts_us(batch.column(start_col)).to_numpy(zero_copy_only=False)
+    ends = _ts_us(batch.column(end_col)).to_numpy(zero_copy_only=False)
+    first = starts // grid_us
+    # last cell of the half-open interval: floor((end-1)/grid); empty
+    # intervals ([s, s) or inverted) expand to zero cells — set
+    # semantics: an empty span contains no instants and matches nothing
+    last = (ends - 1) // grid_us
+    counts = np.where(ends > starts, last - first + 1, 0).astype(np.int64)
+    idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+    total = int(counts.sum())
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    cells = np.repeat(first, counts) + offs
+    out = batch.take(pa.array(idx, pa.int64()))
+    return out.append_column(_CELL, pa.array(cells, pa.int64()))
+
+
 def range_join(
     left,
     right,
@@ -475,8 +501,7 @@ def range_join(
     is internal and dropped).
     """
 
-    def _us(col):
-        return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+    _us = _ts_us
 
     def stamp_left(batch: pa.Table) -> pa.Table:
         ts = _us(batch.column(left_ts))
@@ -487,22 +512,7 @@ def range_join(
         return batch.append_column(_CELL, cell)
 
     def expand_right(batch: pa.Table) -> pa.Table:
-        starts = _us(batch.column(right_start)).to_numpy(zero_copy_only=False)
-        ends = _us(batch.column(right_end)).to_numpy(zero_copy_only=False)
-        first = starts // grid_us
-        # last cell of the half-open interval: floor((end-1)/grid);
-        # empty/negative intervals expand to zero cells
-        last = np.maximum(first - 1, (ends - 1) // grid_us)
-        counts = np.maximum(last - first + 1, 0).astype(np.int64)
-        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
-        # per-row 0..count-1 offsets via a segmented iota
-        total = int(counts.sum())
-        offs = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(counts) - counts, counts
-        )
-        cells = np.repeat(first, counts) + offs
-        out = batch.take(pa.array(idx, pa.int64()))
-        return out.append_column(_CELL, pa.array(cells, pa.int64()))
+        return _expand_cells(batch, right_start, right_end, grid_us)
 
     left_cells = left.map_batches(stamp_left, batch_format="pyarrow")
     right_cells = right.map_batches(expand_right, batch_format="pyarrow")
@@ -518,4 +528,55 @@ def range_join(
         )
         return batch.filter(ok).drop_columns([_CELL])
 
+    return joined.map_batches(contain, batch_format="pyarrow")
+
+
+def interval_overlap_join(
+    left,
+    right,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    grid_us: int,
+    n_buckets: int = DEFAULT_JOIN_BUCKETS,
+):
+    """Distributed interval-overlap join: pairs whose half-open spans
+    intersect (``l.start < r.end AND r.start < l.end``).
+
+    Both sides expand to their grid cells (:func:`_expand_cells`); one
+    bucketed equi-join on the cell generates candidates.  An overlapping
+    pair co-occurs in EVERY cell its spans share, so the join emits each
+    pair exactly once by keeping only the FIRST shared cell —
+    ``cell == max(floor(l.start/g), floor(r.start/g))`` — the standard
+    dedup-free reduction (no second distinct shuffle needed).  Pick the
+    grid near the typical interval width; replication ≈ width/grid + 1
+    per side.
+    """
+
+    def contain(batch: pa.Table) -> pa.Table:
+        ls = _ts_us(batch.column(left_start))
+        le = _ts_us(batch.column(left_end))
+        rs = _ts_us(batch.column(right_start))
+        re = _ts_us(batch.column(right_end))
+        overlap = pc.and_(pc.less(ls, re), pc.less(rs, le))
+        g = pa.scalar(grid_us, pa.int64())
+        first_shared = pc.max_element_wise(
+            pc.divide(ls, g), pc.divide(rs, g)
+        )
+        once = pc.equal(batch.column(_CELL), first_shared)
+        return batch.filter(pc.and_(overlap, once)).drop_columns([_CELL])
+
+    left_cells = left.map_batches(
+        lambda b: _expand_cells(b, left_start, left_end, grid_us),
+        batch_format="pyarrow",
+    )
+    right_cells = right.map_batches(
+        lambda b: _expand_cells(b, right_start, right_end, grid_us),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        left_cells, right_cells, on=_CELL, n_buckets=n_buckets, how="inner"
+    )
     return joined.map_batches(contain, batch_format="pyarrow")

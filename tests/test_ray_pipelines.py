@@ -1683,3 +1683,53 @@ def test_range_join_boundaries(ray_session):
         n_buckets=4,
     ).take_all()
     assert {(r["pid"], r["iid"]) for r in got} == {(0, 7), (2, 7)}
+
+
+def test_interval_overlap_join_vs_bruteforce(ray_session):
+    """Randomized: interval_overlap_join == O(n·m) reference across grid
+    sizes; exactly-once emission; empty spans match nothing."""
+    import numpy as np
+    import ray.data
+
+    from go_htmldate_ray.stages.joins import interval_overlap_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 150, 80
+    us = 1_000_000
+    ls = rng.integers(0, 5_000, n_l) * us
+    lw = rng.integers(0, 900, n_l) * us  # incl. zero-width (match nothing)
+    rs = rng.integers(0, 5_000, n_r) * us
+    rw = rng.integers(1, 700, n_r) * us
+    left = pa.table(
+        {
+            "lid": pa.array(np.arange(n_l), pa.int64()),
+            "s1": pa.array(ls, pa.timestamp("us")),
+            "e1": pa.array(ls + lw, pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array(np.arange(n_r), pa.int64()),
+            "s2": pa.array(rs, pa.timestamp("us")),
+            "e2": pa.array(rs + rw, pa.timestamp("us")),
+        }
+    )
+    expect = {
+        (int(i), int(j))
+        for i in range(n_l)
+        for j in range(n_r)
+        if lw[i] > 0 and ls[i] < rs[j] + rw[j] and rs[j] < ls[i] + lw[i]
+    }
+    for grid_s in (50, 700, 10_000):
+        got = interval_overlap_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            left_start="s1",
+            left_end="e1",
+            right_start="s2",
+            right_end="e2",
+            grid_us=grid_s * us,
+            n_buckets=8,
+        ).take_all()
+        assert {(r["lid"], r["rid"]) for r in got} == expect
+        assert len(got) == len(expect)  # first-shared-cell rule: no dups
