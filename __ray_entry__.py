@@ -359,6 +359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs_lsh": _embedding_dup_pairs_lsh,
         "media_features": _media_features,
         "crawl_reachable": _crawl_reachable,
+        # Crawl-ORDERING evidence: pages per wave == BFS depth histogram
+        # under a non-binding budget (depth-tracking recursive-CTE oracle).
+        "crawl_wave_counts": _crawl_wave_counts,
         "golden_corpus_dates": lambda sf: _golden_corpus_dates(sf, exclude_known=True),
         # Full 1000-doc corpus including the 6 rows whose recorded outputs
         # are internally inconsistent in the reference corpus itself
@@ -722,6 +725,12 @@ def _crawl_reachable(sf_dir):
     from go_htmldate_ray.pipelines.crawl import crawl_reachable
 
     return crawl_reachable(sf_dir)
+
+
+def _crawl_wave_counts(sf_dir):
+    from go_htmldate_ray.pipelines.crawl import crawl_wave_counts
+
+    return crawl_wave_counts(sf_dir)
 
 
 def _known_inconsistent_urls() -> list[str]:
@@ -1249,6 +1258,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id,
                    {_URL_SQL.replace('doc_id', 'id')} AS url
             FROM reach""",
+        "crawl_wave_counts": """
+            WITH RECURSIVE reach(id, d) AS (
+                SELECT doc_id, 0 FROM documents WHERE doc_id < 10
+                  AND NOT ((doc_id % 97) % 13 = 0 AND doc_id % 4 != 2)
+                UNION
+                SELECT t.target, r.d + 1 FROM reach r
+                JOIN (
+                    SELECT doc_id,
+                           (doc_id*13+1) % (SELECT count(*) FROM documents) AS target
+                    FROM documents
+                    UNION ALL
+                    SELECT doc_id,
+                           (doc_id*29+7) % (SELECT count(*) FROM documents) AS target
+                    FROM documents
+                ) t ON t.doc_id = r.id
+                WHERE NOT ((t.target % 97) % 13 = 0 AND t.target % 4 != 2)
+                  AND r.d < 63
+            )
+            SELECT md::BIGINT AS wave, count(*)::BIGINT AS n_fetched
+            FROM (SELECT id, min(d) AS md FROM reach GROUP BY id)
+            GROUP BY 1""",
         "value_quantiles": _value_quantiles_sql(),
         "grouped_quantiles": _grouped_quantiles_sql(),
         "sliding_window_events": """

@@ -1087,6 +1087,41 @@ def crawl(
     return visited, stats
 
 
+def crawl_wave_counts(sf_dir: str, namespace: str = "crawlw"):
+    """Crawl-ordering evidence: pages fetched per wave.
+
+    With a non-binding politeness budget a URL is fetched in the wave
+    equal to its BFS depth from the seed set, so the per-wave counts are
+    independently recomputable in SQL by a depth-tracking recursive CTE
+    (min depth per reachable, robots-allowed node → GROUP BY depth).
+    This pins the *ordering* half of the north rule (the reachable-set
+    query pins membership)."""
+    import uuid
+
+    visited, stats = crawl(
+        sf_dir,
+        namespace=f"{namespace}-{uuid.uuid4().hex[:8]}",
+        politeness_budget=1000,
+        max_waves=64,
+    )
+    out = (
+        visited.groupby("wave")
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "wave": b.column("wave"),
+                    "n_fetched": b.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    shutil.rmtree(stats["checkpoint_dir"], ignore_errors=True)
+    return out
+
+
 def crawl_reachable(sf_dir: str, namespace: str = "crawlq"):
     """Oracle-checkable crawl: converged visited set → (doc_id, url).
 
