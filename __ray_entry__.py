@@ -221,6 +221,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # are re-planted as today-ids (1e6+i) on BOTH sides — the oracle
         # proves drops AND keeps.
         "new_docs_vs_snapshot": _new_docs_vs_snapshot,
+        # Incremental-recrawl delta: FULL-outer hash_join of current vs
+        # derived-previous content hashes -> new/changed/unchanged/gone.
+        "snapshot_diff": lambda sf: dedup.snapshot_diff(
+            read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ),
         # Distributed Okapi BM25 keyword search: stats+df pass -> scoring
         # pass with per-block top-k; fixed-point nano scores make the
         # sum order-independent and SQL-exact.
@@ -993,6 +1000,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text""",
+        "snapshot_diff": """
+            WITH prev AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN coalesce(text, '') || chr(1)
+                            ELSE coalesce(text, '') END AS ptext
+                FROM documents WHERE doc_id % 17 != 3
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, '' AS ptext
+                FROM documents WHERE doc_id % 23 = 5
+            )
+            SELECT coalesce(d.doc_id, p.doc_id) AS doc_id,
+                   CASE WHEN p.doc_id IS NULL THEN 'new'
+                        WHEN d.doc_id IS NULL THEN 'gone'
+                        WHEN coalesce(d.text, '') != p.ptext THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents d FULL JOIN prev p ON d.doc_id = p.doc_id""",
         # Engine key: first 8 md5 bytes big-endian >> 1 (text_hash_batch)
         # = ('0x' || first 16 hex chars)::UBIGINT >> 1.
         "new_docs_vs_snapshot": """

@@ -866,3 +866,88 @@ def token_jaccard_pairs(ds, *, max_doc_id: int = 200, min_jaccard: float = 0.5):
 
     pairs = ray.data.from_items(pair_list)
     return pairs.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+_GHOST_OFFSET = 10_000_000  # prev-only (deleted) synthetic page ids
+
+
+def snapshot_diff(ds):
+    """Incremental-recrawl delta: page status across two crawl snapshots
+    → (doc_id, status) with status ∈ new / changed / unchanged / gone.
+
+    The previous snapshot is derived deterministically from the current
+    corpus (so an oracle can re-derive it in SQL): ids with
+    ``doc_id % 17 == 3`` are absent from prev (→ *new*), ids with
+    ``doc_id % 10 == 0`` carried different text (→ *changed*), and ids
+    with ``doc_id % 23 == 5`` additionally existed as a prev-only ghost
+    page ``doc_id + 10^7`` (→ *gone*).
+
+    Shape: one content-hash pass per side, one bucketed FULL-outer
+    :func:`~go_htmldate_ray.stages.joins.hash_join` on doc_id, then a
+    stateless classify — the maintenance exchange an incremental crawl
+    runs nightly at corpus scale."""
+    from .joins import hash_join
+
+    hashed = ds.map_batches(text_hash_batch, batch_format="pyarrow")
+
+    def current(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "cur_hash": batch.column("text_hash"),
+            }
+        )
+
+    def previous(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        hashes = np.asarray(batch.column("text_hash"), dtype=np.int64)
+        keep = ids % 17 != 3
+        pids = ids[keep]
+        phash = hashes[keep].copy()
+        changed = pids % 10 == 0
+        phash[changed] = phash[changed] ^ 1  # any different content hash
+        ghosts = ids[ids % 23 == 5] + _GHOST_OFFSET
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([pids, ghosts]), pa.int64()
+                ),
+                "prev_hash": pa.array(
+                    np.concatenate([phash, np.zeros(len(ghosts), np.int64)]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    joined = hash_join(
+        hashed.map_batches(current, batch_format="pyarrow"),
+        hashed.map_batches(previous, batch_format="pyarrow"),
+        on="doc_id",
+        how="full",
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        cur = batch.column("cur_hash")
+        prev = batch.column("prev_hash")
+        new = pc.is_null(prev)
+        gone = pc.is_null(cur)
+        changed = pc.and_kleene(
+            pc.and_kleene(pc.invert(new), pc.invert(gone)),
+            pc.not_equal(cur, prev),
+        )
+        status = pc.if_else(
+            new,
+            pa.scalar("new"),
+            pc.if_else(
+                gone,
+                pa.scalar("gone"),
+                pc.if_else(changed, pa.scalar("changed"), pa.scalar("unchanged")),
+            ),
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "status": status}
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -819,3 +819,26 @@ def test_page_text_batch_matches_scalar():
         t = extract_visible_text(dom.parse_html(h))
         assert r["n_chars"] == len(t)
         assert r["text_md5"] == hashlib.md5(t.encode()).hexdigest()
+
+
+def test_snapshot_diff_statuses(ray_session):
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.dedup import snapshot_diff
+
+    ds = read_parquet_clean(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = snapshot_diff(ds).take_all()
+    by_id = {r["doc_id"]: r["status"] for r in rows}
+    n_docs = 500
+    assert len(by_id) == len(rows)  # exactly one verdict per page
+    for i in range(n_docs):
+        expect = (
+            "new"
+            if i % 17 == 3
+            else ("changed" if i % 10 == 0 else "unchanged")
+        )
+        assert by_id[i] == expect, (i, by_id[i])
+    ghosts = {d for d in by_id if d >= 10_000_000}
+    assert ghosts == {i + 10_000_000 for i in range(n_docs) if i % 23 == 5}
+    assert all(by_id[g] == "gone" for g in ghosts)
