@@ -62,6 +62,7 @@ def main(argv=None) -> int:
     p_crawl.add_argument("--max-waves", type=int, default=64)
     p_crawl.add_argument("--checkpoint", default=None)
     p_crawl.add_argument("--resume", action="store_true")
+    p_crawl.add_argument("--max-depth", type=int, default=None)
 
     args = parser.parse_args(argv)
 
@@ -151,6 +152,7 @@ def main(argv=None) -> int:
             max_waves=args.max_waves,
             checkpoint_dir=args.checkpoint,
             resume=args.resume,
+            max_depth=args.max_depth,
         )
         stats["visited"] = visited.count()
         print(json.dumps(stats))

@@ -548,6 +548,7 @@ def crawl(
     small_wave_threshold: int = 100_000,
     fetcher_kwargs: Optional[dict] = None,
     priority_fn=None,
+    max_depth: Optional[int] = None,
 ):
     """Run the crawl; returns (visited Dataset, stats dict).
 
@@ -560,6 +561,12 @@ def crawl(
     per-host priority-heap knob.  It must be a pure function of the url
     (priority is recomputed after shuffles, never shipped through the
     dedup exchange); lower values fetch first.
+
+    ``max_depth`` (optional) is the crawl-trap guard: links that would
+    land deeper than it are never emitted into the next frontier (the
+    bound is applied at link expansion, so frontier/dedup stats stay
+    exact).  The visited set is then exactly the pages whose BFS
+    min-depth from the seeds is ≤ max_depth.
     """
     import ray
     import ray.data
@@ -958,6 +965,8 @@ def crawl(
                 for d, chunk in zip(
                     b.column("depth").to_pylist(), b.column("links").to_pylist()
                 ):
+                    if max_depth is not None and d + 1 > max_depth:
+                        continue  # crawl-trap guard: never emitted
                     urls.extend(chunk)
                     depths.extend([d + 1] * len(chunk))
                 return _frontier_table(urls, depths, wave + 1)
@@ -1000,6 +1009,8 @@ def crawl(
                 visited_tbl.column("depth").to_pylist(),
                 visited_tbl.column("links").to_pylist(),
             ):
+                if max_depth is not None and d + 1 > max_depth:
+                    continue  # crawl-trap guard: never emitted
                 links.extend(chunk)
                 parent_depths.extend([d + 1] * len(chunk))
             link_tbl = _frontier_table(links, parent_depths, wave + 1) if links else None

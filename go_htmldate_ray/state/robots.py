@@ -72,14 +72,36 @@ def parse_sitemap_directives(text: str) -> list[str]:
     return out
 
 
+_WILDCARD_CACHE: dict[str, "re.Pattern"] = {}
+
+
+def _pattern_matches(path: str, pattern: str) -> bool:
+    """RFC 9309 path-pattern match: ``*`` spans any characters, a
+    trailing ``$`` anchors the end; plain patterns are prefixes."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
+    rx = _WILDCARD_CACHE.get(pattern)
+    if rx is None:
+        body = pattern[:-1] if pattern.endswith("$") else pattern
+        regex = ".*".join(re.escape(part) for part in body.split("*"))
+        if pattern.endswith("$"):
+            regex += "$"
+        rx = _WILDCARD_CACHE[pattern] = re.compile(regex)
+    return rx.match(path) is not None
+
+
 def allowed(path: str, rules: list[tuple[str, str]]) -> bool:
-    """Longest-prefix-match wins; allow on tie/no-match (Google semantics)."""
+    """RFC 9309 most-specific-match: the matching rule with the longest
+    pattern wins; on a tie (or no match) allow wins — with full ``*`` /
+    ``$`` wildcard support (plain prefixes stay on the fast path)."""
     best_len = -1
     best_verb = "allow"
-    for verb, prefix in rules:
-        if path.startswith(prefix) and len(prefix) > best_len:
-            best_len = len(prefix)
-            best_verb = verb
+    for verb, pattern in rules:
+        if _pattern_matches(path, pattern):
+            n = len(pattern)
+            if n > best_len or (n == best_len and verb == "allow"):
+                best_len = n
+                best_verb = verb
     return best_verb == "allow"
 
 

@@ -629,3 +629,46 @@ def test_politeness_deferred_urls_eventually_fetched():
 
     ds_rows, _ = _run(politeness_budget=1, max_waves=64, small_wave_threshold=0)
     assert sorted(r["url"] for r in ds_rows) == want
+
+
+def test_robots_wildcard_patterns():
+    """RFC 9309 wildcard matching: *, $, most-specific-wins, allow-on-tie."""
+    from go_htmldate_ray.state.robots import allowed, parse_robots
+
+    rules = parse_robots(
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok/\n"
+        "Disallow: /a/*/c\n"
+    )
+    # trailing-$ anchored wildcard
+    assert not allowed("/docs/file.pdf", rules)
+    assert allowed("/docs/file.pdf.html", rules)  # $ anchors the end
+    # plain prefixes still work, longest wins
+    assert not allowed("/private/x.html", rules)
+    assert allowed("/private/ok/x.html", rules)
+    # mid-pattern *
+    assert not allowed("/a/b/c", rules)
+    assert not allowed("/a/anything/at/all/c", rules)
+    assert allowed("/a/b/d", rules)
+    # no match -> allow
+    assert allowed("/public/x", rules)
+
+    # equal-length tie: allow wins (least-restrictive tiebreak)
+    tie = [("disallow", "/page"), ("allow", "/page")]
+    assert allowed("/page1", tie)
+
+    # empty rule list -> everything allowed
+    assert allowed("/anything", [])
+
+
+def test_max_depth_truncates_crawl():
+    """max_depth caps the BFS: visited == full-crawl pages whose first
+    (min) discovery depth is <= the bound, on both wave paths."""
+    full, _ = _run(politeness_budget=1000)
+    want = {r["url"] for r in full if r["depth"] <= 2}
+    for extra in ({}, {"small_wave_threshold": 0}):
+        rows, _ = _run(politeness_budget=1000, max_depth=2, **extra)
+        assert max(r["depth"] for r in rows) <= 2
+        assert {r["url"] for r in rows} == want
