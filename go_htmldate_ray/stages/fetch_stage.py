@@ -45,9 +45,40 @@ class HttpFetcher:
     def fetch(self, url: str) -> Optional[bytes]:
         """GET the URL; returns body bytes, or None when the response is
         missing, non-2xx, not text/html, or oversized."""
-        req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+        result = self.fetch_conditional(url)
+        return None if result is None else result[0]
+
+    NOT_MODIFIED = "not_modified"
+
+    def fetch_conditional(
+        self,
+        url: str,
+        *,
+        etag: Optional[str] = None,
+        last_modified: Optional[str] = None,
+    ) -> Optional[tuple[Optional[bytes], dict]]:
+        """Conditional GET — the recrawl revalidation primitive.
+
+        Sends ``If-None-Match`` / ``If-Modified-Since`` when validators
+        from a previous fetch are supplied.  Returns ``(body, meta)``
+        where meta carries the response's ``etag`` / ``last_modified``
+        validators and ``meta["status"]``; a 304 yields
+        ``(None, {"status": "not_modified", ...})`` (the cached copy is
+        still fresh — a recrawl pays headers, not the body), and any
+        failure yields None as before."""
+        headers = {"User-Agent": self.user_agent}
+        if etag:
+            headers["If-None-Match"] = etag
+        if last_modified:
+            headers["If-Modified-Since"] = last_modified
+        req = urllib.request.Request(url, headers=headers)
         try:
             with self.opener.open(req, timeout=self.timeout) as resp:
+                meta = {
+                    "status": resp.status,
+                    "etag": resp.headers.get("ETag"),
+                    "last_modified": resp.headers.get("Last-Modified"),
+                }
                 if resp.status // 100 != 2:
                     return None
                 ctype = resp.headers.get("Content-Type", "")
@@ -59,7 +90,15 @@ class HttpFetcher:
                 body = resp.read(self.max_bytes + 1)
                 if len(body) > self.max_bytes:
                     return None
-                return body
+                return body, meta
+        except urllib.error.HTTPError as e:
+            if e.code == 304:
+                return None, {
+                    "status": self.NOT_MODIFIED,
+                    "etag": etag,
+                    "last_modified": last_modified,
+                }
+            return None
         except (urllib.error.URLError, TimeoutError, OSError, ValueError):
             return None
 

@@ -183,3 +183,78 @@ def test_crawl_over_live_http(ray_session, synthetic_web):
         (r["wave"], r["host"], r["fetch_rank"], r["url"], r["date_str"]) for r in rows
     )
     assert key(http_visited.take_all()) == key(plain_visited.take_all())
+
+
+# --- conditional revalidation ------------------------------------------------
+
+class _CondHandler(BaseHTTPRequestHandler):
+    """Serves one page with ETag/Last-Modified validators; answers 304
+    when the client presents a matching validator."""
+
+    ETAG = '"v42"'
+    LASTMOD = "Tue, 05 Mar 2024 12:00:00 GMT"
+
+    def do_GET(self):
+        if self.path != "/page.html":
+            self.send_response(404)
+            self.end_headers()
+            return
+        if (
+            self.headers.get("If-None-Match") == self.ETAG
+            or self.headers.get("If-Modified-Since") == self.LASTMOD
+        ):
+            self.send_response(304)
+            self.end_headers()
+            return
+        body = PAGE
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("ETag", self.ETAG)
+        self.send_header("Last-Modified", self.LASTMOD)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):
+        pass
+
+
+@pytest.fixture(scope="module")
+def cond_server():
+    httpd = HTTPServer(("127.0.0.1", 0), _CondHandler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def test_conditional_fetch_roundtrip(cond_server):
+    fetcher = HttpFetcher(timeout=5)
+    url = f"{cond_server}/page.html"
+
+    # first fetch: full body + validators captured
+    body, meta = fetcher.fetch_conditional(url)
+    assert body == PAGE
+    assert meta["etag"] == _CondHandler.ETAG
+    assert meta["last_modified"] == _CondHandler.LASTMOD
+
+    # revalidation with the etag: 304, no body, validators echoed
+    body2, meta2 = fetcher.fetch_conditional(url, etag=meta["etag"])
+    assert body2 is None
+    assert meta2["status"] == HttpFetcher.NOT_MODIFIED
+    assert meta2["etag"] == meta["etag"]
+
+    # revalidation with last-modified alone also 304s
+    body3, meta3 = fetcher.fetch_conditional(
+        url, last_modified=meta["last_modified"]
+    )
+    assert body3 is None
+    assert meta3["status"] == HttpFetcher.NOT_MODIFIED
+
+    # stale validator: full body again
+    body4, meta4 = fetcher.fetch_conditional(url, etag='"old"')
+    assert body4 == PAGE
+
+    # plain fetch() is unchanged by the refactor
+    assert fetcher.fetch(url) == PAGE
+    assert fetcher.fetch(f"{cond_server}/missing.html") is None
