@@ -25,6 +25,13 @@ from WARC archives.  This module closes the loop:
   input-hint page schema ``(url, warc_ts, html)``.  One file is one
   read task, so at real scale parallelism = number of shard files
   (Common Crawl ships ~1 GB shards precisely so this is enough).
+* :func:`cdx_index` / :func:`read_warc_record` — the CDX lookup table
+  (gzip member coordinates per record) and single-record random access.
+
+Multi-node note: shard paths here are plain filesystem paths — on a
+real cluster they live on shared storage (NFS/object store via fuse),
+the same assumption the parquet checkpoint/sink layer makes; the
+single-node sandbox writes under /tmp.
 
 No counterpart in the reference (go-htmldate reads single documents);
 the record framing follows the public WARC 1.0 specification only.

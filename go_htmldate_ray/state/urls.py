@@ -1,15 +1,37 @@
 """URL canonicalization + hashing for the frontier.
 
 Canonical form: lowercase scheme/host, default ports stripped, fragment
-removed, empty path → "/", dot-segments resolved.  The frontier's
-identity key is ``sha1(canonical_url)`` truncated to a signed 63-bit int —
-membership is therefore independent of shard count or wave order.
+removed, empty path → "/", dot-segments resolved, percent-encodings
+normalized (RFC 3986 §6.2.2: unreserved octets decoded, remaining hex
+uppercased).  The frontier's identity key is ``sha1(canonical_url)``
+truncated to a signed 63-bit int — membership is therefore independent
+of shard count or wave order.
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
 from urllib.parse import urlsplit, urlunsplit
+
+_PCT = re.compile(r"%([0-9A-Fa-f]{2})")
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _norm_pct(s: str) -> str:
+    """RFC 3986 §6.2.2 percent-encoding normalization: ``%7E`` → ``~``
+    (unreserved octets decoded), other escapes uppercased (``%3a`` →
+    ``%3A``); malformed ``%`` sequences pass through untouched."""
+    if "%" not in s:
+        return s
+
+    def fix(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else f"%{m.group(1).upper()}"
+
+    return _PCT.sub(fix, s)
 
 
 def canonicalize(url: str) -> str:
@@ -30,8 +52,8 @@ def canonicalize(url: str) -> str:
         netloc = f"{host}:{port}"
     else:
         netloc = host
-    path = _resolve_dots(parts.path) or "/"
-    return urlunsplit((scheme, netloc, path, parts.query, ""))
+    path = _norm_pct(_resolve_dots(parts.path)) or "/"
+    return urlunsplit((scheme, netloc, path, _norm_pct(parts.query), ""))
 
 
 def _resolve_dots(path: str) -> str:

@@ -672,3 +672,23 @@ def test_max_depth_truncates_crawl():
         rows, _ = _run(politeness_budget=1000, max_depth=2, **extra)
         assert max(r["depth"] for r in rows) <= 2
         assert {r["url"] for r in rows} == want
+
+
+def test_canonicalize_percent_encoding():
+    """RFC 3986 §6.2.2: unreserved octets decoded, other escapes
+    uppercased, malformed sequences untouched — two spellings of one URL
+    canonicalize (and therefore hash) identically."""
+    from go_htmldate_ray.state.urls import canonicalize, url_hash
+
+    # unreserved: %7E -> ~, %41 -> A
+    assert canonicalize("https://h.org/%7Euser/%41") == "https://h.org/~user/A"
+    # reserved escapes stay encoded but uppercase
+    assert canonicalize("https://h.org/a%2fb?q=%3a") == "https://h.org/a%2Fb?q=%3A"
+    # malformed % passes through
+    assert canonicalize("https://h.org/100%") == "https://h.org/100%"
+    assert canonicalize("https://h.org/%zz") == "https://h.org/%zz"
+    # equivalent spellings collapse to one frontier identity
+    a = canonicalize("https://H.org/%7edoc%2Dset/x")
+    b = canonicalize("https://h.org/~doc-set/x")
+    assert a == b
+    assert url_hash(a) == url_hash(b)
