@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # selected record — no shard scan — into the extraction cascade.
         "warc_random_access": lambda sf: ed.warc_random_access_dates(sf),
         "host_page_counts": ed.host_page_counts,
+        # Host connectivity from REAL page parses: DOM anchor extraction
+        # -> per-batch pair-count partials -> one small Sum groupby.
+        "host_link_edges": ed.host_link_edges,
         # Corpus temporal profile: full extraction cascade -> per-year
         # partial counts -> tiny Sum groupby.
         "date_year_histogram": ed.date_year_histogram,
@@ -857,6 +860,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
                    count(*) AS n_pages
             FROM documents GROUP BY 1""",
+        "host_link_edges": """
+            WITH e AS (
+                SELECT doc_id,
+                       (doc_id*13+1) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id*29+7) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+            )
+            SELECT 'site' || (doc_id % 97) || '.example.org' AS src_host,
+                   'site' || (t % 97) || '.example.org' AS dst_host,
+                   count(*)::BIGINT AS n_links
+            FROM e GROUP BY 1, 2""",
         "chunk_documents": r"""
             WITH s AS (
                 SELECT unnest(generate_series(

@@ -432,3 +432,71 @@ def page_staleness(sf_dir: str, *, skip_extensive_search: bool = True):
         )
 
     return extracted.map_batches(age, batch_format="pyarrow")
+
+
+def host_link_edges(sf_dir: str):
+    """Host-level connectivity graph from REAL page parses: each page's
+    ``<a href>`` anchors are extracted from its DOM (the same tokenizer
+    the cascade uses, not the id formula) and aggregated into
+    (src_host, dst_host, n_links) edges — the input a host-level
+    PageRank or spam-cluster analysis consumes.
+
+    Shape: parse + per-batch pair-count partials (≤ distinct host pairs
+    per block) → one small Sum groupby."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .. import dom
+
+    pages = read_pages(sf_dir)
+
+    _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import re
+
+        counts: Counter = Counter()
+        urls = batch.column("url").to_pylist()
+        for url, html in zip(urls, batch.column("html").to_pylist()):
+            m = re.match(_HOST_RE, url or "")
+            src = m.group("host") if m else ""
+            tree = dom.parse_html(html or b"")
+            for el in tree.iter_elements():
+                if el.tag == "a":
+                    href = el.attr("href")
+                    dm = re.match(_HOST_RE, href or "")
+                    if dm is not None:
+                        counts[(src, dm.group("host"))] += 1
+        if not counts:
+            return pa.table(
+                {
+                    "src_host": pa.array([], pa.string()),
+                    "dst_host": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        srcs, dsts = zip(*counts.keys())
+        return pa.table(
+            {
+                "src_host": pa.array(list(srcs), pa.string()),
+                "dst_host": pa.array(list(dsts), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src_host": b.column("src_host"),
+                    "dst_host": b.column("dst_host"),
+                    "n_links": b.column("sum(n)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
