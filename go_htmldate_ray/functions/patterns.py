@@ -250,6 +250,11 @@ LOCALE_MONTHS: dict[str, dict[str, int]] = {
         "січня": 1, "лютого": 2, "березня": 3, "квітня": 4, "травня": 5,
         "червня": 6, "липня": 7, "серпня": 8, "вересня": 9, "жовтня": 10,
         "листопада": 11, "грудня": 12,
+        # nominatives (headers/archives: "січень 2020"); Cyrillic
+        # "листопад" is distinct from Croatian Latin "listopad"=October
+        "січень": 1, "лютий": 2, "березень": 3, "квітень": 4,
+        "травень": 5, "червень": 6, "липень": 7, "серпень": 8,
+        "вересень": 9, "жовтень": 10, "листопад": 11, "грудень": 12,
     },
     "hu": {
         "január": 1, "jan": 1, "február": 2, "febr": 2, "március": 3,
@@ -788,6 +793,23 @@ _SKIP_WORDS = frozenset({
     "feira",  # pt: "segunda-feira, 15 de janeiro"
     "kl",  # da/no/sv: "kl. 12" time marker
     "klo",  # fi time marker
+    # year-word markers go-dateparser's translations strip (the token
+    # follows/precedes a complete d-month-y date; skipping only ever
+    # prevents a reject — month+day+year are still all required):
+    "року", "рік", "р",  # uk: "24 серпня 2019 року" / "... 2019 р."
+    "r",  # pl/cs: "24 sierpnia 2019 r."
+    "godine", "god",  # sr/bs/hr: "24. avgusta 2019. godine"
+    "година",  # bg: "24 август 2019 година"
+    "gada",  # lv: "2019. gada 24. augusts"
+    "aastal", "aasta",  # et
+    "m", "d",  # lt: "2019 m. rugpjūčio 24 d."
+    "año", "ano",  # es / pt: "24 de agosto del año 2019"
+    "jahr", "jahres",  # de
+    "yılı", "yıl",  # tr
+    "anul",  # ro
+    "jaar",  # nl
+    "vuonna",  # fi
+    "tahun",  # id/ms
 })
 _TIME_OF_DAY = re.compile(r"\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?")
 # Combining marks (category Mn/Mc) are not matched by the \w letter

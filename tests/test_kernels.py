@@ -522,3 +522,48 @@ def test_date_parser_config_through_options():
     # restricting to another locale removes the pt month name
     r2 = ghr.from_html(html, ghr.Options(date_parser_config=DateParserConfig(languages=["fi"])))
     assert r2.format() != "2020-03-03"
+
+
+def test_locale_months_uk_nominative():
+    """Ukrainian nominative month names (archive-header form)."""
+    from go_htmldate_ray.functions.patterns import lenient_absolute_parse
+
+    cases = [
+        ("1 січень 2020", (2020, 1, 1)),
+        ("5 травень 2019", (2019, 5, 5)),
+        ("24 серпень 1991", (1991, 8, 24)),
+        ("30 листопад 2018", (2018, 11, 30)),  # Cyrillic: not hr October
+        ("7 грудень 2021", (2021, 12, 7)),
+        # genitive forms keep working
+        ("24 серпня 1991", (1991, 8, 24)),
+    ]
+    for s, ymd in cases:
+        dt = lenient_absolute_parse(s)
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+
+def test_year_word_markers_skipped():
+    """Locale year-word suffixes/prefixes (go-dateparser translation
+    strip-tokens): the token rides along a complete d-month-y date and
+    must not reject the string."""
+    from go_htmldate_ray.functions.patterns import lenient_absolute_parse
+
+    cases = [
+        ("24 серпня 2019 року", (2019, 8, 24)),       # uk
+        ("24 серпня 2019 р.", (2019, 8, 24)),          # uk abbr
+        ("24 sierpnia 2019 r.", (2019, 8, 24)),        # pl
+        ("24. avgusta 2019. godine", (2019, 8, 24)),   # sr/bs/hr
+        ("24 август 2019 година", (2019, 8, 24)),      # bg
+        ("2019. gada 24. augusts", (2019, 8, 24)),     # lv
+        ("2019 m. rugpjūčio 24 d.", (2019, 8, 24)),    # lt
+        ("24 de agosto del año 2019", (2019, 8, 24)),  # es
+        ("15 января 2020 года", (2020, 1, 15)),        # ru (pre-existing)
+        ("24 Ağustos 2019 yılı", (2019, 8, 24)),       # tr
+    ]
+    for s, ymd in cases:
+        dt = lenient_absolute_parse(s)
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+    # a skip word alone never creates a date
+    assert lenient_absolute_parse("року 2019") is None
+    assert lenient_absolute_parse("godine r. 2019 m.") is None
