@@ -399,6 +399,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Interval-overlap join: both sides grid-expanded, one equi-join,
         # first-shared-cell emission (exactly-once, no distinct shuffle).
         "orders_overlapping_windows": _streaming("orders_overlapping_windows"),
+        # GROUPING SETS rollup in one pass: finest partial per block,
+        # coarser levels derived from it, one Sum groupby on the
+        # composite (grouping_id, keys).
+        "events_rollup": analytics.events_rollup,
         "events_by_type": analytics.events_by_type,
         # Exact COUNT(DISTINCT) per group: local pair dedup -> pair
         # groupby -> partial-count Sum groupby.
@@ -1348,6 +1352,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "events_rollup": """
+            SELECT (CASE WHEN grouping(event_type) = 0 AND grouping(day) = 0 THEN 0
+                         WHEN grouping(event_type) = 0 THEN 1
+                         WHEN grouping(day) = 0 THEN 2
+                         ELSE 3 END)::BIGINT AS grouping_id,
+                   coalesce(event_type, '') AS event_type,
+                   coalesce(day, '') AS day,
+                   count(value)::BIGINT AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+                  FROM events)
+            GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())""",
         "events_in_windows": """
             WITH w AS (
                 SELECT i::BIGINT AS window_id,

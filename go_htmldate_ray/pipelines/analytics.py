@@ -436,3 +436,107 @@ def top_users_per_type(sf_dir: str, k: int = 3, n_buckets: int = 64):
         .groupby("bkt")
         .map_groups(rank_topk, batch_format="pyarrow")
     )
+
+
+def events_rollup(sf_dir: str):
+    """GROUPING-SETS aggregate in ONE corpus pass: (event_type, day),
+    (event_type), (day) and the grand total, each row tagged with its
+    grouping id — the OLAP rollup a dashboard reads.
+
+    Shape: every batch computes the finest (type, day) partial ONCE,
+    then derives the three coarser partials FROM that tiny table (no
+    second pass over rows); the union shuffles ≤ 4 × |distinct keys|
+    light rows per block into a single Sum groupby on the composite
+    key.  ``''`` marks a rolled-up dimension (nulls differ across
+    engines and would break the value hash)."""
+    import ray.data
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        days = pc.strftime(
+            pc.cast(batch.column("ts"), pa.timestamp("us")), format="%Y-%m-%d"
+        )
+        fine = (
+            pa.table(
+                {
+                    "event_type": batch.column("event_type"),
+                    "day": days,
+                    "value": batch.column("value"),
+                }
+            )
+            .group_by(["event_type", "day"])
+            .aggregate([("value", "sum"), ("value", "count")])
+        )
+        pieces = []
+        for gid, keys in ((0, ["event_type", "day"]), (1, ["event_type"]), (2, ["day"]), (3, [])):
+            if gid == 0:
+                # finest level IS `fine`; re-key by NAME (pyarrow's
+                # group_by output column order is not contractual)
+                t = pa.table(
+                    {
+                        "event_type": fine.column("event_type"),
+                        "day": fine.column("day"),
+                        "value_sum_sum": fine.column("value_sum"),
+                        "value_count_sum": fine.column("value_count"),
+                    }
+                )
+            elif keys:
+                t = fine.group_by(keys).aggregate(
+                    [("value_sum", "sum"), ("value_count", "sum")]
+                )
+            else:
+                t = pa.table(
+                    {
+                        "value_sum_sum": pa.array(
+                            [pc.sum(fine.column("value_sum")).as_py() or 0.0],
+                            pa.float64(),
+                        ),
+                        "value_count_sum": pa.array(
+                            [pc.sum(fine.column("value_count")).as_py() or 0],
+                            pa.int64(),
+                        ),
+                    }
+                )
+            n = t.num_rows
+            et = (
+                t.column("event_type")
+                if "event_type" in t.column_names
+                else pa.nulls(n, pa.string()).fill_null("")
+            )
+            dy = (
+                t.column("day")
+                if "day" in t.column_names
+                else pa.nulls(n, pa.string()).fill_null("")
+            )
+            pieces.append(
+                pa.table(
+                    {
+                        "grouping_id": pa.array([gid] * n, pa.int64()),
+                        "event_type": pc.cast(et, pa.string()),
+                        "day": pc.cast(dy, pa.string()),
+                        "part_sum": pc.cast(t.column("value_sum_sum"), pa.float64()),
+                        "part_count": pc.cast(t.column("value_count_sum"), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(pieces)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["grouping_id", "event_type", "day"])
+        .aggregate(*_sum_aggs())
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "grouping_id": batch.column("grouping_id"),
+                "event_type": batch.column("event_type"),
+                "day": batch.column("day"),
+                "n_events": pc.cast(batch.column("sum(part_count)"), pa.int64()),
+                "sum_value": _round2(batch.column("sum(part_sum)")),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
