@@ -418,6 +418,25 @@ def run_headline() -> dict:
         count_documents(SF_DIR) / t, 1
     )
 
+    # round-3 additions: grouping-sets rollup, grid-cell range join,
+    # full-outer snapshot delta
+    queries["events_rollup"] = round(bench_query(analytics.events_rollup), 3)
+    from go_htmldate_ray.pipelines import streaming as streaming_mod
+
+    queries["events_in_windows"] = round(
+        bench_query(streaming_mod.events_in_windows), 3
+    )
+    from go_htmldate_ray.stages import dedup as dedup_mod
+
+    queries["snapshot_diff"] = round(
+        bench_query(
+            lambda sf: dedup_mod.snapshot_diff(
+                read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+            )
+        ),
+        3,
+    )
+
     for name, (t, n) in bench_text_stage(SF_DIR).items():
         queries[f"text_{name}"] = round(t, 3)
         extra[f"text_{name}_docs_per_s"] = round(n / t, 1)
