@@ -187,6 +187,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f"{sf}/documents.parquet", columns=["doc_id", "text"]
             )
         ),
+        # CCNet head/middle/tail terciles: charlm scores -> exact
+        # 1/3, 2/3 quantile thresholds -> broadcast-scalar bucketing.
+        "ccnet_buckets": lambda sf: selection.ccnet_buckets(
+            read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ),
         # DSIR data selection (arXiv:2302.03169): hashed-unigram
         # log-likelihood-ratio weights, target = lang='en'; nano
         # fixed-point so the per-doc sum is an exact integer.
@@ -1587,22 +1594,20 @@ FROM c""",
         # stages/lm.py::charlm_nll — Laplace char-bigram NLL; codepoint
         # semantics (DuckDB length/substr) match the engine's UTF-32
         # arrays; nano floor arithmetic identical to Python math.
-        "charlm_nll": r"""
-WITH v AS (
-  SELECT count(DISTINCT substr(text, i, 1)) AS v
-  FROM (SELECT text, unnest(range(1, length(text) + 1)) AS i
-        FROM documents WHERE length(text) >= 1)),
-bg AS (
-  SELECT doc_id, substr(text, i, 1) AS a, substr(text, i + 1, 1) AS b
-  FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
-        FROM documents WHERE length(text) >= 2)),
-c1 AS (SELECT a, count(*)::BIGINT AS c FROM bg GROUP BY a),
-c2 AS (SELECT a, b, count(*)::BIGINT AS c FROM bg GROUP BY a, b)
-SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
-       sum(floor(-ln((c2.c + 1)::DOUBLE / (c1.c + v.v)::DOUBLE)
-                 * 1e9 + 0.5))::BIGINT AS nll_nano
-FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a), v
-GROUP BY bg.doc_id""",
+        "charlm_nll": _CHARLM_NLL_SQL,
+        # CCNet head/middle/tail terciles (composition of the charlm and
+        # percentile_disc oracles; v = integer per-bigram score).
+        "ccnet_buckets": f"""
+WITH nll AS ({_CHARLM_NLL_SQL}),
+scored AS (SELECT doc_id, nll_nano // n_bigrams AS v FROM nll),
+t AS (SELECT percentile_disc(1.0/3) WITHIN GROUP (ORDER BY v) AS t1,
+             percentile_disc(2.0/3) WITHIN GROUP (ORDER BY v) AS t2
+      FROM scored)
+SELECT s.doc_id,
+       CASE WHEN s.v <= t.t1 THEN 'head'
+            WHEN s.v <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s, t""",
         # stages/selection.py::dsir_weights — Laplace-smoothed hashed-
         # unigram log ratios (target = lang='en') in integer nanos;
         # ln/floor arithmetic identical to Python math.log/floor.
@@ -1653,6 +1658,24 @@ GROUP BY lang.pred_lang""",
         # corpus rows → rows-only by necessity (byte parity is gated in
         # tests/test_golden_corpus.py).
     }
+
+
+_CHARLM_NLL_SQL = r"""
+WITH v AS (
+  SELECT count(DISTINCT substr(text, i, 1)) AS v
+  FROM (SELECT text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents WHERE length(text) >= 1)),
+bg AS (
+  SELECT doc_id, substr(text, i, 1) AS a, substr(text, i + 1, 1) AS b
+  FROM (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+        FROM documents WHERE length(text) >= 2)),
+c1 AS (SELECT a, count(*)::BIGINT AS c FROM bg GROUP BY a),
+c2 AS (SELECT a, b, count(*)::BIGINT AS c FROM bg GROUP BY a, b)
+SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(floor(-ln((c2.c + 1)::DOUBLE / (c1.c + v.v)::DOUBLE)
+                 * 1e9 + 0.5))::BIGINT AS nll_nano
+FROM bg JOIN c2 USING (a, b) JOIN c1 USING (a), v
+GROUP BY bg.doc_id"""
 
 
 # --- generated oracle SQL ----------------------------------------------------

@@ -174,3 +174,48 @@ def dsir_select(
         .sort(key=["weight_nano", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def ccnet_buckets(ds):
+    """CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): documents
+    bucketed by per-bigram LM score terciles — head = best (lowest
+    perplexity) third, the slice CCNet keeps by default.
+
+    Composition of two verified operators: :func:`~go_htmldate_ray.
+    stages.lm.charlm_nll` scores each doc (exact integer nanos;
+    ``v = nll_nano // n_bigrams`` keeps the order key integral), the
+    exact-quantile operator finds the 1/3 and 2/3 thresholds
+    (percentile_disc semantics), and a broadcast-scalar batch map
+    assigns buckets.  The scored (doc_id, v) table is materialized once
+    — two int64 columns — so the model pass runs once, not twice."""
+    from .lm import charlm_nll
+    from .quantiles import exact_quantiles
+
+    scored = charlm_nll(ds)
+
+    def add_v(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        nll = np.asarray(batch.column("nll_nano"), dtype=np.int64)
+        n = np.maximum(np.asarray(batch.column("n_bigrams"), dtype=np.int64), 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "v": pa.array(nll // n, pa.int64()),
+            }
+        )
+
+    light = scored.map_batches(add_v, batch_format="pyarrow").materialize()
+    qdf = exact_quantiles(light, "v", [1 / 3, 2 / 3])
+    t1, t2 = sorted(int(v) for v in qdf["value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column("v")
+        b = pc.if_else(
+            pc.less_equal(v, t1),
+            pa.scalar("head"),
+            pc.if_else(pc.less_equal(v, t2), pa.scalar("middle"), pa.scalar("tail")),
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "bucket": b})
+
+    return light.map_batches(bucket, batch_format="pyarrow")

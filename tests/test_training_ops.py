@@ -842,3 +842,21 @@ def test_snapshot_diff_statuses(ray_session):
     ghosts = {d for d in by_id if d >= 10_000_000}
     assert ghosts == {i + 10_000_000 for i in range(n_docs) if i % 23 == 5}
     assert all(by_id[g] == "gone" for g in ghosts)
+
+
+def test_ccnet_buckets_terciles(ray_session):
+    from collections import Counter
+
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.selection import ccnet_buckets
+
+    ds = read_parquet_clean(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = ccnet_buckets(ds).take_all()
+    assert len(rows) == 500
+    counts = Counter(r["bucket"] for r in rows)
+    assert set(counts) == {"head", "middle", "tail"}
+    # terciles: each bucket within a couple of ties of n/3
+    for b, n in counts.items():
+        assert abs(n - 500 / 3) < 20, counts
