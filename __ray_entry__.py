@@ -223,6 +223,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             default_rate=0.1,
             seed=7,
         ).select_columns(["doc_id", "lang"]),
+        # mT5/XLM-R temperature sampling (alpha=0.5): per-language keep
+        # rate sqrt(c_min/c_l) in exact ppm, md5 keep rule.
+        "sample_temperature": lambda sf: sampling.temperature_sample(
+            _docs(sf), alpha=0.5, seed=7
+        ).select_columns(["doc_id", "lang"]),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         # Incremental crawl dedup: today's docs (id >= 100) whose exact
         # content is absent from the id < 100 snapshot — one bucketed
@@ -1236,6 +1241,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('7:' || doc_id), 1, 16))::UBIGINT >> 1
                   < CASE WHEN lang = 'en' THEN {int(0.5 * (1 << 63))}::UBIGINT
                          ELSE {int(0.1 * (1 << 63))}::UBIGINT END""",
+        "sample_temperature": """
+            WITH c AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY lang),
+            m AS (SELECT min(c) AS cmin FROM c),
+            r AS (SELECT lang,
+                         floor(1000000 * sqrt(m.cmin::DOUBLE / c.c::DOUBLE) + 0.5)::BIGINT AS t
+                  FROM c, m)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE ((('0x' || substr(md5('7:' || d.doc_id), 1, 16))::UBIGINT >> 1)
+                   % 1000000)::BIGINT < r.t""",
         "token_jaccard_pairs": r"""
             WITH toks AS (
                 SELECT doc_id,

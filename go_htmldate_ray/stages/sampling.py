@@ -232,3 +232,52 @@ def weighted_sample(ds, *, weight_col: str, k: int, seed: int = 7, id_col: str =
             id_col: pd.array([r[id_col] for r in top], dtype="int64"),
         }
     )
+
+
+def temperature_sample(ds, *, alpha: float = 0.5, seed: int = 42, lang_col: str = "lang", id_col: str = "doc_id"):
+    """Multilingual temperature sampling (mT5 / XLM-R corpus
+    rebalancing): downsample high-resource languages so the kept corpus
+    approaches the alpha-tempered distribution q_l ∝ p_l^alpha.
+
+    The per-language keep rate that maps p → q while keeping the
+    LOWEST-resource language intact is r_l = (c_min / c_l)^(1-alpha);
+    at the canonical alpha = 0.5 that is sqrt(c_min / c_l) — a single
+    IEEE sqrt both the engine and a SQL oracle evaluate bit-identically.
+    Rates quantize to ppm (floor(x·10⁶ + 0.5)) and the keep decision is
+    an integer compare of md5(seed:id) mod 10⁶ — no float boundary can
+    flip between engines.
+
+    Shape: one tiny language-count groupby (≤ n_langs rows to the
+    driver), then a stateless broadcast-threshold filter pass."""
+    import math
+
+    counts = {
+        r[lang_col]: r["count()"]
+        for r in ds.groupby(lang_col).count().take_all()
+    }
+    if not counts:
+        return ds
+    c_min = min(counts.values())
+
+    def _rate(c: int) -> float:
+        # alpha = 0.5 → correctly-rounded IEEE sqrt (bit-identical to
+        # SQL sqrt); generic alpha falls back to pow
+        if alpha == 0.5:
+            return math.sqrt(c_min / c)
+        return (c_min / c) ** (1.0 - alpha)
+
+    thresholds = {
+        lang: int(math.floor(1_000_000 * _rate(c) + 0.5))
+        for lang, c in counts.items()
+    }
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        langs = batch.column(lang_col).to_pylist()
+        keep = [
+            _keep_hash(seed, i) % 1_000_000 < thresholds.get(lg, 0)
+            for i, lg in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -860,3 +860,34 @@ def test_ccnet_buckets_terciles(ray_session):
     # terciles: each bucket within a couple of ties of n/3
     for b, n in counts.items():
         assert abs(n - 500 / 3) < 20, counts
+
+
+def test_temperature_sample_rebalances(ray_session):
+    from collections import Counter
+
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.sampling import temperature_sample
+
+    ds = read_parquet_clean(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang"]
+    )
+    before = Counter(r["lang"] for r in ds.take_all())
+    kept = Counter(
+        r["lang"] for r in temperature_sample(ds, alpha=0.5, seed=7).take_all()
+    )
+    c_min = min(before.values())
+    rarest = min(before, key=before.get)
+    # the lowest-resource language is kept (almost) intact
+    assert kept[rarest] >= before[rarest] * 0.8
+    # per-language keep rates track sqrt(c_min / c) within sampling noise
+    import math
+
+    for lang, c in before.items():
+        expect = math.sqrt(c_min / c)
+        got = kept.get(lang, 0) / c
+        assert abs(got - expect) < 0.25, (lang, got, expect)
+    # determinism
+    again = Counter(
+        r["lang"] for r in temperature_sample(ds, alpha=0.5, seed=7).take_all()
+    )
+    assert again == kept
