@@ -19,10 +19,22 @@ from typing import Optional
 import ray
 
 
-def parse_robots(text: str) -> list[tuple[str, str]]:
-    """Parse robots.txt → [(verb, path_prefix)] for User-agent: *."""
-    rules: list[tuple[str, str]] = []
-    applies = False
+def parse_robots(text: str, agent: str | None = None) -> list[tuple[str, str]]:
+    """Parse robots.txt → [(verb, path_pattern)] for the applicable
+    User-agent group.
+
+    RFC 9309 group selection: when ``agent`` is given and any group's
+    agent token is a case-insensitive prefix of it, the rules of ALL
+    such specific groups apply and the ``*`` groups are IGNORED;
+    otherwise the ``*`` groups apply (the default, and the previous
+    behavior when ``agent`` is None).  Consecutive ``User-agent`` lines
+    share one group, per the spec."""
+    agent_lc = (agent or "").lower()
+    star_rules: list[tuple[str, str]] = []
+    agent_rules: list[tuple[str, str]] = []
+    group_star = False
+    group_agent = False
+    in_agent_lines = False
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -31,10 +43,23 @@ def parse_robots(text: str) -> list[tuple[str, str]]:
         key = key.strip().lower()
         value = value.strip()
         if key == "user-agent":
-            applies = value == "*"
-        elif applies and key in ("allow", "disallow") and value:
-            rules.append((key, value))
-    return rules
+            if not in_agent_lines:  # a new group starts
+                group_star = False
+                group_agent = False
+            in_agent_lines = True
+            token = value.lower()
+            if token == "*":
+                group_star = True
+            elif agent_lc and agent_lc.startswith(token):
+                group_agent = True
+        else:
+            in_agent_lines = False
+            if key in ("allow", "disallow") and value:
+                if group_agent:
+                    agent_rules.append((key, value))
+                if group_star:
+                    star_rules.append((key, value))
+    return agent_rules if agent_rules else star_rules
 
 
 def parse_crawl_delay(text: str) -> float:

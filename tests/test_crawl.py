@@ -692,3 +692,40 @@ def test_canonicalize_percent_encoding():
     b = canonicalize("https://h.org/~doc-set/x")
     assert a == b
     assert url_hash(a) == url_hash(b)
+
+
+def test_robots_agent_group_selection():
+    """RFC 9309 group selection: a matching specific group overrides *;
+    consecutive User-agent lines share a group; default stays *."""
+    from go_htmldate_ray.state.robots import allowed, parse_robots
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /all/\n"
+        "\n"
+        "User-agent: FancyBot\n"
+        "User-agent: go-htmldate-ray\n"  # consecutive lines, one group
+        "Disallow: /mine/\n"
+        "Allow: /all/\n"
+        "\n"
+        "User-agent: other\n"
+        "Disallow: /other/\n"
+    )
+    # default (no agent): * group only — previous behavior
+    star = parse_robots(txt)
+    assert not allowed("/all/x", star)
+    assert allowed("/mine/x", star)
+
+    # matching agent (product-token prefix, case-insensitive): its
+    # group applies, * is ignored
+    mine = parse_robots(txt, agent="Go-Htmldate-Ray/1.0")
+    assert not allowed("/mine/x", mine)
+    assert allowed("/all/x", mine)  # Allow in the specific group
+    assert allowed("/other/x", mine)
+
+    # shared group: FancyBot gets the same rules
+    assert parse_robots(txt, agent="FancyBot") == mine
+
+    # non-matching agent falls back to *
+    fallback = parse_robots(txt, agent="SomethingElse")
+    assert fallback == star
