@@ -364,6 +364,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _embeddings(sf), query_ids=list(range(8)), k=5,
             n_centroids=16, n_probe=4,
         ),
+        # PQ/ADC compressed scan (Jégou et al.): m sub-codes per vector,
+        # query scores = per-subspace lookup-table sums (rounded 9dp).
+        "ann_pq_topk": lambda sf: similarity.pq_topk(
+            _embeddings(sf), query_ids=list(range(8)), k=5, m=16, n_codes=64
+        ),
         "embedding_dup_pairs": lambda sf: similarity.embedding_dup_pairs(
             _embeddings(sf), threshold=0.4
         ),
@@ -1654,6 +1659,7 @@ FROM lang JOIN q USING (doc_id) JOIN k USING (doc_id)
 GROUP BY lang.pred_lang""",
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_pq_topk": _ann_pq_sql(m=16, n_codes=64),
         "embedding_dup_pairs_lsh": f"""
             WITH aug AS (
                 SELECT vec_id, embedding FROM embeddings
@@ -2082,6 +2088,71 @@ scored AS (
 ranked AS (
   SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rnk
   FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM ranked WHERE rnk <= {k}"""
+
+
+def _ann_pq_sql(m: int = 4, n_codes: int = 16, k: int = 5) -> str:
+    # PQ / ADC search recomputed in SQL from the trained codebook
+    # literals (deterministic per-subspace L2 k-means over the
+    # vec_id-sorted fixture sample — the IVF centroid-literal pattern).
+    # Encoding (argmin sub-distance, ties -> lowest code), the per-
+    # subspace lookup contributions and their 9-decimal-rounded sum all
+    # mirror stages/similarity.pq_topk; ranking ties break by id.
+    import numpy as np
+
+    from go_htmldate_ray.stages.similarity import _l2_kmeans
+
+    mat = _fixture_embedding_matrix(max_vec_id=2048)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    dim = mat.shape[1]
+    dsub = dim // m
+    cb_rows = []
+    for s in range(m):
+        cents = _l2_kmeans(mat[:, s * dsub : (s + 1) * dsub], n_codes)
+        for code in range(len(cents)):
+            vals = ",".join(repr(float(x)) for x in cents[code])
+            cb_rows.append(f"({s}, {code}, [{vals}]::DOUBLE[])")
+    cb_values = ", ".join(cb_rows)
+    return f"""
+WITH cb(s, code, cv) AS (VALUES {cb_values}),
+vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+             x -> x / sqrt(list_inner_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS e
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, sq.s, e[sq.s * {dsub} + 1 : (sq.s + 1) * {dsub}] AS xs
+  FROM vecs, (SELECT unnest(range(0, {m})) AS s) sq
+),
+dist AS (
+  SELECT d.vec_id, d.s, c.code,
+         list_inner_product(d.xs, d.xs) - 2 * list_inner_product(d.xs, c.cv)
+             + list_inner_product(c.cv, c.cv) AS d2
+  FROM subs d JOIN cb c ON c.s = d.s
+),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+contrib AS (
+  SELECT q.vec_id AS qid, x.vec_id AS nid, list_inner_product(q.xs, c2.cv) AS part
+  FROM subs q
+  JOIN codes x ON x.s = q.s AND x.vec_id != q.vec_id
+  JOIN cb c2 ON c2.s = x.s AND c2.code = x.code
+  WHERE q.vec_id < 8
+),
+scores AS (SELECT qid, nid, round(sum(part), 9) AS sc FROM contrib GROUP BY qid, nid),
+ranked AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid ASC) AS rnk
+  FROM scores
 )
 SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM ranked WHERE rnk <= {k}"""
 

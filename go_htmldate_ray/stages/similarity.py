@@ -721,3 +721,135 @@ def kmeans_assign(
     return ds.select_columns(["vec_id", "embedding"]).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+# --- product quantization (PQ) -----------------------------------------------
+
+
+def _l2_kmeans(mat: np.ndarray, n_codes: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Euclidean Lloyd's over a sub-vector sample (fixed
+    seed, argmin ties → lowest code) — the per-subspace PQ trainer."""
+    rng = np.random.RandomState(7)
+    cents = mat[rng.choice(len(mat), size=min(n_codes, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_codebooks(
+    ds, *, m: int = 4, n_codes: int = 16, sample_rows: int = 2048, iters: int = 5
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al., TPAMI 2011): the bounded
+    vec_id-sorted sample (the IVF sampling discipline) is L2-normalized,
+    split into ``m`` contiguous subspaces, and each subspace gets its
+    own deterministic k-means codebook → array (m, n_codes, dim/m).
+    Pure function of (data, seed): the SQL oracle reuses the trained
+    books as literals, like the IVF centroid pattern."""
+    sample = (
+        ds.map_batches(
+            lambda b: b.filter(pc.less(b.column("vec_id"), sample_rows)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["vec_id", "embedding"])
+        .take_all()
+    )
+    if not sample:
+        sample = ds.select_columns(["vec_id", "embedding"]).limit(sample_rows).take_all()
+    if not sample:
+        raise ValueError("pq_codebooks: embeddings dataset is empty")
+    sample.sort(key=lambda r: r["vec_id"])
+    mat = np.asarray([r["embedding"] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat /= norms
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [_l2_kmeans(mat[:, s * dsub : (s + 1) * dsub], n_codes, iters) for s in range(m)]
+    )
+
+
+def _pq_encode(emb: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Normalized vectors → (n, m) code matrix (argmin L2 per subspace,
+    ties → lowest code)."""
+    m, n_codes, dsub = books.shape
+    codes = np.empty((len(emb), m), dtype=np.int64)
+    for s in range(m):
+        xs = emb[:, s * dsub : (s + 1) * dsub]
+        d2 = (
+            (xs * xs).sum(axis=1, keepdims=True)
+            - 2.0 * (xs @ books[s].T)
+            + (books[s] * books[s]).sum(axis=1)[None, :]
+        )
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_topk(ds, query_ids: list[int], k: int = 5, *, m: int = 4, n_codes: int = 16):
+    """PQ-compressed approximate cosine top-k (asymmetric distance
+    computation): each vector is stored as ``m`` sub-codes; a query
+    scores a candidate as the sum of per-subspace ``q_s · codebook``
+    lookup-table entries — the memory-bound scan reads m bytes per
+    vector instead of the full float row.
+
+    Scores round to 9 decimals before ranking (identical-code vectors
+    tie exactly; sub-nano float-order noise collapses into the
+    vec_id tie-break), making the ranking SQL-recomputable from the
+    trained codebook literals.  Exact-recall behavior is covered by
+    pytest against brute force."""
+    import ray
+
+    qids, qmat = _query_matrix(ds, query_ids)
+    books = pq_codebooks(ds, m=m, n_codes=n_codes)
+    mm, _, dsub = books.shape
+    # per-query lookup tables: luts[q, s, code] = q_s · books[s, code]
+    luts = np.stack(
+        [qmat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(mm)], axis=1
+    )
+    ref = ray.put((books, luts))
+
+    def encode_and_score(batch: pa.Table) -> pa.Table:
+        books_l, luts_l = ray.get(ref)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = _list_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        codes = _pq_encode(emb / norms, books_l)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            # fixed s-order accumulation (matches the oracle's rounding)
+            score = np.zeros(len(vec_ids))
+            for s in range(books_l.shape[0]):
+                score = score + luts_l[qi, s][codes[:, s]]
+            score = np.round(score, 9)
+            mask = vec_ids != qid
+            cand_ids, cand_s = vec_ids[mask], score[mask]
+            if len(cand_ids) > k:
+                # quantized scores tie OFTEN (same code = same score):
+                # the k-boundary cut must tie-break by id deterministically
+                # or the partial drops different tied candidates than the
+                # oracle's ORDER BY score DESC, id ASC
+                sel = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids, cand_s = cand_ids[sel], cand_s[sel]
+            out_q.extend([qid] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_c.extend(cand_s.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(encode_and_score, batch_format="pyarrow", batch_size=1024)
+    return partials.groupby("query_id").map_groups(
+        lambda g: _merge_topk(g, k), batch_format="pyarrow"
+    )

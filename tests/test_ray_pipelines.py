@@ -1733,3 +1733,36 @@ def test_interval_overlap_join_vs_bruteforce(ray_session):
         ).take_all()
         assert {(r["lid"], r["rid"]) for r in got} == expect
         assert len(got) == len(expect)  # first-shared-cell rule: no dups
+
+
+def test_pq_topk_recall_and_determinism(ray_session):
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.similarity import brute_force_topk, pq_topk
+
+    ds = read_parquet_clean("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(8))
+    exact = {}
+    for r in brute_force_topk(ds, qids, k=5).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in pq_topk(ds, qids, k=5, m=16, n_codes=64).take_all():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    assert set(got) == set(exact)
+    assert all(len(v) == 5 for v in got.values())
+    # compressed scan keeps useful recall on the smooth fixture
+    recall = sum(len(got[q] & exact[q]) for q in exact) / (5 * len(exact))
+    assert recall >= 0.4, recall
+
+    # deterministic across runs (fixed seeds + rounded ADC ties)
+    again = {}
+    for r in pq_topk(ds, qids, k=5, m=16, n_codes=64).take_all():
+        again.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert again == got
+
+    # more codes -> at least comparable recall (sanity of the trainer)
+    finer = {}
+    for r in pq_topk(ds, qids, k=5, m=16, n_codes=128).take_all():
+        finer.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall_finer = sum(len(finer[q] & exact[q]) for q in exact) / (5 * len(exact))
+    assert recall_finer >= recall - 0.1, (recall, recall_finer)
