@@ -448,26 +448,26 @@ def host_link_edges(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from .. import dom
+    from ..state.urls import host_of
 
     pages = read_pages(sf_dir)
 
-    _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)"
-
     def partial(batch: pa.Table) -> pa.Table:
-        import re
-
         counts: Counter = Counter()
         urls = batch.column("url").to_pylist()
         for url, html in zip(urls, batch.column("html").to_pylist()):
-            m = re.match(_HOST_RE, url or "")
-            src = m.group("host") if m else ""
+            # host_of (urlsplit hostname) lowercases — the SAME host
+            # identity the frontier / politeness / host_page_counts use;
+            # a local regex would split Site5 vs site5 into two edges
+            src = host_of(url or "")
             tree = dom.parse_html(html or b"")
             for el in tree.iter_elements():
                 if el.tag == "a":
                     href = el.attr("href")
-                    dm = re.match(_HOST_RE, href or "")
-                    if dm is not None:
-                        counts[(src, dm.group("host"))] += 1
+                    if href:
+                        dst = host_of(href)
+                        if dst:
+                            counts[(src, dst)] += 1
         if not counts:
             return pa.table(
                 {

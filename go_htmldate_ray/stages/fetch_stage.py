@@ -93,10 +93,15 @@ class HttpFetcher:
                 return body, meta
         except urllib.error.HTTPError as e:
             if e.code == 304:
+                # RFC 9110 §15.4.5: a 304 may carry UPDATED validators
+                # (rotated ETag, refreshed Last-Modified) — persist those,
+                # falling back to the request's, or the next cycle
+                # revalidates with stale values and forces a full refetch
                 return None, {
                     "status": self.NOT_MODIFIED,
-                    "etag": etag,
-                    "last_modified": last_modified,
+                    "etag": e.headers.get("ETag") or etag,
+                    "last_modified": e.headers.get("Last-Modified")
+                    or last_modified,
                 }
             return None
         except (urllib.error.URLError, TimeoutError, OSError, ValueError):

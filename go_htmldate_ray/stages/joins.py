@@ -504,12 +504,12 @@ def range_join(
     _us = _ts_us
 
     def stamp_left(batch: pa.Table) -> pa.Table:
-        ts = _us(batch.column(left_ts))
-        # integer divide (epoch-µs are positive, so trunc == floor)
-        cell = pc.cast(
-            pc.divide(ts, pa.scalar(grid_us, pa.int64())), pa.int64()
-        )
-        return batch.append_column(_CELL, cell)
+        # numpy floor division: matches _expand_cells for pre-epoch
+        # (negative) timestamps too — Arrow's divide truncates toward
+        # zero, which would stamp cell 0 for ts in (-grid, 0)
+        ts = np.asarray(_us(batch.column(left_ts)), dtype=np.int64)
+        cell = ts // grid_us
+        return batch.append_column(_CELL, pa.array(cell, pa.int64()))
 
     def expand_right(batch: pa.Table) -> pa.Table:
         return _expand_cells(batch, right_start, right_end, grid_us)
@@ -561,9 +561,13 @@ def interval_overlap_join(
         rs = _ts_us(batch.column(right_start))
         re = _ts_us(batch.column(right_end))
         overlap = pc.and_(pc.less(ls, re), pc.less(rs, le))
-        g = pa.scalar(grid_us, pa.int64())
-        first_shared = pc.max_element_wise(
-            pc.divide(ls, g), pc.divide(rs, g)
+        # floor division in numpy: Arrow divide truncates toward zero,
+        # which would disagree with _expand_cells' flooring for
+        # pre-epoch (negative) starts and silently drop those pairs
+        ls_np = np.asarray(ls, dtype=np.int64)
+        rs_np = np.asarray(rs, dtype=np.int64)
+        first_shared = pa.array(
+            np.maximum(ls_np // grid_us, rs_np // grid_us), pa.int64()
         )
         once = pc.equal(batch.column(_CELL), first_shared)
         return batch.filter(pc.and_(overlap, once)).drop_columns([_CELL])

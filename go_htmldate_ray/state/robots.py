@@ -25,13 +25,16 @@ def parse_robots(text: str, agent: str | None = None) -> list[tuple[str, str]]:
 
     RFC 9309 group selection: when ``agent`` is given and any group's
     agent token is a case-insensitive prefix of it, the rules of ALL
-    such specific groups apply and the ``*`` groups are IGNORED;
-    otherwise the ``*`` groups apply (the default, and the previous
-    behavior when ``agent`` is None).  Consecutive ``User-agent`` lines
-    share one group, per the spec."""
+    such specific groups apply and the ``*`` groups are IGNORED — even
+    when those specific groups carry no rules (the standard
+    "Disallow:" carve-out means the named crawler may fetch
+    everything); otherwise the ``*`` groups apply (the default, and the
+    previous behavior when ``agent`` is None).  Consecutive
+    ``User-agent`` lines share one group, per the spec."""
     agent_lc = (agent or "").lower()
     star_rules: list[tuple[str, str]] = []
     agent_rules: list[tuple[str, str]] = []
+    matched_specific = False  # a specific group matched, rules or not
     group_star = False
     group_agent = False
     in_agent_lines = False
@@ -50,8 +53,11 @@ def parse_robots(text: str, agent: str | None = None) -> list[tuple[str, str]]:
             token = value.lower()
             if token == "*":
                 group_star = True
-            elif agent_lc and agent_lc.startswith(token):
+            elif token and agent_lc.startswith(token):
+                # empty tokens (malformed "User-agent:") must NOT match
+                # everything via startswith("")
                 group_agent = True
+                matched_specific = True
         else:
             in_agent_lines = False
             if key in ("allow", "disallow") and value:
@@ -59,7 +65,7 @@ def parse_robots(text: str, agent: str | None = None) -> list[tuple[str, str]]:
                     agent_rules.append((key, value))
                 if group_star:
                     star_rules.append((key, value))
-    return agent_rules if agent_rules else star_rules
+    return agent_rules if matched_specific else star_rules
 
 
 def parse_crawl_delay(text: str) -> float:
@@ -158,11 +164,17 @@ class RobotsCache:
     crawler behavior — and the outcome is cached either way, so each
     host costs at most one robots request per crawl."""
 
-    def __init__(self, http_base: str | None = None, timeout: float = 10.0):
+    def __init__(
+        self,
+        http_base: str | None = None,
+        timeout: float = 10.0,
+        agent: str = "go-htmldate-ray-crawler",
+    ):
         self.rules: dict[str, list[tuple[str, str]]] = {}
         self.delays: dict[str, float] = {}
         self.http_base = http_base.rstrip("/") if http_base else None
         self.timeout = timeout
+        self.agent = agent
 
     def _robots_text(self, host: str) -> str:
         if self.http_base is None:
@@ -173,7 +185,7 @@ class RobotsCache:
             with urlopen(
                 Request(
                     f"{self.http_base}/{host}/robots.txt",
-                    headers={"User-Agent": "go-htmldate-ray-crawler"},
+                    headers={"User-Agent": self.agent},
                 ),
                 timeout=self.timeout,
             ) as resp:
@@ -186,7 +198,9 @@ class RobotsCache:
     def _fetch(self, host: str) -> None:
         if host not in self.rules:
             text = self._robots_text(host)
-            self.rules[host] = parse_robots(text)
+            # agent-aware group selection: a site addressing this
+            # crawler by name gets its specific group honored
+            self.rules[host] = parse_robots(text, agent=self.agent)
             self.delays[host] = parse_crawl_delay(text)
 
     def get_rules(self, hosts: list[str]) -> dict[str, list[tuple[str, str]]]:

@@ -52,7 +52,10 @@ def canonicalize(url: str) -> str:
         netloc = f"{host}:{port}"
     else:
         netloc = host
-    path = _norm_pct(_resolve_dots(parts.path)) or "/"
+    # RFC 3986 §6.2.2.3: percent-decode (unreserved) BEFORE dot-segment
+    # removal — '%2E%2E' must resolve as '..' so one resource yields one
+    # frontier identity and canonicalize() is idempotent.
+    path = _resolve_dots(_norm_pct(parts.path)) or "/"
     return urlunsplit((scheme, netloc, path, _norm_pct(parts.query), ""))
 
 

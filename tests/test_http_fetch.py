@@ -258,3 +258,41 @@ def test_conditional_fetch_roundtrip(cond_server):
     # plain fetch() is unchanged by the refactor
     assert fetcher.fetch(url) == PAGE
     assert fetcher.fetch(f"{cond_server}/missing.html") is None
+
+
+class _RotatingETagHandler(BaseHTTPRequestHandler):
+    """304 responses carry an UPDATED ETag (RFC 9110 allows it)."""
+
+    def do_GET(self):
+        if self.headers.get("If-None-Match") == '"old"':
+            self.send_response(304)
+            self.send_header("ETag", '"new"')
+            self.send_header("Last-Modified", "Wed, 06 Mar 2024 00:00:00 GMT")
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(PAGE)))
+        self.send_header("ETag", '"old"')
+        self.end_headers()
+        self.wfile.write(PAGE)
+
+    def log_message(self, *args):
+        pass
+
+
+def test_304_returns_updated_validators():
+    httpd = HTTPServer(("127.0.0.1", 0), _RotatingETagHandler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        fetcher = HttpFetcher(timeout=5)
+        url = f"http://127.0.0.1:{httpd.server_port}/p.html"
+        body, meta = fetcher.fetch_conditional(url)
+        assert meta["etag"] == '"old"'
+        body2, meta2 = fetcher.fetch_conditional(url, etag='"old"')
+        assert body2 is None and meta2["status"] == HttpFetcher.NOT_MODIFIED
+        # the rotated validator from the 304 is persisted, not the stale one
+        assert meta2["etag"] == '"new"'
+        assert meta2["last_modified"] == "Wed, 06 Mar 2024 00:00:00 GMT"
+    finally:
+        httpd.shutdown()

@@ -1766,3 +1766,75 @@ def test_pq_topk_recall_and_determinism(ray_session):
         finer.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recall_finer = sum(len(finer[q] & exact[q]) for q in exact) / (5 * len(exact))
     assert recall_finer >= recall - 0.1, (recall, recall_finer)
+
+
+def test_interval_joins_pre_epoch_timestamps(ray_session):
+    """Floor-division consistency: spans/points before 1970 (negative
+    epoch-µs) must join exactly like positive ones."""
+    import numpy as np
+    import ray.data
+
+    from go_htmldate_ray.stages.joins import interval_overlap_join, range_join
+
+    day = 86_400 * 1_000_000
+    # left spans centered around the epoch, incl. fully-negative ones
+    ls = np.array([-3, -2, -1, 0, 1]) * day + day // 4
+    lw = np.array([1, 1, 1, 1, 1]) * day // 2
+    rs = np.array([-3, -1, 0]) * day
+    rw = np.array([2, 1, 2]) * day
+    left = pa.table(
+        {
+            "lid": pa.array(np.arange(5), pa.int64()),
+            "s1": pa.array(ls, pa.timestamp("us")),
+            "e1": pa.array(ls + lw, pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array(np.arange(3), pa.int64()),
+            "s2": pa.array(rs, pa.timestamp("us")),
+            "e2": pa.array(rs + rw, pa.timestamp("us")),
+        }
+    )
+    expect = {
+        (i, j)
+        for i in range(5)
+        for j in range(3)
+        if ls[i] < rs[j] + rw[j] and rs[j] < ls[i] + lw[i]
+    }
+    got = interval_overlap_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        left_start="s1",
+        left_end="e1",
+        right_start="s2",
+        right_end="e2",
+        grid_us=day,
+        n_buckets=4,
+    ).take_all()
+    assert {(r["lid"], r["rid"]) for r in got} == expect
+    assert len(got) == len(expect)
+
+    # point-in-interval with negative point timestamps
+    pts = pa.table(
+        {
+            "pid": pa.array(np.arange(5), pa.int64()),
+            "ts": pa.array(ls, pa.timestamp("us")),
+        }
+    )
+    expect_pts = {
+        (i, j)
+        for i in range(5)
+        for j in range(3)
+        if rs[j] <= ls[i] < rs[j] + rw[j]
+    }
+    got_pts = range_join(
+        ray.data.from_arrow(pts),
+        ray.data.from_arrow(right),
+        left_ts="ts",
+        right_start="s2",
+        right_end="e2",
+        grid_us=day,
+        n_buckets=4,
+    ).take_all()
+    assert {(r["pid"], r["rid"]) for r in got_pts} == expect_pts
