@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Host connectivity from REAL page parses: DOM anchor extraction
         # -> per-batch pair-count partials -> one small Sum groupby.
         "host_link_edges": ed.host_link_edges,
+        # Anchor-text aggregation per target URL from REAL page parses:
+        # (dst, anchor) partial counts -> Sum groupby -> tiny per-dst
+        # finalize (rows per group = distinct anchors, not inlinks).
+        "anchor_texts": ed.anchor_text_summary,
         # Corpus temporal profile: full extraction cascade -> per-year
         # partial counts -> tiny Sum groupby.
         "date_year_histogram": ed.date_year_histogram,
@@ -895,6 +899,22 @@ def oracle_sql() -> dict[str, str]:
                    'site' || (t % 97) || '.example.org' AS dst_host,
                    count(*)::BIGINT AS n_links
             FROM e GROUP BY 1, 2""",
+        # Every synthesized anchor for target t reads 'related <t>', so
+        # the per-target summary collapses to count(*) inlinks with one
+        # distinct anchor string; the URL is the page_url formula over t.
+        "anchor_texts": f"""
+            WITH e AS (
+                SELECT (doc_id*13+1) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+                UNION ALL
+                SELECT (doc_id*29+7) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+            )
+            SELECT {_URL_SQL.replace("doc_id", "t")} AS dst_url,
+                   count(*)::BIGINT AS n_inlinks,
+                   1::BIGINT AS n_anchor_texts,
+                   'related ' || t AS top_anchor
+            FROM e GROUP BY t""",
         "chunk_documents": r"""
             WITH s AS (
                 SELECT unnest(generate_series(

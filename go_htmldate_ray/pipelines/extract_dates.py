@@ -500,3 +500,92 @@ def host_link_edges(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+def anchor_text_summary(sf_dir: str):
+    """Per-target anchor-text aggregation from REAL page parses — the
+    classic web-index signal (anchor text describes the *target* page
+    better than the page itself; every large-scale indexer aggregates
+    it per URL before ranking).
+
+    For every ``<a href>`` in the corpus emit ``(dst_url, anchor_text)``
+    and aggregate per target URL:
+
+      ``n_inlinks``       total anchors pointing at the URL
+      ``n_anchor_texts``  distinct anchor strings used for it
+      ``top_anchor``      most-frequent anchor text (ties broken by the
+                          lexicographically smallest string), i.e. the
+                          title a search index would surface
+
+    Shape: parse → per-batch ``(dst, anchor)`` Counter partials (counts
+    pre-combined per block, so a mega-inlinked homepage collapses to one
+    row per distinct anchor per block) → ONE ``groupby(dst, anchor)``
+    Sum → per-dst finalize.  The finalize groups carry one row per
+    *distinct anchor string*, not per inlink, so group size is bounded
+    by anchor vocabulary (small in practice) even for the hottest URL;
+    an adversarial URL with millions of distinct anchors would need the
+    same star-sampling cap the LSH buckets use (documented, not needed
+    here).
+    """
+    return anchor_summary_from_pages(read_pages(sf_dir))
+
+
+def anchor_summary_from_pages(pages):
+    """Core of :func:`anchor_text_summary` over any pages Dataset with
+    an ``html`` binary column (tested directly on constructed pages)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .. import dom
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for html in batch.column("html").to_pylist():
+            tree = dom.parse_html(html or b"")
+            for el in tree.iter_elements():
+                if el.tag == "a":
+                    href = el.attr("href")
+                    if href:
+                        # single-space-normalized anchor text: the DOM
+                        # text_content of the <a> element
+                        txt = " ".join(el.text_content().split())
+                        counts[(href, txt)] += 1
+        if not counts:
+            return pa.table(
+                {
+                    "dst_url": pa.array([], pa.string()),
+                    "anchor_text": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        dsts, txts = zip(*counts.keys())
+        return pa.table(
+            {
+                "dst_url": pa.array(list(dsts), pa.string()),
+                "anchor_text": pa.array(list(txts), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        dst = group.column("dst_url")[0].as_py()
+        anchors = group.column("anchor_text").to_pylist()
+        ns = group.column("sum(n)").to_pylist()
+        top = min(zip(anchors, ns), key=lambda p: (-p[1], p[0]))[0]
+        return pa.table(
+            {
+                "dst_url": pa.array([dst], pa.string()),
+                "n_inlinks": pa.array([int(sum(ns))], pa.int64()),
+                "n_anchor_texts": pa.array([len(anchors)], pa.int64()),
+                "top_anchor": pa.array([top], pa.string()),
+            }
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dst_url", "anchor_text"])
+        .aggregate(Sum("n"))
+        .groupby("dst_url")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

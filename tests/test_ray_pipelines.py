@@ -1838,3 +1838,38 @@ def test_interval_joins_pre_epoch_timestamps(ray_session):
         n_buckets=4,
     ).take_all()
     assert {(r["pid"], r["rid"]) for r in got_pts} == expect_pts
+
+
+def test_anchor_text_summary_tiebreak_and_distinct(ray_session):
+    """Multiple distinct anchor strings for one target: counts, distinct
+    count, and the (-count, lexicographic) top-anchor tie-break."""
+    import ray
+
+    from go_htmldate_ray.pipelines.extract_dates import anchor_summary_from_pages
+
+    def page(links):
+        body = "".join(f'<a href="{h}">{t}</a>' for h, t in links)
+        return f"<html><body>{body}</body></html>".encode()
+
+    rows = [
+        # 3 anchors to /a: 'zeta' x2, 'alpha' x1 -> top 'zeta'
+        {"html": page([("https://x.org/a", "zeta"), ("https://x.org/a", "alpha")])},
+        {"html": page([("https://x.org/a", "zeta")])},
+        # 2 anchors to /b with EQUAL counts: 'beta' and 'alpha' -> tie ->
+        # lexicographically smallest wins
+        {"html": page([("https://x.org/b", "beta"), ("https://x.org/b", "alpha")])},
+        # whitespace normalization inside anchor text
+        {"html": page([("https://x.org/c", "  spaced   out ")])},
+        {"html": b"<html><body><a>no href dropped</a></body></html>"},
+    ]
+    out = {
+        r["dst_url"]: r
+        for r in anchor_summary_from_pages(ray.data.from_items(rows)).take_all()
+    }
+    assert out["https://x.org/a"]["n_inlinks"] == 3
+    assert out["https://x.org/a"]["n_anchor_texts"] == 2
+    assert out["https://x.org/a"]["top_anchor"] == "zeta"
+    assert out["https://x.org/b"]["n_inlinks"] == 2
+    assert out["https://x.org/b"]["top_anchor"] == "alpha"
+    assert out["https://x.org/c"]["top_anchor"] == "spaced out"
+    assert set(out) == {"https://x.org/a", "https://x.org/b", "https://x.org/c"}
