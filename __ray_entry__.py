@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (dst, anchor) partial counts -> Sum groupby -> tiny per-dst
         # finalize (rows per group = distinct anchors, not inlinks).
         "anchor_texts": ed.anchor_text_summary,
+        # Redirect-chain folding: path-doubling resolution (log2(chain)
+        # bucketed join rounds over int64 ids) + URL re-attach joins.
+        "resolve_redirects": ed.redirect_resolution,
         # Corpus temporal profile: full extraction cascade -> per-year
         # partial counts -> tiny Sum groupby.
         "date_year_histogram": ed.date_year_histogram,
@@ -915,6 +918,16 @@ def oracle_sql() -> dict[str, str]:
                    1::BIGINT AS n_anchor_texts,
                    'related ' || t AS top_anchor
             FROM e GROUP BY t""",
+        # Closed form of the synthesized chain rule (id%8!=0 -> id-1):
+        # the chain from id lands on id - id%8 after exactly id%8 hops.
+        # The engine must DISCOVER this by path doubling; the oracle
+        # states it directly.
+        "resolve_redirects": f"""
+            SELECT {_URL_SQL} AS url,
+                   {_URL_SQL.replace("doc_id", "(doc_id - (doc_id % 8))")}
+                       AS final_url,
+                   (doc_id % 8)::BIGINT AS hops
+            FROM documents""",
         "chunk_documents": r"""
             WITH s AS (
                 SELECT unnest(generate_series(

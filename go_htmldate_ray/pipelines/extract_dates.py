@@ -589,3 +589,67 @@ def anchor_summary_from_pages(pages):
         .groupby("dst_url")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def redirect_resolution(sf_dir: str):
+    """Redirect-chain resolution over a synthesized per-URL redirect
+    map: every URL whose ``doc_id % 8 != 0`` 301-redirects to
+    ``doc_id - 1`` (chains up to 7 hops ending at multiples of 8; final
+    pages map to themselves).  Output per URL: the final URL its chain
+    lands on and the exact hop count — what a crawler folds into its
+    frontier before fetch so chain members collapse to one fetch.
+
+    Shape: synthesize the (id, url, next_id) map per batch → int64
+    path-doubling resolution (:func:`~go_htmldate_ray.stages.graph.
+    resolve_pointers`, log₂(chain) bucketed join rounds) → two more
+    hash joins re-attaching the source and final URL strings from the
+    map itself (ids travel through every exchange; URL strings only on
+    the last joins).
+    """
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import page_url
+    from ..stages.graph import resolve_pointers
+    from ..stages.joins import hash_join
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make_map(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "page_url": pa.array([page_url(i) for i in ids], pa.string()),
+                "next_id": pa.array(
+                    [i - 1 if i % 8 != 0 else i for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    rmap = docs.map_batches(make_map, batch_format="pyarrow")
+    resolved = resolve_pointers(
+        rmap.select_columns(["id", "next_id"]),
+        src="id",
+        nxt="next_id",
+        max_chain=8,
+    )
+    with_src = hash_join(
+        resolved,
+        rmap.select_columns(["id", "page_url"]).map_batches(
+            lambda b: pa.table({"mid": b.column("id"), "url": b.column("page_url")}),
+            batch_format="pyarrow",
+        ),
+        on="src",
+        right_on="mid",
+    )
+    with_final = hash_join(
+        with_src,
+        rmap.select_columns(["id", "page_url"]).map_batches(
+            lambda b: pa.table(
+                {"fid": b.column("id"), "final_url": b.column("page_url")}
+            ),
+            batch_format="pyarrow",
+        ),
+        on="final",
+        right_on="fid",
+    )
+    return with_final.select_columns(["url", "final_url", "hops"])

@@ -251,3 +251,115 @@ def degree_histogram(nodes, edges, *, col: str = "dst"):
         ),
         batch_format="pyarrow",
     )
+
+
+def resolve_pointers(
+    ds,
+    *,
+    src: str = "src",
+    nxt: str = "next",
+    max_chain: int = 16,
+    n_buckets: int | None = None,
+):
+    """Redirect-chain / pointer resolution by path doubling.
+
+    Input: one row per node of a FUNCTIONAL graph — int64 ``src`` and
+    ``nxt`` columns where every ``nxt`` value also appears as a ``src``
+    row; a node is terminal iff ``nxt == src`` (a crawler's redirect map
+    after url→id hashing, with final pages pointing at themselves).
+
+    Output: ``(src, final, hops)`` — the terminal node each chain
+    reaches and its length.  ``ceil(log2(max_chain))`` rounds of the
+    bucketed :func:`~go_htmldate_ray.stages.joins.hash_join` square the
+    pointer each round (cur ← cur's cur, hops added), so a chain of
+    length L ≤ ``max_chain`` settles in log L exchanges instead of the
+    L a naive per-hop walk would shuffle — the standard trade for
+    resolving 3xx chains over a 10^10-row frontier.  Chains LONGER than
+    ``max_chain`` are left at their 2^rounds-th ancestor (hops still
+    exact); pick ``max_chain`` at the crawler's redirect-depth cap
+    (real crawlers cap at 5-10).
+
+    Each round rebases the state table (materialize → from_arrow_refs)
+    exactly like :func:`pagerank`, keeping lineage flat.
+    """
+    import math
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .joins import hash_join
+
+    n_rows = ds.count()
+    if n_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "final": pa.array([], pa.int64()),
+                    "hops": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_buckets is None:
+        n_buckets = max(8, min(256, n_rows // 500_000 + 8))
+    n_blocks = max(1, min(512, n_rows // 2_000_000 + 1))
+
+    def rebase(mat):
+        return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).cast(pa.int64())
+        n = batch.column(nxt).cast(pa.int64())
+        return pa.table(
+            {
+                "src": s,
+                "cur": n,
+                "hops": pc.cast(pc.not_equal(s, n), pa.int64()),
+            }
+        )
+
+    state = rebase(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .repartition(n_blocks)
+        .materialize()
+    )
+
+    def project_right(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "jsrc": batch.column("src"),
+                "jcur": batch.column("cur"),
+                "jhops": batch.column("hops"),
+            }
+        )
+
+    def advance(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "cur": batch.column("jcur"),
+                "hops": pc.add(
+                    batch.column("hops"), batch.column("jhops")
+                ).cast(pa.int64()),
+            }
+        )
+
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_chain))))):
+        right = state.map_batches(project_right, batch_format="pyarrow")
+        state = rebase(
+            hash_join(state, right, on="cur", right_on="jsrc", n_buckets=n_buckets)
+            .map_batches(advance, batch_format="pyarrow")
+            .repartition(n_blocks)
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src"),
+                "final": b.column("cur"),
+                "hops": b.column("hops"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -1873,3 +1873,57 @@ def test_anchor_text_summary_tiebreak_and_distinct(ray_session):
     assert out["https://x.org/b"]["top_anchor"] == "alpha"
     assert out["https://x.org/c"]["top_anchor"] == "spaced out"
     assert set(out) == {"https://x.org/a", "https://x.org/b", "https://x.org/c"}
+
+
+def test_resolve_pointers_randomized_vs_python_walk(ray_session):
+    """Path doubling on a random functional graph == a per-node Python
+    walk (terminals are self-loops; chains bounded by construction)."""
+    import random
+
+    import ray
+
+    from go_htmldate_ray.stages.graph import resolve_pointers
+
+    rng = random.Random(42)
+    n = 400
+    # terminals: every 10th node; others point at a strictly smaller id,
+    # so every chain terminates (max possible chain length < n)
+    nxt = {}
+    for i in range(n):
+        nxt[i] = i if i % 10 == 0 else rng.randrange(0, i)
+
+    def walk(i):
+        hops = 0
+        while nxt[i] != i:
+            i = nxt[i]
+            hops += 1
+        return i, hops
+
+    expected = {i: walk(i) for i in range(n)}
+    max_chain = max(h for _, h in expected.values())
+    assert max_chain >= 3  # the fixture actually exercises doubling
+
+    ds = ray.data.from_items(
+        [{"src": i, "next": nxt[i]} for i in range(n)]
+    )
+    out = resolve_pointers(ds, max_chain=max(2, max_chain)).take_all()
+    assert len(out) == n
+    for r in out:
+        fin, hops = expected[r["src"]]
+        assert (r["final"], r["hops"]) == (fin, hops), r
+
+    # chains longer than max_chain: pointer stops at the 2^rounds-th
+    # ancestor (documented contract) — with max_chain=2 (1 round... 
+    # ceil(log2(2))=1 round) a 3-hop chain is only 2 hops advanced
+    chain = ray.data.from_items(
+        [
+            {"src": 0, "next": 0},
+            {"src": 1, "next": 0},
+            {"src": 2, "next": 1},
+            {"src": 3, "next": 2},
+        ]
+    )
+    short = {r["src"]: r for r in resolve_pointers(chain, max_chain=2).take_all()}
+    assert short[3]["hops"] == 2 and short[3]["final"] == 1
+    full = {r["src"]: r for r in resolve_pointers(chain, max_chain=4).take_all()}
+    assert full[3]["hops"] == 3 and full[3]["final"] == 0
