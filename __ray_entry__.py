@@ -312,6 +312,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # Memorization diagnostic: word 5-grams present in >=2 distinct
         # docs; light (hash, doc) rows -> Count groupby.
+        # ExactSubstr-style cleaning (Lee et al. 2021, n-gram anchors):
+        # drop every token covered by a cross-doc duplicated 5-gram;
+        # hybrid broadcast/join span removal (mode decided by dup count).
+        "remove_dup_spans": lambda sf: dedup.remove_dup_spans(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+            n=5,
+            min_docs=2,
+        ),
         "dup_ngrams": lambda sf: dedup.dup_ngrams(
             read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
             n=5,
@@ -1253,6 +1261,49 @@ def oracle_sql() -> dict[str, str]:
             FROM tf""",
         # Same md5-int63 gram hash as the engine (_hash63); DISTINCT
         # (doc, gram) first = engine's per-doc gram set.
+        # Same token/gram/hash skeleton as dup_ngrams, then: covered
+        # token positions = union of [i, i+4] over duplicated gram
+        # starts; clean_text = surviving tokens joined by ' ' (the
+        # operator's whitespace-normalization contract).
+        "remove_dup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) != ''
+            ),
+            pos AS (
+                SELECT doc_id, i,
+                       (('0x' || substr(md5(array_to_string(a[i:i+4], ' ')), 1, 16))::UBIGINT >> 1)::BIGINT AS h
+                FROM toks, unnest(range(1, len(a) - 3)) AS t(i)
+            ),
+            dup AS (
+                SELECT h FROM (
+                    SELECT h, count(DISTINCT doc_id) AS c FROM pos GROUP BY h
+                ) WHERE c >= 2
+            ),
+            cov AS (
+                SELECT DISTINCT p.doc_id, u.j
+                FROM pos p JOIN dup USING (h), unnest(range(p.i, p.i + 5)) AS u(j)
+            ),
+            tk AS (
+                SELECT t.doc_id, a[u.j] AS tok, u.j
+                FROM toks t, unnest(range(1, len(a) + 1)) AS u(j)
+            ),
+            counts AS (SELECT doc_id, len(a)::BIGINT AS n_tokens FROM toks),
+            ncov AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY doc_id),
+            kept AS (
+                SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.j) AS clean_text
+                FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.j = tk.j
+                WHERE cov.j IS NULL
+                GROUP BY tk.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(nc.n_removed, 0)::BIGINT AS n_removed,
+                   coalesce(k.clean_text, '') AS clean_text
+            FROM documents d
+            LEFT JOIN counts c USING (doc_id)
+            LEFT JOIN ncov nc ON nc.doc_id = d.doc_id
+            LEFT JOIN kept k ON k.doc_id = d.doc_id""",
         "dup_ngrams": r"""
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a

@@ -951,3 +951,184 @@ def snapshot_diff(ds):
         )
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def remove_dup_spans(
+    ds,
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+    broadcast_limit: int = 100_000,
+    mode: str = "auto",
+):
+    """Exact duplicated-substring removal at word n-gram granularity
+    (the ExactSubstr cleaning of Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", with n-gram anchors
+    instead of suffix arrays): any word n-gram occurring in at least
+    ``min_docs`` distinct documents is removed from EVERY document — a
+    token survives iff no duplicated n-gram covers it.
+
+    Output: ``(doc_id, n_tokens, n_removed, clean_text)`` where
+    ``clean_text`` joins surviving tokens with single spaces (the
+    operator is whitespace-normalizing by contract, like the tokenizer
+    feeding it).
+
+    Shape: stage 1 is :func:`dup_ngrams` (light hash rows → one Count
+    groupby).  Stage 2 removes spans in one of two modes:
+
+    - ``broadcast`` (dup set ≤ ``broadcast_limit``): the sorted dup-hash
+      array ships once via ``ray.put`` (numpy → zero-copy from plasma)
+      and ONE ``map_batches`` pass rebuilds every document —
+      ``np.searchsorted`` membership, difference-array cumsum for the
+      covered mask, no further shuffle.
+    - ``join`` (scale path): per-position ``(ngram_hash, doc_id, pos)``
+      light rows hash-join the dup set (the one unavoidable
+      token-count-sized exchange — the same cost ExactSubstr pays),
+      covered starts group per doc (group size = dup grams in that doc,
+      not doc length), and a left join re-attaches text so untouched
+      documents pass through unchanged.
+
+    ``mode="auto"`` counts the dup set and picks; both modes are
+    pytest-equivalent on planted fixtures.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from .cleaning import _hash63_cached
+    from .joins import hash_join
+
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    dup = dup_ngrams(ds, n=n, min_docs=min_docs)
+
+    def gram_hash_array(toks: list[str]) -> np.ndarray:
+        m = len(toks) - n + 1
+        if m <= 0:
+            return np.empty(0, dtype=np.int64)
+        return np.fromiter(
+            (_hash63_cached(" ".join(toks[i : i + n])) for i in range(m)),
+            dtype=np.int64,
+            count=m,
+        )
+
+    def rebuild(toks: list[str], dup_starts: np.ndarray):
+        """(n_tokens, n_removed, clean_text) after dropping every token
+        covered by a duplicated gram starting at one of dup_starts."""
+        n_toks = len(toks)
+        if n_toks == 0:
+            return 0, 0, ""
+        if dup_starts.size == 0:
+            return n_toks, 0, " ".join(toks)
+        diff = np.zeros(n_toks + 1, dtype=np.int64)
+        np.add.at(diff, dup_starts, 1)
+        np.add.at(diff, np.minimum(dup_starts + n, n_toks), -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        kept = [t for t, c in zip(toks, covered) if not c]
+        return n_toks, int(covered.sum()), " ".join(kept)
+
+    def out_table(ids, rows) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array([r[0] for r in rows], pa.int64()),
+                "n_removed": pa.array([r[1] for r in rows], pa.int64()),
+                "clean_text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    if mode == "auto":
+        mode = "broadcast" if dup.count() <= broadcast_limit else "join"
+
+    if mode == "broadcast":
+        dup_sorted = np.sort(
+            np.asarray(
+                [r["ngram_hash"] for r in dup.select_columns(["ngram_hash"]).take_all()],
+                dtype=np.int64,
+            )
+        )
+        dup_ref = ray.put(dup_sorted)
+
+        def clean_batch(batch: pa.Table) -> pa.Table:
+            dups = ray.get(dup_ref)
+            ids = batch.column("doc_id").to_pylist()
+            rows = []
+            for t in batch.column("text").to_pylist():
+                toks = (t or "").split()
+                gh = gram_hash_array(toks)
+                if gh.size and dups.size:
+                    idx = np.searchsorted(dups, gh)
+                    idx[idx == dups.size] = 0
+                    starts = np.nonzero(dups[idx] == gh)[0]
+                else:
+                    starts = np.empty(0, dtype=np.int64)
+                rows.append(rebuild(toks, starts))
+            return out_table(ids, rows)
+
+        return ds.map_batches(clean_batch, batch_format="pyarrow")
+
+    # join mode: per-position light rows x dup set
+    def pos_rows(batch: pa.Table) -> pa.Table:
+        ids_out, hs, ps = [], [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            gh = gram_hash_array((t or "").split())
+            if gh.size:
+                ids_out.extend([doc_id] * gh.size)
+                hs.extend(gh.tolist())
+                ps.extend(range(gh.size))
+        return pa.table(
+            {
+                "ngram_hash": pa.array(hs, pa.int64()),
+                "pdoc": pa.array(ids_out, pa.int64()),
+                "pos": pa.array(ps, pa.int64()),
+            }
+        )
+
+    covered = hash_join(
+        ds.map_batches(pos_rows, batch_format="pyarrow"),
+        dup.map_batches(
+            lambda b: pa.table({"dh": b.column("ngram_hash")}),
+            batch_format="pyarrow",
+        ),
+        on="ngram_hash",
+        right_on="dh",
+    )
+
+    def pack_starts(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gdoc": pa.array([group.column("pdoc")[0].as_py()], pa.int64()),
+                "starts": pa.array(
+                    [sorted(group.column("pos").to_pylist())],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    grouped = covered.groupby("pdoc").map_groups(pack_starts, batch_format="pyarrow")
+    attached = hash_join(
+        ds.select_columns(["doc_id", "text"]),
+        grouped,
+        on="doc_id",
+        right_on="gdoc",
+        how="left",
+    )
+
+    def clean_joined(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        rows = []
+        for t, starts in zip(
+            batch.column("text").to_pylist(), batch.column("starts").to_pylist()
+        ):
+            toks = (t or "").split()
+            arr = (
+                np.asarray(starts, dtype=np.int64)
+                if starts
+                else np.empty(0, dtype=np.int64)
+            )
+            rows.append(rebuild(toks, arr))
+        return out_table(ids, rows)
+
+    return attached.map_batches(clean_joined, batch_format="pyarrow")

@@ -1927,3 +1927,47 @@ def test_resolve_pointers_randomized_vs_python_walk(ray_session):
     assert short[3]["hops"] == 2 and short[3]["final"] == 1
     full = {r["src"]: r for r in resolve_pointers(chain, max_chain=4).take_all()}
     assert full[3]["hops"] == 3 and full[3]["final"] == 0
+
+
+def test_remove_dup_spans_planted_and_modes_equivalent(ray_session):
+    """Planted cross-doc 5-gram is cut from BOTH docs (overlapping
+    coverage union, not per-gram), unique text survives, and the
+    broadcast and join modes produce identical tables."""
+    import ray
+
+    from go_htmldate_ray.stages.dedup import remove_dup_spans
+
+    boiler = "subscribe to our newsletter for daily updates today"  # 8 toks
+    rows = [
+        # boilerplate at the START
+        {"doc_id": 0, "text": f"{boiler} alpha beta gamma delta epsilon zeta"},
+        # same boilerplate MID-DOC: every 5-gram of the 8-token run is
+        # duplicated, so the union covers all 8 tokens
+        {"doc_id": 1, "text": f"unique one two three four five {boiler} tail tokens here again"},
+        # no duplication: survives untouched (but whitespace-normalized)
+        {"doc_id": 2, "text": "  totally   original musing\non nothing shared  "},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "short"},
+    ]
+    ds = ray.data.from_items(rows)
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(ds, n=5, min_docs=2, mode="broadcast").take_all()
+    }
+    assert out[0]["clean_text"] == "alpha beta gamma delta epsilon zeta"
+    assert out[0]["n_removed"] == 8
+    assert (
+        out[1]["clean_text"] == "unique one two three four five tail tokens here again"
+    )
+    assert out[1]["n_removed"] == 8
+    assert out[2]["clean_text"] == "totally original musing on nothing shared"
+    assert out[2]["n_removed"] == 0
+    assert out[3] == {"doc_id": 3, "n_tokens": 0, "n_removed": 0, "clean_text": ""}
+    assert out[4]["clean_text"] == "short" and out[4]["n_removed"] == 0
+
+    joined = {
+        r["doc_id"]: r
+        for r in remove_dup_spans(ds, n=5, min_docs=2, mode="join").take_all()
+    }
+    assert joined == out
