@@ -437,6 +437,24 @@ def run_headline() -> dict:
         3,
     )
 
+    # round-3 additions: duplicated-span removal (hybrid dedup clean),
+    # redirect-chain path doubling (log-rounds bucketed joins)
+    queries["remove_dup_spans"] = round(
+        bench_query(
+            lambda sf: dedup_mod.remove_dup_spans(
+                read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+                n=5,
+                min_docs=2,
+            )
+        ),
+        3,
+    )
+    from go_htmldate_ray.pipelines import extract_dates as ed_mod
+
+    queries["resolve_redirects"] = round(
+        bench_query(ed_mod.redirect_resolution), 3
+    )
+
     for name, (t, n) in bench_text_stage(SF_DIR).items():
         queries[f"text_{name}"] = round(t, 3)
         extra[f"text_{name}_docs_per_s"] = round(n / t, 1)

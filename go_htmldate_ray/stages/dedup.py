@@ -1038,6 +1038,11 @@ def remove_dup_spans(
         )
 
     if mode == "auto":
+        # materialize once so the decide-count and the chosen path reuse
+        # the same blocks instead of recomputing detection twice; an
+        # explicit mode="join" keeps the dup set streaming (at corpus
+        # scale it can be too large to pin)
+        dup = dup.materialize()
         mode = "broadcast" if dup.count() <= broadcast_limit else "join"
 
     if mode == "broadcast":
