@@ -591,7 +591,7 @@ def anchor_summary_from_pages(pages):
     )
 
 
-def redirect_resolution(sf_dir: str):
+def redirect_resolution(sf_dir: str, *, broadcast_limit: int = 100_000):
     """Redirect-chain resolution over a synthesized per-URL redirect
     map: every URL whose ``doc_id % 8 != 0`` 301-redirects to
     ``doc_id - 1`` (chains up to 7 hops ending at multiples of 8; final
@@ -604,14 +604,23 @@ def redirect_resolution(sf_dir: str):
     resolve_pointers`, log₂(chain) bucketed join rounds) → two more
     hash joins re-attaching the source and final URL strings from the
     map itself (ids travel through every exchange; URL strings only on
-    the last joins).
+    the last joins).  Maps ≤100k ids skip both joins: the id→url table
+    broadcasts once and attaches via one searchsorted pass (the same
+    hybrid small-side bound the dedup verify stages use).
     """
     from ..sources.io import read_parquet_clean
     from ..sources.pages import page_url
     from ..stages.graph import resolve_pointers
     from ..stages.joins import hash_join
 
+    from ..sources.pages import count_documents
+
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # size the URL re-attach joins to the map size, like resolve_pointers
+    # does internally — 64 near-empty bucket tasks × 2 joins is pure
+    # scheduling overhead on a small map
+    n_docs = count_documents(sf_dir)
+    n_buckets = max(8, min(256, n_docs // 500_000 + 8))
 
     def make_map(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -632,6 +641,40 @@ def redirect_resolution(sf_dir: str):
         nxt="next_id",
         max_chain=8,
     )
+    if n_docs <= broadcast_limit:
+        # broadcast re-attach: the id->url map ships once (sorted-id
+        # numpy + object array via ray.put) and BOTH url columns attach
+        # in one searchsorted pass — two barrier joins saved; the join
+        # path below is the >100k scale route (same hybrid bound the
+        # dedup verify stages use)
+        import numpy as np
+        import ray
+
+        pairs = rmap.select_columns(["id", "page_url"]).take_all()
+        ids_sorted = np.array([p["id"] for p in pairs], dtype=np.int64)
+        order = np.argsort(ids_sorted)
+        ids_sorted = ids_sorted[order]
+        urls_arr = np.array([p["page_url"] for p in pairs], dtype=object)[order]
+        map_ref = ray.put((ids_sorted, urls_arr))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ids_s, urls_s = ray.get(map_ref)
+            src = np.asarray(batch.column("src"), dtype=np.int64)
+            fin = np.asarray(batch.column("final"), dtype=np.int64)
+            return pa.table(
+                {
+                    "url": pa.array(
+                        urls_s[np.searchsorted(ids_s, src)], pa.string()
+                    ),
+                    "final_url": pa.array(
+                        urls_s[np.searchsorted(ids_s, fin)], pa.string()
+                    ),
+                    "hops": batch.column("hops"),
+                }
+            )
+
+        return resolved.map_batches(attach, batch_format="pyarrow")
+
     with_src = hash_join(
         resolved,
         rmap.select_columns(["id", "page_url"]).map_batches(
@@ -640,6 +683,7 @@ def redirect_resolution(sf_dir: str):
         ),
         on="src",
         right_on="mid",
+        n_buckets=n_buckets,
     )
     with_final = hash_join(
         with_src,
@@ -651,5 +695,6 @@ def redirect_resolution(sf_dir: str):
         ),
         on="final",
         right_on="fid",
+        n_buckets=n_buckets,
     )
     return with_final.select_columns(["url", "final_url", "hops"])

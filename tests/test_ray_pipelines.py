@@ -1971,3 +1971,19 @@ def test_remove_dup_spans_planted_and_modes_equivalent(ray_session):
         for r in remove_dup_spans(ds, n=5, min_docs=2, mode="join").take_all()
     }
     assert joined == out
+
+
+def test_redirect_resolution_broadcast_join_parity(ray_session):
+    """The ≤100k broadcast URL re-attach and the scale join path agree."""
+    from go_htmldate_ray.pipelines.extract_dates import redirect_resolution
+
+    sf = "/root/testdata/sf0.001"
+    fast = sorted(
+        (r["url"], r["final_url"], r["hops"])
+        for r in redirect_resolution(sf).take_all()
+    )
+    joined = sorted(
+        (r["url"], r["final_url"], r["hops"])
+        for r in redirect_resolution(sf, broadcast_limit=0).take_all()
+    )
+    assert fast == joined and len(fast) == 500
