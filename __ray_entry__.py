@@ -310,8 +310,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": lambda sf: search.build_inverted_index(
             read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         ),
-        # Memorization diagnostic: word 5-grams present in >=2 distinct
-        # docs; light (hash, doc) rows -> Count groupby.
         # ExactSubstr-style cleaning (Lee et al. 2021, n-gram anchors):
         # drop every token covered by a cross-doc duplicated 5-gram;
         # hybrid broadcast/join span removal (mode decided by dup count).
@@ -320,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n=5,
             min_docs=2,
         ),
+        # Memorization diagnostic: word 5-grams present in >=2 distinct
+        # docs; light (hash, doc) rows -> Count groupby.
         "dup_ngrams": lambda sf: dedup.dup_ngrams(
             read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
             n=5,

@@ -619,8 +619,10 @@ def redirect_resolution(sf_dir: str, *, broadcast_limit: int = 100_000):
     # size the URL re-attach joins to the map size, like resolve_pointers
     # does internally — 64 near-empty bucket tasks × 2 joins is pure
     # scheduling overhead on a small map
+    from ..stages.joins import adaptive_buckets
+
     n_docs = count_documents(sf_dir)
-    n_buckets = max(8, min(256, n_docs // 500_000 + 8))
+    n_buckets = adaptive_buckets(n_docs)
 
     def make_map(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -634,7 +636,10 @@ def redirect_resolution(sf_dir: str, *, broadcast_limit: int = 100_000):
             }
         )
 
-    rmap = docs.map_batches(make_map, batch_format="pyarrow")
+    # materialize the map once: resolve_pointers (count + prep), the
+    # broadcast take_all, and both join sides otherwise re-execute the
+    # parquet read + URL synthesis lineage up to 4x per call
+    rmap = docs.map_batches(make_map, batch_format="pyarrow").materialize()
     resolved = resolve_pointers(
         rmap.select_columns(["id", "next_id"]),
         src="id",
@@ -659,17 +664,25 @@ def redirect_resolution(sf_dir: str, *, broadcast_limit: int = 100_000):
 
         def attach(batch: pa.Table) -> pa.Table:
             ids_s, urls_s = ray.get(map_ref)
+
+            def lookup(vals: np.ndarray):
+                idx = np.minimum(
+                    np.searchsorted(ids_s, vals), len(ids_s) - 1
+                )
+                return idx, ids_s[idx] == vals
+
             src = np.asarray(batch.column("src"), dtype=np.int64)
             fin = np.asarray(batch.column("final"), dtype=np.int64)
+            si, sok = lookup(src)
+            fi, fok = lookup(fin)
+            # ids absent from the map drop, matching the inner-join
+            # scale path (instead of silently attaching a neighbor URL)
+            ok = sok & fok
             return pa.table(
                 {
-                    "url": pa.array(
-                        urls_s[np.searchsorted(ids_s, src)], pa.string()
-                    ),
-                    "final_url": pa.array(
-                        urls_s[np.searchsorted(ids_s, fin)], pa.string()
-                    ),
-                    "hops": batch.column("hops"),
+                    "url": pa.array(urls_s[si[ok]], pa.string()),
+                    "final_url": pa.array(urls_s[fi[ok]], pa.string()),
+                    "hops": batch.column("hops").filter(pa.array(ok)),
                 }
             )
 

@@ -64,7 +64,9 @@ def pagerank(
         # the node count (~500k rank rows per bucket, floor 8) so a
         # small graph doesn't pay 64 near-empty tasks × 2 shuffles ×
         # iters in pure scheduling overhead.
-        n_buckets = max(8, min(256, n_nodes // 500_000 + 8))
+        from .joins import adaptive_buckets
+
+        n_buckets = adaptive_buckets(n_nodes)
 
     def rebase(mat):
         return ray.data.from_arrow_refs(mat.to_arrow_refs())
@@ -301,7 +303,9 @@ def resolve_pointers(
             )
         )
     if n_buckets is None:
-        n_buckets = max(8, min(256, n_rows // 500_000 + 8))
+        from .joins import adaptive_buckets
+
+        n_buckets = adaptive_buckets(n_rows)
     n_blocks = max(1, min(512, n_rows // 2_000_000 + 1))
 
     def rebase(mat):

@@ -32,6 +32,13 @@ _IS_LOOKUP = "__join_is_lookup"
 DEFAULT_JOIN_BUCKETS = 64
 
 
+def adaptive_buckets(n_rows: int) -> int:
+    """Shared shuffle-width heuristic for keyed joins over ``n_rows``-row
+    state tables (~500k rows per bucket, floor 8, cap 256): small inputs
+    skip paying dozens of near-empty shuffle tasks per exchange."""
+    return max(8, min(256, n_rows // 500_000 + 8))
+
+
 def _bucket_of(keys: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
     # splitmix-style mix (in uint64, wrapping) so adjacent ids spread
     k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
