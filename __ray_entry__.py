@@ -84,6 +84,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Redirect-chain folding: path-doubling resolution (log2(chain)
         # bucketed join rounds over int64 ids) + URL re-attach joins.
         "resolve_redirects": ed.redirect_resolution,
+        # Per-wave fetch-budget apportionment: host counts -> bucketed
+        # prefix sums -> cumulative rounding (sums to EXACTLY budget).
+        # budget=137 deliberately: a budget that is an exact multiple of
+        # the frontier total makes allocated = k*n_urls independent of
+        # the cumulative order, silently bypassing the prefix-sum path
+        # (how the ordered_cumsum int64-overflow bug initially slipped
+        # past a budget=1000-over-500-URL oracle).
+        "crawl_budget_allocation": lambda sf: ed.crawl_budget_allocation(
+            sf, budget=137
+        ),
         # Corpus temporal profile: full extraction cascade -> per-year
         # partial counts -> tiny Sum groupby.
         "date_year_histogram": ed.date_year_histogram,
@@ -926,6 +936,30 @@ def oracle_sql() -> dict[str, str]:
                    1::BIGINT AS n_anchor_texts,
                    'related ' || t AS top_anchor
             FROM e GROUP BY t""",
+        # Cumulative-rounding apportionment in exact BIGINT arithmetic,
+        # ordered by the same md5-int63 host hash the engine ranks on.
+        "crawl_budget_allocation": """
+            WITH c AS (
+                SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
+                       count(*)::BIGINT AS n_urls
+                FROM documents GROUP BY 1
+            ),
+            h AS (
+                SELECT host, n_urls,
+                       (('0x' || substr(md5(host), 1, 16))::UBIGINT >> 1)::BIGINT AS h63
+                FROM c
+            ),
+            t AS (SELECT sum(n_urls)::BIGINT AS total FROM h),
+            cu AS (
+                SELECT host, n_urls,
+                       sum(n_urls) OVER (ORDER BY h63)::BIGINT AS cum
+                FROM h
+            )
+            SELECT host, n_urls,
+                   ((2*cum*137 + total) // (2*total)
+                    - (2*(cum - n_urls)*137 + total) // (2*total))::BIGINT
+                       AS allocated
+            FROM cu, t""",
         # Closed form of the synthesized chain rule (id%8!=0 -> id-1):
         # the chain from id lands on id - id%8 after exactly id%8 hops.
         # The engine must DISCOVER this by path doubling; the oracle

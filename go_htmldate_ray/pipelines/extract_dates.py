@@ -711,3 +711,27 @@ def redirect_resolution(sf_dir: str, *, broadcast_limit: int = 100_000):
         n_buckets=n_buckets,
     )
     return with_final.select_columns(["url", "final_url", "hops"])
+
+
+def crawl_budget_allocation(sf_dir: str, *, budget: int = 1000):
+    """Per-wave fetch-budget apportionment over the synthesized
+    frontier: vectorized host extraction (the host_page_counts regex)
+    → :func:`~go_htmldate_ray.stages.sampling.budget_allocation`
+    (cumulative rounding; allocations sum to exactly ``budget``)."""
+    from ..stages.sampling import budget_allocation
+
+    pages = read_pages(sf_dir)
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        hosts = pc.struct_field(
+            pc.extract_regex(
+                batch.column("url"),
+                r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)",
+            ),
+            "host",
+        )
+        return pa.table({"host": hosts})
+
+    return budget_allocation(
+        pages.map_batches(add_host, batch_format="pyarrow"), budget=budget
+    )

@@ -52,8 +52,15 @@ def ordered_cumsum(ds, *, order_col: str, value_col: str, n_buckets: int = 64):
     span = int(hi) - int(lo) + 1
 
     def bucket_of(order_arr: pa.Array) -> np.ndarray:
+        # float64 range split: (o - lo) * n_buckets overflows int64 for
+        # wide key domains (e.g. md5-int63 keys spanning ~2^62 — observed
+        # as NEGATIVE, non-monotonic buckets corrupting the prefix
+        # offsets).  Bucket ids only need to be a monotonic
+        # non-decreasing pure function of the key (the within-bucket
+        # sort orders exactly), so float precision loss is harmless.
         o = np.asarray(order_arr, dtype=np.int64)
-        return (o - lo) * n_buckets // span
+        f = (o.astype(np.float64) - float(lo)) * (float(n_buckets) / float(span))
+        return np.clip(f, 0, n_buckets - 1).astype(np.int64)
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(

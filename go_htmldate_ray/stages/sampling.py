@@ -281,3 +281,96 @@ def temperature_sample(ds, *, alpha: float = 0.5, seed: int = 42, lang_col: str 
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def budget_allocation(ds, *, budget: int, group_col: str = "host"):
+    """Proportional crawl-budget apportionment: split a global per-wave
+    fetch ``budget`` across hosts in exact proportion to their frontier
+    share, by the cumulative-rounding method — allocate
+    ``rnd(cum_k·B/total) − rnd(cum_{k−1}·B/total)`` over the hosts in a
+    fixed order (``rnd`` = round-half-up).  Every host lands within ±1
+    of its exact fractional share and the allocations sum to EXACTLY
+    ``budget`` (the sum telescopes), with no iterative seat-by-seat loop
+    — the property that makes the method distributable.
+
+    Order is ascending ``_hash63(host)`` (unique w.h.p.), the same
+    md5-int63 the SQL oracle can recompute, so both sides rank hosts
+    identically without shipping strings through the exchange.
+
+    Shape: per-batch host-count partials → ONE keyed Sum groupby →
+    :func:`~go_htmldate_ray.stages.packing.ordered_cumsum` over the
+    per-host rows (bucketed prefix sums, ≤n_buckets driver rows) → a
+    stateless vectorized allocate map.  Exact int64 arithmetic holds
+    while ``2·total·budget < 2⁶³`` (e.g. a 10¹⁰-URL frontier with a
+    10⁸ budget); beyond that, promote the two products to Python ints.
+
+    Output: ``(host, n_urls, allocated)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.cleaning import _hash63_cached
+    from ..stages.packing import ordered_cumsum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col]).group_by([group_col]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "host": t.column(group_col).cast(pa.string()),
+                "c": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("c"))
+    )
+
+    def add_order(batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_urls": batch.column("sum(c)").cast(pa.int64()),
+                "h63": pa.array(
+                    [_hash63_cached(h or "") for h in hosts], pa.int64()
+                ),
+            }
+        )
+
+    keyed = counts.map_batches(add_order, batch_format="pyarrow")
+    stats = keyed.aggregate(Sum("n_urls"))
+    total = stats.get("sum(n_urls)") if stats else None
+    if not total:  # empty frontier (budget=0 flows through: all-zero allocs)
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "n_urls": pa.array([], pa.int64()),
+                    "allocated": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    cum = ordered_cumsum(keyed, order_col="h63", value_col="n_urls")
+
+    def allocate(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = np.asarray(batch.column("cum"), dtype=np.int64)
+        n = np.asarray(batch.column("n_urls"), dtype=np.int64)
+        hi = (2 * c * budget + total) // (2 * total)
+        lo = (2 * (c - n) * budget + total) // (2 * total)
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_urls": batch.column("n_urls"),
+                "allocated": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return cum.map_batches(allocate, batch_format="pyarrow")

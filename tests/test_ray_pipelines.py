@@ -1987,3 +1987,46 @@ def test_redirect_resolution_broadcast_join_parity(ray_session):
         for r in redirect_resolution(sf, broadcast_limit=0).take_all()
     )
     assert fast == joined and len(fast) == 500
+
+
+def test_budget_allocation_exact_and_vs_python(ray_session):
+    """Cumulative-rounding apportionment: allocations sum to EXACTLY the
+    budget, each host is within ±1 of its fractional share, and the
+    distributed result equals a single-process reference on a skewed
+    random frontier (one mega-host with ~50% of rows)."""
+    import random
+
+    import ray
+
+    from go_htmldate_ray.stages.cleaning import _hash63
+    from go_htmldate_ray.stages.sampling import budget_allocation
+
+    rng = random.Random(7)
+    rows = [{"host": "mega.example.org"} for _ in range(5000)]
+    for i in range(40):
+        rows += [{"host": f"h{i}.example.org"}] * rng.randrange(1, 250)
+    rng.shuffle(rows)
+    budget = 137
+
+    out = budget_allocation(
+        ray.data.from_items(rows), budget=budget
+    ).take_all()
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r["host"]] = counts.get(r["host"], 0) + 1
+    total = sum(counts.values())
+
+    # single-process cumulative-rounding reference, same h63 order
+    ordered = sorted(counts, key=_hash63)
+    expected, cum = {}, 0
+    rnd = lambda c: (2 * c * budget + total) // (2 * total)
+    for h in ordered:
+        expected[h] = rnd(cum + counts[h]) - rnd(cum)
+        cum += counts[h]
+
+    got = {r["host"]: r["allocated"] for r in out}
+    assert got == expected
+    assert sum(got.values()) == budget
+    for h, a in got.items():
+        assert abs(a - counts[h] * budget / total) <= 1, (h, a)
+    assert {r["host"]: r["n_urls"] for r in out} == counts

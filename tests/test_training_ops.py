@@ -891,3 +891,24 @@ def test_temperature_sample_rebalances(ray_session):
         r["lang"] for r in temperature_sample(ds, alpha=0.5, seed=7).take_all()
     )
     assert again == kept
+
+
+def test_ordered_cumsum_wide_key_domain(ray_session):
+    """md5-int63-scale order keys (span ~2^62) must not overflow the
+    bucket split: cum equals the rank-ordered prefix sum (regression —
+    (o - lo) * n_buckets in int64 went negative and corrupted offsets)."""
+    import ray
+
+    from go_htmldate_ray.stages.cleaning import _hash63
+    from go_htmldate_ray.stages.packing import ordered_cumsum
+
+    keys = sorted(_hash63(f"host{i}") for i in range(200))
+    rows = [{"k": k, "v": i + 1} for i, k in enumerate(keys)]
+    out = ordered_cumsum(
+        ray.data.from_items(rows), order_col="k", value_col="v"
+    ).take_all()
+    got = {r["k"]: r["cum"] for r in out}
+    run = 0
+    for i, k in enumerate(keys):
+        run += i + 1
+        assert got[k] == run, (i, k)
