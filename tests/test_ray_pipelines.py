@@ -2030,3 +2030,56 @@ def test_budget_allocation_exact_and_vs_python(ray_session):
     for h, a in got.items():
         assert abs(a - counts[h] * budget / total) <= 1, (h, a)
     assert {r["host"]: r["n_urls"] for r in out} == counts
+
+
+def test_remove_dup_spans_randomized_vs_python(ray_session):
+    """Randomized corpora from a tiny vocabulary (dense natural 5-gram
+    collisions) match a brute-force single-process reference, in both
+    modes."""
+    import random
+
+    import ray
+
+    from go_htmldate_ray.stages.dedup import remove_dup_spans
+
+    rng = random.Random(123)
+    vocab = ["the", "a", "cat", "dog", "ran", "sat", "on", "mat"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40))),
+        }
+        for i in range(60)
+    ]
+
+    n = 5
+
+    def reference():
+        grams: dict[tuple, set] = {}
+        toks_by_doc = {r["doc_id"]: r["text"].split() for r in rows}
+        for d, toks in toks_by_doc.items():
+            for i in range(len(toks) - n + 1):
+                grams.setdefault(tuple(toks[i : i + n]), set()).add(d)
+        dup = {g for g, ds_ in grams.items() if len(ds_) >= 2}
+        out = {}
+        for d, toks in toks_by_doc.items():
+            covered = [False] * len(toks)
+            for i in range(len(toks) - n + 1):
+                if tuple(toks[i : i + n]) in dup:
+                    for j in range(i, i + n):
+                        covered[j] = True
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out[d] = (len(toks), sum(covered), " ".join(kept))
+        return out
+
+    expected = reference()
+    assert any(v[1] > 0 for v in expected.values())  # fixture has dups
+    assert any(v[1] == 0 and v[0] > 0 for v in expected.values())  # and clean docs
+
+    ds = ray.data.from_items(rows)
+    for mode in ("broadcast", "join"):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in remove_dup_spans(ds, n=n, min_docs=2, mode=mode).take_all()
+        }
+        assert got == expected, mode
