@@ -454,6 +454,10 @@ def run_headline() -> dict:
     queries["resolve_redirects"] = round(
         bench_query(ed_mod.redirect_resolution), 3
     )
+    queries["budget_allocation"] = round(
+        bench_query(lambda sf: ed_mod.crawl_budget_allocation(sf, budget=137)),
+        3,
+    )
 
     for name, (t, n) in bench_text_stage(SF_DIR).items():
         queries[f"text_{name}"] = round(t, 3)

@@ -2083,3 +2083,34 @@ def test_remove_dup_spans_randomized_vs_python(ray_session):
             for r in remove_dup_spans(ds, n=n, min_docs=2, mode=mode).take_all()
         }
         assert got == expected, mode
+
+
+def test_anchor_summary_hot_target_collapses_per_block(ray_session):
+    """A mega-inlinked URL (80% of all anchors, one anchor string) must
+    collapse to per-block partials: the finalize group for it carries
+    one row per distinct anchor, not per inlink — asserted through the
+    output invariants (exact counts survive the two-stage collapse)."""
+    import ray
+
+    from go_htmldate_ray.pipelines.extract_dates import anchor_summary_from_pages
+
+    hot = "https://hot.example.org/"
+    n_pages = 400
+    rows = []
+    for i in range(n_pages):
+        links = [f'<a href="{hot}">home</a>'] * 4  # 1600 hot anchors
+        links.append(f'<a href="https://t{i % 37}.example.org/">t {i % 37}</a>')
+        rows.append({"html": f"<html><body>{''.join(links)}</body></html>".encode()})
+    out = {
+        r["dst_url"]: r
+        for r in anchor_summary_from_pages(
+            ray.data.from_items(rows).repartition(8)
+        ).take_all()
+    }
+    assert out[hot]["n_inlinks"] == 4 * n_pages
+    assert out[hot]["n_anchor_texts"] == 1
+    assert out[hot]["top_anchor"] == "home"
+    assert len(out) == 1 + 37
+    for i in range(37):
+        u = f"https://t{i}.example.org/"
+        assert out[u]["n_inlinks"] == len([x for x in range(n_pages) if x % 37 == i])
