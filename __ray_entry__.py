@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Redirect-chain folding: path-doubling resolution (log2(chain)
         # bucketed join rounds over int64 ids) + URL re-attach joins.
         "resolve_redirects": ed.redirect_resolution,
+        # DUST alias->canonical URL rewrite map: light (content_hash,
+        # url) rows -> one keyed groupby -> per-family emission
+        # (planted mirror families; the natural corpus has no dups).
+        "url_aliases": ed.url_alias_map,
         # Per-wave fetch-budget apportionment: host counts -> bucketed
         # prefix sums -> cumulative rounding (sums to EXACTLY budget).
         # budget=137 deliberately: a budget that is an exact multiple of
@@ -936,6 +940,24 @@ def oracle_sql() -> dict[str, str]:
                    1::BIGINT AS n_anchor_texts,
                    'related ' || t AS top_anchor
             FROM e GROUP BY t""",
+        # Mirror-family planting recomputed in SQL; canonical = min(url)
+        # per content family, one alias row per non-canonical member.
+        "url_aliases": f"""
+            WITH c AS (
+                SELECT {_URL_SQL} AS url,
+                       CASE WHEN doc_id % 41 = 3
+                            THEN 'mirror family ' || (doc_id % 3)
+                            ELSE coalesce(text, '') END AS content
+                FROM documents
+            ),
+            g AS (
+                SELECT url,
+                       min(url) OVER (PARTITION BY content) AS canonical_url,
+                       count(*) OVER (PARTITION BY content) AS n
+                FROM c
+            )
+            SELECT canonical_url, url AS alias_url
+            FROM g WHERE n >= 2 AND url != canonical_url""",
         # Cumulative-rounding apportionment in exact BIGINT arithmetic,
         # ordered by the same md5-int63 host hash the engine ranks on.
         "crawl_budget_allocation": """

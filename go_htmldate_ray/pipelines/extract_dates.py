@@ -735,3 +735,41 @@ def crawl_budget_allocation(sf_dir: str, *, budget: int = 1000):
     return budget_allocation(
         pages.map_batches(add_host, batch_format="pyarrow"), budget=budget
     )
+
+
+def url_alias_map(sf_dir: str):
+    """DUST-style alias→canonical URL map over the synthesized frontier
+    (:func:`~go_htmldate_ray.stages.dedup.url_aliases`).
+
+    Planting: the natural corpus has NO exact-duplicate texts, so an
+    unplanted oracle would be vacuous (0 rows proves only the
+    no-false-positive side).  Every doc with ``doc_id % 41 == 3``
+    therefore serves the shared mirror body ``'mirror family
+    <doc_id % 3>'`` instead of its own text — deterministic pure-integer
+    planting the SQL oracle recomputes exactly, the same convention
+    ``normalize_text`` uses for decomposed characters."""
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import page_url
+    from ..stages.dedup import url_aliases
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def content_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([page_url(i) for i in ids], pa.string()),
+                "content": pa.array(
+                    [
+                        f"mirror family {i % 3}" if i % 41 == 3 else (t or "")
+                        for i, t in zip(ids, texts)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return url_aliases(docs.map_batches(content_rows, batch_format="pyarrow"))

@@ -1137,3 +1137,60 @@ def remove_dup_spans(
         return out_table(ids, rows)
 
     return attached.map_batches(clean_joined, batch_format="pyarrow")
+
+
+def url_aliases(ds, *, url_col: str = "url", content_col: str = "content"):
+    """DUST-style URL-alias detection (Bar-Yossef et al. 2007, "Do Not
+    Crawl in the DUST"): different URLs serving identical content —
+    mirrors, session-id/tracking-parameter variants — become
+    ``alias → canonical`` rewrite rules a frontier applies BEFORE
+    scheduling, so every alias family costs one fetch instead of many.
+
+    Canonical = lexicographically smallest URL of the family (a pure,
+    order-free rule both sides recompute).  Output:
+    ``(canonical_url, alias_url)`` — one row per non-canonical member.
+
+    Shape: light ``(content_hash, url)`` rows (md5-int63, the SQL-shared
+    hash) → ONE keyed groupby → per-family emission; group size = family
+    size (alias count), never corpus size, and singleton families emit
+    nothing.  A pathological mega-family (one page mirrored millions of
+    times) still emits linear rows — it IS the answer — but sorts inside
+    one group; cap with star-sampling if that ever matters.
+    """
+    from .cleaning import _hash63
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        contents = batch.column(content_col).to_pylist()
+        return pa.table(
+            {
+                "h": pa.array(
+                    [_hash63(c or "") for c in contents], pa.int64()
+                ),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    def emit_family(group: pa.Table) -> pa.Table:
+        urls = sorted(group.column("url").to_pylist())
+        if len(urls) < 2:
+            return pa.table(
+                {
+                    "canonical_url": pa.array([], pa.string()),
+                    "alias_url": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "canonical_url": pa.array(
+                    [urls[0]] * (len(urls) - 1), pa.string()
+                ),
+                "alias_url": pa.array(urls[1:], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(emit_family, batch_format="pyarrow")
+    )

@@ -2114,3 +2114,29 @@ def test_anchor_summary_hot_target_collapses_per_block(ray_session):
     for i in range(37):
         u = f"https://t{i}.example.org/"
         assert out[u]["n_inlinks"] == len([x for x in range(n_pages) if x % 37 == i])
+
+
+def test_url_aliases_families_and_canonical(ray_session):
+    """Family emission: canonical = lexicographically smallest URL,
+    one row per alias, singletons emit nothing, '' contents family too."""
+    import ray
+
+    from go_htmldate_ray.stages.dedup import url_aliases
+
+    rows = [
+        {"url": "https://b.org/x", "content": "same body"},
+        {"url": "https://a.org/x", "content": "same body"},
+        {"url": "https://c.org/x", "content": "same body"},
+        {"url": "https://solo.org/", "content": "unique body"},
+        {"url": "https://e1.org/", "content": ""},
+        {"url": "https://e2.org/", "content": None},  # '' and None collide
+    ]
+    out = sorted(
+        (r["canonical_url"], r["alias_url"])
+        for r in url_aliases(ray.data.from_items(rows)).take_all()
+    )
+    assert out == [
+        ("https://a.org/x", "https://b.org/x"),
+        ("https://a.org/x", "https://c.org/x"),
+        ("https://e1.org/", "https://e2.org/"),
+    ]
