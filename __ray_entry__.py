@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer fixed-point units so sums commute; oracle = unrolled
         # iteration CTEs with identical integer arithmetic).
         "pagerank": _pagerank,
+        # HITS hubs/authorities: integer-exact half-rounds (join + Sum
+        # per half-round, per-half-round >> replacing normalization).
+        "hits_scores": lambda sf: _hits(sf, iters=2),
         # In-degree distribution of the same graph (zero-degree nodes
         # included): two light-row keyed aggregations.
         "link_degree_histogram": _degree_histogram,
@@ -712,6 +715,83 @@ def _degree_histogram(sf_dir):
 
     nodes, edges = _link_graph(sf_dir)
     return degree_histogram(nodes, edges, col="dst")
+
+
+def _hits(sf_dir, iters: int = 2):
+    """HITS needs degree VARIANCE to be non-vacuous: the standard crawl
+    link graph is 2-regular in AND out ((13d+1)%N and (29d+7)%N are both
+    bijections mod N), on which hubs == authorities == the uniform
+    vector.  This query therefore pairs the linear map with a QUADRATIC
+    one ((d*d+7)%N — in-degrees spread 0..~6), giving the oracle real
+    structure to verify."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_htmldate_ray.stages.graph import hits
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column("doc_id").cast(pa.int64())})
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([d, d]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([(d * 13 + 1) % n, (d * d + 7) % n]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return hits(
+        docs.map_batches(nodes, batch_format="pyarrow"),
+        docs.map_batches(edges, batch_format="pyarrow"),
+        iters=iters,
+    )
+
+
+def _hits_sql(iters: int = 2, shift: int = 1, base_shift: int = 20) -> str:
+    """Unrolled half-round CTEs with the engine's exact integer rule:
+    a'(v) = (sum h over in-edges) // 2^shift, h'(u) = (sum a' over
+    out-edges) // 2^shift, from h0 = 2^base_shift per node."""
+    base = 1 << base_shift
+    div = 1 << shift
+    parts = [
+        f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT doc_id AS src,
+                   (doc_id*13+1) % (SELECT n FROM nn) AS dst FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id*doc_id+7) % (SELECT n FROM nn) FROM documents
+        ),
+        n0 AS (SELECT doc_id AS id FROM documents),
+        h0 AS (SELECT id, {base}::BIGINT AS v FROM n0)"""
+    ]
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        a{k} AS (SELECT n0.id, coalesce(s.v, 0)::BIGINT AS v FROM n0 LEFT JOIN (
+            SELECT e.dst AS id, (sum({prev_h}.v) // {div})::BIGINT AS v
+            FROM edges e JOIN {prev_h} ON {prev_h}.id = e.src GROUP BY e.dst
+        ) s USING (id)),
+        h{k} AS (SELECT n0.id, coalesce(s.v, 0)::BIGINT AS v FROM n0 LEFT JOIN (
+            SELECT e.src AS id, (sum(a{k}.v) // {div})::BIGINT AS v
+            FROM edges e JOIN a{k} ON a{k}.id = e.dst GROUP BY e.src
+        ) s USING (id))"""
+        )
+        prev_h = f"h{k}"
+    parts.append(
+        f"""
+        SELECT h{iters}.id AS doc_id, h{iters}.v AS hub_units, a{iters}.v AS auth_units
+        FROM h{iters} JOIN a{iters} USING (id)"""
+    )
+    return "".join(parts)
 
 
 def _pagerank_sql(iters: int = 5) -> str:
@@ -1288,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
                        END)::BIGINT AS rho_max
             FROM parts GROUP BY bucket""",
         "pagerank": _pagerank_sql(iters=5),
+        "hits_scores": _hits_sql(iters=2),
         "link_degree_histogram": """
             WITH nn AS (SELECT count(*) AS n FROM documents),
             edges AS (

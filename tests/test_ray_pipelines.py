@@ -2140,3 +2140,47 @@ def test_url_aliases_families_and_canonical(ray_session):
         ("https://a.org/x", "https://c.org/x"),
         ("https://e1.org/", "https://e2.org/"),
     ]
+
+
+def test_hits_randomized_vs_python_reference(ray_session):
+    """Distributed integer HITS equals the single-process recurrence on
+    a random graph with skewed degrees (including a no-in-edge node and
+    a phantom edge endpoint outside the node set)."""
+    import random
+
+    import ray
+
+    from go_htmldate_ray.stages.graph import hits
+
+    rng = random.Random(99)
+    n, iters, shift, base_shift = 120, 3, 1, 20
+    edges = [(u, rng.randrange(0, n)) for u in range(1, n) for _ in range(rng.randrange(0, 5))]
+    edges.append((5, n + 50))  # phantom dst: must be dropped, not scored
+    # node 0 has no out-edges by construction (loop starts at 1)
+
+    base = 1 << base_shift
+    h = {i: base for i in range(n)}
+    for _ in range(iters):
+        a = {i: 0 for i in range(n)}
+        for u, v in edges:
+            if v < n:
+                a[v] += h[u]
+        a = {i: v >> shift for i, v in a.items()}
+        h = {i: 0 for i in range(n)}
+        for u, v in edges:
+            if v < n:
+                h[u] += a[v]
+        h = {i: v >> shift for i, v in h.items()}
+
+    out = hits(
+        ray.data.from_items([{"id": i} for i in range(n)]),
+        ray.data.from_items([{"src": u, "dst": v} for u, v in edges]),
+        iters=iters,
+        scale_shift=shift,
+        base_shift=base_shift,
+    ).take_all()
+    got_h = {r["doc_id"]: r["hub_units"] for r in out}
+    got_a = {r["doc_id"]: r["auth_units"] for r in out}
+    assert len(out) == n  # phantom id n+50 absent, node 0 present
+    assert got_h == h and got_a == a
+    assert len(set(h.values())) > 3  # fixture genuinely non-uniform
