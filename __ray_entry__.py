@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Redirect-chain folding: path-doubling resolution (log2(chain)
         # bucketed join rounds over int64 ids) + URL re-attach joins.
         "resolve_redirects": ed.redirect_resolution,
+        # Change-based recrawl signal: real snapshot_diff statuses ->
+        # host attach -> per-batch partials -> Sum groupby -> exact ppm.
+        "host_change_rates": ed.host_change_rates,
         # DUST alias->canonical URL rewrite map: light (content_hash,
         # url) rows -> one keyed groupby -> per-family emission
         # (planted mirror families; the natural corpus has no dups).
@@ -1020,6 +1023,22 @@ def oracle_sql() -> dict[str, str]:
                    1::BIGINT AS n_anchor_texts,
                    'related ' || t AS top_anchor
             FROM e GROUP BY t""",
+        # Tracked = present in both snapshots (not new %17==3, ghosts
+        # excluded); changed = %10==0 among tracked — snapshot_diff's
+        # planting rules, restated per host with exact integer ppm.
+        "host_change_rates": """
+            WITH t AS (
+                SELECT doc_id,
+                       'site' || (doc_id % 97) || '.example.org' AS host,
+                       (doc_id % 10 = 0)::INTEGER AS ch
+                FROM documents
+                WHERE doc_id % 17 != 3
+            )
+            SELECT host,
+                   count(*)::BIGINT AS n_tracked,
+                   sum(ch)::BIGINT AS n_changed,
+                   (sum(ch) * 1000000 // count(*))::BIGINT AS change_rate_ppm
+            FROM t GROUP BY host""",
         # Mirror-family planting recomputed in SQL; canonical = min(url)
         # per content family, one alias row per non-canonical member.
         "url_aliases": f"""

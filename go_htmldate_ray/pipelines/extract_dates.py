@@ -773,3 +773,77 @@ def url_alias_map(sf_dir: str):
         )
 
     return url_aliases(docs.map_batches(content_rows, batch_format="pyarrow"))
+
+
+def host_change_rates(sf_dir: str):
+    """Change-based recrawl scheduling signal (the complement of the
+    age-based :func:`host_staleness`): per host, how much of its tracked
+    page set changed between the two crawl snapshots
+    :func:`~go_htmldate_ray.stages.dedup.snapshot_diff` compares —
+    ``change_rate_ppm = n_changed * 10^6 // n_tracked`` (exact integer
+    parts-per-million; a Cho–Garcia-Molina-style revisit policy orders
+    hosts by this).  Tracked = pages present in BOTH snapshots
+    (status changed/unchanged); new and gone pages carry no change
+    evidence and are excluded.
+
+    Shape: the real snapshot_diff pipeline (content-hash FULL-outer
+    join + classify) → stateless host attach → per-batch (host, n,
+    n_changed) partials → ONE keyed Sum groupby → exact ppm map.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import page_host
+    from ..stages.dedup import snapshot_diff
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    statuses = snapshot_diff(docs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n: Counter = Counter()
+        ch: Counter = Counter()
+        for doc_id, status in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("status").to_pylist(),
+        ):
+            if status not in ("changed", "unchanged"):
+                continue
+            host = page_host(doc_id)
+            n[host] += 1
+            if status == "changed":
+                ch[host] += 1
+        hosts = sorted(n)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n": pa.array([n[h] for h in hosts], pa.int64()),
+                "nch": pa.array([ch.get(h, 0) for h in hosts], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = np.asarray(batch.column("sum(n)"), dtype=np.int64)
+        nch = np.asarray(batch.column("sum(nch)"), dtype=np.int64)
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_tracked": pa.array(n, pa.int64()),
+                "n_changed": pa.array(nch, pa.int64()),
+                "change_rate_ppm": pa.array(
+                    nch * 1_000_000 // n, pa.int64()
+                ),
+            }
+        )
+
+    return (
+        statuses.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n"), Sum("nch"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
