@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Redirect-chain folding: path-doubling resolution (log2(chain)
         # bucketed join rounds over int64 ids) + URL re-attach joins.
         "resolve_redirects": ed.redirect_resolution,
+        # Ingest hygiene: the REAL charset sniffing (BOM -> meta ->
+        # utf-8 -> latin-1) over planted-encoding page bytes.
+        "charset_audit": ed.charset_audit,
         # Change-based recrawl signal: real snapshot_diff statuses ->
         # host attach -> per-batch partials -> Sum groupby -> exact ppm.
         "host_change_rates": ed.host_change_rates,
@@ -1023,6 +1026,25 @@ def oracle_sql() -> dict[str, str]:
                    1::BIGINT AS n_anchor_texts,
                    'related ' || t AS top_anchor
             FROM e GROUP BY t""",
+        # The planting restated: which charset the sniff must land on
+        # per doc_id % 13 variant (the engine runs real detection on
+        # real bytes; the oracle states the planted truth).
+        "charset_audit": """
+            SELECT doc_id,
+                   CASE doc_id % 13
+                        WHEN 1 THEN 'windows-1252'
+                        WHEN 2 THEN ''
+                        WHEN 3 THEN 'iso-8859-1'
+                        WHEN 4 THEN ''
+                        ELSE 'utf-8' END AS declared_charset,
+                   CASE doc_id % 13
+                        WHEN 1 THEN 'windows-1252'
+                        WHEN 2 THEN 'utf-8'
+                        WHEN 3 THEN 'iso-8859-1'
+                        WHEN 4 THEN 'latin-1'
+                        ELSE 'utf-8' END AS used_charset,
+                   (doc_id % 13 = 2) AS has_bom
+            FROM documents""",
         # Tracked = present in both snapshots (not new %17==3, ghosts
         # excluded); changed = %10==0 among tracked — snapshot_diff's
         # planting rules, restated per host with exact integer ppm.

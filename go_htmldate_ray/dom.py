@@ -333,10 +333,12 @@ def parse_html(content: bytes | str) -> Node:
     return root
 
 
-def _decode(raw: bytes) -> str:
-    """Best-effort charset detection: BOM, meta charset sniff, utf-8, latin-1."""
+def decode_with_info(raw: bytes) -> tuple[str, str, str, bool]:
+    """Best-effort charset detection: BOM, meta charset sniff, utf-8,
+    latin-1.  → (text, used_charset, declared_charset, has_bom); the
+    latin-1 fallback never fails, so every byte string decodes."""
     if raw[:3] == b"\xef\xbb\xbf":
-        return raw[3:].decode("utf-8", errors="replace")
+        return raw[3:].decode("utf-8", errors="replace"), "utf-8", "", True
     head = raw[:4096].lower()
     enc = None
     idx = head.find(b"charset=")
@@ -350,14 +352,21 @@ def _decode(raw: bytes) -> str:
             enc = val.decode("ascii").strip() or None
         except UnicodeDecodeError:
             enc = None
+    declared = (enc or "").lower()
     for candidate in (enc, "utf-8", "latin-1"):
         if not candidate:
             continue
         try:
-            return raw.decode(candidate)
+            return raw.decode(candidate), candidate.lower(), declared, False
         except (UnicodeDecodeError, LookupError):
             continue
-    return raw.decode("utf-8", errors="replace")
+    return (  # unreachable (latin-1 accepts all bytes); kept as a guard
+        raw.decode("utf-8", errors="replace"), "utf-8", declared, False
+    )
+
+
+def _decode(raw: bytes) -> str:
+    return decode_with_info(raw)[0]
 
 
 def _ensure_html_root(doc: Node) -> None:

@@ -847,3 +847,66 @@ def host_change_rates(sf_dir: str):
         .aggregate(Sum("n"), Sum("nch"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def charset_audit(sf_dir: str):
+    """Distributed charset-detection audit: what encoding the parser's
+    sniffing (BOM → meta-charset → utf-8 → latin-1;
+    :func:`~go_htmldate_ray.dom.decode_with_info`) actually uses per
+    page — the ingest-hygiene report a CC-scale crawl runs before
+    trusting its text column.
+
+    Planting (the corpus is all-utf-8, so unplanted the audit is
+    vacuous): by ``doc_id % 13`` — 1 → windows-1252-declared page with
+    a 0xE9 byte, 2 → UTF-8 BOM, 3 → iso-8859-1-declared, 4 → UNDECLARED
+    non-UTF-8 bytes (exercises the latin-1 fallback), else the standard
+    synthesized page (meta charset="utf-8").  Detection runs the REAL
+    sniffing code on real bytes; only the page bytes are synthetic.
+    """
+    from .. import dom
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import build_page_html, count_documents
+
+    n_docs = count_documents(sf_dir)
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def raw_page(doc_id: int, text: str, lang: str) -> bytes:
+        v = doc_id % 13
+        if v == 1:
+            return (
+                b'<html><head><meta charset="windows-1252"/></head>'
+                b"<body>caf\xe9 " + str(doc_id).encode() + b"</body></html>"
+            )
+        if v == 2:
+            return b"\xef\xbb\xbf<html><body>bom page " + str(doc_id).encode() + b"</body></html>"
+        if v == 3:
+            return (
+                b'<html><head><meta charset="iso-8859-1"/></head>'
+                b"<body>na\xefve " + str(doc_id).encode() + b"</body></html>"
+            )
+        if v == 4:
+            return b"<html><body>undeclared caf\xe9 " + str(doc_id).encode() + b"</body></html>"
+        return build_page_html(doc_id, text or "", lang or "en", n_docs)
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        decl, used, bom = [], [], []
+        for i, t, lg in zip(ids, texts, langs):
+            _, u, d, b = dom.decode_with_info(raw_page(i, t, lg))
+            decl.append(d)
+            used.append(u)
+            bom.append(b)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "declared_charset": pa.array(decl, pa.string()),
+                "used_charset": pa.array(used, pa.string()),
+                "has_bom": pa.array(bom, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(audit, batch_format="pyarrow")

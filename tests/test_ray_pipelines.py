@@ -2184,3 +2184,38 @@ def test_hits_randomized_vs_python_reference(ray_session):
     assert len(out) == n  # phantom id n+50 absent, node 0 present
     assert got_h == h and got_a == a
     assert len(set(h.values())) > 3  # fixture genuinely non-uniform
+
+
+def test_decode_with_info_branches():
+    """Every sniffing branch: BOM, declared-and-valid, declared-bogus
+    (falls to utf-8), undeclared non-utf8 (latin-1), plain ascii — and
+    _decode stays byte-identical to the info variant's text."""
+    from go_htmldate_ray.dom import _decode, decode_with_info
+
+    cases = {
+        b"\xef\xbb\xbfhi": ("hi", "utf-8", "", True),
+        b'<meta charset="windows-1252">caf\xe9': (
+            '<meta charset="windows-1252">café',
+            "windows-1252",
+            "windows-1252",
+            False,
+        ),
+        b'<META CHARSET="ISO-8859-1">na\xefve': (
+            '<META CHARSET="ISO-8859-1">naïve',  # text keeps original case
+            "iso-8859-1",  # sniff is case-insensitive
+            "iso-8859-1",
+            False,
+        ),
+        b'<meta charset="bogus-enc">x': (
+            '<meta charset="bogus-enc">x',
+            "utf-8",
+            "bogus-enc",
+            False,
+        ),
+        b"undeclared caf\xe9": ("undeclared café", "latin-1", "", False),
+        b"plain": ("plain", "utf-8", "", False),
+        b"": ("", "utf-8", "", False),
+    }
+    for raw, expected in cases.items():
+        assert decode_with_info(raw) == expected, raw
+        assert _decode(raw) == expected[0], raw
