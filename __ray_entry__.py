@@ -84,6 +84,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Redirect-chain folding: path-doubling resolution (log2(chain)
         # bucketed join rounds over int64 ids) + URL re-attach joins.
         "resolve_redirects": ed.redirect_resolution,
+        # Generalized suffix array by prefix doubling (Manber-Myers over
+        # Ray Data; the ExactSubstr foundation).  Bounded to doc_id < 30
+        # (~15k suffixes) because the ORACLE sorts every suffix string;
+        # the operator itself is corpus-generic.
+        "suffix_array": lambda sf: _suffix_array(sf, max_doc_id=30),
         # Ingest hygiene: the REAL charset sniffing (BOM -> meta ->
         # utf-8 -> latin-1) over planted-encoding page bytes.
         "charset_audit": ed.charset_audit,
@@ -723,6 +728,19 @@ def _degree_histogram(sf_dir):
     return degree_histogram(nodes, edges, col="dst")
 
 
+def _suffix_array(sf_dir, max_doc_id: int = 30):
+    import pyarrow.compute as pc
+
+    from go_htmldate_ray.stages.suffix import suffix_array
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bounded = docs.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), max_doc_id)),
+        batch_format="pyarrow",
+    )
+    return suffix_array(bounded)
+
+
 def _hits(sf_dir, iters: int = 2):
     """HITS needs degree VARIANCE to be non-vacuous: the standard crawl
     link graph is 2-regular in AND out ((13d+1)%N and (29d+7)%N are both
@@ -1026,6 +1044,15 @@ def oracle_sql() -> dict[str, str]:
                    1::BIGINT AS n_anchor_texts,
                    'related ' || t AS top_anchor
             FROM e GROUP BY t""",
+        # Dense rank of every bounded-corpus suffix by binary string
+        # order — DuckDB's default binary collation == the engine's
+        # codepoint order (UTF-8 is order-preserving).
+        "suffix_array": """
+            SELECT doc_id, t.pos::BIGINT AS pos,
+                   dense_rank() OVER (ORDER BY substr(text, t.pos::INT + 1))::BIGINT
+                       AS srank
+            FROM documents, unnest(range(0, length(coalesce(text, '')))) t(pos)
+            WHERE doc_id < 30""",
         # The planting restated: which charset the sniff must land on
         # per doc_id % 13 variant (the engine runs real detection on
         # real bytes; the oracle states the planted truth).

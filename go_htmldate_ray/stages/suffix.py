@@ -1,0 +1,220 @@
+"""Distributed generalized suffix array by prefix doubling.
+
+The foundation of exact-substring dedup (Lee et al. 2021 build per-shard
+suffix arrays; Manber–Myers 1990 is the doubling construction): rank
+every suffix of every document — suffix = the document's text from
+``pos`` to the document's end — by global string order across the whole
+corpus, equal suffixes sharing a dense rank.
+
+Ray-Data-first shape, one round per prefix-length doubling:
+
+- positions are light ``(doc, pos, rank)`` rows (one per character — the
+  honest distributed-SA granularity; Lee et al. pay the same);
+- ``rank at pos+2^k`` comes from ONE bucketed left
+  :func:`~go_htmldate_ray.stages.joins.hash_join` of the state with
+  itself on a packed ``doc<<32|pos`` key (out-of-range → 0, which sorts
+  before every real rank ≥ 1 — exactly how a proper prefix sorts before
+  its extension);
+- the (rank, next_rank) pair packs into one int64 (both < 2^31 by
+  construction) and re-densifies through ``groupby(pair)`` +
+  :func:`~go_htmldate_ray.stages.packing.ordered_cumsum` over the
+  DISTINCT pair values (unique integers — cumsum of 1s in pair order IS
+  the dense rank) + one join back;
+- rounds stop at the fixed point: the distinct-pair count is strictly
+  increasing until converged, so an unchanged count proves no future
+  round can change anything (equal full suffixes keep equal ranks
+  forever — correct for the generalized SA).
+
+Every round rebases the state (materialize → from_arrow_refs) like
+``graph.pagerank``, keeping lineage flat across the ~log₂(max suffix
+length) rounds (random-ish text converges in ~log_σ(corpus) rounds,
+far earlier).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_POS_BITS = 32  # pos < 2^32 per doc; doc_id < 2^31
+
+
+def _pack_key(doc: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    return (doc << _POS_BITS) | pos
+
+
+def suffix_array(
+    ds,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    max_rounds: int = 40,
+):
+    """→ Dataset (doc_id, pos, srank): dense global rank of each
+    document suffix ``text[pos:]`` (0-based ``pos``), equal suffixes
+    sharing a rank.  Codepoint order (== UTF-8 byte order == SQL binary
+    collation)."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from .joins import adaptive_buckets, hash_join
+    from .packing import ordered_cumsum
+
+    def char_rows(batch: pa.Table) -> pa.Table:
+        docs_out, poss, ranks = [], [], []
+        for doc_id, text in zip(
+            batch.column(doc_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            t = text or ""
+            if not t:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            docs_out.append(np.full(len(cp), doc_id, dtype=np.int64))
+            poss.append(np.arange(len(cp), dtype=np.int64))
+            ranks.append(cp + 1)  # ranks ≥ 1; 0 = past-the-end sentinel
+        if not docs_out:
+            return pa.table(
+                {
+                    "doc": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate(docs_out), pa.int64()),
+                "pos": pa.array(np.concatenate(poss), pa.int64()),
+                "rank": pa.array(np.concatenate(ranks), pa.int64()),
+            }
+        )
+
+    def rebase(mat):
+        return ray.data.from_arrow_refs(mat.to_arrow_refs())
+
+    state = ds.map_batches(char_rows, batch_format="pyarrow")
+    n_rows = state.count()
+    if n_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "srank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_buckets is None:
+        n_buckets = adaptive_buckets(n_rows)
+    n_blocks = max(1, min(512, n_rows // 2_000_000 + 1))
+    state = rebase(state.repartition(n_blocks).materialize())
+
+    prev_distinct = -1
+    offset = 1
+    for _ in range(max_rounds):
+        def left_rows(batch: pa.Table, offset=offset) -> pa.Table:
+            doc = np.asarray(batch.column("doc"), dtype=np.int64)
+            pos = np.asarray(batch.column("pos"), dtype=np.int64)
+            return pa.table(
+                {
+                    "tkey": pa.array(_pack_key(doc, pos + offset), pa.int64()),
+                    "doc": batch.column("doc"),
+                    "pos": batch.column("pos"),
+                    "rank": batch.column("rank"),
+                }
+            )
+
+        def right_rows(batch: pa.Table) -> pa.Table:
+            doc = np.asarray(batch.column("doc"), dtype=np.int64)
+            pos = np.asarray(batch.column("pos"), dtype=np.int64)
+            return pa.table(
+                {
+                    "gkey": pa.array(_pack_key(doc, pos), pa.int64()),
+                    "nrank": batch.column("rank"),
+                }
+            )
+
+        joined = hash_join(
+            state.map_batches(left_rows, batch_format="pyarrow"),
+            state.map_batches(right_rows, batch_format="pyarrow"),
+            on="tkey",
+            right_on="gkey",
+            n_buckets=n_buckets,
+            how="left",
+        )
+
+        def pair_rows(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            r = np.asarray(batch.column("rank"), dtype=np.int64)
+            nr = np.asarray(
+                pc.fill_null(batch.column("nrank"), 0), dtype=np.int64
+            )
+            return pa.table(
+                {
+                    "doc": batch.column("doc"),
+                    "pos": batch.column("pos"),
+                    "pair": pa.array((r << _POS_BITS) | nr, pa.int64()),
+                }
+            )
+
+        paired = rebase(
+            joined.map_batches(pair_rows, batch_format="pyarrow")
+            .repartition(n_blocks)
+            .materialize()
+        )
+
+        distinct = paired.groupby("pair").aggregate(Count())
+        ranked = ordered_cumsum(
+            distinct.map_batches(
+                lambda b: pa.table(
+                    {
+                        "pair": b.column("pair"),
+                        "one": pa.array(
+                            np.ones(b.num_rows, dtype=np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            order_col="pair",
+            value_col="one",
+            n_buckets=n_buckets,
+        )
+        n_distinct = ranked.count()
+
+        state = rebase(
+            hash_join(
+                paired,
+                ranked.map_batches(
+                    lambda b: pa.table(
+                        {"jpair": b.column("pair"), "rank": b.column("cum")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                on="pair",
+                right_on="jpair",
+                n_buckets=n_buckets,
+            )
+            .select_columns(["doc", "pos", "rank"])
+            .repartition(n_blocks)
+            .materialize()
+        )
+
+        if n_distinct == prev_distinct:
+            break  # fixed point: no pair split this round, none ever will
+        prev_distinct = n_distinct
+        offset *= 2
+
+    return state.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc"),
+                "pos": b.column("pos"),
+                "srank": b.column("rank"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

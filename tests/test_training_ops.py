@@ -912,3 +912,41 @@ def test_ordered_cumsum_wide_key_domain(ray_session):
     for i, k in enumerate(keys):
         run += i + 1
         assert got[k] == run, (i, k)
+
+
+def test_suffix_array_randomized_vs_python(ray_session):
+    """Prefix-doubling generalized SA == dense rank of sorted suffixes
+    on random small-alphabet docs (dense collisions), with an identical
+    doc pair (equal suffixes MUST share ranks), an empty doc, and a
+    planted long shared prefix (forces several doubling rounds)."""
+    import random
+
+    import ray
+
+    from go_htmldate_ray.stages.suffix import suffix_array
+
+    rng = random.Random(31)
+    rows = [
+        {
+            "doc_id": i,
+            "text": "".join(rng.choice("ab") for _ in range(rng.randrange(0, 30))),
+        }
+        for i in range(15)
+    ]
+    rows.append({"doc_id": 15, "text": ""})
+    rows.append({"doc_id": 16, "text": rows[3]["text"]})  # exact twin
+    rows.append({"doc_id": 17, "text": "a" * 40})         # long run
+    rows.append({"doc_id": 18, "text": "a" * 40 + "b"})   # shares 40-prefix
+
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    sufs = sorted({t[p:] for t in texts.values() for p in range(len(t))})
+    rank_of = {s: i + 1 for i, s in enumerate(sufs)}
+
+    out = suffix_array(ray.data.from_items(rows)).take_all()
+    assert len(out) == sum(len(t) for t in texts.values())
+    for r in out:
+        assert r["srank"] == rank_of[texts[r["doc_id"]][r["pos"] :]], r
+    # twin docs share every rank
+    got = {(r["doc_id"], r["pos"]): r["srank"] for r in out}
+    for p in range(len(texts[3])):
+        assert got[(3, p)] == got[(16, p)]
