@@ -15,6 +15,19 @@ from ..sources.pages import read_pages
 from ..stages.extract_stage import HtmldateExtractor
 
 
+def _url_hosts(url_col):
+    """Vectorized scheme://<host> extraction (one RE2 pass, zero Python
+    per row) — the single authority-parsing rule shared by every
+    host-keyed pipeline here (RFC 3986 scheme, no trailing-slash
+    requirement)."""
+    return pc.struct_field(
+        pc.extract_regex(
+            url_col, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)"
+        ),
+        "host",
+    )
+
+
 def extract_dates(
     sf_dir: str,
     *,
@@ -110,16 +123,12 @@ def host_page_counts(sf_dir: str):
     pages = read_pages(sf_dir)
 
     def add_host(batch: pa.Table) -> pa.Table:
-        # vectorized scheme://<host> extraction (no per-row Python);
-        # no trailing-slash requirement, scheme per RFC 3986
-        hosts = pc.struct_field(
-            pc.extract_regex(
-                batch.column("url"),
-                r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)",
-            ),
-            "host",
+        return pa.table(
+            {
+                "host": _url_hosts(batch.column("url")),
+                "doc_id": batch.column("doc_id"),
+            }
         )
-        return pa.table({"host": hosts, "doc_id": batch.column("doc_id")})
 
     counts = pages.map_batches(add_host, batch_format="pyarrow").groupby("host").count()
     return counts.map_batches(
@@ -234,16 +243,7 @@ def host_staleness(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        hosts = pc.fill_null(
-            pc.struct_field(
-                pc.extract_regex(
-                    batch.column("url"),
-                    r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)",
-                ),
-                "host",
-            ),
-            "",
-        )
+        hosts = pc.fill_null(_url_hosts(batch.column("url")), "")
         pub = pc.strptime(
             pc.cast(batch.column("date_str"), pa.string()),
             format="%Y-%m-%d",
@@ -723,14 +723,7 @@ def crawl_budget_allocation(sf_dir: str, *, budget: int = 1000):
     pages = read_pages(sf_dir)
 
     def add_host(batch: pa.Table) -> pa.Table:
-        hosts = pc.struct_field(
-            pc.extract_regex(
-                batch.column("url"),
-                r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]*)",
-            ),
-            "host",
-        )
-        return pa.table({"host": hosts})
+        return pa.table({"host": _url_hosts(batch.column("url"))})
 
     return budget_allocation(
         pages.map_batches(add_host, batch_format="pyarrow"), budget=budget

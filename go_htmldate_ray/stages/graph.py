@@ -398,6 +398,8 @@ def hits(nodes, edges, *, iters: int = 2, scale_shift: int = 1, base_shift: int 
 
     from .joins import adaptive_buckets, hash_join
 
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     n_nodes = nodes.count()
     if n_nodes == 0:
         return ray.data.from_arrow(

@@ -340,7 +340,10 @@ def budget_allocation(ds, *, budget: int, group_col: str = "host"):
             }
         )
 
-    keyed = counts.map_batches(add_order, batch_format="pyarrow")
+    # materialize: the total aggregate and ordered_cumsum's internal
+    # passes otherwise re-execute the full frontier scan + groupby ~4x;
+    # keyed is tiny (<= n_hosts rows)
+    keyed = counts.map_batches(add_order, batch_format="pyarrow").materialize()
     stats = keyed.aggregate(Sum("n_urls"))
     total = stats.get("sum(n_urls)") if stats else None
     if not total:  # empty frontier (budget=0 flows through: all-zero allocs)

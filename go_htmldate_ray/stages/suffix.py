@@ -106,6 +106,15 @@ def suffix_array(
                 }
             )
         )
+    if n_rows >= 1 << 30:
+        # pair packing is (rank << 32) | next_rank and the join key is
+        # (doc << 32) + (pos + offset): dense ranks >= 2^31 or
+        # pos + offset >= 2^32 would overflow/alias SILENTLY.  n_rows
+        # < 2^30 bounds rank < 2^30 and offset <= 4*max_len < 2^32.
+        # Fail loudly; shard the corpus or widen to two-column pairs.
+        raise ValueError(
+            f"suffix_array packing supports < 2^30 total characters, got {n_rows}"
+        )
     if n_buckets is None:
         n_buckets = adaptive_buckets(n_rows)
     n_blocks = max(1, min(512, n_rows // 2_000_000 + 1))
@@ -166,7 +175,7 @@ def suffix_array(
             .materialize()
         )
 
-        distinct = paired.groupby("pair").aggregate(Count())
+        distinct = paired.groupby("pair").aggregate(Count()).materialize()
         ranked = ordered_cumsum(
             distinct.map_batches(
                 lambda b: pa.table(
@@ -183,6 +192,10 @@ def suffix_array(
             value_col="one",
             n_buckets=n_buckets,
         )
+        # materialize: ordered_cumsum's internals, the count, and the
+        # join-back otherwise each re-execute the full distinct-pair
+        # shuffle (~4x the dominant per-round cost)
+        ranked = ranked.materialize()
         n_distinct = ranked.count()
 
         state = rebase(
