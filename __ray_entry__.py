@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (~15k suffixes) because the ORACLE sorts every suffix string;
         # the operator itself is corpus-generic.
         "suffix_array": lambda sf: _suffix_array(sf, max_doc_id=30),
+        # ExactSubstr detection artifact: distinct repeated substrings
+        # (>= 20 chars, capped 64) from SA class sizes + adjacent-class
+        # LCPs; same doc bound as suffix_array (oracle sort cost).
+        "repeated_substrings": lambda sf: _repeated_substrings(sf, max_doc_id=30),
         # Ingest hygiene: the REAL charset sniffing (BOM -> meta ->
         # utf-8 -> latin-1) over planted-encoding page bytes.
         "charset_audit": ed.charset_audit,
@@ -741,6 +745,19 @@ def _suffix_array(sf_dir, max_doc_id: int = 30):
     return suffix_array(bounded)
 
 
+def _repeated_substrings(sf_dir, max_doc_id: int = 30):
+    import pyarrow.compute as pc
+
+    from go_htmldate_ray.stages.suffix import repeated_substrings
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bounded = docs.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), max_doc_id)),
+        batch_format="pyarrow",
+    )
+    return repeated_substrings(bounded, min_len=20, cap=64)
+
+
 def _hits(sf_dir, iters: int = 2):
     """HITS needs degree VARIANCE to be non-vacuous: the standard crawl
     link graph is 2-regular in AND out ((13d+1)%N and (29d+7)%N are both
@@ -1044,6 +1061,31 @@ def oracle_sql() -> dict[str, str]:
                    1::BIGINT AS n_anchor_texts,
                    'related ' || t AS top_anchor
             FROM e GROUP BY t""",
+        # Class sizes >= 2 give full-suffix repeats; adjacent DISTINCT
+        # suffixes give prefix repeats via a capped (64) LCP probe —
+        # prefix equality is monotone, so max equal-k IS the LCP.
+        "repeated_substrings": """
+            WITH suf AS (
+                SELECT substr(text, t.pos::INT + 1) AS s
+                FROM documents, unnest(range(0, length(coalesce(text, '')))) t(pos)
+                WHERE doc_id < 30
+            ),
+            cls AS (SELECT s, count(*) AS c FROM suf GROUP BY s),
+            adj AS (SELECT s, c, lead(s) OVER (ORDER BY s) AS nxt FROM cls),
+            hits AS (
+                SELECT least(length(s), 64)::BIGINT AS length,
+                       substr(s, 1, 64) AS substring
+                FROM adj WHERE c >= 2 AND least(length(s), 64) >= 20
+                UNION ALL
+                SELECT lcp.k AS length, substr(s, 1, lcp.k::INT) AS substring
+                FROM adj, LATERAL (
+                    SELECT coalesce(max(r.k), 0)::BIGINT AS k
+                    FROM range(1, 65) r(k)
+                    WHERE substr(adj.s, 1, r.k::INT) = substr(adj.nxt, 1, r.k::INT)
+                ) lcp
+                WHERE adj.nxt IS NOT NULL AND lcp.k >= 20
+            )
+            SELECT DISTINCT length, substring FROM hits""",
         # Dense rank of every bounded-corpus suffix by binary string
         # order — DuckDB's default binary collation == the engine's
         # codepoint order (UTF-8 is order-preserving).

@@ -231,3 +231,141 @@ def suffix_array(
         ),
         batch_format="pyarrow",
     )
+
+
+def repeated_substrings(
+    ds,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    cap: int = 64,
+    broadcast_doc_limit: int = 100_000,
+):
+    """Longest repeated substrings of the corpus from the suffix array —
+    the artifact ExactSubstr dedup thresholds on: every maximal repeat
+    of length ≥ ``min_len`` surfaces as the LCP of suffixes adjacent in
+    SA order.  Two sources, both class-level (equal suffixes share a
+    dense rank, so class adjacency yields the same LCP value set as
+    row adjacency):
+
+    - a rank class of size ≥ 2 is an identical suffix appearing twice →
+      repeat of its full length;
+    - adjacent rank classes r, r+1 → repeat of their common-prefix
+      length.
+
+    Lengths and substrings are CAPPED at ``cap`` chars (the dedup
+    thresholding never needs more; the capped probe is also what keeps
+    the SQL oracle's pairwise comparison bounded).  Output: DISTINCT
+    ``(length, substring)`` rows with length ≥ ``min_len``.
+
+    Shape: :func:`suffix_array` → one groupby(srank) for class
+    representatives (min packed (doc,pos) + class size) → capped
+    prefixes attached from a broadcast doc-text table (bounded by
+    ``broadcast_doc_limit`` — this wrapper is for oracle-scale corpora;
+    at corpus scale attach prefixes with a doc-keyed join instead) →
+    ONE hash_join of rank r onto r+1 → vectorized-per-pair LCP → one
+    tiny dedupe groupby.
+    """
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from .joins import hash_join
+
+    n_docs = ds.count()
+    if n_docs > broadcast_doc_limit:
+        raise ValueError(
+            f"repeated_substrings broadcasts doc texts; got {n_docs} docs "
+            f"> {broadcast_doc_limit} — use a join-based prefix attach at this scale"
+        )
+    texts = {
+        r[doc_col]: (r[text_col] or "")
+        for r in ds.select_columns([doc_col, text_col]).take_all()
+    }
+    texts_ref = ray.put(texts)
+
+    sa = suffix_array(ds, doc_col=doc_col, text_col=text_col)
+
+    def packed(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        pos = np.asarray(batch.column("pos"), dtype=np.int64)
+        return pa.table(
+            {
+                "srank": batch.column("srank"),
+                "dp": pa.array(_pack_key(doc, pos), pa.int64()),
+            }
+        )
+
+    reps = (
+        sa.map_batches(packed, batch_format="pyarrow")
+        .groupby("srank")
+        .aggregate(Min("dp"), Count())
+    )
+
+    def rep_rows(batch: pa.Table) -> pa.Table:
+        t = ray.get(texts_ref)
+        ranks = batch.column("srank").to_pylist()
+        dps = batch.column("min(dp)").to_pylist()
+        sizes = batch.column("count()").to_pylist()
+        prefs, lens = [], []
+        for dp in dps:
+            doc, pos = dp >> _POS_BITS, dp & ((1 << _POS_BITS) - 1)
+            suf = t[doc][pos : pos + cap]
+            prefs.append(suf)
+            lens.append(min(len(t[doc]) - pos, cap))
+        return pa.table(
+            {
+                "srank": pa.array(ranks, pa.int64()),
+                "pref": pa.array(prefs, pa.string()),
+                "slen": pa.array(lens, pa.int64()),
+                "csize": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    rep_t = reps.map_batches(rep_rows, batch_format="pyarrow").materialize()
+
+    shifted = rep_t.map_batches(
+        lambda b: pa.table(
+            {
+                "nrank": pa.array(
+                    np.asarray(b.column("srank"), dtype=np.int64) - 1, pa.int64()
+                ),
+                "npref": b.column("pref"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    adj = hash_join(rep_t, shifted, on="srank", right_on="nrank", how="left")
+
+    def emit(batch: pa.Table) -> pa.Table:
+        lens_out, subs = [], []
+        for pref, slen, csize, npref in zip(
+            batch.column("pref").to_pylist(),
+            batch.column("slen").to_pylist(),
+            batch.column("csize").to_pylist(),
+            batch.column("npref").to_pylist(),
+        ):
+            if csize >= 2 and slen >= min_len:
+                lens_out.append(slen)
+                subs.append(pref[:slen])
+            if npref:
+                k = 0
+                m = min(len(pref), len(npref), cap)
+                while k < m and pref[k] == npref[k]:
+                    k += 1
+                if k >= min_len:
+                    lens_out.append(k)
+                    subs.append(pref[:k])
+        return pa.table(
+            {
+                "length": pa.array(lens_out, pa.int64()),
+                "substring": pa.array(subs, pa.string()),
+            }
+        )
+
+    out = adj.map_batches(emit, batch_format="pyarrow")
+    return (
+        out.groupby(["length", "substring"])
+        .aggregate(Count())
+        .select_columns(["length", "substring"])
+    )

@@ -950,3 +950,53 @@ def test_suffix_array_randomized_vs_python(ray_session):
     got = {(r["doc_id"], r["pos"]): r["srank"] for r in out}
     for p in range(len(texts[3])):
         assert got[(3, p)] == got[(16, p)]
+
+
+def test_repeated_substrings_vs_python_rule(ray_session):
+    """Distributed SA-based repeat extraction == the single-process rule
+    (sorted distinct suffixes: class size >= 2 -> full capped suffix;
+    neighbors -> capped LCP), with a planted 30+-char boilerplate that
+    must surface."""
+    import random
+
+    import ray
+
+    from go_htmldate_ray.stages.suffix import repeated_substrings
+
+    rng = random.Random(77)
+    boiler = "subscribe to our newsletter today for updates"  # 46 chars
+    rows = []
+    for i in range(10):
+        body = "".join(rng.choice("abcd ") for _ in range(rng.randrange(10, 60)))
+        text = body + (boiler if i % 3 == 0 else "")
+        rows.append({"doc_id": i, "text": text})
+
+    min_len, cap = 20, 64
+    texts = [r["text"] for r in rows]
+    sufs = sorted({t[p:] for t in texts for p in range(len(t))})
+    counts = {}
+    for t in texts:
+        for p in range(len(t)):
+            s = t[p:]
+            counts[s] = counts.get(s, 0) + 1
+    expected = set()
+    for i, s in enumerate(sufs):
+        if counts[s] >= 2 and min(len(s), cap) >= min_len:
+            expected.add((min(len(s), cap), s[:cap]))
+        if i + 1 < len(sufs):
+            nxt = sufs[i + 1]
+            k = 0
+            m = min(len(s), len(nxt), cap)
+            while k < m and s[k] == nxt[k]:
+                k += 1
+            if k >= min_len:
+                expected.add((k, s[:k]))
+
+    got = {
+        (r["length"], r["substring"])
+        for r in repeated_substrings(
+            ray.data.from_items(rows), min_len=min_len, cap=cap
+        ).take_all()
+    }
+    assert got == expected
+    assert any(sub.startswith(boiler[:20]) for _, sub in got)  # planted repeat found
