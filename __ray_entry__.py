@@ -113,6 +113,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget_allocation": lambda sf: ed.crawl_budget_allocation(
             sf, budget=137
         ),
+        # Bloom URL-seen membership (the OR-monoid half of the north
+        # rule's "bloom/cuckoo" seen state): per-block bitmap partials
+        # -> tiny driver OR -> broadcast probe.  Deliberately UNDERSIZED
+        # (1024 bits / ~333 keys, fill ~0.73) so the oracle exercises
+        # real false positives, not just the no-false-negative side.
+        "bloom_seen_check": ed.bloom_seen_audit,
         # Corpus temporal profile: full extraction cascade -> per-year
         # partial counts -> tiny Sum groupby.
         "date_year_histogram": ed.date_year_histogram,
@@ -1172,6 +1178,33 @@ def oracle_sql() -> dict[str, str]:
                     - (2*(cum - n_urls)*137 + total) // (2*total))::BIGINT
                        AS allocated
             FROM cu, t""",
+        # Full Bloom recomputation: Kirsch-Mitzenmacher double hashing
+        # on the first-8-md5-bytes UBIGINT key hash; the filter's set
+        # bits are the DISTINCT positions of the build side, membership
+        # = all k probe positions present (LEFT JOIN count).
+        "bloom_seen_check": f"""
+            WITH pages AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+            ph AS (
+                SELECT doc_id, ('0x' || substr(md5(url), 1, 16))::UBIGINT AS h64
+                FROM pages
+            ),
+            bits AS (
+                SELECT DISTINCT ((h64 >> 32) + i::UBIGINT *
+                    ((h64 & 4294967295::UBIGINT) | 1::UBIGINT)) % 1024::UBIGINT AS pos
+                FROM ph, range(0, 4) t(i) WHERE doc_id % 3 != 0
+            ),
+            pp AS (
+                SELECT doc_id, ((h64 >> 32) + i::UBIGINT *
+                    ((h64 & 4294967295::UBIGINT) | 1::UBIGINT)) % 1024::UBIGINT AS pos
+                FROM ph, range(0, 4) t(i)
+            ),
+            hits AS (
+                SELECT pp.doc_id, count(b.pos) = 4 AS maybe_seen
+                FROM pp LEFT JOIN bits b ON b.pos = pp.pos GROUP BY pp.doc_id
+            )
+            SELECT p.doc_id, h.maybe_seen, (p.doc_id % 3 != 0) AS is_seen,
+                   (h.maybe_seen AND p.doc_id % 3 = 0) AS false_positive
+            FROM pages p JOIN hits h USING (doc_id)""",
         # Closed form of the synthesized chain rule (id%8!=0 -> id-1):
         # the chain from id lands on id - id%8 after exactly id%8 hops.
         # The engine must DISCOVER this by path doubling; the oracle

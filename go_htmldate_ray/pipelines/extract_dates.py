@@ -903,3 +903,71 @@ def charset_audit(sf_dir: str):
         )
 
     return docs.map_batches(audit, batch_format="pyarrow")
+
+
+def bloom_seen_audit(sf_dir: str, *, m_bits: int = 1024, k: int = 4):
+    """Bloom-filter URL-seen membership audit over the synthesized
+    frontier (:mod:`~go_htmldate_ray.state.bloom` — the commutative
+    OR-monoid half of the north rule's "bloom/cuckoo URL-seen" state;
+    the exact mutation-ordered half is the sharded cuckoo-fronted
+    actors in :mod:`~go_htmldate_ray.state.seen_filter`).
+
+    Build side = URLs with ``doc_id % 3 != 0`` ("visited" on a prior
+    crawl); probe side = the whole frontier.  The filter is deliberately
+    UNDERSIZED (1024 bits for ~333 keys at sf0.01, fill ≈ 0.73) so the
+    audit exercises both answer classes: Bloom false positives are the
+    operator's defining behavior, and a right-sized filter over this
+    fixture would report zero and prove only the no-false-negative side.
+
+    Shape: pruned single-column read → per-block bitmap partials (one
+    fixed-size row per block, keys never leave their block) → tiny
+    driver OR (m_bits/8 bytes x n_blocks) → broadcast probe.  At 10^10
+    keys the bitmap is GiB-sized: same flow, with the combine as a tree
+    of ORs and the probe resolving a ``ray.put`` ref once per worker.
+    """
+    import numpy as np
+
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import page_url
+    from ..state import bloom
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def url_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "url": pa.array([page_url(i) for i in ids], pa.string()),
+            }
+        )
+
+    urls = docs.map_batches(url_rows, batch_format="pyarrow")
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        mask = batch.column("doc_id").to_numpy() % 3 != 0
+        seen = batch.filter(pa.array(mask))
+        return bloom.partial_bitmap_batch(seen, key_column="url", m_bits=m_bits, k=k)
+
+    # one m_bits/8-byte row PER BLOCK, not per key
+    partials = urls.map_batches(build_partial, batch_format="pyarrow").take_all()
+    filt = bloom.combine_bitmaps(partials, m_bits=m_bits, k=k)
+    words = filt.words  # sub-KiB here; ray.put + per-worker resolve at scale
+
+    def probe(batch: pa.Table) -> pa.Table:
+        f = bloom.BloomFilter(m_bits, k)
+        f.words = words
+        ids = batch.column("doc_id").to_numpy()
+        hashes = bloom.hash_keys(batch.column("url").to_pylist())
+        maybe = f.contains_hashes(hashes)
+        is_seen = (ids % 3) != 0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "maybe_seen": pa.array(maybe, pa.bool_()),
+                "is_seen": pa.array(is_seen, pa.bool_()),
+                "false_positive": pa.array(maybe & ~is_seen, pa.bool_()),
+            }
+        )
+
+    return urls.map_batches(probe, batch_format="pyarrow")
