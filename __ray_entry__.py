@@ -119,6 +119,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (1024 bits / ~333 keys, fill ~0.73) so the oracle exercises
         # real false positives, not just the no-false-negative side.
         "bloom_seen_check": ed.bloom_seen_audit,
+        # Registrable-domain extraction (publicsuffix.org algorithm):
+        # per-domain crawl state groups on this, not raw host.  Hosts
+        # synthesized from doc_id to hit every branch (wildcard *.ck,
+        # exception !www.ck, host == suffix, implicit *).
+        "registrable_domains": ed.registrable_domains,
         # Corpus temporal profile: full extraction cascade -> per-year
         # partial counts -> tiny Sum groupby.
         "date_year_histogram": ed.date_year_histogram,
@@ -1205,6 +1210,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, h.maybe_seen, (p.doc_id % 3 != 0) AS is_seen,
                    (h.maybe_seen AND p.doc_id % 3 = 0) AS false_positive
             FROM pages p JOIN hits h USING (doc_id)""",
+        # Independent PSL-match recomputation: per-host candidate label
+        # suffixes (lateral unnest) vs the literal rule lists; exception
+        # beats wildcard/exact beats the implicit '*' single-label rule.
+        "registrable_domains": """
+            WITH hosts AS (
+              SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'www.paper' || (doc_id % 11) || '.co.uk'
+                  WHEN 1 THEN 'news' || (doc_id % 11) || '.com'
+                  WHEN 2 THEN 'user' || (doc_id % 11) || '.github.io'
+                  WHEN 3 THEN 'shop' || (doc_id % 11) || '.com.au'
+                  WHEN 4 THEN 'a' || (doc_id % 5) || '.b' || (doc_id % 3) || '.ck'
+                  WHEN 5 THEN CASE WHEN doc_id % 16 = 5 THEN 'github.io' ELSE 'www.ck' END
+                  WHEN 6 THEN 'archive.m' || (doc_id % 11) || '.edu.cn'
+                  ELSE 'site' || (doc_id % 11) || '.example.org'
+                END AS host
+              FROM documents
+            ),
+            lab AS (
+              SELECT doc_id, host, string_split(host, '.') AS ls,
+                     length(string_split(host, '.')) AS n
+              FROM hosts
+            ),
+            cand AS (
+              SELECT doc_id, n, j, array_to_string(ls[n - j + 1 : n], '.') AS suf
+              FROM lab, unnest(range(1, n + 1)) t(j)
+            ),
+            m AS (
+              SELECT doc_id,
+                max(CASE WHEN suf IN ('www.ck') THEN j END) AS exc_j,
+                max(CASE WHEN suf IN ('com','org','net','io','uk','co.uk',
+                    'gov.uk','au','com.au','cn','edu.cn','jp','co.jp',
+                    'github.io','blogspot.com') THEN j END) AS ex_j,
+                max(CASE WHEN j < n AND suf IN ('ck') THEN j + 1 END) AS wi_j
+              FROM cand GROUP BY doc_id
+            ),
+            ps AS (
+              SELECT l.doc_id, l.host, l.ls, l.n,
+                CASE WHEN m.exc_j IS NOT NULL THEN m.exc_j - 1
+                     ELSE greatest(coalesce(m.ex_j, 1), coalesce(m.wi_j, 1))
+                END AS psl
+              FROM lab l JOIN m USING (doc_id)
+            )
+            SELECT doc_id, host,
+              array_to_string(ls[n - psl + 1 : n], '.') AS public_suffix,
+              CASE WHEN n > psl THEN array_to_string(ls[n - psl : n], '.')
+                   ELSE '' END AS registrable_domain
+            FROM ps""",
         # Closed form of the synthesized chain rule (id%8!=0 -> id-1):
         # the chain from id lands on id - id%8 after exactly id%8 hops.
         # The engine must DISCOVER this by path doubling; the oracle

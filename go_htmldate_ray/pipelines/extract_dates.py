@@ -971,3 +971,59 @@ def bloom_seen_audit(sf_dir: str, *, m_bits: int = 1024, k: int = 4):
         )
 
     return urls.map_batches(probe, batch_format="pyarrow")
+
+
+def registrable_domains(sf_dir: str):
+    """Registrable-domain extraction (publicsuffix.org algorithm,
+    :func:`~go_htmldate_ray.state.urls.split_registrable`) — the key
+    per-domain crawl state should group on instead of raw host.
+
+    The natural corpus hosts are all ``siteN.example.org`` (one
+    registrable domain — a degenerate fixture), so hosts are synthesized
+    deterministically from ``doc_id`` to hit every algorithm branch:
+    multi-label exact rules (co.uk, com.au, edu.cn), private-registry
+    rules (github.io), wildcard ``*.ck``, the exception ``!www.ck``,
+    host == public suffix (NULL registrable), and the implicit ``*``
+    default.  Pure-integer derivation, recomputed exactly by the SQL
+    oracle.  Stateless vectorized batch map — no shuffle."""
+    from ..sources.io import read_parquet_clean
+    from ..state.urls import registrable_domain_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hosts = []
+        for i in ids:
+            v = i % 8
+            if v == 0:
+                hosts.append(f"www.paper{i % 11}.co.uk")
+            elif v == 1:
+                hosts.append(f"news{i % 11}.com")
+            elif v == 2:
+                hosts.append(f"user{i % 11}.github.io")
+            elif v == 3:
+                hosts.append(f"shop{i % 11}.com.au")
+            elif v == 4:
+                hosts.append(f"a{i % 5}.b{i % 3}.ck")
+            elif v == 5:
+                hosts.append("github.io" if i % 16 == 5 else "www.ck")
+            elif v == 6:
+                hosts.append(f"archive.m{i % 11}.edu.cn")
+            else:
+                hosts.append(f"site{i % 11}.example.org")
+        sufs, regs = registrable_domain_batch(hosts)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "host": pa.array(hosts, pa.string()),
+                "public_suffix": pa.array(sufs, pa.string()),
+                # '' not NULL for host == suffix: null representations
+                # differ across engines and break the driver value hash
+                "registrable_domain": pa.array(
+                    [r or "" for r in regs], pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(rows, batch_format="pyarrow")

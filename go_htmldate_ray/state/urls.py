@@ -104,3 +104,82 @@ def host_of_canonical_batch(urls):
         "",
     )
     return pc.replace_substring_regex(auth, r":\d+$", "")
+
+
+# --- registrable domain (public-suffix algorithm) ----------------------------
+#
+# Per-domain crawl state (politeness budgets, robots, host stats) should
+# key on the REGISTRABLE domain, not the raw host: "a.blog.example.co.uk"
+# and "b.blog.example.co.uk" are one administrative site.  The matching
+# algorithm is the published publicsuffix.org one: exception rules win
+# (public suffix = the exception minus its leftmost label); otherwise the
+# longest matching rule wins, where "*" matches exactly one label; if no
+# rule matches, the implicit "*" rule makes the top label the suffix.
+# Registrable domain = public suffix + one more label (NULL when the host
+# IS a public suffix).
+#
+# The embedded rule set is a small fixture SUBSET in PSL syntax chosen to
+# exercise every branch (multi-label, wildcard, exception, implicit "*");
+# a production deployment swaps in the full published list — the
+# algorithm below is list-size-independent (dict lookups per label
+# count).
+
+PSL_RULES = (
+    "com",
+    "org",
+    "net",
+    "io",
+    "uk",
+    "co.uk",
+    "gov.uk",
+    "au",
+    "com.au",
+    "cn",
+    "edu.cn",
+    "jp",
+    "co.jp",
+    "github.io",
+    "blogspot.com",
+    "*.ck",
+    "!www.ck",
+)
+
+_PSL_EXCEPTIONS = frozenset(r[1:] for r in PSL_RULES if r.startswith("!"))
+_PSL_WILDCARD_BASES = frozenset(r[2:] for r in PSL_RULES if r.startswith("*."))
+_PSL_EXACT = frozenset(r for r in PSL_RULES if not r.startswith(("!", "*.")))
+
+
+def split_registrable(host: str) -> tuple[str, str | None]:
+    """(public_suffix, registrable_domain | None) for a lowercase host."""
+    labels = host.lower().rstrip(".").split(".")
+    n = len(labels)
+    exc_j = exact_j = wild_j = 0
+    for j in range(1, n + 1):
+        suf = ".".join(labels[n - j :])
+        if suf in _PSL_EXCEPTIONS:
+            exc_j = j
+        if suf in _PSL_EXACT:
+            exact_j = j
+        # "*.base" matches when the host has one extra label in the
+        # star's place, i.e. a (j+1)-label public suffix
+        if j < n and suf in _PSL_WILDCARD_BASES:
+            wild_j = j + 1
+    if exc_j:
+        ps_labels = exc_j - 1
+    else:
+        ps_labels = max(exact_j, wild_j, 1)  # implicit "*" rule
+    ps = ".".join(labels[n - ps_labels :])
+    if n > ps_labels:
+        return ps, ".".join(labels[n - ps_labels - 1 :])
+    return ps, None
+
+
+def registrable_domain_batch(hosts: list[str]) -> tuple[list[str], list[str | None]]:
+    """Vector form over a host column (per-batch; lookups only)."""
+    sufs: list[str] = []
+    regs: list[str | None] = []
+    for h in hosts:
+        ps, reg = split_registrable(h or "")
+        sufs.append(ps)
+        regs.append(reg)
+    return sufs, regs
