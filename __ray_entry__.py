@@ -124,6 +124,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # synthesized from doc_id to hit every branch (wildcard *.ck,
         # exception !www.ck, host == suffix, implicit *).
         "registrable_domains": ed.registrable_domains,
+        # Content-defined chunking (FastCDC/LBFS gear-hash family, pure
+        # form): boundaries are functions of the preceding 64 code
+        # points, so edits shift only neighboring chunks — the chunk-
+        # level dedup front-end.  Batch-concat vectorized (64 shifted
+        # uint64 adds per BLOCK, not per doc); no shuffle.
+        "cdc_chunks": lambda sf: _map(
+            sf, text_stage.cdc_chunk_batch, ["doc_id", "text"]
+        ),
         # Corpus temporal profile: full extraction cascade -> per-year
         # partial counts -> tiny Sum groupby.
         "date_year_histogram": ed.date_year_histogram,
@@ -2056,6 +2064,10 @@ ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         "lang_id": _lang_id_sql(),
         "simhash": _SIMHASH_SQL,
         "winnow_fingerprints": _winnow_sql(),
+        # Full gear-hash recomputation: per-position window sums with
+        # literal powers of two, HUGEINT mod-2^64 = the engine's uint64
+        # wrap-around; chunk assembly via lag() over boundary positions.
+        "cdc_chunks": _cdc_sql(),
         "minhash_dedup_pairs": _minhash_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
         "near_dup_keep": _near_dup_keep_sql(),
@@ -2235,6 +2247,55 @@ SELECT doc_id,
   CASE WHEN n = 0 THEN 0.0
        ELSE greatest({greatest})::DOUBLE / n END AS lang_score
 FROM h"""
+
+
+def _cdc_sql(mask_bits: int = 6) -> str:
+    # Gear-hash CDC (stages/text_stage.cdc_chunk_batch): g(c) = (c*A+B)
+    # mod 2^64, h_t = sum of the last 64 g values weighted by powers of
+    # two, boundary when the low mask_bits bits are zero.  Each
+    # (gv * 2^k) % 2^64 term stays < 2^64 and 64 of them sum < 2^70,
+    # so HUGEINT arithmetic is exact throughout.
+    a = 0x9E3779B97F4A7C15
+    b = 0x2545F4914F6CDD1D
+    m64 = 1 << 64
+    mod = 1 << mask_bits
+    exp_vals = ", ".join(f"({k}, {1 << k}::HUGEINT)" for k in range(64))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text AS s, unnest(range(1, length(text) + 1)) AS t
+  FROM documents WHERE length(coalesce(text, '')) > 0
+),
+g AS (
+  SELECT doc_id, s, t,
+         ((unicode(substr(s, t, 1))::HUGEINT * {a} + {b}) % {m64}) AS gv
+  FROM pos
+),
+h AS (
+  SELECT a.doc_id, a.s, a.t,
+         sum((b.gv * e.p) % {m64}) % {m64} AS hv
+  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.t BETWEEN a.t - 63 AND a.t
+  JOIN (VALUES {exp_vals}) e(k, p) ON e.k = a.t - b.t
+  GROUP BY a.doc_id, a.s, a.t
+),
+bnd AS (SELECT doc_id, s, t FROM h WHERE hv % {mod} = 0),
+lens AS (
+  SELECT doc_id, text AS s, length(text) AS n
+  FROM documents WHERE length(coalesce(text, '')) > 0
+),
+allb AS (
+  SELECT doc_id, s, t FROM bnd
+  UNION
+  SELECT l.doc_id, l.s, l.n AS t FROM lens l
+),
+ch AS (
+  SELECT doc_id, s, t AS e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY t) - 1 AS chunk_idx,
+         lag(t, 1, 0) OVER (PARTITION BY doc_id ORDER BY t) AS start
+  FROM allb
+)
+SELECT doc_id, chunk_idx, start, (e - start)::BIGINT AS length,
+       substr(md5(substr(s, start + 1, e - start)), 1, 16) AS chunk_md5
+FROM ch"""
 
 
 def _winnow_sql(k: int = 8, window: int = 4) -> str:

@@ -846,3 +846,92 @@ def chunk_batch(batch: pa.Table, *, size: int = 100, stride: int = 80) -> pa.Tab
             "chunk_text": pa.array(out_text, pa.string()),
         }
     )
+
+
+# --- content-defined chunking (gear rolling hash) -----------------------------
+#
+# Chunk boundaries from CONTENT, not offsets: an insertion early in a
+# document shifts every fixed-size window but leaves all later
+# content-defined boundaries intact, so downstream chunk-level dedup
+# (exact or MinHash) still matches the unchanged tail.  This is the
+# FastCDC/LBFS gear-hash family (Xia et al., USENIX ATC 2016) in its
+# pure form — no min/max clamps, so every boundary is a pure function
+# of the 64 preceding code points and a DuckDB oracle can recompute the
+# whole chunking exactly.
+#
+#   g(c) = (c * A + B) mod 2^64            (A odd => bijective on u64)
+#   h_t  = sum_{j=t-63..t} g(c_j) * 2^(t-j)  mod 2^64
+#   boundary after t  <=>  h_t & (2^B - 1) == 0   (expected chunk 2^B)
+
+_GEAR_A = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+_GEAR_B = np.uint64(0x2545F4914F6CDD1D)
+_CDC_PAD = 63  # zero-gear gap isolating docs in the batch-concat array
+
+
+def _gear_boundary_mask(texts: list[str], mask_bits: int) -> list[np.ndarray]:
+    """Per-doc boolean masks: True after positions where the gear hash's
+    low ``mask_bits`` bits are zero.
+
+    Vectorized across the WHOLE batch: per-doc gear arrays are
+    concatenated with 63 zero-gear pad cells (a zero cell contributes
+    nothing to any window sum, and 63 of them cover the full lookback),
+    the 64 shifted adds run once over the concatenation, and the result
+    is sliced back per doc.  uint64 wrap-around IS the mod 2^64."""
+    mask = np.uint64((1 << mask_bits) - 1)
+    gears, spans = [], []
+    off = 0
+    for t in texts:
+        t = t or ""
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        g = cp * _GEAR_A + _GEAR_B
+        gears.append(g)
+        gears.append(np.zeros(_CDC_PAD, dtype=np.uint64))
+        spans.append((off, off + cp.size))
+        off += cp.size + _CDC_PAD
+    if not spans:
+        return []
+    cat = np.concatenate(gears)
+    h = np.zeros(cat.size, dtype=np.uint64)
+    for k in range(64):
+        h[k:] += cat[: cat.size - k] << np.uint64(k)
+    hits = (h & mask) == 0
+    return [hits[lo:hi] for lo, hi in spans]
+
+
+def cdc_chunk_batch(batch: pa.Table, *, mask_bits: int = 6) -> pa.Table:
+    """(doc_id, chunk_idx, start, length, chunk_md5) content-defined
+    chunks per document; ``start`` is a 0-based code-point offset and
+    ``chunk_md5`` the first 16 md5 hex chars of the chunk text (the
+    chunk-dedup key).  Empty documents yield no chunks.  Stateless flat
+    batch map — streams at any corpus size."""
+    import hashlib
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = [t or "" for t in batch.column("text").to_pylist()]
+    masks = _gear_boundary_mask(texts, mask_bits)
+    out_id, out_idx, out_start, out_len, out_md5 = [], [], [], [], []
+    for doc_id, t, hit in zip(doc_ids, texts, masks):
+        if not t:
+            continue
+        # boundary after position i (0-based) ends a chunk at i+1
+        ends = (np.flatnonzero(hit) + 1).tolist()
+        if not ends or ends[-1] != len(t):
+            ends.append(len(t))
+        start = 0
+        for idx, end in enumerate(ends):
+            piece = t[start:end]
+            out_id.append(doc_id)
+            out_idx.append(idx)
+            out_start.append(start)
+            out_len.append(end - start)
+            out_md5.append(hashlib.md5(piece.encode("utf-8")).hexdigest()[:16])
+            start = end
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "start": pa.array(out_start, pa.int64()),
+            "length": pa.array(out_len, pa.int64()),
+            "chunk_md5": pa.array(out_md5, pa.string()),
+        }
+    )
