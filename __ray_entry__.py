@@ -132,6 +132,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": lambda sf: _map(
             sf, text_stage.cdc_chunk_batch, ["doc_id", "text"]
         ),
+        # Chunk-level dedup over the CDC keys (what CDC exists for):
+        # local pair pre-count -> pair Sum -> per-key Sum+Count -> dup
+        # filter; the natural corpus repeats 178 chunk keys at sf0.01,
+        # so no planting is needed for a non-degenerate oracle.
+        "cdc_dup_chunks": lambda sf: cleaning.cdc_dup_chunk_stats(
+            read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ),
         # Corpus temporal profile: full extraction cascade -> per-year
         # partial counts -> tiny Sum groupby.
         "date_year_histogram": ed.date_year_histogram,
@@ -2068,6 +2077,12 @@ ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         # literal powers of two, HUGEINT mod-2^64 = the engine's uint64
         # wrap-around; chunk assembly via lag() over boundary positions.
         "cdc_chunks": _cdc_sql(),
+        # dedup summary over the same gear chunking
+        "cdc_dup_chunks": f"""
+WITH c AS ({_cdc_sql()})
+SELECT chunk_md5, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM c GROUP BY 1 HAVING count(*) > 1""",
         "minhash_dedup_pairs": _minhash_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
         "near_dup_keep": _near_dup_keep_sql(),

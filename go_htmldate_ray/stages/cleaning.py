@@ -308,3 +308,55 @@ def nfc_normalize_batch(batch: pa.Table) -> pa.Table:
             "norm_md5": pa.array(md5s, pa.string()),
         }
     )
+
+
+def cdc_dup_chunk_stats(ds, *, mask_bits: int = 6):
+    """documents → (chunk_md5, n_occurrences, n_docs) for every
+    content-defined chunk occurring more than once corpus-wide — the
+    storage-dedup view CDC exists for (identical ~2^mask_bits-char
+    spans share a chunk key even when surrounding edits shift offsets).
+
+    Plan: per-batch CDC (:func:`~.text_stage.cdc_chunk_batch`) +
+    LOCAL (chunk_md5, doc_id) pre-count via Arrow group_by — so the
+    shuffle carries one light row per distinct pair per block, not one
+    per chunk occurrence — → groupby pair Sum → groupby chunk_md5
+    (Sum = occurrences, Count = distinct docs, exact because pair rows
+    are unique after the first aggregate) → stateless dup filter.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .text_stage import cdc_chunk_batch
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        chunks = cdc_chunk_batch(batch, mask_bits=mask_bits)
+        g = chunks.group_by(["chunk_md5", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "chunk_md5": g.column("chunk_md5"),
+                "doc_id": g.column("doc_id"),
+                "n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["chunk_md5", "doc_id"])
+        .aggregate(Sum("n"))
+    )
+    summary = pairs.groupby("chunk_md5").aggregate(Sum("sum(n)"), Count())
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(sum(n))").cast(pa.int64())
+        out = pa.table(
+            {
+                "chunk_md5": batch.column("chunk_md5"),
+                "n_occurrences": n,
+                "n_docs": batch.column("count()").cast(pa.int64()),
+            }
+        )
+        import pyarrow.compute as _pc
+
+        return out.filter(_pc.greater(out.column("n_occurrences"), 1))
+
+    return summary.map_batches(finalize, batch_format="pyarrow")

@@ -81,3 +81,41 @@ def test_mask_bits_controls_granularity():
     coarse = cdc_chunk_batch(_table([text]), mask_bits=8).to_pandas()
     assert len(fine) > len(coarse)
     assert fine.length.sum() == coarse.length.sum() == len(text)
+
+
+def test_cdc_dup_chunk_stats(ray_session):
+    import ray.data
+
+    from go_htmldate_ray.stages.cleaning import cdc_dup_chunk_stats
+
+    # two docs sharing one long repeated span, one unique doc
+    shared = "this exact boilerplate span repeats across two documents " * 4
+    rows = [
+        {"doc_id": 1, "text": "intro A. " + shared + " outro A."},
+        {"doc_id": 2, "text": "totally different lead-in: " + shared},
+        {"doc_id": 3, "text": "nothing shared here at all, unique content."},
+    ]
+    ds = ray.data.from_items(rows)
+    df = cdc_dup_chunk_stats(ds).to_pandas()
+    assert len(df) > 0  # the shared span must surface at least one dup key
+    assert (df.n_occurrences > 1).all()
+    assert (df.n_docs <= df.n_occurrences).all()
+    # dup keys must involve both sharing docs for at least one chunk
+    assert (df.n_docs >= 2).any()
+
+    # local recomputation over the same rows
+    from collections import Counter
+
+    from go_htmldate_ray.stages.text_stage import cdc_chunk_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+        }
+    )
+    chunks = cdc_chunk_batch(t).to_pandas()
+    cnt = Counter(chunks.chunk_md5)
+    expect = {k: v for k, v in cnt.items() if v > 1}
+    got = dict(zip(df.chunk_md5, df.n_occurrences))
+    assert got == expect
