@@ -29,8 +29,16 @@ SCALING_REPEAT = int(os.environ.get("GRAFT_SCALING_REPEAT", "240"))
 
 
 def _init_ray():
-    import ray
+    import logging
 
+    import ray
+    import ray.data  # noqa: F401 — must import FIRST: ray.data's own
+    # logging config (applied on first import) would override the level
+
+    # bench output is ONE JSON line; drop ray.data's driver-side INFO/
+    # WARNING chatter (empty-partition schema notices, resource hints) —
+    # real errors still surface at ERROR level.
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -147,7 +155,11 @@ def bench_text_stage(sf_dir: str, repeat: int = 20):
     from go_htmldate_ray.stages import text_stage
 
     out = {}
-    for name, fn in (("winnow", text_stage.winnow_batch), ("quality", text_stage.quality_batch)):
+    for name, fn in (
+        ("winnow", text_stage.winnow_batch),
+        ("quality", text_stage.quality_batch),
+        ("cdc", text_stage.cdc_chunk_batch),
+    ):
         docs, total = repeated_docs(sf_dir, repeat)
         t0 = time.perf_counter()
         n = _consume(docs.map_batches(fn, batch_format="pyarrow"))
