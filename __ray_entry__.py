@@ -124,6 +124,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # synthesized from doc_id to hit every branch (wildcard *.ck,
         # exception !www.ck, host == suffix, implicit *).
         "registrable_domains": ed.registrable_domains,
+        # Per-registrable-domain page counts over the PSL fixture —
+        # the grouping granularity per-domain politeness/quotas use.
+        "domain_page_counts": ed.domain_page_counts,
+        # Cho & Garcia-Molina change-based revisit schedule: exact
+        # integer intervals on top of the real host_change_rates
+        # pipeline (snapshot FULL-outer diff -> per-host ppm).
+        "recrawl_intervals": ed.recrawl_intervals,
         # Content-defined chunking (FastCDC/LBFS gear-hash family, pure
         # form): boundaries are functions of the preceding 64 code
         # points, so edits shift only neighboring chunks — the chunk-
@@ -1158,6 +1165,75 @@ def oracle_sql() -> dict[str, str]:
                    sum(ch)::BIGINT AS n_changed,
                    (sum(ch) * 1000000 // count(*))::BIGINT AS change_rate_ppm
             FROM t GROUP BY host""",
+        # clamp(10^6 // max(ppm,1) // 16, 1, 32) on the change rates
+        "recrawl_intervals": """
+            WITH t AS (
+                SELECT doc_id,
+                       'site' || (doc_id % 97) || '.example.org' AS host,
+                       (doc_id % 10 = 0)::INTEGER AS ch
+                FROM documents
+                WHERE doc_id % 17 != 3
+            ),
+            r AS (
+                SELECT host,
+                       (sum(ch) * 1000000 // count(*))::BIGINT AS change_rate_ppm
+                FROM t GROUP BY host
+            )
+            SELECT host, change_rate_ppm,
+                   least(32, greatest(1,
+                       1000000 // greatest(change_rate_ppm, 1) // 16
+                   ))::BIGINT AS interval_waves
+            FROM r""",
+        # domain groupby over the same PSL host derivation; suffix-only
+        # hosts (registrable = '') group under the suffix itself
+        "domain_page_counts": """
+            WITH hosts AS (
+              SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'www.paper' || (doc_id % 11) || '.co.uk'
+                  WHEN 1 THEN 'news' || (doc_id % 11) || '.com'
+                  WHEN 2 THEN 'user' || (doc_id % 11) || '.github.io'
+                  WHEN 3 THEN 'shop' || (doc_id % 11) || '.com.au'
+                  WHEN 4 THEN 'a' || (doc_id % 5) || '.b' || (doc_id % 3) || '.ck'
+                  WHEN 5 THEN CASE WHEN doc_id % 16 = 5 THEN 'github.io' ELSE 'www.ck' END
+                  WHEN 6 THEN 'archive.m' || (doc_id % 11) || '.edu.cn'
+                  ELSE 'site' || (doc_id % 11) || '.example.org'
+                END AS host
+              FROM documents
+            ),
+            lab AS (
+              SELECT doc_id, host, string_split(host, '.') AS ls,
+                     length(string_split(host, '.')) AS n
+              FROM hosts
+            ),
+            cand AS (
+              SELECT doc_id, n, j, array_to_string(ls[n - j + 1 : n], '.') AS suf
+              FROM lab, unnest(range(1, n + 1)) t(j)
+            ),
+            m AS (
+              SELECT doc_id,
+                max(CASE WHEN suf IN ('www.ck') THEN j END) AS exc_j,
+                max(CASE WHEN suf IN ('com','org','net','io','uk','co.uk',
+                    'gov.uk','au','com.au','cn','edu.cn','jp','co.jp',
+                    'github.io','blogspot.com') THEN j END) AS ex_j,
+                max(CASE WHEN j < n AND suf IN ('ck') THEN j + 1 END) AS wi_j
+              FROM cand GROUP BY doc_id
+            ),
+            ps AS (
+              SELECT l.doc_id, l.ls, l.n,
+                CASE WHEN m.exc_j IS NOT NULL THEN m.exc_j - 1
+                     ELSE greatest(coalesce(m.ex_j, 1), coalesce(m.wi_j, 1))
+                END AS psl
+              FROM lab l JOIN m USING (doc_id)
+            ),
+            dom AS (
+              SELECT doc_id,
+                CASE WHEN n > psl THEN array_to_string(ls[n - psl : n], '.')
+                     ELSE array_to_string(ls[n - psl + 1 : n], '.') END AS domain
+              FROM ps
+            )
+            SELECT domain, count(*)::BIGINT AS n_pages
+            FROM dom GROUP BY domain""",
         # Mirror-family planting recomputed in SQL; canonical = min(url)
         # per content family, one alias row per non-canonical member.
         "url_aliases": f"""

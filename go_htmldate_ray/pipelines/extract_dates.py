@@ -1027,3 +1027,78 @@ def registrable_domains(sf_dir: str):
         )
 
     return docs.map_batches(rows, batch_format="pyarrow")
+
+
+def domain_page_counts(sf_dir: str):
+    """Per-REGISTRABLE-DOMAIN page counts over the PSL host fixture —
+    the aggregation granularity per-domain politeness and quota state
+    should use (``a.blog.x.co.uk`` and ``b.blog.x.co.uk`` are one
+    administrative site).  Composition: :func:`registrable_domains` →
+    per-batch count partials → one tiny Sum groupby (cardinality =
+    distinct domains, far below distinct hosts)."""
+    from ray.data.aggregate import Sum
+
+    ds = registrable_domains(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = batch.column("registrable_domain").to_pylist()
+        suf = batch.column("public_suffix").to_pylist()
+        from collections import Counter
+
+        # suffix-only hosts (registrable == '') group under the suffix
+        # itself: they are still one fetch target
+        c = Counter(r or s for r, s in zip(reg, suf))
+        keys = sorted(c)
+        return pa.table(
+            {
+                "domain": pa.array(keys, pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "domain": b.column("domain"),
+                    "n_pages": b.column("sum(n)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def recrawl_intervals(sf_dir: str, *, max_interval: int = 32):
+    """Change-based revisit schedule (Cho & Garcia-Molina, "Effective
+    page refresh policies for web crawlers", TODS 2003 — revisit MORE
+    often what changes more): per host,
+
+        interval_waves = clamp(10^6 // max(change_rate_ppm, 1) // 16,
+                               1, max_interval)
+
+    i.e. a host where every tracked page changed (10^6 ppm) is revisited
+    every wave; one with a ~6% change rate every 16 waves-worth scaled,
+    capped at ``max_interval``.  Exact integer arithmetic on top of the
+    real :func:`host_change_rates` pipeline (snapshot FULL-outer diff →
+    per-host ppm) — a stateless map over its ≤n_hosts rows."""
+    rates = host_change_rates(sf_dir)
+
+    def schedule(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ppm = np.asarray(batch.column("change_rate_ppm"), dtype=np.int64)
+        iv = 1_000_000 // np.maximum(ppm, 1) // 16
+        iv = np.clip(iv, 1, max_interval)
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "change_rate_ppm": batch.column("change_rate_ppm"),
+                "interval_waves": pa.array(iv, pa.int64()),
+            }
+        )
+
+    return rates.map_batches(schedule, batch_format="pyarrow")

@@ -62,3 +62,42 @@ def test_registrable_domains_pipeline(ray_session):
         nz.registrable_domain.str.count(r"\.")
         == nz.public_suffix.str.count(r"\.") + 1
     ).all()
+
+
+def test_domain_page_counts(ray_session):
+    from go_htmldate_ray.pipelines.extract_dates import (
+        domain_page_counts,
+        registrable_domains,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    counts = domain_page_counts(sf).to_pandas()
+    per_host = registrable_domains(sf).to_pandas()
+    # every page lands in exactly one domain group
+    assert counts.n_pages.sum() == len(per_host)
+    # grouping key: registrable domain, falling back to the suffix
+    expect = (
+        (per_host.registrable_domain.where(per_host.registrable_domain != "",
+                                           per_host.public_suffix))
+        .value_counts()
+        .to_dict()
+    )
+    got = dict(zip(counts.domain, counts.n_pages))
+    assert got == expect
+
+
+def test_recrawl_intervals(ray_session):
+    from go_htmldate_ray.pipelines.extract_dates import recrawl_intervals
+
+    df = recrawl_intervals("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    assert df.interval_waves.between(1, 32).all()
+    # revisit-more-what-changes-more: interval is non-increasing in rate
+    s = df.sort_values("change_rate_ppm")
+    assert (s.interval_waves.diff().dropna() <= 0).all()
+    # exact rule
+    import numpy as np
+
+    ppm = s.change_rate_ppm.to_numpy()
+    expect = np.clip(1_000_000 // np.maximum(ppm, 1) // 16, 1, 32)
+    assert (s.interval_waves.to_numpy() == expect).all()
