@@ -107,6 +107,29 @@ class BloomFilter:
             np.unpackbits(self.words.view(np.uint8)).sum() / self.m_bits
         )
 
+    def expected_fpr(self) -> float:
+        """Current false-positive probability estimate: fill_ratio^k
+        (the probability all k probe bits land on set bits)."""
+        return self.fill_ratio() ** self.k
+
+
+def m_bits_for(n_keys: int, target_fpr: float) -> int:
+    """Standard Bloom sizing m = -n·ln(p)/ln(2)², rounded up to a whole
+    uint64 word (≈1.2 GiB per 10⁹ keys at p = 1%)."""
+    import math
+
+    if n_keys <= 0 or not 0 < target_fpr < 1:
+        raise ValueError("need n_keys > 0 and 0 < target_fpr < 1")
+    m = -n_keys * math.log(target_fpr) / (math.log(2) ** 2)
+    return ((int(math.ceil(m)) + 63) // 64) * 64
+
+
+def k_for(m_bits: int, n_keys: int) -> int:
+    """Optimal hash count k = (m/n)·ln 2, clamped to this module's 1..8."""
+    import math
+
+    return max(1, min(8, round(m_bits / max(n_keys, 1) * math.log(2))))
+
 
 def partial_bitmap_batch(
     batch: pa.Table, *, key_column: str, m_bits: int, k: int

@@ -91,3 +91,27 @@ def test_bloom_seen_audit_pipeline(ray_session):
     )
     # every actually-seen URL must probe positive
     assert df.loc[df["is_seen"], "maybe_seen"].all()
+
+
+def test_sizing_helpers():
+    from go_htmldate_ray.state.bloom import k_for, m_bits_for
+
+    m = m_bits_for(1_000_000, 0.01)
+    assert m % 64 == 0
+    # textbook: ~9.59 bits/key at 1% FPR
+    assert 9.5 <= m / 1_000_000 <= 9.7
+    assert k_for(m, 1_000_000) == 7  # (m/n) ln2 ≈ 6.64 -> 7
+
+    # empirical agreement: a right-sized filter lands near its target
+    f = bloom.BloomFilter(m_bits_for(5000, 0.01), k=7)
+    f.add_hashes(bloom.hash_keys([f"k{i}" for i in range(5000)]))
+    probe = f.contains_hashes(bloom.hash_keys([f"other{i}" for i in range(20000)]))
+    assert probe.mean() < 0.03  # 1% target, generous bound
+    assert abs(f.expected_fpr() - probe.mean()) < 0.02
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        m_bits_for(0, 0.01)
+    with _pytest.raises(ValueError):
+        m_bits_for(100, 1.5)
