@@ -925,8 +925,6 @@ def bloom_seen_audit(sf_dir: str, *, m_bits: int = 1024, k: int = 4):
     keys the bitmap is GiB-sized: same flow, with the combine as a tree
     of ORs and the probe resolving a ``ray.put`` ref once per worker.
     """
-    import numpy as np
-
     from ..sources.io import read_parquet_clean
     from ..sources.pages import page_url
     from ..state import bloom
