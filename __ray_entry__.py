@@ -188,6 +188,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, text_stage.fingerprint_batch, ["doc_id", "text"]
         ),
         "lang_id": lambda sf: _map(sf, text_stage.lang_id_batch, ["doc_id", "text"]),
+        # Two-regime production lang-ID: Unicode-script codepoint
+        # bucketing decides CJK/ar/he/el/hi/th outright, stopword argmax
+        # handles Latin/Cyrillic; planted pure-script snippets
+        # (doc_id % 12) make the fixture hit every decision branch.
+        "script_lang_id": lambda sf: _map(
+            sf,
+            lambda b: text_stage.script_lang_batch(
+                text_stage.plant_script_snippets(b)
+            ),
+            ["doc_id", "text"],
+        ),
         "winnow_fingerprints": lambda sf: _map(
             sf, text_stage.winnow_batch, ["doc_id", "text"]
         ),
@@ -2147,6 +2158,7 @@ FROM scored s, t""",
 ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         "kmeans_clusters": _kmeans_sql(),
         "lang_id": _lang_id_sql(),
+        "script_lang_id": _script_lang_sql(),
         "simhash": _SIMHASH_SQL,
         "winnow_fingerprints": _winnow_sql(),
         # Full gear-hash recomputation: per-position window sums with
@@ -2296,11 +2308,13 @@ _GOPHER_QUALITY_SQL = r"""
                     AND stopword_hits >= 1)::BIGINT AS passes
             FROM m"""
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(source: str = "documents") -> str:
     # Generated from stages/text_stage._LANG_PROFILES (word lists are
     # literals, like the k-means/IVF centroid oracles) with the argmax,
     # tokenization, and occurrence counting re-expressed independently
     # in SQL: first-strict-max in dict insertion order, 'und' on 0 hits.
+    # ``source`` lets the script-lang oracle run the stopword fallback
+    # over its augmented-text CTE instead of the raw documents table.
     from go_htmldate_ray.stages.text_stage import _LANG_PROFILES
 
     langs = list(_LANG_PROFILES)
@@ -2325,7 +2339,7 @@ WITH t AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
               ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-  FROM documents
+  FROM {source}
 ),
 h AS (SELECT doc_id, length(toks)::BIGINT AS n,
        {hits}
@@ -2338,6 +2352,85 @@ SELECT doc_id,
   CASE WHEN n = 0 THEN 0.0
        ELSE greatest({greatest})::DOUBLE / n END AS lang_score
 FROM h"""
+
+
+def _script_lang_sql() -> str:
+    # Generated from stages/text_stage._SCRIPT_RANGES /
+    # _SCRIPT_LANG_RULES / SCRIPT_SNIPPETS (the tables ARE the operator's
+    # semantics): per-script codepoint counts via length-diff
+    # regexp_replace over RE2 \x{..} classes, the integer 10*c >= 3*total
+    # rule chain in declared order, first-strict-max main_script, and the
+    # stopword-profile fallback (_lang_id_sql) over the same augmented
+    # text.  DuckDB length() counts codepoints, matching the engine's
+    # utf-32 bucketing exactly.
+    from go_htmldate_ray.stages.text_stage import (
+        SCRIPT_SNIPPETS,
+        _SCRIPT_LANG_RULES,
+        _SCRIPT_RANGES,
+    )
+
+    names = [n for n, _ in _SCRIPT_RANGES]
+
+    def cls_pattern(ranges):
+        return "[" + "".join(
+            f"\\x{{{lo:X}}}-\\x{{{hi:X}}}" for lo, hi in ranges
+        ) + "]"
+
+    counts = ",\n         ".join(
+        f"(length(text) - length(regexp_replace(text, "
+        f"'{cls_pattern(rs)}', '', 'g')))::BIGINT AS c_{n}"
+        for n, rs in _SCRIPT_RANGES
+    )
+    total = " + ".join(f"c_{n}" for n in names)
+    planted = "\n      ".join(
+        f"WHEN {cls} THEN '{snippet}'" for cls, snippet in SCRIPT_SNIPPETS.items()
+    )
+    # script rules in declared order; ja's guard is kana presence
+    rule_whens = []
+    for lang, scripts in _SCRIPT_LANG_RULES:
+        c_sum = " + ".join(f"c_{s}" for s in scripts)
+        guard = (
+            "c_hiragana + c_katakana > 0"
+            if lang == "ja"
+            else f"c_{scripts[0]} > 0"
+        )
+        rule_whens.append(
+            f"WHEN {guard} AND 10*({c_sum}) >= 3*total THEN '{lang}'"
+        )
+    rules = "\n        ".join(rule_whens)
+    # first-strict-max over _SCRIPT_RANGES order for main_script
+    main_whens = []
+    for i, n in enumerate(names):
+        conds = [f"c_{n} > c_{names[j]}" for j in range(i)]
+        conds += [f"c_{n} >= c_{names[j]}" for j in range(i + 1, len(names))]
+        main_whens.append(f"WHEN {' AND '.join(conds)} THEN '{n}'")
+    mains = "\n        ".join(main_whens)
+    greatest = ", ".join(f"c_{n}" for n in names)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE doc_id % 12
+      {planted}
+      WHEN 11 THEN coalesce(text, '') || ' 汉'
+      ELSE coalesce(text, '') END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         {counts}
+  FROM aug
+),
+tot AS (SELECT *, ({total})::BIGINT AS total FROM c),
+fb AS ({_lang_id_sql('aug')})
+SELECT t.doc_id,
+  CASE WHEN total = 0 THEN 'none'
+        {mains}
+        END AS main_script,
+  greatest({greatest})::BIGINT AS script_chars,
+  total AS total_letters,
+  CASE {rules}
+        ELSE fb.pred_lang END AS pred_lang
+FROM tot t JOIN fb USING (doc_id)"""
 
 
 def _cdc_sql(mask_bits: int = 6) -> str:

@@ -290,6 +290,159 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# --- Unicode-script language ID ----------------------------------------------
+# Production lang-ID over web text needs two regimes: space-delimited
+# scripts (stopword profiles above) and scripts where `split()` is
+# meaningless (CJK, Thai) or the script itself pins the language family
+# (Hangul, kana).  `script_lang_batch` buckets codepoints into the script
+# ranges below (one vectorized searchsorted + bincount per batch, no
+# per-character Python loop) and applies an integer-exact decision rule,
+# falling back to the stopword profiles for Latin/Cyrillic text.  The
+# ranges and decision order are the operator's semantics — the SQL oracle
+# (__ray_entry__._script_lang_sql) is generated from these tables.
+_SCRIPT_RANGES: list[tuple[str, tuple[tuple[int, int], ...]]] = [
+    # (name, ((lo, hi) inclusive, ...)) — dict ORDER is the argmax
+    # tie-break order for main_script.
+    ("latin", ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0xD6),
+               (0xD8, 0xF6), (0xF8, 0xFF), (0x100, 0x24F))),
+    ("greek", ((0x370, 0x3FF),)),
+    ("cyrillic", ((0x400, 0x4FF),)),
+    ("hebrew", ((0x590, 0x5FF),)),
+    ("arabic", ((0x600, 0x6FF),)),
+    ("devanagari", ((0x900, 0x97F),)),
+    ("thai", ((0xE00, 0xE7F),)),
+    ("hangul", ((0xAC00, 0xD7AF),)),
+    ("hiragana", ((0x3040, 0x309F),)),
+    ("katakana", ((0x30A0, 0x30FF),)),
+    ("han", ((0x4E00, 0x9FFF),)),
+]
+_SCRIPT_NAMES = [n for n, _ in _SCRIPT_RANGES]
+_S = {n: i for i, n in enumerate(_SCRIPT_NAMES)}
+# flat sorted interval table for one searchsorted per batch
+_iv = sorted(
+    (lo, hi, si) for si, (_n, rs) in enumerate(_SCRIPT_RANGES) for lo, hi in rs
+)
+_IV_LO = np.array([lo for lo, _, _ in _iv], dtype=np.int64)
+_IV_HI = np.array([hi for _, hi, _ in _iv], dtype=np.int64)
+_IV_SID = np.array([si for *_, si in _iv], dtype=np.int64)
+
+# Script → language when one script decides the language outright; rule
+# order is part of the semantics (kana presence implies Japanese even in
+# Han-heavy text, so `ja` precedes `zh`).  Threshold: script chars ≥ 30%
+# of all letter chars, compared as 10*c >= 3*total (integer-exact).
+_SCRIPT_LANG_RULES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("ja", ("hiragana", "katakana", "han")),  # guard: kana > 0
+    ("ko", ("hangul",)),
+    ("zh", ("han",)),
+    ("ar", ("arabic",)),
+    ("he", ("hebrew",)),
+    ("el", ("greek",)),
+    ("hi", ("devanagari",)),
+    ("th", ("thai",)),
+)
+
+
+def _script_counts(texts: list[str]) -> np.ndarray:
+    """(n_docs, n_scripts) letter counts — one vectorized pass over the
+    batch's concatenated codepoints (utf-32 decode is C-speed per doc;
+    bucketing is a single searchsorted + 2-D bincount, no Python loop
+    over characters)."""
+    n_docs, n_s = len(texts), len(_SCRIPT_NAMES)
+    bufs = [(t or "").encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(b) >> 2 for b in bufs), dtype=np.int64, count=n_docs)
+    if int(lens.sum()) == 0:
+        return np.zeros((n_docs, n_s), dtype=np.int64)
+    cp = np.frombuffer(b"".join(bufs), dtype="<u4").astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    pos = np.searchsorted(_IV_LO, cp, side="right") - 1
+    valid = pos >= 0
+    pos_c = np.where(valid, pos, 0)
+    valid &= cp <= _IV_HI[pos_c]
+    sid = _IV_SID[pos_c]
+    flat = doc_idx[valid] * n_s + sid[valid]
+    return np.bincount(flat, minlength=n_docs * n_s).reshape(n_docs, n_s)
+
+
+def script_lang_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, main_script, script_chars, total_letters, pred_lang —
+    two-regime language ID: Unicode-script counting decides CJK / Arabic
+    / Hebrew / Greek / Devanagari / Thai outright (integer rule above);
+    Latin / Cyrillic / undecided text falls back to the stopword-profile
+    argmax (`lang_id_batch`).  main_script is the first-strict-max
+    script (`'none'` on zero letters); all columns are integers/strings
+    so the SQL oracle compares hash-exact."""
+    texts = batch.column("text").to_pylist()
+    n_docs = len(texts)
+    C = _script_counts(texts)
+    total = C.sum(axis=1)
+    conds, preds = [], []
+    for lang, scripts in _SCRIPT_LANG_RULES:
+        c = C[:, [_S[s] for s in scripts]].sum(axis=1)
+        cond = (10 * c) >= (3 * total)
+        if lang == "ja":
+            cond &= (C[:, _S["hiragana"]] + C[:, _S["katakana"]]) > 0
+        else:
+            cond &= C[:, _S[scripts[0]]] > 0
+        conds.append(cond)
+        preds.append(lang)
+    script_pred = np.select(conds, preds, default="")
+    fallback = lang_id_batch(batch).column("pred_lang").to_pylist()
+    pred = [sp if sp else fb for sp, fb in zip(script_pred.tolist(), fallback)]
+    arg = np.argmax(C, axis=1)  # first max = _SCRIPT_RANGES order
+    main = np.where(total > 0, np.array(_SCRIPT_NAMES)[arg], "none")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "main_script": pa.array(main.tolist(), pa.string()),
+            "script_chars": pa.array(
+                C[np.arange(n_docs), arg].tolist(), pa.int64()
+            ),
+            "total_letters": pa.array(total.tolist(), pa.int64()),
+            "pred_lang": pa.array(pred, pa.string()),
+        }
+    )
+
+
+# Planted pure-script snippets (doc_id % 12 → replacement text) so the
+# sf fixtures exercise EVERY decision branch: classes 0/11 keep the
+# Latin-dominant fixture text (11 with one Han char below threshold —
+# the mixed-content fallback), 10 is Cyrillic (no script rule by design:
+# Cyrillic needs stopwords to split ru/uk, so it must fall through).
+# The literals feed BOTH the engine wrapper and the generated SQL CASE.
+SCRIPT_SNIPPETS: dict[int, str] = {
+    1: "これはテストですよ",
+    2: "カタカナノテキスト",
+    3: "汉字文本内容很多字",
+    4: "한국어 텍스트 문장",
+    5: "نص عربي طويل هنا",
+    6: "טקסט עברי כאן",
+    7: "ελληνικό κείμενο εδώ",
+    8: "हिंदी पाठ यहाँ है",
+    9: "ข้อความภาษาไทยที่นี่",
+    10: "и в не на что это как русский текст",
+}
+
+
+def plant_script_snippets(batch: pa.Table) -> pa.Table:
+    """Deterministic fixture augmentation: replace text by the class
+    snippet for doc_id % 12 in 1..10, append one Han char for class 11,
+    keep class 0 unchanged.  Mirrored literally in the SQL oracle."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids.tolist(), texts):
+        cls = i % 12
+        if cls in SCRIPT_SNIPPETS:
+            out.append(SCRIPT_SNIPPETS[cls])
+        elif cls == 11:
+            out.append((t or "") + " 汉")
+        else:
+            out.append(t or "")
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())}
+    )
+
+
 def top_tokens(ds, *, k: int = 100):
     """documents → (token, n) top-k most frequent whitespace tokens — the
     vocabulary/heavy-hitters build.  Canonical combiner shape: each batch
