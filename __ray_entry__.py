@@ -199,6 +199,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             ["doc_id", "text"],
         ),
+        # C4-style line/document cleaning (Raffel et al. 2020 §2.2):
+        # planted line classes (doc_id % 5 / % 3) hit every rule over
+        # the single-line fixture text.
+        "c4_line_filter": lambda sf: _map(
+            sf,
+            lambda b: cleaning.c4_rules_batch(cleaning.plant_c4_lines(b)),
+            ["doc_id", "text"],
+        ),
         "winnow_fingerprints": lambda sf: _map(
             sf, text_stage.winnow_batch, ["doc_id", "text"]
         ),
@@ -2159,6 +2167,7 @@ ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         "kmeans_clusters": _kmeans_sql(),
         "lang_id": _lang_id_sql(),
         "script_lang_id": _script_lang_sql(),
+        "c4_line_filter": _c4_line_sql(),
         "simhash": _SIMHASH_SQL,
         "winnow_fingerprints": _winnow_sql(),
         # Full gear-hash recomputation: per-position window sums with
@@ -2431,6 +2440,80 @@ SELECT t.doc_id,
   CASE {rules}
         ELSE fb.pred_lang END AS pred_lang
 FROM tot t JOIN fb USING (doc_id)"""
+
+
+def _c4_line_sql() -> str:
+    # Generated from stages/cleaning's C4 rule constants and planted
+    # line classes: the aug CTE rebuilds the planted multi-line text
+    # from the same character slices / class literals, then every rule
+    # (terminal punct, >=3 words, line blocklist, lorem/brace doc
+    # drops, '.'-count sentence proxy) is re-expressed in SQL over
+    # list_filter lambdas.  kept_md5 hash-compares the full cleaned
+    # text.  Note: DuckDB trim() strips spaces while the engine strips
+    # all whitespace — equivalent on the planted text, which contains
+    # only spaces.
+    from go_htmldate_ray.stages.cleaning import (
+        C4_DOC_BLOCK_LOREM,
+        C4_LINE_BLOCK,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_SENTENCES,
+        C4_TERMINAL,
+        _C4_CLASS_LINES,
+    )
+
+    term = "[" + ", ".join(f"'{c}'" for c in C4_TERMINAL) + "]"
+    blocks = " AND ".join(
+        f"NOT contains(lower(x), '{b}')" for b in C4_LINE_BLOCK
+    )
+    planted = "\n      ".join(
+        f"WHEN {cls} THEN chr(10) || '{line}'"
+        for cls, line in _C4_CLASS_LINES.items()
+    )
+    return rf"""
+WITH aug AS (
+  SELECT doc_id,
+    substr(coalesce(text,''), 1, 40) || ' one.' || chr(10)
+    || 'too short.' || chr(10)
+    || substr(coalesce(text,''), 41, 30) || ' no terminal'
+    || CASE doc_id % 5
+      {planted}
+      ELSE '' END
+    || chr(10)
+    || CASE WHEN doc_id % 3 = 0 THEN 'A. B. C. D. E.' ELSE 'A. B.' END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, chr(10)), x -> trim(x)) AS lines
+  FROM aug
+),
+k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, x ->
+           length(x) > 0
+           AND list_contains({term}, x[-1])
+           AND length(regexp_split_to_array(x, '\s+')) >= {C4_MIN_LINE_WORDS}
+           AND {blocks}
+         ) AS kept
+  FROM l
+),
+f AS (
+  SELECT doc_id,
+         length(lines)::BIGINT AS n_lines,
+         length(kept)::BIGINT AS n_kept_lines,
+         (CASE WHEN contains(lower(text), '{C4_DOC_BLOCK_LOREM}')
+               THEN 1 ELSE 0 END)::BIGINT AS has_lorem,
+         (CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END)::BIGINT AS has_brace,
+         array_to_string(kept, chr(10)) AS kt
+  FROM k
+)
+SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace,
+  (length(kt) - length(replace(kt, '.', '')))::BIGINT AS n_sentences,
+  (CASE WHEN has_lorem = 0 AND has_brace = 0 AND n_kept_lines >= 1
+        AND (length(kt) - length(replace(kt, '.', ''))) >= {C4_MIN_SENTENCES}
+       THEN 1 ELSE 0 END)::BIGINT AS keep_doc,
+  md5(kt) AS kept_md5
+FROM f"""
 
 
 def _cdc_sql(mask_bits: int = 6) -> str:

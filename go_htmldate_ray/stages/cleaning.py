@@ -310,6 +310,115 @@ def nfc_normalize_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# --- C4-style line filtering (Raffel et al. 2020 §2.2) -----------------------
+# The classic web-text line/document cleaning pass: keep only lines that
+# end in terminal punctuation, have >= 3 words, and mention neither
+# javascript nor a boilerplate policy phrase; drop whole documents that
+# contain "lorem ipsum" or a curly brace, or whose kept text carries
+# fewer than `min_sentences` sentence marks.  Rule constants live here;
+# the SQL oracle (__ray_entry__._c4_line_sql) is generated from them.
+C4_TERMINAL = (".", "!", "?", '"')
+C4_LINE_BLOCK = ("javascript", "terms of use", "privacy policy", "cookie policy")
+C4_DOC_BLOCK_LOREM = "lorem ipsum"
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+
+
+def _c4_keep_line(line: str) -> bool:
+    if not line or line[-1] not in C4_TERMINAL:
+        return False
+    if len(line.split()) < C4_MIN_LINE_WORDS:
+        return False
+    low = line.lower()
+    return not any(b in low for b in C4_LINE_BLOCK)
+
+
+def c4_rules_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_lines, n_kept_lines, has_lorem, has_brace, n_sentences,
+    keep_doc, kept_md5 — the C4 cleaning signals per document.
+
+    Lines are '\\n' segments, trimmed before the rules; kept text is the
+    trimmed kept lines re-joined by '\\n' (md5-compared so the full
+    cleaned text is verified without shipping it); n_sentences is the
+    '.' count of the kept text (the sentence proxy both sides of the
+    oracle share).  Stateless batch map, string ops only."""
+    import hashlib
+
+    texts = batch.column("text").to_pylist()
+    cols = {k: [] for k in (
+        "n_lines", "n_kept_lines", "has_lorem", "has_brace",
+        "n_sentences", "keep_doc", "kept_md5",
+    )}
+    for t in texts:
+        t = t or ""
+        lines = [ln.strip() for ln in t.split("\n")]
+        kept = [ln for ln in lines if _c4_keep_line(ln)]
+        kt = "\n".join(kept)
+        low = t.lower()
+        has_lorem = C4_DOC_BLOCK_LOREM in low
+        has_brace = "{" in t
+        n_sent = kt.count(".")
+        cols["n_lines"].append(len(lines))
+        cols["n_kept_lines"].append(len(kept))
+        cols["has_lorem"].append(int(has_lorem))
+        cols["has_brace"].append(int(has_brace))
+        cols["n_sentences"].append(n_sent)
+        cols["keep_doc"].append(int(
+            not has_lorem and not has_brace
+            and len(kept) >= 1 and n_sent >= C4_MIN_SENTENCES
+        ))
+        cols["kept_md5"].append(hashlib.md5(kt.encode("utf-8")).hexdigest())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_lines": pa.array(cols["n_lines"], pa.int64()),
+            "n_kept_lines": pa.array(cols["n_kept_lines"], pa.int64()),
+            "has_lorem": pa.array(cols["has_lorem"], pa.int64()),
+            "has_brace": pa.array(cols["has_brace"], pa.int64()),
+            "n_sentences": pa.array(cols["n_sentences"], pa.int64()),
+            "keep_doc": pa.array(cols["keep_doc"], pa.int64()),
+            "kept_md5": pa.array(cols["kept_md5"], pa.string()),
+        }
+    )
+
+
+# Planted line classes (doc_id % 5 / % 3) so the single-line fixture
+# text exercises every rule: kept line, short line, no-terminal line,
+# lorem/brace doc drops, javascript/policy line drops, and both
+# sentence-count outcomes.  Mirrored literally in the SQL oracle.
+_C4_CLASS_LINES = {
+    1: "lorem ipsum dolor sit amet.",
+    2: "code block { x } here.",
+    3: "enable javascript to view this.",
+    4: "read our privacy policy today.",
+}
+
+
+def plant_c4_lines(batch: pa.Table) -> pa.Table:
+    """Deterministic fixture augmentation for the C4 filter: build a
+    multi-line document from character slices of the fixture text plus
+    the class lines above (doc_id % 5) and a 5- or 2-sentence tail
+    (doc_id % 3)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids.tolist(), texts):
+        t = t or ""
+        parts = [
+            t[:40] + " one.",
+            "too short.",
+            t[40:70] + " no terminal",
+        ]
+        cls = i % 5
+        if cls in _C4_CLASS_LINES:
+            parts.append(_C4_CLASS_LINES[cls])
+        parts.append("A. B. C. D. E." if i % 3 == 0 else "A. B.")
+        out.append("\n".join(parts))
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())}
+    )
+
+
 def cdc_dup_chunk_stats(ds, *, mask_bits: int = 6):
     """documents → (chunk_md5, n_occurrences, n_docs) for every
     content-defined chunk occurring more than once corpus-wide — the
