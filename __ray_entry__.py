@@ -207,6 +207,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: cleaning.c4_rules_batch(cleaning.plant_c4_lines(b)),
             ["doc_id", "text"],
         ),
+        # fastText-style hashed linear classifier: broadcast weight
+        # table (ray.put once, cached per worker), integer-exact logits.
+        "hashed_classifier": lambda sf: selection.hashed_classifier(
+            read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ),
         "winnow_fingerprints": lambda sf: _map(
             sf, text_stage.winnow_batch, ["doc_id", "text"]
         ),
@@ -2168,6 +2175,7 @@ ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         "lang_id": _lang_id_sql(),
         "script_lang_id": _script_lang_sql(),
         "c4_line_filter": _c4_line_sql(),
+        "hashed_classifier": _hashed_classifier_sql(),
         "simhash": _SIMHASH_SQL,
         "winnow_fingerprints": _winnow_sql(),
         # Full gear-hash recomputation: per-position window sums with
@@ -2440,6 +2448,51 @@ SELECT t.doc_id,
   CASE {rules}
         ELSE fb.pred_lang END AS pred_lang
 FROM tot t JOIN fb USING (doc_id)"""
+
+
+def _hashed_classifier_sql(n_buckets: int = 4096) -> str:
+    # Recomputes stages/selection.py::hashed_classifier exactly: same
+    # md5-int63 feature hash over lowercase unigrams + adjacent bigrams
+    # (DuckDB list comprehension over 1-based positions), same
+    # (md5('w:'||i) % 17) - 8 weight table regenerated per bucket, same
+    # integer logit sum and margin-0 pred.  Empty docs have no feature
+    # rows -> LEFT JOIN + coalesce(0) -> pred 1, the engine convention.
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           toks,
+           [toks[i] || ' ' || toks[i + 1] for i in range(1, length(toks))]
+         )) AS f
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(f), 1, 16))::UBIGINT >> 1)
+          % {n_buckets})::BIGINT AS bkt
+  FROM feats
+),
+w AS (
+  SELECT i::BIGINT AS bkt,
+         (((('0x' || substr(md5('w:' || i), 1, 16))::UBIGINT >> 1)
+           % 17)::BIGINT - 8) AS wt
+  FROM range({n_buckets}) r(i)
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_features, sum(wt)::BIGINT AS logit
+  FROM s JOIN w USING (bkt) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(agg.n_features, 0)::BIGINT AS n_features,
+       coalesce(agg.logit, 0)::BIGINT AS logit,
+       (CASE WHEN coalesce(agg.logit, 0) >= 0 THEN 1 ELSE 0 END)::BIGINT AS pred
+FROM t LEFT JOIN agg USING (doc_id)"""
 
 
 def _c4_line_sql() -> str:

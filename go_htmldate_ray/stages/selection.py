@@ -176,6 +176,94 @@ def dsir_select(
     )
 
 
+# --- hashed linear (fastText-style) quality classifier -----------------------
+# Batched model inference with a broadcast weight table: the shape of
+# every "score each document with a small model" stage (fastText quality
+# filters, logistic spam scorers).  The model here is a deterministic
+# int64 weight per hash bucket so the inference is integer-exact and the
+# SQL oracle regenerates the weights from the same md5 formula; swapping
+# in trained weights is a one-array change.
+def classifier_weight_table(n_buckets: int = 4096) -> np.ndarray:
+    """w[i] = (md5_int63(f"w:{i}") % 17) - 8 — int64 weights in [-8, 8]."""
+    from .cleaning import _hash63
+
+    return np.fromiter(
+        ((_hash63(f"w:{i}") % 17) - 8 for i in range(n_buckets)),
+        dtype=np.int64,
+        count=n_buckets,
+    )
+
+
+# per-process broadcast cache (same discipline as cleaning._cached_blocklist:
+# resolve the ref once per worker, never per batch)
+_W_CACHE: dict[str, np.ndarray] = {}
+
+
+def _cached_weights(ref) -> np.ndarray:
+    import ray
+
+    key = ref.hex()
+    got = _W_CACHE.get(key)
+    if got is None:
+        _W_CACHE.clear()
+        got = _W_CACHE[key] = ray.get(ref)
+    return got
+
+
+def _doc_feature_buckets(
+    texts: list[str], n_buckets: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, bucket) per feature — hashed lowercase unigrams plus
+    adjacent-pair bigrams ("tok tok"), the classic fastText feature set."""
+    from .cleaning import _hash63_cached
+
+    doc_idx, buckets = [], []
+    for d, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        doc_idx.extend([d] * len(feats))
+        buckets.extend(_hash63_cached(f) % n_buckets for f in feats)
+    return (
+        np.asarray(doc_idx, dtype=np.int64),
+        np.asarray(buckets, dtype=np.int64),
+    )
+
+
+def hashed_classifier(ds, *, n_buckets: int = 4096):
+    """documents → (doc_id, n_features, logit, pred) — linear model
+    inference over hashed unigram+bigram features.
+
+    The weight table ships once via ``ray.put`` and is resolved once per
+    worker process; per batch the score is one np.take + bincount (sums
+    of |w| ≤ 8 · n_features stay far below 2^53, so the float64 bincount
+    accumulator is exact and the int64 cast is lossless).  Empty docs
+    score logit 0 → pred 1 (the margin-0 convention, mirrored in SQL).
+    """
+    import ray
+
+    w_ref = ray.put(classifier_weight_table(n_buckets))
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = _cached_weights(w_ref)
+        texts = batch.column("text").to_pylist()
+        n_docs = len(texts)
+        doc_idx, buckets = _doc_feature_buckets(texts, n_buckets)
+        n_feat = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        logit = np.bincount(
+            doc_idx, weights=w[buckets], minlength=n_docs
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_features": pa.array(n_feat, pa.int64()),
+                "logit": pa.array(logit, pa.int64()),
+                "pred": pa.array((logit >= 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def ccnet_buckets(ds):
     """CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): documents
     bucketed by per-bigram LM score terciles — head = best (lowest
