@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Per-registrable-domain page counts over the PSL fixture —
         # the grouping granularity per-domain politeness/quotas use.
         "domain_page_counts": ed.domain_page_counts,
+        "domain_quality_rollup": ed.domain_quality_rollup,
         # Cho & Garcia-Molina change-based revisit schedule: exact
         # integer intervals on top of the real host_change_rates
         # pipeline (snapshot FULL-outer diff -> per-host ppm).
@@ -1332,51 +1333,30 @@ def oracle_sql() -> dict[str, str]:
         # Independent PSL-match recomputation: per-host candidate label
         # suffixes (lateral unnest) vs the literal rule lists; exception
         # beats wildcard/exact beats the implicit '*' single-label rule.
-        "registrable_domains": """
-            WITH hosts AS (
+        "registrable_domains": _psl_domains_sql(),
+        # Per-registrable-domain curation rollup: PSL domain + token /
+        # char counts + stopword lang-ID composed on the one reused key.
+        "domain_quality_rollup": rf"""
+            WITH rd AS ({{PSL}}),
+            lang AS ({{LANG}}),
+            tc AS (
               SELECT doc_id,
-                CASE doc_id % 8
-                  WHEN 0 THEN 'www.paper' || (doc_id % 11) || '.co.uk'
-                  WHEN 1 THEN 'news' || (doc_id % 11) || '.com'
-                  WHEN 2 THEN 'user' || (doc_id % 11) || '.github.io'
-                  WHEN 3 THEN 'shop' || (doc_id % 11) || '.com.au'
-                  WHEN 4 THEN 'a' || (doc_id % 5) || '.b' || (doc_id % 3) || '.ck'
-                  WHEN 5 THEN CASE WHEN doc_id % 16 = 5 THEN 'github.io' ELSE 'www.ck' END
-                  WHEN 6 THEN 'archive.m' || (doc_id % 11) || '.edu.cn'
-                  ELSE 'site' || (doc_id % 11) || '.example.org'
-                END AS host
-              FROM documents
-            ),
-            lab AS (
-              SELECT doc_id, host, string_split(host, '.') AS ls,
-                     length(string_split(host, '.')) AS n
-              FROM hosts
-            ),
-            cand AS (
-              SELECT doc_id, n, j, array_to_string(ls[n - j + 1 : n], '.') AS suf
-              FROM lab, unnest(range(1, n + 1)) t(j)
-            ),
-            m AS (
-              SELECT doc_id,
-                max(CASE WHEN suf IN ('www.ck') THEN j END) AS exc_j,
-                max(CASE WHEN suf IN ('com','org','net','io','uk','co.uk',
-                    'gov.uk','au','com.au','cn','edu.cn','jp','co.jp',
-                    'github.io','blogspot.com') THEN j END) AS ex_j,
-                max(CASE WHEN j < n AND suf IN ('ck') THEN j + 1 END) AS wi_j
-              FROM cand GROUP BY doc_id
-            ),
-            ps AS (
-              SELECT l.doc_id, l.host, l.ls, l.n,
-                CASE WHEN m.exc_j IS NOT NULL THEN m.exc_j - 1
-                     ELSE greatest(coalesce(m.ex_j, 1), coalesce(m.wi_j, 1))
-                END AS psl
-              FROM lab l JOIN m USING (doc_id)
-            )
-            SELECT doc_id, host,
-              array_to_string(ls[n - psl + 1 : n], '.') AS public_suffix,
-              CASE WHEN n > psl THEN array_to_string(ls[n - psl : n], '.')
-                   ELSE '' END AS registrable_domain
-            FROM ps""",
+                CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                     ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                END::BIGINT AS toks,
+                length(coalesce(text, ''))::BIGINT AS chars
+              FROM documents)
+            SELECT CASE WHEN rd.registrable_domain = '' THEN rd.public_suffix
+                        ELSE rd.registrable_domain END AS domain,
+              count(*)::BIGINT AS n_docs,
+              sum(tc.toks)::BIGINT AS total_tokens,
+              sum(tc.chars)::BIGINT AS total_chars,
+              sum(CASE WHEN lang.pred_lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                  AS n_en_docs
+            FROM rd JOIN tc USING (doc_id) JOIN lang USING (doc_id)
+            GROUP BY 1""".replace("{PSL}", _psl_domains_sql()).replace(
+            "{LANG}", _lang_id_sql()
+        ),
         # Closed form of the synthesized chain rule (id%8!=0 -> id-1):
         # the chain from id lands on id - id%8 after exactly id%8 hops.
         # The engine must DISCOVER this by path doubling; the oracle
@@ -2448,6 +2428,58 @@ SELECT t.doc_id,
   CASE {rules}
         ELSE fb.pred_lang END AS pred_lang
 FROM tot t JOIN fb USING (doc_id)"""
+
+
+def _psl_domains_sql() -> str:
+    # Lateral label-suffix-join recomputation of the publicsuffix.org
+    # algorithm over the doc_id-derived fixture hosts
+    # (pipelines/extract_dates._psl_fixture_hosts, mirrored literally):
+    # exception > longest-of(exact, wildcard) > implicit '*'.
+    return """
+            WITH hosts AS (
+              SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'www.paper' || (doc_id % 11) || '.co.uk'
+                  WHEN 1 THEN 'news' || (doc_id % 11) || '.com'
+                  WHEN 2 THEN 'user' || (doc_id % 11) || '.github.io'
+                  WHEN 3 THEN 'shop' || (doc_id % 11) || '.com.au'
+                  WHEN 4 THEN 'a' || (doc_id % 5) || '.b' || (doc_id % 3) || '.ck'
+                  WHEN 5 THEN CASE WHEN doc_id % 16 = 5 THEN 'github.io' ELSE 'www.ck' END
+                  WHEN 6 THEN 'archive.m' || (doc_id % 11) || '.edu.cn'
+                  ELSE 'site' || (doc_id % 11) || '.example.org'
+                END AS host
+              FROM documents
+            ),
+            lab AS (
+              SELECT doc_id, host, string_split(host, '.') AS ls,
+                     length(string_split(host, '.')) AS n
+              FROM hosts
+            ),
+            cand AS (
+              SELECT doc_id, n, j, array_to_string(ls[n - j + 1 : n], '.') AS suf
+              FROM lab, unnest(range(1, n + 1)) t(j)
+            ),
+            m AS (
+              SELECT doc_id,
+                max(CASE WHEN suf IN ('www.ck') THEN j END) AS exc_j,
+                max(CASE WHEN suf IN ('com','org','net','io','uk','co.uk',
+                    'gov.uk','au','com.au','cn','edu.cn','jp','co.jp',
+                    'github.io','blogspot.com') THEN j END) AS ex_j,
+                max(CASE WHEN j < n AND suf IN ('ck') THEN j + 1 END) AS wi_j
+              FROM cand GROUP BY doc_id
+            ),
+            ps AS (
+              SELECT l.doc_id, l.host, l.ls, l.n,
+                CASE WHEN m.exc_j IS NOT NULL THEN m.exc_j - 1
+                     ELSE greatest(coalesce(m.ex_j, 1), coalesce(m.wi_j, 1))
+                END AS psl
+              FROM lab l JOIN m USING (doc_id)
+            )
+            SELECT doc_id, host,
+              array_to_string(ls[n - psl + 1 : n], '.') AS public_suffix,
+              CASE WHEN n > psl THEN array_to_string(ls[n - psl : n], '.')
+                   ELSE '' END AS registrable_domain
+            FROM ps"""
 
 
 def _hashed_classifier_sql(n_buckets: int = 4096) -> str:

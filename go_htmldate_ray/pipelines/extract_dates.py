@@ -971,6 +971,31 @@ def bloom_seen_audit(sf_dir: str, *, m_bits: int = 1024, k: int = 4):
     return urls.map_batches(probe, batch_format="pyarrow")
 
 
+def _psl_fixture_hosts(ids: list[int]) -> list[str]:
+    """Deterministic doc_id → host map hitting every publicsuffix.org
+    algorithm branch (mirrored literally in the SQL oracles)."""
+    hosts = []
+    for i in ids:
+        v = i % 8
+        if v == 0:
+            hosts.append(f"www.paper{i % 11}.co.uk")
+        elif v == 1:
+            hosts.append(f"news{i % 11}.com")
+        elif v == 2:
+            hosts.append(f"user{i % 11}.github.io")
+        elif v == 3:
+            hosts.append(f"shop{i % 11}.com.au")
+        elif v == 4:
+            hosts.append(f"a{i % 5}.b{i % 3}.ck")
+        elif v == 5:
+            hosts.append("github.io" if i % 16 == 5 else "www.ck")
+        elif v == 6:
+            hosts.append(f"archive.m{i % 11}.edu.cn")
+        else:
+            hosts.append(f"site{i % 11}.example.org")
+    return hosts
+
+
 def registrable_domains(sf_dir: str):
     """Registrable-domain extraction (publicsuffix.org algorithm,
     :func:`~go_htmldate_ray.state.urls.split_registrable`) — the key
@@ -991,25 +1016,7 @@ def registrable_domains(sf_dir: str):
 
     def rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        hosts = []
-        for i in ids:
-            v = i % 8
-            if v == 0:
-                hosts.append(f"www.paper{i % 11}.co.uk")
-            elif v == 1:
-                hosts.append(f"news{i % 11}.com")
-            elif v == 2:
-                hosts.append(f"user{i % 11}.github.io")
-            elif v == 3:
-                hosts.append(f"shop{i % 11}.com.au")
-            elif v == 4:
-                hosts.append(f"a{i % 5}.b{i % 3}.ck")
-            elif v == 5:
-                hosts.append("github.io" if i % 16 == 5 else "www.ck")
-            elif v == 6:
-                hosts.append(f"archive.m{i % 11}.edu.cn")
-            else:
-                hosts.append(f"site{i % 11}.example.org")
+        hosts = _psl_fixture_hosts(ids)
         sufs, regs = registrable_domain_batch(hosts)
         return pa.table(
             {
@@ -1063,6 +1070,72 @@ def domain_page_counts(sf_dir: str):
                 {
                     "domain": b.column("domain"),
                     "n_pages": b.column("sum(n)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def domain_quality_rollup(sf_dir: str):
+    """Per-registrable-domain curation rollup — the table a corpus
+    curator ranks sites by: (domain, n_docs, total_tokens, total_chars,
+    n_en_docs).
+
+    Composition over ONE reused partitioning key: PSL domain extraction
+    (:func:`_psl_fixture_hosts` + the publicsuffix algorithm), whitespace
+    token counts, codepoint lengths and the stopword lang-ID all computed
+    in a single text pass, pre-aggregated per batch by domain (combiner:
+    rows per batch ≤ distinct domains), then one tiny Sum groupby.  At
+    100 TB the shuffle moves n_domains × n_blocks light rows — never a
+    document."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.io import read_parquet_clean
+    from ..stages.text_stage import lang_id_batch
+    from ..state.urls import registrable_domain_batch
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hosts = _psl_fixture_hosts(ids)
+        sufs, regs = registrable_domain_batch(hosts)
+        langs = lang_id_batch(batch).column("pred_lang").to_pylist()
+        acc: dict[str, list[int]] = {}
+        for suf, reg, t, lang in zip(sufs, regs, texts, langs):
+            dom = reg or suf  # suffix-only hosts group under the suffix
+            a = acc.setdefault(dom, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += len((t or "").split())
+            a[2] += len(t or "")
+            a[3] += int(lang == "en")
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "domain": pa.array(keys, pa.string()),
+                "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "toks": pa.array([acc[k][1] for k in keys], pa.int64()),
+                "chars": pa.array([acc[k][2] for k in keys], pa.int64()),
+                "en": pa.array([acc[k][3] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n"), Sum("toks"), Sum("chars"), Sum("en"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "domain": b.column("domain"),
+                    "n_docs": b.column("sum(n)").cast(pa.int64()),
+                    "total_tokens": b.column("sum(toks)").cast(pa.int64()),
+                    "total_chars": b.column("sum(chars)").cast(pa.int64()),
+                    "n_en_docs": b.column("sum(en)").cast(pa.int64()),
                 }
             ),
             batch_format="pyarrow",
