@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (block-walk rule documented in stages/text_extract.py; the
         # oracle recomputes the exact text from the fixture columns).
         "page_texts": _page_texts,
+        # jusText-style content/boilerplate block classification over
+        # REAL page parses (word count + link density per block).
+        "boilerplate_blocks": _boilerplate_blocks,
         # Freshness: WARC capture date minus extracted publication date.
         "page_staleness": ed.page_staleness,
         # Recrawl prioritization: per-host page count + exact integer
@@ -600,6 +603,12 @@ def _page_texts(sf_dir):
     from go_htmldate_ray.stages.text_extract import page_texts
 
     return page_texts(sf_dir)
+
+
+def _boilerplate_blocks(sf_dir):
+    from go_htmldate_ray.stages.text_extract import boilerplate_blocks
+
+    return boilerplate_blocks(sf_dir)
 
 
 def _sitemap_urls(sf_dir):
@@ -1448,6 +1457,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, length(t)::BIGINT AS n_chars, md5(t) AS text_md5
             FROM exp""",
+        # jusText oracle: the synthesized page's blocks are h1
+        # ('Document N', 2 words), the variant-3 <time> line (1 word),
+        # the 400-char <p> chunks (word counts recomputed per chunk,
+        # 0 link words), and the footer ('related X related Y', 4 words
+        # all inside anchors -> link density 1).  good = nw >= 10 AND
+        # 2*nl < nw, so only the long-enough paragraph chunks qualify.
+        "boilerplate_blocks": r"""
+            WITH s AS (
+                SELECT unnest(generate_series(
+                    1,
+                    (SELECT max(greatest(length(text), 1)) FROM documents),
+                    400)) AS g
+            ),
+            pb AS (
+                SELECT d.doc_id, s.g,
+                       nullif(trim(regexp_replace(
+                           substring(d.text, s.g::INT, 400),
+                           '\s+', ' ', 'g')), '') AS btxt
+                FROM documents d JOIN s ON s.g <= greatest(length(d.text), 1)
+            ),
+            pw AS (
+                SELECT doc_id, g, btxt,
+                       length(regexp_split_to_array(btxt, '\s+'))::BIGINT AS nw
+                FROM pb WHERE btxt IS NOT NULL
+            ),
+            agg AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS n_para,
+                       sum(CASE WHEN nw >= 10 THEN 1 ELSE 0 END)::BIGINT
+                           AS n_good,
+                       sum(CASE WHEN nw >= 10 THEN nw ELSE 0 END)::BIGINT
+                           AS good_words,
+                       sum(CASE WHEN nw < 10 THEN nw ELSE 0 END)::BIGINT
+                           AS short_para_words,
+                       string_agg(CASE WHEN nw >= 10 THEN btxt END,
+                                  chr(10) ORDER BY g) AS good_txt
+                FROM pw GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   (2 + CASE WHEN d.doc_id % 4 = 3 THEN 1 ELSE 0 END
+                      + coalesce(a.n_para, 0))::BIGINT AS n_blocks,
+                   coalesce(a.n_good, 0)::BIGINT AS n_good,
+                   coalesce(a.good_words, 0)::BIGINT AS good_words,
+                   (6 + CASE WHEN d.doc_id % 4 = 3 THEN 1 ELSE 0 END
+                      + coalesce(a.short_para_words, 0))::BIGINT
+                       AS boiler_words,
+                   md5(coalesce(a.good_txt, '')) AS good_md5
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "page_staleness": f"""
             SELECT doc_id,
                    ((DATE '2024-01-01' + (doc_id // 86400)::INTEGER)

@@ -64,6 +64,113 @@ def extract_visible_text(root) -> str:
     return "\n".join(blocks)
 
 
+# --- jusText-style boilerplate block classification ---------------------------
+# The standard web-text extraction refinement (jusText / boilerpipe
+# family): classify each text block as content or boilerplate from its
+# word count and link density.  Two-class simplification with integer
+# thresholds so the synthetic-page oracle recomputes it exactly:
+# good ⇔ n_words >= JUSTEXT_MIN_WORDS and link_density < 1/2
+# (compared as 2·n_link_words < n_words).
+JUSTEXT_MIN_WORDS = 10
+
+
+def extract_blocks(root) -> list[tuple[str, int, int]]:
+    """Document-order blocks of the ``<body>`` subtree as
+    ``(text, n_words, n_link_words)`` — same block rule as
+    :func:`extract_visible_text`, plus anchor-descendant tracking.
+    Link words are the whitespace words of the anchor text pieces
+    joined by single spaces (anchors are whole-word in any sane page;
+    the rule is deterministic either way)."""
+    blocks: list[tuple[str, int, int]] = []
+    buf: list[tuple[str, bool]] = []
+
+    def flush() -> None:
+        if not buf:
+            return
+        text = _WS.sub(" ", "".join(p for p, _ in buf)).strip()
+        link_text = _WS.sub(
+            " ", " ".join(p for p, in_a in buf if in_a)
+        ).strip()
+        buf.clear()
+        if text:
+            blocks.append((text, len(text.split()), len(link_text.split())))
+
+    def walk(node, in_link: bool) -> None:
+        for child in node.children:
+            if child.type == dom.TEXT:
+                buf.append((child.data, in_link))
+            elif child.type == dom.ELEMENT:
+                if child.tag in _SKIP_TAGS:
+                    continue
+                nl = in_link or child.tag == "a"
+                if child.tag in _BLOCK_TAGS:
+                    flush()
+                    walk(child, nl)
+                    flush()
+                else:
+                    walk(child, nl)
+
+    body = dom.query_first_element(root, "body")
+    walk(body if body is not None else root, False)
+    flush()
+    return blocks
+
+
+def boilerplate_batch(batch: pa.Table) -> pa.Table:
+    """pages batch (doc_id, html) → per-doc boilerplate summary:
+    n_blocks, n_good, good_words, boiler_words, good_md5 (md5 of the
+    good blocks joined by newlines — the cleaned training text)."""
+    doc_ids = batch.column("doc_id")
+    htmls = batch.column("html").to_pylist()
+    cols = {k: [] for k in (
+        "n_blocks", "n_good", "good_words", "boiler_words", "good_md5",
+    )}
+    for raw in htmls:
+        blocks = extract_blocks(dom.parse_html(raw or b""))
+        good = [
+            t for t, nw, nl in blocks
+            if nw >= JUSTEXT_MIN_WORDS and 2 * nl < nw
+        ]
+        gw = sum(
+            nw for _t, nw, nl in blocks
+            if nw >= JUSTEXT_MIN_WORDS and 2 * nl < nw
+        )
+        bw = sum(
+            nw for _t, nw, nl in blocks
+            if not (nw >= JUSTEXT_MIN_WORDS and 2 * nl < nw)
+        )
+        cols["n_blocks"].append(len(blocks))
+        cols["n_good"].append(len(good))
+        cols["good_words"].append(gw)
+        cols["boiler_words"].append(bw)
+        cols["good_md5"].append(
+            hashlib.md5("\n".join(good).encode("utf-8")).hexdigest()
+        )
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "n_blocks": pa.array(cols["n_blocks"], pa.int64()),
+            "n_good": pa.array(cols["n_good"], pa.int64()),
+            "good_words": pa.array(cols["good_words"], pa.int64()),
+            "boiler_words": pa.array(cols["boiler_words"], pa.int64()),
+            "good_md5": pa.array(cols["good_md5"], pa.string()),
+        }
+    )
+
+
+def boilerplate_blocks(sf_dir: str):
+    """jusText-style content/boilerplate classification over the
+    synthesized frontier pages — same streamed synthesis + task-pool
+    shape as :func:`page_texts`."""
+    from ..sources.pages import read_pages
+
+    pages = read_pages(sf_dir)
+    return pages.map_batches(
+        lambda b: boilerplate_batch(b.select(["doc_id", "html"])),
+        batch_format="pyarrow",
+    )
+
+
 def page_text_batch(batch: pa.Table) -> pa.Table:
     """pages batch (doc_id, html) → (doc_id, n_chars, text_md5).
 
