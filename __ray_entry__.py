@@ -211,6 +211,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: cleaning.c4_rules_batch(cleaning.plant_c4_lines(b)),
             ["doc_id", "text"],
         ),
+        # Mojibake repair (UTF-8-read-as-cp1252): planted encoding
+        # classes exercise both repair and all three pass-through paths.
+        "mojibake_repair": lambda sf: _map(
+            sf,
+            lambda b: cleaning.mojibake_batch(cleaning.plant_mojibake(b)),
+            ["doc_id", "text"],
+        ),
         # fastText-style hashed linear classifier: broadcast weight
         # table (ray.put once, cached per worker), integer-exact logits.
         "hashed_classifier": lambda sf: selection.hashed_classifier(
@@ -2213,6 +2220,7 @@ ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         "script_lang_id": _script_lang_sql(),
         "c4_line_filter": _c4_line_sql(),
         "hashed_classifier": _hashed_classifier_sql(),
+        "mojibake_repair": _mojibake_sql(),
         "simhash": _SIMHASH_SQL,
         "winnow_fingerprints": _winnow_sql(),
         # Full gear-hash recomputation: per-position window sums with
@@ -2582,6 +2590,35 @@ SELECT t.doc_id,
        coalesce(agg.logit, 0)::BIGINT AS logit,
        (CASE WHEN coalesce(agg.logit, 0) >= 0 THEN 1 ELSE 0 END)::BIGINT AS pred
 FROM t LEFT JOIN agg USING (doc_id)"""
+
+
+def _mojibake_sql() -> str:
+    # Planted-truth oracle (charset_audit pattern): the expected repair
+    # outcome per class is stated from the MOJIBAKE_CASES literals —
+    # mojibake classes repair to their clean forms, correct accents /
+    # emoji / ASCII fixture text pass through unchanged.
+    from go_htmldate_ray.stages.cleaning import MOJIBAKE_CASES
+
+    ch = " ".join(
+        f"WHEN {cls} THEN {int(inp != want)}"
+        for cls, (inp, want) in MOJIBAKE_CASES.items()
+    )
+    ln = " ".join(
+        f"WHEN {cls} THEN length('{want}')"
+        for cls, (_i, want) in MOJIBAKE_CASES.items()
+    )
+    h = " ".join(
+        f"WHEN {cls} THEN md5('{want}')"
+        for cls, (_i, want) in MOJIBAKE_CASES.items()
+    )
+    return f"""
+SELECT doc_id,
+  (CASE doc_id % 5 {ch} ELSE 0 END)::BIGINT AS changed,
+  (CASE doc_id % 5 {ln}
+        ELSE length(coalesce(text, '')) END)::BIGINT AS n_chars_fixed,
+  CASE doc_id % 5 {h}
+       ELSE md5(coalesce(text, '')) END AS fixed_md5
+FROM documents"""
 
 
 def _c4_line_sql() -> str:

@@ -310,6 +310,73 @@ def nfc_normalize_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# --- mojibake repair (UTF-8-read-as-cp1252 double encoding) ------------------
+# The classic web-ingest defect: a page's UTF-8 bytes were decoded as
+# cp1252 somewhere upstream, turning 'é' into 'Ã©'.  Repair = re-encode
+# the text as cp1252 and decode the bytes as UTF-8; the round trip only
+# succeeds (and only changes anything) on genuine mojibake, so plain
+# ASCII, correctly-decoded accents ('café' alone fails the inner UTF-8
+# decode) and non-cp1252 text (emoji fail the encode) all pass through
+# untouched — that asymmetry is the operator's safety property.
+def repair_mojibake(text: str) -> tuple[str, bool]:
+    """(fixed_text, changed) — one cp1252→utf-8 repair pass."""
+    try:
+        fixed = text.encode("cp1252").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return text, False
+    if fixed == text:
+        return text, False
+    return fixed, True
+
+
+def mojibake_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, changed, n_chars_fixed, fixed_md5 — mojibake repair
+    audit columns (md5 verifies the full repaired text)."""
+    texts = batch.column("text").to_pylist()
+    changed, n_chars, md5s = [], [], []
+    for t in texts:
+        t = t or ""
+        fixed, ch = repair_mojibake(t)
+        changed.append(int(ch))
+        n_chars.append(len(fixed))
+        md5s.append(hashlib.md5(fixed.encode("utf-8")).hexdigest())
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "changed": pa.array(changed, pa.int64()),
+            "n_chars_fixed": pa.array(n_chars, pa.int64()),
+            "fixed_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
+# Planted encoding classes (doc_id % 5) — (input literal or None for
+# the fixture text, expected repaired literal).  Mirrored in the SQL
+# oracle, which states the expected outcome per class (planted-truth
+# pattern, like charset_audit): mojibake strings repair to their clean
+# forms, correct accents and emoji pass through.
+MOJIBAKE_CASES: dict[int, tuple[str, str]] = {
+    1: ("CafÃ© MÃ¼nchen", "Café München"),
+    2: ("naïve café", "naïve café"),
+    3: ("Rock â€“ Roll", "Rock – Roll"),
+    4: ("emoji \U0001f600 text", "emoji \U0001f600 text"),
+}
+
+
+def plant_mojibake(batch: pa.Table) -> pa.Table:
+    """Replace text by the class input for doc_id % 5 in 1..4; class 0
+    keeps the (ASCII) fixture text."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids.tolist(), texts):
+        case = MOJIBAKE_CASES.get(i % 5)
+        out.append(case[0] if case else (t or ""))
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())}
+    )
+
+
 # --- C4-style line filtering (Raffel et al. 2020 §2.2) -----------------------
 # The classic web-text line/document cleaning pass: keep only lines that
 # end in terminal punctuation, have >= 3 words, and mention neither
