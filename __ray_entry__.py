@@ -475,6 +475,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(
             _embeddings(sf), query_ids=list(range(8)), k=5
         ),
+        # Corpus→corpus k-NN graph over LSH candidates: every vector's
+        # top-3 banded-collision neighbors, hash-verified against the
+        # band-restricted exact recomputation.
+        "knn_graph": lambda sf: similarity.knn_graph(
+            _embeddings(sf), k=3, hot_buckets="error"
+        ),
         # IVF in the APPROXIMATE regime (n_probe=4 of 16 cells): the SQL
         # oracle recomputes the probe-restricted search from the literal
         # centroids (seed-deterministic k-means over the vec_id<2048
@@ -2252,6 +2258,7 @@ SELECT lang.pred_lang,
 FROM lang JOIN q USING (doc_id) JOIN k USING (doc_id)
 GROUP BY lang.pred_lang""",
         "ann_lsh_topk": _ann_lsh_sql(),
+        "knn_graph": _knn_graph_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_pq_topk": _ann_pq_sql(m=16, n_codes=64),
         "embedding_dup_pairs_lsh": f"""
@@ -2962,6 +2969,54 @@ ranked AS (
   FROM scored
 )
 SELECT qid AS query_id, nid AS neighbor_id, rnk AS rank FROM ranked WHERE rnk <= {k}"""
+
+
+def _knn_graph_sql(k: int = 3, n_bands: int = 8, planes_per_band: int = 6) -> str:
+    # Band-restricted exact recomputation of stages/similarity.knn_graph:
+    # the banded planes are regenerated from RandomState(42) (same seed
+    # and layout as BandedHasher — plane row p belongs to band p // r at
+    # bit p % r; sign hashing is scale-invariant so raw embeddings are
+    # hashed), candidates = directional pairs sharing >= 1 band code,
+    # ranking = row_number over (round(cos, 6) DESC, neighbor ASC) — the
+    # rounded cosine is the engine's ranking key too, so order ties are
+    # deterministic on both sides.
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    r = planes_per_band
+    planes = rng.standard_normal((n_bands * r, _fixture_embedding_dim()))
+    plane_rows = ", ".join(
+        f"({p}, [{','.join(repr(float(x)) for x in planes[p])}]::DOUBLE[])"
+        for p in range(n_bands * r)
+    )
+    return f"""
+WITH planes(pid, pv) AS (VALUES {plane_rows}),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (
+  SELECT v.vec_id, (p.pid // {r})::BIGINT AS band,
+         sum(CASE WHEN list_inner_product(v.e, p.pv) > 0
+                  THEN (1::BIGINT << (p.pid % {r})) ELSE 0 END)::BIGINT AS code
+  FROM vecs v, planes p GROUP BY v.vec_id, p.pid // {r}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+  FROM sig a JOIN sig b ON a.band = b.band AND a.code = b.code
+  WHERE a.vec_id != b.vec_id
+),
+scored AS (
+  SELECT c.qid, c.nid,
+         round(list_cosine_similarity(qa.e, qb.e), 6) AS cs
+  FROM cand c
+  JOIN vecs qa ON qa.vec_id = c.qid
+  JOIN vecs qb ON qb.vec_id = c.nid
+),
+ranked AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rnk
+  FROM scored
+)
+SELECT qid AS vec_id, nid AS neighbor_id, rnk AS rank
+FROM ranked WHERE rnk <= {k}"""
 
 
 def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:

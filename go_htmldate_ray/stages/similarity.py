@@ -531,6 +531,79 @@ def embedding_dup_pairs_lsh(
     return with_b.map_batches(verify, batch_format="pyarrow")
 
 
+# --- k-NN graph construction --------------------------------------------------
+
+def knn_graph(
+    ds,
+    *,
+    k: int = 3,
+    n_bands: int = 8,
+    planes_per_band: int = 6,
+    verify_mode: str = "auto",
+    hot_buckets: str = "sample",
+):
+    """Corpus→corpus approximate k-NN graph: (vec_id, neighbor_id, rank)
+    — every vector's top-``k`` LSH-candidate neighbors by (cosine desc,
+    neighbor asc).  The seed step of graph-based dedup clustering and
+    NN-descent-style index builds.
+
+    Shape: reuses :func:`embedding_dup_pairs_lsh` with ``threshold=-1``
+    (k-NN needs every candidate pair scored, not a similarity cut), then
+    symmetric expansion to directional edges and one groupby(vec_id)
+    top-k over candidate rows — light (qid, nid, cosine) triples only;
+    no stage ever holds the embedding table.  Ranking uses the rounded
+    (6 dp) cosine with neighbor-id tie-break so the SQL oracle's
+    row_number() reproduces it exactly.  Neighbor lists are LSH-candidate
+    top-k, NOT exact top-k — recall rises with n_bands like the dup-pair
+    banding math."""
+    pairs = embedding_dup_pairs_lsh(
+        ds,
+        threshold=-1.0,
+        n_bands=n_bands,
+        planes_per_band=planes_per_band,
+        verify_mode=verify_mode,
+        hot_buckets=hot_buckets,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a")
+        b = batch.column("vec_b")
+        c = batch.column("cosine")
+        return pa.table(
+            {
+                "vec_id": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ),
+                "neighbor_id": pa.concat_arrays(
+                    [b.combine_chunks(), a.combine_chunks()]
+                ),
+                "cosine": pa.concat_arrays(
+                    [c.combine_chunks(), c.combine_chunks()]
+                ),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group,
+            sort_keys=[("cosine", "descending"), ("neighbor_id", "ascending")],
+        )
+        g = group.take(order[: min(k, group.num_rows)])
+        return pa.table(
+            {
+                "vec_id": g.column("vec_id"),
+                "neighbor_id": g.column("neighbor_id"),
+                "rank": pa.array(range(1, g.num_rows + 1), pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(expand, batch_format="pyarrow")
+        .groupby("vec_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
 # --- IVF (inverted-file) ANN -------------------------------------------------
 
 def kmeans_centroids(mat: np.ndarray, n_centroids: int, iters: int = 5) -> np.ndarray:
