@@ -159,6 +159,7 @@ def bench_text_stage(sf_dir: str, repeat: int = 20):
         ("winnow", text_stage.winnow_batch),
         ("quality", text_stage.quality_batch),
         ("cdc", text_stage.cdc_chunk_batch),
+        ("script_lang", text_stage.script_lang_batch),
     ):
         docs, total = repeated_docs(sf_dir, repeat)
         t0 = time.perf_counter()
@@ -468,6 +469,22 @@ def run_headline() -> dict:
     )
     queries["budget_allocation"] = round(
         bench_query(lambda sf: ed_mod.crawl_budget_allocation(sf, budget=137)),
+        3,
+    )
+
+    # round-3 session-4 additions: real-DOM boilerplate classification
+    # and the LSH k-NN graph
+    from go_htmldate_ray.stages import text_extract
+
+    queries["boilerplate"] = round(
+        bench_query(text_extract.boilerplate_blocks), 3
+    )
+    queries["knn_graph"] = round(
+        bench_query(
+            lambda sf: similarity.knn_graph(
+                read_parquet_clean(f"{sf}/embeddings.parquet"), k=3
+            )
+        ),
         3,
     )
 
