@@ -409,7 +409,6 @@ def c4_rules_batch(batch: pa.Table) -> pa.Table:
     cleaned text is verified without shipping it); n_sentences is the
     '.' count of the kept text (the sentence proxy both sides of the
     oracle share).  Stateless batch map, string ops only."""
-    import hashlib
 
     texts = batch.column("text").to_pylist()
     cols = {k: [] for k in (

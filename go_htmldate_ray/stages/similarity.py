@@ -549,9 +549,10 @@ def knn_graph(
 
     Shape: reuses :func:`embedding_dup_pairs_lsh` with ``threshold=-1``
     (k-NN needs every candidate pair scored, not a similarity cut), then
-    symmetric expansion to directional edges and one groupby(vec_id)
-    top-k over candidate rows — light (qid, nid, cosine) triples only;
-    no stage ever holds the embedding table.  Ranking uses the rounded
+    symmetric expansion to directional edges and one HASH-BUCKETED
+    groupby with a vectorized per-vector lexsort rank inside each bucket
+    (never one Python group per vec_id) — light (qid, nid, cosine)
+    triples only; no stage ever holds the embedding table.  Ranking uses the rounded
     (6 dp) cosine with neighbor-id tie-break so the SQL oracle's
     row_number() reproduces it exactly.  Neighbor lists are LSH-candidate
     top-k, NOT exact top-k — recall rises with n_bands like the dup-pair
@@ -583,24 +584,50 @@ def knn_graph(
             }
         )
 
-    def topk(group: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(
-            group,
-            sort_keys=[("cosine", "descending"), ("neighbor_id", "ascending")],
+    # Per-key groups would mean one Python callback per vec_id (billions
+    # of tiny groups at corpus scale) — group on a hash bucket instead
+    # and rank every vector inside the bucket with one vectorized
+    # lexsort (the sampling.cap_per_group shape).
+    def bucket(batch: pa.Table) -> pa.Table:
+        from .joins import DEFAULT_JOIN_BUCKETS, _bucket_of
+
+        return batch.append_column(
+            "__bkt", _bucket_of(batch.column("vec_id"), DEFAULT_JOIN_BUCKETS)
         )
-        g = group.take(order[: min(k, group.num_rows)])
+
+    def topk_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        vid = np.asarray(group.column("vec_id"), dtype=np.int64)
+        nid = np.asarray(group.column("neighbor_id"), dtype=np.int64)
+        cos = np.asarray(group.column("cosine"), dtype=np.float64)
+        order = np.lexsort((nid, -cos, vid))
+        v_s = vid[order]
+        starts = np.flatnonzero(np.r_[True, v_s[1:] != v_s[:-1]])
+        rank = np.arange(len(v_s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(v_s)])
+        )
+        keep = rank < k
+        sel = order[keep]
         return pa.table(
             {
-                "vec_id": g.column("vec_id"),
-                "neighbor_id": g.column("neighbor_id"),
-                "rank": pa.array(range(1, g.num_rows + 1), pa.int64()),
+                "vec_id": pa.array(vid[sel], pa.int64()),
+                "neighbor_id": pa.array(nid[sel], pa.int64()),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
             }
         )
 
     return (
         pairs.map_batches(expand, batch_format="pyarrow")
-        .groupby("vec_id")
-        .map_groups(topk, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(topk_bucket, batch_format="pyarrow")
     )
 
 

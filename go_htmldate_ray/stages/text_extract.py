@@ -127,18 +127,13 @@ def boilerplate_batch(batch: pa.Table) -> pa.Table:
     )}
     for raw in htmls:
         blocks = extract_blocks(dom.parse_html(raw or b""))
-        good = [
-            t for t, nw, nl in blocks
-            if nw >= JUSTEXT_MIN_WORDS and 2 * nl < nw
-        ]
-        gw = sum(
-            nw for _t, nw, nl in blocks
-            if nw >= JUSTEXT_MIN_WORDS and 2 * nl < nw
-        )
-        bw = sum(
-            nw for _t, nw, nl in blocks
-            if not (nw >= JUSTEXT_MIN_WORDS and 2 * nl < nw)
-        )
+        good, gw, bw = [], 0, 0
+        for t, nw, nl in blocks:
+            if nw >= JUSTEXT_MIN_WORDS and 2 * nl < nw:
+                good.append(t)
+                gw += nw
+            else:
+                bw += nw
         cols["n_blocks"].append(len(blocks))
         cols["n_good"].append(len(good))
         cols["good_words"].append(gw)
