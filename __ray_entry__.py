@@ -504,6 +504,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": lambda sf: similarity.kmeans_assign(
             _embeddings(sf), n_clusters=8, refine_iters=2
         ),
+        # SemDeDup (Abbas et al. 2023): within each k-means cluster drop
+        # members whose cosine to any earlier member reaches 0.5; the
+        # oracle replays the clustering AND the pairwise rule in SQL.
+        "semdedup": lambda sf: similarity.semdedup(
+            _embeddings(sf), n_clusters=8, threshold=0.5, refine_iters=2
+        ),
         # Banded-LSH near-dup pairs over the fixture AUGMENTED with three
         # planted exact duplicates (vec 0..2 copied to vec_id+10^7): the
         # oracle now exercises BOTH sides — recall (the planted pairs must
@@ -2222,6 +2228,7 @@ FROM scored s, t""",
         + """
 ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         "kmeans_clusters": _kmeans_sql(),
+        "semdedup": _semdedup_sql(),
         "lang_id": _lang_id_sql(),
         "script_lang_id": _script_lang_sql(),
         "c4_line_filter": _c4_line_sql(),
@@ -3260,6 +3267,26 @@ SELECT vec_id, cid::BIGINT AS cluster FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
   FROM ipf) WHERE rn = 1"""
     )
+
+
+def _semdedup_sql(
+    threshold: float = 0.5, n_clusters: int = 8, refine_iters: int = 2
+) -> str:
+    # Full SQL replay of stages/similarity.semdedup: the kmeans_assign
+    # replay (literal init centroids + Lloyd CTEs) provides the cluster
+    # assignment; keep = 0 iff some same-cluster member with a smaller
+    # vec_id has cosine >= threshold (the paper's column-max-over-strict-
+    # upper-triangle rule in EXISTS form).
+    return f"""
+WITH assign AS ({_kmeans_sql(n_clusters, refine_iters)}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id, a.cluster,
+       CASE WHEN EXISTS (
+           SELECT 1 FROM assign a2 JOIN v v2 ON v2.vec_id = a2.vec_id
+           WHERE a2.cluster = a.cluster AND a2.vec_id < a.vec_id
+             AND list_cosine_similarity(v1.e, v2.e) >= {threshold}
+       ) THEN 0 ELSE 1 END::BIGINT AS keep
+FROM assign a JOIN v v1 ON v1.vec_id = a.vec_id"""
 
 
 def _golden_corpus_sql() -> str:

@@ -953,3 +953,96 @@ def pq_topk(ds, query_ids: list[int], k: int = 5, *, m: int = 4, n_codes: int = 
     return partials.groupby("query_id").map_groups(
         lambda g: _merge_topk(g, k), batch_format="pyarrow"
     )
+
+
+# --- SemDeDup: semantic deduplication within k-means clusters ----------------
+
+
+def semdedup(
+    ds,
+    *,
+    n_clusters: int = 8,
+    threshold: float = 0.5,
+    refine_iters: int = 2,
+    sample_rows: int = 2048,
+    round_decimals: int = 6,
+    tile_rows: int = 8192,
+    tile_cols: int = 2048,
+):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    embeddings with spherical k-means, then dropping every cluster member
+    whose cosine similarity to ANY earlier member (vec_id order) of the
+    same cluster reaches ``threshold`` — the paper's released keep rule
+    (column-max over the strict upper triangle of the per-cluster
+    similarity matrix), with the paper's centroid-distance ordering
+    replaced by vec_id order so the result is a pure function of the
+    data and the DuckDB oracle can replay it exactly.
+
+    embeddings → (vec_id, cluster, keep 0/1), one row per input vector.
+
+    Scale shape: centroids are the deterministic bounded-sample init plus
+    ``refine_iters`` distributed Lloyd steps (:func:`_lloyd_step` — K-row
+    partials to the driver, vectors never materialized), assignment is
+    one broadcast matmul pass, and the within-cluster quadratic pass runs
+    per cluster under ``groupby("cluster").map_groups`` with a
+    ``tile_rows × tile_cols`` similarity tiling so no m×m matrix is ever
+    allocated.  The O(m²) score count per cluster is the algorithm's
+    semantics; at corpus scale the knob is ``n_clusters`` ∝ N (the paper
+    uses 110k clusters) so cluster sizes stay bounded — a cluster must
+    fit one worker's heap, which is the same partitioning assumption the
+    paper's per-cluster GPU pass makes.
+    """
+    import ray
+
+    cents = np.round(_ivf_centroids(ds, n_clusters, sample_rows), round_decimals)
+    for _ in range(refine_iters):
+        cents = _lloyd_step(ds, cents, round_decimals)
+    cent_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _list_matrix(batch.column("embedding"))
+        cells = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(cells, pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    assigned = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    def within(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("vec_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = _list_matrix(group.column("embedding"))[np.asarray(order)]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        m = len(ids)
+        keep = np.ones(m, dtype=np.int64)
+        for cstart in range(1, m, tile_cols):
+            cstop = min(cstart + tile_cols, m)
+            colmax = np.full(cstop - cstart, -1.0)
+            cols = np.arange(cstart, cstop)
+            for rstart in range(0, cstop, tile_rows):
+                rstop = min(rstart + tile_rows, cstop)
+                sims = unit[rstart:rstop] @ unit[cstart:cstop].T
+                mask = np.arange(rstart, rstop)[:, None] >= cols[None, :]
+                sims[mask] = -1.0
+                colmax = np.maximum(colmax, sims.max(axis=0))
+            keep[cstart:cstop] = (colmax < threshold).astype(np.int64)
+        cluster = group.column("cluster")[0].as_py() if m else 0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(np.full(m, cluster, dtype=np.int64), pa.int64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(within, batch_format="pyarrow")

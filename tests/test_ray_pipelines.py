@@ -2219,3 +2219,55 @@ def test_decode_with_info_branches():
     for raw, expected in cases.items():
         assert decode_with_info(raw) == expected, raw
         assert _decode(raw) == expected[0], raw
+
+
+def test_semdedup_planted_duplicate_dropped():
+    """A planted exact copy (cosine 1.0) must be dropped; its earlier
+    original kept; result covers every input row exactly once."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.similarity import semdedup
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((60, 16)).astype(np.float64)
+    vecs[50] = vecs[7]  # exact duplicate, later vec_id
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(60)]
+    )
+    rows = semdedup(ds, n_clusters=4, threshold=0.95, refine_iters=1).take_all()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert sorted(by_id) == list(range(60))
+    assert by_id[7]["keep"] == 1
+    assert by_id[50]["keep"] == 0
+    assert by_id[7]["cluster"] == by_id[50]["cluster"]
+
+
+def test_semdedup_tiling_matches_bruteforce():
+    """Tiny tile sizes must give the identical keep set as an untiled
+    numpy column-max reference over each cluster."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.similarity import semdedup
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((40, 8)).astype(np.float64)
+    # densify similarity structure: make several vectors correlated
+    for i in range(0, 40, 5):
+        vecs[i + 1] = vecs[i] + 0.05 * rng.standard_normal(8)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)]
+    )
+    tau = 0.8
+    rows = semdedup(
+        ds, n_clusters=3, threshold=tau, refine_iters=1, tile_rows=4, tile_cols=3
+    ).take_all()
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in rows}
+    # reference: same clustering (read from result), untiled keep rule
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for cl in {c for c, _ in got.values()}:
+        ids = sorted(i for i in got if got[i][0] == cl)
+        sub = unit[ids]
+        sims = sub @ sub.T
+        for j in range(len(ids)):
+            expect = 1 if (j == 0 or sims[:j, j].max() < tau) else 0
+            assert got[ids[j]][1] == expect, f"vec {ids[j]}"
