@@ -384,6 +384,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             depth=4,
             width=256,
         ),
+        # Exact frequency-threshold heavy hitters in two passes
+        # (TPUT-style): per-batch supported counts + truncation-ceiling
+        # upper bounds give a provable candidate superset (U < threshold
+        # reasserted at runtime), then an exact broadcast-filtered
+        # recount — never a full-vocab shuffle.  Bigrams: 916 keys at
+        # sf0.01, 54 survivors at threshold 40.
+        "heavy_hitter_tokens": lambda sf: _sketches().heavy_hitters(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["text"]),
+            col="text",
+            threshold=40,
+            ngram=2,
+        ),
         # Collocation mining: top-20 bigrams by PMI (combiner partials →
         # two keyed Sums → two bucketed joins to attach unigram counts).
         "bigram_collocations": lambda sf: text_stage.bigram_collocations(
@@ -1695,6 +1707,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row_id::BIGINT AS row_id, col_id, sum(c)::BIGINT AS counter
             FROM cells GROUP BY row_id, col_id""",
+        "heavy_hitter_tokens": r"""
+            WITH d AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents WHERE trim(text) != ''
+            ),
+            bi AS (SELECT a[i] || ' ' || a[i+1] AS token
+                   FROM d, unnest(range(1, len(a))) t(i))
+            SELECT token, count(*)::BIGINT AS n
+            FROM bi GROUP BY token HAVING count(*) >= 40""",
         # Nano fixed-point PMI on exact-integer ratios converted to
         # double once per side — ln and floor agree bit-for-bit.
         "bigram_collocations": r"""

@@ -186,3 +186,153 @@ def countmin_estimate(sketch, token: str, *, depth: int = 4, width: int = 256) -
         table.get((j, _hash63_cached(f"{j}:{token}") % width), 0)
         for j in range(depth)
     )
+
+
+def heavy_hitters(
+    ds,
+    *,
+    col: str = "text",
+    threshold: int = 50,
+    support: int | None = None,
+    ngram: int = 1,
+):
+    """Exact frequency-threshold heavy hitters in two passes (the
+    TPUT-style prune-then-verify shape) — every token whose TOTAL corpus
+    frequency reaches ``threshold``, with exact counts, without ever
+    shuffling the full vocabulary.
+
+    Pass 1 (candidates): each batch counts its own tokens and emits only
+    those with local count ≥ L (the support), as light rows
+    ``(token, cnt, delta)`` with ``delta = cnt - bound_b`` where
+    ``bound_b`` is the batch's truncation ceiling (largest NON-emitted
+    count, ≤ L-1), plus one marker row ``("", 0, bound_b)``.  One Sum
+    groupby gives every surviving token's upper bound
+    ``upper(t) = U + Σ delta`` with ``U = Σ_b bound_b`` (the marker
+    sum) — valid because a batch where t was not emitted contributes at
+    most ``bound_b``.  Candidates = ``upper >= threshold``.
+
+    No-false-negative guarantee: a token ABSENT from every batch's
+    emission has true total ≤ U ≤ B·(L-1).  The support auto-sizes to
+    ``L = max(1, threshold // (2·B_est))`` (``B_est`` from a one-row-
+    per-batch pre-pass), making that ceiling ≤ threshold/2; the exact
+    ``U < threshold`` condition is REASSERTED at runtime from the marker
+    sum, so a batch-count drift can only fail loudly, never silently
+    drop a heavy hitter.  Tokens present somewhere keep a valid upper
+    bound regardless of L (pigeonhole: total ≥ threshold over B batches
+    ⇒ some batch count ≥ threshold/B ≥ L).
+
+    Pass 2 (exact verify): the candidate set is broadcast (``ray.put``
+    once, read per task), each batch recounts ONLY candidate tokens
+    (partial combiner), one Sum groupby over ≤ |candidates| keys, filter
+    ``n >= threshold``.  The result is exactly SQL's
+    ``GROUP BY token HAVING count(*) >= threshold``.
+
+    100 TB shape: pass-1 emission is ≤ batch_tokens/L rows per batch;
+    the only shuffles are over supported-candidate keys, never the full
+    vocabulary (contrast ``top_tokens``, which shuffles every distinct
+    token).
+    """
+    import ray
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+
+    def _toks(t):
+        w = (t or "").split()
+        if ngram == 1:
+            return w
+        return [" ".join(w[i : i + ngram]) for i in range(len(w) - ngram + 1)]
+
+    if support is None:
+        # one-row-per-batch pre-pass: an over-count of pass-1 batches can
+        # only LOWER L (safe); the ×2 margin absorbs batch-formation
+        # drift between passes, and the U < threshold assert backstops it
+        b_est = (
+            ds.map_batches(
+                lambda b: pa.table({"one": pa.array([1], pa.int64())}),
+                batch_format="pyarrow",
+            ).count()
+            or 1
+        )
+        support = max(1, threshold // (2 * b_est))
+
+    def partial_support(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column(col).to_pylist():
+            counts.update(_toks(t))
+        top = [(t, c) for t, c in counts.items() if c >= support]
+        excluded = [c for c in counts.values() if c < support]
+        bound = max(excluded) if excluded else 0
+        toks = [t for t, _ in top] + [""]
+        cnts = [c for _, c in top] + [0]
+        deltas = [c - bound for _, c in top] + [bound]
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "delta": pa.array(deltas, pa.int64()),
+            }
+        )
+
+    summary = (
+        ds.map_batches(partial_support, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt"), Sum("delta"))
+        .materialize()  # small by design: ≤ batch_tokens/L rows per batch
+    )
+    marker = summary.filter(lambda r: r["token"] == "").take_all()
+    u_total = int(marker[0]["sum(delta)"]) if marker else 0
+    if support > 1 and u_total >= threshold:
+        raise ValueError(
+            f"heavy_hitters: truncation mass U={u_total} >= threshold="
+            f"{threshold} — an all-absent token could be a heavy hitter; "
+            f"rerun with support <= {max(1, threshold // (2 * (u_total // max(1, support - 1) + 1)))}"
+        )
+    cand_rows = (
+        summary.filter(lambda r: r["token"] != "")
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(
+                    pc.add(b.column("sum(delta)"), u_total), threshold
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .select_columns(["token"])
+        .take_all()
+    )
+    candidates = frozenset(r["token"] for r in cand_rows)
+    cand_ref = ray.put(candidates)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        counts: Counter = Counter()
+        for t in batch.column(col).to_pylist():
+            counts.update(tok for tok in _toks(t) if tok in cand)
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c"))
+    )
+    return exact.map_batches(
+        lambda b: pa.table(
+            {
+                "token": b.column("token"),
+                "n": b.column("sum(c)").cast(pa.int64()),
+            }
+        ).filter(pc.greater_equal(pc.field("n"), threshold)),
+        batch_format="pyarrow",
+    )

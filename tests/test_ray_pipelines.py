@@ -2271,3 +2271,65 @@ def test_semdedup_tiling_matches_bruteforce():
         for j in range(len(ids)):
             expect = 1 if (j == 0 or sims[:j, j].max() < tau) else 0
             assert got[ids[j]][1] == expect, f"vec {ids[j]}"
+
+
+def test_heavy_hitters_exact_under_truncation():
+    """A forced support > 1 truncates per-batch emission; the upper-bound
+    pruning must still yield EXACTLY the brute-force threshold set (the
+    no-false-negative guarantee), and an unsafely large support must
+    fail LOUDLY via the U < threshold runtime check, never silently."""
+    from collections import Counter
+
+    import numpy as np
+    import pytest
+    import ray.data
+    from go_htmldate_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(40)]
+    # zipf-ish skew: token i appears with weight 1/(i+1)
+    weights = 1.0 / (np.arange(40) + 1.0)
+    weights /= weights.sum()
+    docs = [
+        " ".join(rng.choice(vocab, size=30, p=weights)) for _ in range(120)
+    ]
+    ds = ray.data.from_items([{"text": t} for t in docs], override_num_blocks=16)
+    truth = Counter()
+    for t in docs:
+        truth.update(t.split())
+    threshold = 400  # large enough that support=threshold//(2*16)=12 truncates
+    expect = {tok: c for tok, c in truth.items() if c >= threshold}
+    got = {
+        r["token"]: r["n"]
+        for r in heavy_hitters(ds, threshold=threshold).take_all()
+    }
+    assert got == expect and len(expect) >= 1
+    # explicit safe support, heavier truncation than auto
+    got2 = {
+        r["token"]: r["n"]
+        for r in heavy_hitters(ds, threshold=threshold, support=12).take_all()
+    }
+    assert got2 == expect
+    # unsafe support: truncation mass can hide a heavy hitter -> loud error
+    with pytest.raises(ValueError, match="truncation mass"):
+        heavy_hitters(ds, threshold=60, support=50)
+
+
+def test_heavy_hitters_bigrams_match_bruteforce():
+    from collections import Counter
+
+    import ray.data
+    from go_htmldate_ray.stages.sketches import heavy_hitters
+
+    docs = ["a b a b c", "a b x y", "x y x y x y", ""]
+    ds = ray.data.from_items([{"text": t} for t in docs], override_num_blocks=3)
+    got = {
+        r["token"]: r["n"]
+        for r in heavy_hitters(ds, threshold=3, support=1, ngram=2).take_all()
+    }
+    truth = Counter()
+    for t in docs:
+        w = t.split()
+        truth.update(" ".join(w[i : i + 2]) for i in range(len(w) - 1))
+    assert got == {tok: c for tok, c in truth.items() if c >= 3}
+    assert "x y" in got and "a b" in got
