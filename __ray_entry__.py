@@ -528,6 +528,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # surface) and precision (nothing else may).
         "embedding_dup_pairs_lsh": _embedding_dup_pairs_lsh,
         "media_features": _media_features,
+        # Perceptual-hash (dHash) image dedup through the REAL BMP
+        # decoder: planted pixel-formula images (doc_id % 41 families)
+        # are encoded as genuine padded BMP bytes, decoded, hashed, and
+        # Min/Count-grouped; the oracle replays the formula and the
+        # 56-bit hash in SQL, so any decode error fails the hash.
+        "image_dhash_dups": _image_dhash_dups,
         "crawl_reachable": _crawl_reachable,
         # Crawl-ORDERING evidence: pages per wave == BFS depth histogram
         # under a non-binding budget (depth-tracking recursive-CTE oracle).
@@ -764,6 +770,12 @@ def _media_features(sf_dir):
     from go_htmldate_ray.stages.multimodal import media_features
 
     return media_features(sf_dir)
+
+
+def _image_dhash_dups(sf_dir):
+    from go_htmldate_ray.stages.multimodal import image_dhash_dedup
+
+    return image_dhash_dedup(sf_dir)
 
 
 def _sketches():
@@ -2304,6 +2316,33 @@ GROUP BY lang.pred_lang""",
                                          b.embedding::DOUBLE[]) >= 0.9""",
         "golden_corpus_dates": _golden_corpus_sql(),
         "media_features": _media_features_sql(),
+        # dHash replay: gray(x,y) from the planted affine-mod-256 pixel
+        # formulas (synth_family_bmp), bit y*8+x set iff gray(x+1,y) >
+        # gray(x,y), summed with << — verifies the engine's encode →
+        # decode → hash path bit-for-bit.
+        "image_dhash_dups": """
+            WITH g AS (
+                SELECT d.doc_id, x.x, y.y,
+                       (299 * (((d.doc_id % 41) * 37 + x.x * 11 + y.y * 23) % 256)
+                        + 587 * (((d.doc_id % 41) * 59 + x.x * 17 + y.y * 5) % 256)
+                        + 114 * (((d.doc_id % 41) * 83 + x.x * 3 + y.y * 29) % 256))
+                       // 1000 AS gray
+                FROM documents d, range(9) x(x), range(7) y(y)
+            ),
+            bits AS (
+                SELECT a.doc_id, (a.y * 8 + a.x)::BIGINT AS idx
+                FROM g a JOIN g b
+                  ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+                WHERE a.x < 8 AND b.gray > a.gray
+            ),
+            h AS (
+                SELECT d.doc_id,
+                       coalesce(sum(1::BIGINT << idx), 0)::BIGINT AS dhash
+                FROM documents d LEFT JOIN bits USING (doc_id)
+                GROUP BY d.doc_id
+            )
+            SELECT dhash, min(doc_id) AS rep_doc, count(*)::BIGINT AS n_docs
+            FROM h GROUP BY dhash""",
         # golden_corpus_dates_full: includes the 6 inconsistently-recorded
         # corpus rows → rows-only by necessity (byte parity is gated in
         # tests/test_golden_corpus.py).

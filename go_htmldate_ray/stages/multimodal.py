@@ -420,3 +420,111 @@ def media_features(sf_dir: str):
         return pa.table(cols)
 
     return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+# --- perceptual-hash image dedup over the real BMP codec ---------------------
+
+
+def dhash64(img: np.ndarray, *, hash_w: int = 8, hash_h: int = 7) -> int:
+    """Difference hash (dHash): integer ITU-R 601 grayscale
+    ``(299R + 587G + 114B) // 1000``, nearest-neighbor downsample to
+    ``(hash_h, hash_w + 1)`` via the same index maps as
+    :func:`bmp_resize`, then bit ``y*hash_w + x`` set iff
+    ``gray[y, x+1] > gray[y, x]``.  ``hash_w * hash_h <= 63`` keeps the
+    value int64-positive (default 8×7 = 56 bits)."""
+    if hash_w * hash_h > 63:
+        raise ValueError("hash_w * hash_h must be <= 63 for int64 hashes")
+    src_h, src_w = img.shape[:2]
+    th, tw = hash_h, hash_w + 1
+    yi = np.minimum((np.arange(th) * src_h) // th, src_h - 1)
+    xi = np.minimum((np.arange(tw) * src_w) // tw, src_w - 1)
+    small = img[yi][:, xi].astype(np.int64)
+    gray = (
+        299 * small[..., 0] + 587 * small[..., 1] + 114 * small[..., 2]
+    ) // 1000
+    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+    idx = np.arange(hash_w * hash_h, dtype=np.int64).reshape(hash_h, hash_w)
+    return int((bits << idx).sum())
+
+
+def synth_family_bmp(family: int, *, width: int = 9, height: int = 7) -> bytes:
+    """Planted-truth image for the dedup oracle: RGB pixel (x, y) =
+    affine-mod-256 formulas of (family, x, y), pushed through the REAL
+    :func:`encode_bmp` so downstream decode exercises genuine BMP bytes
+    — width 9 makes 27-byte pixel rows that pad to 28, so a decoder
+    that mishandles row padding or BGR order produces a different hash
+    and fails the oracle."""
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    r = (family * 37 + x * 11 + y * 23) % 256
+    g = (family * 59 + x * 17 + y * 5) % 256
+    b = (family * 83 + x * 3 + y * 29) % 256
+    img = np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8)
+    return encode_bmp(img)
+
+
+class ImageDHashStage:
+    """Actor-pool stage: BMP ``payload`` → ``dhash`` int64 per row, via
+    the real :func:`decode_bmp` → :func:`dhash64` path."""
+
+    def __init__(self, hash_w: int = 8, hash_h: int = 7):
+        self.hash_w, self.hash_h = hash_w, hash_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [
+            dhash64(decode_bmp(p.as_py()), hash_w=self.hash_w, hash_h=self.hash_h)
+            for p in batch.column("payload")
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dhash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def image_dhash_dedup(sf_dir: str, *, n_families: int = 41):
+    """documents → (dhash, rep_doc, n_docs): perceptual-hash exact image
+    dedup over REAL decoded BMPs.  Each document gets a synthetic image
+    from :func:`synth_family_bmp` keyed by ``doc_id % n_families`` (the
+    planted truth the DuckDB oracle replays pixel-for-pixel), the
+    actor-pool :class:`ImageDHashStage` decodes and hashes it, and a
+    single Min/Count groupby on the uniform 64-bit hash yields one row
+    per distinct image — the :func:`~.dedup.exact_dedup` shape with a
+    perceptual key.  At 100 TB: hashes are 8 bytes/row, the only shuffle
+    is over the hash key, and near-dup extension is a Hamming-ball bucket
+    join over the same column."""
+    from ray.data.aggregate import Count, Min
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [synth_family_bmp(i % n_families) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    hashed = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
+        ImageDHashStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+        num_cpus=1,
+        max_restarts=0,
+    )
+    agg = hashed.groupby("dhash").aggregate(Count(), Min("doc_id"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "dhash": b.column("dhash"),
+                "rep_doc": b.column("min(doc_id)"),
+                "n_docs": b.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

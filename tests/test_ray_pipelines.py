@@ -2333,3 +2333,39 @@ def test_heavy_hitters_bigrams_match_bruteforce():
         truth.update(" ".join(w[i : i + 2]) for i in range(len(w) - 1))
     assert got == {tok: c for tok, c in truth.items() if c >= 3}
     assert "x y" in got and "a b" in got
+
+
+def test_image_dhash_real_decode_and_scale_invariance():
+    """synth_family_bmp bytes must decode back to the exact formula
+    pixels (width 9 -> padded 28-byte rows), and dHash must be invariant
+    under 2x nearest-neighbor upscaling (the resample path)."""
+    import numpy as np
+    from go_htmldate_ray.stages.multimodal import (
+        decode_bmp,
+        dhash64,
+        synth_family_bmp,
+    )
+
+    fam = 7
+    img = decode_bmp(synth_family_bmp(fam))
+    assert img.shape == (7, 9, 3)
+    x = np.arange(9)[None, :]
+    y = np.arange(7)[:, None]
+    assert (img[..., 0] == (fam * 37 + x * 11 + y * 23) % 256).all()
+    assert (img[..., 1] == (fam * 59 + x * 17 + y * 5) % 256).all()
+    assert (img[..., 2] == (fam * 83 + x * 3 + y * 29) % 256).all()
+    h = dhash64(img)
+    assert 0 <= h < (1 << 56)
+    up = img.repeat(2, axis=0).repeat(2, axis=1)
+    assert dhash64(up) == h
+    assert dhash64(decode_bmp(synth_family_bmp(8))) != h
+
+
+def test_image_dhash_dedup_groups_by_family():
+    from go_htmldate_ray.stages.multimodal import image_dhash_dedup
+
+    rows = image_dhash_dedup(SF, n_families=5).take_all()
+    assert len(rows) == 5
+    # rep_doc is the min doc_id of each residue class 0..4
+    assert sorted(r["rep_doc"] for r in rows) == [0, 1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in rows) == 500
