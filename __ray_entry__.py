@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Change-based recrawl signal: real snapshot_diff statuses ->
         # host attach -> per-batch partials -> Sum groupby -> exact ppm.
         "host_change_rates": ed.host_change_rates,
+        # Crawl-trap detection: URL count vs digit-collapsed template
+        # count per host; planted /cal/ exploders (host idx % 13 == 5)
+        # must flag, everyone else must not.
+        "crawl_trap_hosts": ed.crawl_trap_hosts,
         # DUST alias->canonical URL rewrite map: light (content_hash,
         # url) rows -> one keyed groupby -> per-family emission
         # (planted mirror families; the natural corpus has no dups).
@@ -1243,6 +1247,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_tracked,
                    sum(ch)::BIGINT AS n_changed,
                    (sum(ch) * 1000000 // count(*))::BIGINT AS change_rate_ppm
+            FROM t GROUP BY host""",
+        # URL synthesis (page_url + planted /cal/ exploders) restated in
+        # SQL; templates = digit runs collapsed to '0'; trap rule is the
+        # same integer inequality the engine applies.
+        "crawl_trap_hosts": f"""
+            WITH urls AS (
+                SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
+                       {_URL_SQL} AS url
+                FROM documents
+                UNION ALL
+                SELECT 'site' || (doc_id % 97) || '.example.org',
+                       'https://site' || (doc_id % 97)
+                           || '.example.org/cal/' || doc_id || '/' || k.k
+                FROM documents, range(12) k(k)
+                WHERE (doc_id % 97) % 13 = 5
+            ),
+            t AS (
+                SELECT host,
+                       regexp_replace(url, '[0-9]+', '0', 'g') AS template,
+                       count(*) AS n
+                FROM urls GROUP BY 1, 2
+            )
+            SELECT host, sum(n)::BIGINT AS n_urls,
+                   count(*)::BIGINT AS n_templates,
+                   (sum(n) >= 10 * count(*))::BIGINT AS trap
             FROM t GROUP BY host""",
         # clamp(10^6 // max(ppm,1) // 16, 1, 32) on the change rates
         "recrawl_intervals": """

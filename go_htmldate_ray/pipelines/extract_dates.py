@@ -1173,3 +1173,73 @@ def recrawl_intervals(sf_dir: str, *, max_interval: int = 32):
         )
 
     return rates.map_batches(schedule, batch_format="pyarrow")
+
+
+def crawl_trap_hosts(sf_dir: str, *, extra: int = 12, ratio: int = 10):
+    """Crawl-trap detection (calendar / session-id URL explosions): per
+    host, discovered-URL count vs distinct URL *template* count (every
+    digit run collapsed to '0'); a host is flagged when
+    ``n_urls >= ratio * n_templates`` — the trap signature of a few path
+    shapes generating unbounded URL variants, the reason real crawlers
+    budget per-template rather than trusting URL uniqueness.
+
+    Planting: hosts with index % 13 == 5 serve ``extra`` additional
+    ``/cal/{doc}/{k}`` variants per page (pure-integer truth the SQL
+    oracle replays); other hosts have only their article/date URLs, so
+    the flag separates cleanly at the default ratio.
+
+    Shape: stateless URL synthesis → vectorized digit collapse
+    (``pyarrow.compute.replace_substring_regex``) → per-batch
+    (host, template, count) Arrow group_by combiner → groupby(host,
+    template) Sum → groupby(host) Sum+Count → integer rule map.  Every
+    shuffled row is a light triple; raw URLs never leave the first pass.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import N_HOSTS, page_host, page_url
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        hosts, urls = [], []
+        for i in batch.column("doc_id").to_pylist():
+            h = page_host(i)
+            hosts.append(h)
+            urls.append(page_url(i))
+            if (i % N_HOSTS) % 13 == 5:
+                for k in range(extra):
+                    hosts.append(h)
+                    urls.append(f"https://{h}/cal/{i}/{k}")
+        tpl = pc.replace_substring_regex(
+            pa.array(urls, pa.string()), pattern="[0-9]+", replacement="0"
+        )
+        return (
+            pa.table({"host": pa.array(hosts, pa.string()), "template": tpl})
+            .group_by(["host", "template"])
+            .aggregate([([], "count_all")])
+        )
+
+    per_tpl = (
+        docs.map_batches(synth, batch_format="pyarrow")
+        .groupby(["host", "template"])
+        .aggregate(Sum("count_all"))
+    )
+    agg = per_tpl.groupby("host").aggregate(Sum("sum(count_all)"), Count())
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_urls = b.column("sum(sum(count_all))").cast(pa.int64())
+        n_tpl = b.column("count()").cast(pa.int64())
+        trap = pc.cast(
+            pc.greater_equal(n_urls, pc.multiply(n_tpl, ratio)), pa.int64()
+        )
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_urls": n_urls,
+                "n_templates": n_tpl,
+                "trap": trap,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2369,3 +2369,19 @@ def test_image_dhash_dedup_groups_by_family():
     # rep_doc is the min doc_id of each residue class 0..4
     assert sorted(r["rep_doc"] for r in rows) == [0, 1, 2, 3, 4]
     assert sum(r["n_docs"] for r in rows) == 500
+
+
+def test_crawl_trap_hosts_flags_only_planted_exploders():
+    from go_htmldate_ray.pipelines.extract_dates import crawl_trap_hosts
+
+    rows = crawl_trap_hosts(SF).take_all()
+    assert len(rows) == 97
+    flagged = {r["host"] for r in rows if r["trap"] == 1}
+    assert flagged == {
+        f"site{h}.example.org" for h in range(97) if h % 13 == 5
+    }
+    for r in rows:
+        # template count stays tiny even on trap hosts (that's the point)
+        assert r["n_templates"] <= 3
+        if r["trap"]:
+            assert r["n_urls"] >= 10 * r["n_templates"]
