@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count per host; planted /cal/ exploders (host idx % 13 == 5)
         # must flag, everyone else must not.
         "crawl_trap_hosts": ed.crawl_trap_hosts,
+        # Rendezvous-hash frontier sharding across a resize: argmax of
+        # md5(shard:url) before (8 shards) and after (9); the minimal-
+        # movement property is pytest'd, the assignment is SQL-exact.
+        "shard_rendezvous": ed.shard_rendezvous,
         # DUST alias->canonical URL rewrite map: light (content_hash,
         # url) rows -> one keyed groupby -> per-family emission
         # (planted mirror families; the natural corpus has no dups).
@@ -1248,6 +1252,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(ch)::BIGINT AS n_changed,
                    (sum(ch) * 1000000 // count(*))::BIGINT AS change_rate_ppm
             FROM t GROUP BY host""",
+        # Rendezvous weights are full 64-bit md5 prefixes; argmax per
+        # doc via row_number (wt DESC, s ASC — the engine's tie-break).
+        "shard_rendezvous": f"""
+            WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+            w AS (
+                SELECT doc_id, s.s,
+                       ('0x' || substr(md5(s.s || ':' || url), 1, 16))::UBIGINT
+                           AS wt
+                FROM u, range(9) s(s)
+            ),
+            b AS (SELECT doc_id, s AS shard_before FROM (
+                    SELECT doc_id, s, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY wt DESC, s ASC) AS rn
+                    FROM w WHERE s < 8) WHERE rn = 1),
+            a AS (SELECT doc_id, s AS shard_after FROM (
+                    SELECT doc_id, s, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY wt DESC, s ASC) AS rn
+                    FROM w) WHERE rn = 1)
+            SELECT b.doc_id, b.shard_before::BIGINT AS shard_before,
+                   a.shard_after::BIGINT AS shard_after,
+                   (b.shard_before <> a.shard_after)::BIGINT AS moved
+            FROM b JOIN a USING (doc_id)""",
         # URL synthesis (page_url + planted /cal/ exploders) restated in
         # SQL; templates = digit runs collapsed to '0'; trap rule is the
         # same integer inequality the engine applies.

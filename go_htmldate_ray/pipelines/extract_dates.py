@@ -1243,3 +1243,55 @@ def crawl_trap_hosts(sf_dir: str, *, extra: int = 12, ratio: int = 10):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def shard_rendezvous(sf_dir: str, *, n_before: int = 8, n_after: int = 9):
+    """Rendezvous (highest-random-weight) shard assignment for the URL
+    frontier, evaluated across a cluster resize: every URL is owned by
+    ``argmax over shards of md5(shard ':' url)``, so growing ``n_before``
+    → ``n_after`` shards moves ONLY the URLs whose new-shard weight wins
+    (≈ 1/n_after of the frontier), and every moved URL lands on a NEW
+    shard — the minimal-disruption property that keeps a 100 TB seen-set
+    resharding from re-shipping everything (contrast ``hash % n``, which
+    moves ≈ 1 - 1/n of all keys).
+
+    documents → (doc_id, shard_before, shard_after, moved 0/1); the SQL
+    oracle recomputes both argmaxes from the same md5 integers.
+    Stateless vectorized batch map — no shuffle at all; at scale this IS
+    the partitioner other stages key on.
+    """
+    import hashlib
+
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import page_url
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def weight(shard: int, url: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(f"{shard}:{url}".encode("utf-8")).digest()[:8], "big"
+        )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        before, after, moved = [], [], []
+        for i in ids:
+            url = page_url(i)
+            # ties are impossible in practice (64-bit md5 collisions) but
+            # break to the lowest shard id, matching the oracle's sort
+            w = [weight(s, url) for s in range(n_after)]
+            b = max(range(n_before), key=lambda s: (w[s], -s))
+            a = max(range(n_after), key=lambda s: (w[s], -s))
+            before.append(b)
+            after.append(a)
+            moved.append(int(a != b))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shard_before": pa.array(before, pa.int64()),
+                "shard_after": pa.array(after, pa.int64()),
+                "moved": pa.array(moved, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")

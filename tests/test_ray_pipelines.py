@@ -2385,3 +2385,21 @@ def test_crawl_trap_hosts_flags_only_planted_exploders():
         assert r["n_templates"] <= 3
         if r["trap"]:
             assert r["n_urls"] >= 10 * r["n_templates"]
+
+
+def test_shard_rendezvous_minimal_movement():
+    """Growing 8 -> 9 shards must move only URLs won by the NEW shard,
+    at roughly 1/9 of the frontier — the HRW property that makes
+    seen-set resharding cheap."""
+    from go_htmldate_ray.pipelines.extract_dates import shard_rendezvous
+
+    rows = shard_rendezvous(SF).take_all()
+    assert len(rows) == 500
+    moved = [r for r in rows if r["moved"] == 1]
+    for r in moved:
+        assert r["shard_after"] == 8  # every move lands on the new shard
+    for r in rows:
+        if r["moved"] == 0:
+            assert r["shard_before"] == r["shard_after"]
+    # expected fraction 1/9 ~= 56 of 500; allow generous binomial slack
+    assert 25 <= len(moved) <= 100
