@@ -107,6 +107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5(shard:url) before (8 shards) and after (9); the minimal-
         # movement property is pytest'd, the assignment is SQL-exact.
         "shard_rendezvous": ed.shard_rendezvous,
+        # STRAND-style bitext mining: /de/ mirror pages join their en
+        # originals on the marker-stripped URL template (distributed
+        # hash_join), then the 2:1 token-length ratio filter.
+        "bitext_candidates": ed.bitext_candidates,
         # DUST alias->canonical URL rewrite map: light (content_hash,
         # url) rows -> one keyed groupby -> per-family emission
         # (planted mirror families; the natural corpus has no dups).
@@ -1252,6 +1256,25 @@ def oracle_sql() -> dict[str, str]:
                    sum(ch)::BIGINT AS n_changed,
                    (sum(ch) * 1000000 // count(*))::BIGINT AS change_rate_ppm
             FROM t GROUP BY host""",
+        # Planted /de/ mirrors (doc % 23 == 4, non-date-path) with token
+        # count n + doc%3 - 1; the join key is the en URL itself, so the
+        # pair set is exactly the planted set passing the ratio test.
+        "bitext_candidates": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                       END AS n
+                FROM documents
+            )
+            SELECT doc_id AS en_doc, doc_id AS de_doc,
+                   'site' || (doc_id % 97) || '.example.org' AS host,
+                   n AS n_tokens_en,
+                   (n + doc_id % 3 - 1)::BIGINT AS n_tokens_de
+            FROM d
+            WHERE doc_id % 23 = 4 AND doc_id % 4 != 2
+              AND n <= 2 * (n + doc_id % 3 - 1)
+              AND (n + doc_id % 3 - 1) <= 2 * n""",
         # Rendezvous weights are full 64-bit md5 prefixes; argmax per
         # doc via row_number (wt DESC, s ASC — the engine's tie-break).
         "shard_rendezvous": f"""

@@ -1295,3 +1295,115 @@ def shard_rendezvous(sf_dir: str, *, n_before: int = 8, n_after: int = 9):
         )
 
     return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def bitext_candidates(sf_dir: str, *, max_ratio: int = 2):
+    """STRAND-style parallel-page (bitext) candidate mining: pages whose
+    URLs differ only by a language marker are paired by joining on the
+    marker-stripped URL template, then filtered by the classic token-
+    length ratio test (``len_a <= 2*len_b`` and vice versa) — the
+    URL-matching + length-filter core of Resnik & Smith's STRAND, the
+    way crawl-derived translation corpora are seeded.
+
+    Planting: docs with ``doc_id % 23 == 4`` (excluding the date-path
+    URL variant ``doc_id % 4 == 2``) serve a ``/de/`` mirror whose token
+    count differs by ``doc_id % 3 - 1`` tokens; pure-integer truth the
+    SQL oracle replays, and every planted pair passes the ratio test
+    (natural fixture texts are far longer than 1 token).
+
+    Shape: stateless URL/template/length synthesis → the general
+    distributed :func:`~go_htmldate_ray.stages.joins.hash_join` on the
+    template key (one keyed bucket shuffle; templates are unique per
+    page pair, so no cartesian amplification) → vectorized ratio filter.
+    documents → (en_doc, de_doc, host, n_tokens_en, n_tokens_de).
+    """
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import page_host, page_url
+    from ..stages.joins import hash_join
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _tmpl_hash(url: str) -> int:
+        # the join key must be int64 for hash_join; md5>>1 of the
+        # marker-stripped template (the text_hash_batch convention)
+        import hashlib
+
+        return (
+            int.from_bytes(hashlib.md5(url.encode("utf-8")).digest()[:8], "big")
+            >> 1
+        )
+
+    def sides(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        side, doc, tmpl, host, ntok = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            n = len((t or "").split())
+            h = page_host(i)
+            side.append("en")
+            doc.append(i)
+            tmpl.append(_tmpl_hash(page_url(i)))
+            host.append(h)
+            ntok.append(n)
+            if i % 23 == 4 and i % 4 != 2:
+                side.append("de")
+                doc.append(i)
+                # the /de/ marker strips back to the en URL (the template)
+                tmpl.append(_tmpl_hash(page_url(i)))
+                host.append(h)
+                ntok.append(n + (i % 3) - 1)
+        return pa.table(
+            {
+                "side": pa.array(side, pa.string()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "template_hash": pa.array(tmpl, pa.int64()),
+                "host": pa.array(host, pa.string()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(sides, batch_format="pyarrow")
+    en = rows.filter(lambda r: r["side"] == "en").map_batches(
+        lambda b: pa.table(
+            {
+                "template_hash": b.column("template_hash"),
+                "en_doc": b.column("doc_id"),
+                "host": b.column("host"),
+                "n_tokens_en": b.column("n_tokens"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    de = rows.filter(lambda r: r["side"] == "de").map_batches(
+        lambda b: pa.table(
+            {
+                "template_hash": b.column("template_hash"),
+                "de_doc": b.column("doc_id"),
+                "n_tokens_de": b.column("n_tokens"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(en, de, on="template_hash")
+
+    def ratio_filter(b: pa.Table) -> pa.Table:
+        a = b.column("n_tokens_en")
+        d = b.column("n_tokens_de")
+        ok = pc.and_(
+            pc.less_equal(a, pc.multiply(d, max_ratio)),
+            pc.less_equal(d, pc.multiply(a, max_ratio)),
+        )
+        out = b.filter(ok)
+        return pa.table(
+            {
+                "en_doc": out.column("en_doc"),
+                "de_doc": out.column("de_doc"),
+                "host": out.column("host"),
+                "n_tokens_en": out.column("n_tokens_en"),
+                "n_tokens_de": out.column("n_tokens_de"),
+            }
+        )
+
+    return joined.map_batches(ratio_filter, batch_format="pyarrow")

@@ -2403,3 +2403,16 @@ def test_shard_rendezvous_minimal_movement():
             assert r["shard_before"] == r["shard_after"]
     # expected fraction 1/9 ~= 56 of 500; allow generous binomial slack
     assert 25 <= len(moved) <= 100
+
+
+def test_bitext_candidates_planted_pairs():
+    from go_htmldate_ray.pipelines.extract_dates import bitext_candidates
+
+    rows = bitext_candidates(SF).take_all()
+    expect = {i for i in range(500) if i % 23 == 4 and i % 4 != 2}
+    assert {r["en_doc"] for r in rows} == expect
+    for r in rows:
+        assert r["en_doc"] == r["de_doc"]
+        assert abs(r["n_tokens_en"] - r["n_tokens_de"]) <= 1
+        assert r["n_tokens_en"] <= 2 * r["n_tokens_de"]
+        assert r["n_tokens_de"] <= 2 * r["n_tokens_en"]
