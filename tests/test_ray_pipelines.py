@@ -2416,3 +2416,46 @@ def test_bitext_candidates_planted_pairs():
         assert abs(r["n_tokens_en"] - r["n_tokens_de"]) <= 1
         assert r["n_tokens_en"] <= 2 * r["n_tokens_de"]
         assert r["n_tokens_de"] <= 2 * r["n_tokens_en"]
+
+
+def test_jsonl_shard_sink_roundtrip_resume_and_determinism(tmp_path):
+    import gzip
+    import hashlib
+    import json
+    import os
+
+    import ray.data
+    from go_htmldate_ray.sources.sink import read_jsonl_shards, write_jsonl_shards
+
+    rows = [{"doc_id": i, "text": f"doc {i} é"} for i in range(40)]
+    ds = ray.data.from_items(rows, override_num_blocks=4)
+    out = str(tmp_path / "export")
+    rep = write_jsonl_shards(ds, out, n_shards=4)
+    assert rep["rows_written"] == 40 and rep["shards_written"] == [0, 1, 2, 3]
+    back = sorted(read_jsonl_shards(out).take_all(), key=lambda r: r["doc_id"])
+    assert back == sorted(rows, key=lambda r: r["doc_id"])
+    # determinism: identical bytes on a fresh run of the same data
+    digests = {
+        k: hashlib.md5(
+            open(os.path.join(out, f"shard={k}", "part.jsonl.gz"), "rb").read()
+        ).hexdigest()
+        for k in range(4)
+    }
+    out2 = str(tmp_path / "export2")
+    write_jsonl_shards(ray.data.from_items(rows, override_num_blocks=2), out2, n_shards=4)
+    for k in range(4):
+        assert (
+            hashlib.md5(
+                open(os.path.join(out2, f"shard={k}", "part.jsonl.gz"), "rb").read()
+            ).hexdigest()
+            == digests[k]
+        )
+    # resume: finished shards are skipped entirely
+    os.remove(os.path.join(out, "shard=2", "part.jsonl.gz"))
+    os.remove(os.path.join(out, "shard=2", "_SUCCESS"))
+    rep2 = write_jsonl_shards(ds, out, n_shards=4)
+    assert rep2["shards_written"] == [2] and rep2["shards_skipped"] == [0, 1, 3]
+    # the rewritten shard carries valid JSON lines
+    with gzip.open(os.path.join(out, "shard=2", "part.jsonl.gz"), "rt") as f:
+        got = [json.loads(line) for line in f]
+    assert {r["doc_id"] for r in got} == {i for i in range(40) if i % 4 == 2}
