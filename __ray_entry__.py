@@ -356,6 +356,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # are re-planted as today-ids (1e6+i) on BOTH sides — the oracle
         # proves drops AND keeps.
         "new_docs_vs_snapshot": _new_docs_vs_snapshot,
+        # Incremental NEAR-dup: new docs' minhash bands probe the
+        # snapshot side's band index in one equi-join (no old×old
+        # candidates); signature lookup-join verify; 29 natural
+        # cross-boundary pairs at threshold 0.7 on this fixture.
+        "near_dup_vs_snapshot": lambda sf: dedup.near_dup_vs_snapshot(
+            _docs(sf), snapshot_max_id=100, threshold=0.7
+        ),
         # Incremental-recrawl delta: FULL-outer hash_join of current vs
         # derived-previous content hashes -> new/changed/unchanged/gone.
         "snapshot_diff": lambda sf: dedup.snapshot_diff(
@@ -1725,6 +1732,13 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (
                   SELECT 1 FROM h s WHERE s.doc_id < 100 AND s.key = t.key
               )""",
+        # Cross-side restriction of the full minhash recomputation:
+        # doc_a < 100 <= doc_b (the oracle's canonical doc_a < doc_b
+        # orientation puts the snapshot side in doc_a).
+        "near_dup_vs_snapshot": f"""
+            WITH pairs AS ({_minhash_sql(threshold=0.7)})
+            SELECT doc_b AS new_doc, doc_a AS old_doc, est_jaccard
+            FROM pairs WHERE doc_a < 100 AND doc_b >= 100""",
         # Same fixed-point floor(contrib*1e9 + 0.5) nano arithmetic as
         # stages/search.py::bm25_topk — DuckDB ln is bit-identical to
         # Python math.log, and integer nano sums commute.

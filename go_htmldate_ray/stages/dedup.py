@@ -1194,3 +1194,128 @@ def url_aliases(ds, *, url_col: str = "url", content_col: str = "content"):
         .groupby("h")
         .map_groups(emit_family, batch_format="pyarrow")
     )
+
+
+def near_dup_vs_snapshot(
+    ds,
+    *,
+    snapshot_max_id: int = 100,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    threshold: float = 0.7,
+):
+    """Incremental near-dup filter: MinHash-LSH pairs between NEW docs
+    (``doc_id >= snapshot_max_id``, "today's crawl") and SNAPSHOT docs
+    (``doc_id < snapshot_max_id``) — :func:`new_docs_vs_snapshot` lifted
+    from exact-hash to near-duplicate sensitivity.
+
+    The crawl-incremental shape: the two sides' light band rows meet in
+    ONE equi-join (:func:`~.joins.hash_join` on ``band_key``), so
+    snapshot×snapshot candidates are never generated — at 100 TB the
+    snapshot side is a precomputed stored band index and only the new
+    crawl's bands probe it.  Verification is the same two
+    hash-partitioned signature lookup-joins as the
+    :func:`minhash_lsh_pairs` scale path.
+
+    → (new_doc, old_doc, est_jaccard) with estimate ≥ threshold.
+
+    Hot band keys amplify like any equi-join (the bounded-bucket
+    :func:`minhash_lsh_pairs` path star-samples instead); empty-text
+    docs are dropped on both sides exactly as there.
+    """
+    import pyarrow.compute as pc
+
+    from .joins import attach_payload, hash_join
+
+    rows_per_band = num_perm // num_bands
+
+    def sign(batch: pa.Table) -> pa.Table:
+        nonempty = batch.filter(
+            pc.not_equal(
+                pc.utf8_trim_whitespace(batch.column("text").cast(pa.string())), ""
+            )
+        )
+        sigs = _cached_minhasher(num_perm)(nonempty)
+        return pa.table(
+            {
+                "key": sigs.column("doc_id"),
+                "payload": pa.array(
+                    [
+                        np.asarray(s, dtype=np.int64).tobytes()
+                        for s in sigs.column("signature").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    sigs_bin = ds.map_batches(sign, batch_format="pyarrow").materialize()
+
+    def side_bands(pred, out_name):
+        def f(b: pa.Table) -> pa.Table:
+            t = _band_batch(b.filter(pred(b.column("key"))), num_bands, rows_per_band)
+            return pa.table(
+                {"band_key": t.column("band_key"), out_name: t.column("doc_id")}
+            )
+
+        return f
+
+    new_bands = sigs_bin.map_batches(
+        side_bands(lambda k: pc.greater_equal(k, snapshot_max_id), "new_doc"),
+        batch_format="pyarrow",
+    )
+    old_bands = sigs_bin.map_batches(
+        side_bands(lambda k: pc.less(k, snapshot_max_id), "old_doc"),
+        batch_format="pyarrow",
+    )
+    cand = hash_join(new_bands, old_bands, on="band_key")
+    # a pair can collide in several bands → dedupe via the Min aggregate
+    # (band_key values differ per band; any representative works)
+    pairs = _dedupe_pairs_agg(cand, "new_doc", "old_doc", "band_key")
+
+    with_a = attach_payload(
+        pairs,
+        sigs_bin,
+        key_col="new_doc",
+        out_col="sig_a",
+        carry_cols={"new_doc": pa.int64(), "old_doc": pa.int64()},
+        dedupe=True,
+    )
+    with_b = attach_payload(
+        with_a,
+        sigs_bin,
+        key_col="old_doc",
+        out_col="sig_b",
+        carry_cols={
+            "new_doc": pa.int64(),
+            "old_doc": pa.int64(),
+            "sig_a": pa.binary(),
+        },
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "new_doc": pa.array([], pa.int64()),
+                    "old_doc": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sa = np.vstack(
+            [np.frombuffer(b, dtype=np.int64) for b in batch.column("sig_a").to_pylist()]
+        )
+        sb = np.vstack(
+            [np.frombuffer(b, dtype=np.int64) for b in batch.column("sig_b").to_pylist()]
+        )
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "new_doc": batch.column("new_doc").filter(pa.array(keep)),
+                "old_doc": batch.column("old_doc").filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    return with_b.map_batches(verify, batch_format="pyarrow")

@@ -2459,3 +2459,42 @@ def test_jsonl_shard_sink_roundtrip_resume_and_determinism(tmp_path):
     with gzip.open(os.path.join(out, "shard=2", "part.jsonl.gz"), "rt") as f:
         got = [json.loads(line) for line in f]
     assert {r["doc_id"] for r in got} == {i for i in range(40) if i % 4 == 2}
+
+
+def test_near_dup_vs_snapshot_cross_side_only_and_planted():
+    """A planted near-identical new doc must pair with its snapshot
+    original; all emitted pairs must cross the boundary; and the pair
+    set must agree with filtering the symmetric all-pairs operator."""
+    import ray.data
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.dedup import minhash_lsh_pairs, near_dup_vs_snapshot
+    import pyarrow as pa
+
+    docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        src = b.filter(pc.equal(b.column("doc_id"), 7))
+        texts = [t + " tail" for t in src.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array([2_000_000] * len(texts), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    aug = docs.union(docs.map_batches(plant, batch_format="pyarrow"))
+    got = {
+        (r["new_doc"], r["old_doc"])
+        for r in near_dup_vs_snapshot(aug, snapshot_max_id=100, threshold=0.7).take_all()
+    }
+    assert (2_000_000, 7) in got
+    assert all(n >= 100 and o < 100 for n, o in got)
+    # equivalence with the symmetric operator filtered to cross-side
+    sym = {
+        (r["doc_b"], r["doc_a"])
+        for r in minhash_lsh_pairs(aug, threshold=0.7, hot_buckets="error").take_all()
+        if r["doc_a"] < 100 <= r["doc_b"]
+    }
+    assert got == sym
