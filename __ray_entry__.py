@@ -3429,14 +3429,24 @@ def _semdedup_sql(
     # assignment; keep = 0 iff some same-cluster member with a smaller
     # vec_id has cosine >= threshold (the paper's column-max-over-strict-
     # upper-triangle rule in EXISTS form).
+    # zero-norm guard (the engine maps zero vectors to cosine 0 via
+    # norms[norms==0]=1; unguarded list_cosine_similarity gives NaN,
+    # which DuckDB orders ABOVE the threshold) — same CASE pattern as
+    # _kmeans_sql's nrm CTE
     return f"""
 WITH assign AS ({_kmeans_sql(n_clusters, refine_iters)}),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+v AS (
+  SELECT vec_id, e,
+         CASE WHEN sqrt(list_inner_product(e, e)) = 0 THEN 1.0
+              ELSE sqrt(list_inner_product(e, e)) END AS nrm
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+)
 SELECT a.vec_id, a.cluster,
        CASE WHEN EXISTS (
            SELECT 1 FROM assign a2 JOIN v v2 ON v2.vec_id = a2.vec_id
            WHERE a2.cluster = a.cluster AND a2.vec_id < a.vec_id
-             AND list_cosine_similarity(v1.e, v2.e) >= {threshold}
+             AND list_inner_product(v1.e, v2.e) / (v1.nrm * v2.nrm)
+                 >= {threshold}
        ) THEN 0 ELSE 1 END::BIGINT AS keep
 FROM assign a JOIN v v1 ON v1.vec_id = a.vec_id"""
 

@@ -488,6 +488,34 @@ def run_headline() -> dict:
         3,
     )
 
+    # round-3 session-5 additions: SemDeDup, two-pass heavy hitters,
+    # perceptual-hash image dedup over real BMP decode
+    queries["semdedup"] = round(
+        bench_query(
+            lambda sf: similarity.semdedup(
+                read_parquet_clean(f"{sf}/embeddings.parquet"),
+                n_clusters=8,
+                threshold=0.5,
+            )
+        ),
+        3,
+    )
+    from go_htmldate_ray.stages import sketches as sketches_mod
+
+    queries["heavy_hitters"] = round(
+        bench_query(
+            lambda sf: sketches_mod.heavy_hitters(
+                read_parquet_clean(f"{sf}/documents.parquet", columns=["text"]),
+                threshold=40,
+                ngram=2,
+            )
+        ),
+        3,
+    )
+    queries["image_dhash"] = round(
+        bench_query(multimodal.image_dhash_dedup), 3
+    )
+
     for name, (t, n) in bench_text_stage(SF_DIR).items():
         queries[f"text_{name}"] = round(t, 3)
         extra[f"text_{name}_docs_per_s"] = round(n / t, 1)

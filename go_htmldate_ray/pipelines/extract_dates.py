@@ -1275,11 +1275,12 @@ def shard_rendezvous(sf_dir: str, *, n_before: int = 8, n_after: int = 9):
     def assign(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         before, after, moved = [], [], []
+        n_all = max(n_before, n_after)  # shrink resizes need both ranges
         for i in ids:
             url = page_url(i)
             # ties are impossible in practice (64-bit md5 collisions) but
             # break to the lowest shard id, matching the oracle's sort
-            w = [weight(s, url) for s in range(n_after)]
+            w = [weight(s, url) for s in range(n_all)]
             b = max(range(n_before), key=lambda s: (w[s], -s))
             a = max(range(n_after), key=lambda s: (w[s], -s))
             before.append(b)
@@ -1364,7 +1365,10 @@ def bitext_candidates(sf_dir: str, *, max_ratio: int = 2):
             }
         )
 
-    rows = docs.map_batches(sides, batch_format="pyarrow")
+    # materialized: both side branches consume this, and re-running the
+    # synthesis map (read + tokenize + md5) per branch doubles the most
+    # expensive stage
+    rows = docs.map_batches(sides, batch_format="pyarrow").materialize()
     en = rows.filter(lambda r: r["side"] == "en").map_batches(
         lambda b: pa.table(
             {

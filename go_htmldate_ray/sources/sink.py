@@ -138,10 +138,15 @@ def write_jsonl_shards(
 
     def write_group(group: pa.Table, shard_dir: str) -> None:
         if sort_within_shard:
-            group = group.sort_by(shard_column)
+            # total order over EVERY column: group arrival order is
+            # executor-dependent, and a non-unique shard column alone
+            # would leave tied rows in arrival order, breaking the
+            # byte-determinism contract (full-duplicate rows are the
+            # only ties left, and those are byte-identical anyway)
+            group = group.sort_by([(c, "ascending") for c in group.column_names])
         tmp = os.path.join(shard_dir, "part.jsonl.gz.tmp")
-        with gzip.GzipFile(
-            filename="", mode="wb", fileobj=open(tmp, "wb"), mtime=0
+        with open(tmp, "wb") as raw, gzip.GzipFile(
+            filename="", mode="wb", fileobj=raw, mtime=0
         ) as gz:
             for row in group.to_pylist():
                 gz.write(

@@ -254,6 +254,36 @@ def _bucket_candidates(group: pa.Table, strict: bool = False) -> pa.Table:
 _BROADCAST_DOC_LIMIT = 100_000  # ≈100 MB of signatures — small-side bound
 
 
+def _signature_rows(batch: pa.Table, num_perm: int) -> pa.Table:
+    """(key, payload) byte-packed minhash signature rows — the shared
+    sign+pack step of every minhash consumer (pairs, clusters, the
+    snapshot probe).  Task-pool friendly: hasher state (256 ints) comes
+    from a per-process cache, beating actor-pool spin-up.  Documents
+    with no shingles (empty/whitespace text) are dropped here: their
+    all-zero signatures would pair every empty doc with est 1.0, and
+    the SQL oracles exclude them the same way (WHERE trim(text) != '')."""
+    import pyarrow.compute as pc
+
+    nonempty = batch.filter(
+        pc.not_equal(
+            pc.utf8_trim_whitespace(batch.column("text").cast(pa.string())), ""
+        )
+    )
+    sigs = _cached_minhasher(num_perm)(nonempty)
+    return pa.table(
+        {
+            "key": sigs.column("doc_id"),
+            "payload": pa.array(
+                [
+                    np.asarray(s, dtype=np.int64).tobytes()
+                    for s in sigs.column("signature").to_pylist()
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+
+
 def _dedupe_pairs_agg(ds, a_col: str, b_col: str, val_col: str):
     """Drop duplicate (a, b) pairs via a Min AGGREGATE on the value column
     (identical across a pair's duplicates — they came from the same
@@ -329,38 +359,11 @@ def minhash_lsh_pairs(
     # joins): materialize the compact byte-packed form ONCE into the
     # object store (distributed blocks, spillable — never on the driver)
     # instead of re-running MinHash per consumer.
-    def pack(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": batch.column("doc_id"),
-                "payload": pa.array(
-                    [
-                        np.asarray(s, dtype=np.int64).tobytes()
-                        for s in batch.column("signature").to_pylist()
-                    ],
-                    pa.binary(),
-                ),
-            }
-        )
-
-    def sign(batch: pa.Table) -> pa.Table:
-        # Task-pool stage: hasher state (256 ints) is trivial, so a
-        # per-process cache beats paying actor-pool spin-up (~4 s on an
-        # idle pipeline); the permutations are seed-deterministic either
-        # way.  Documents with no shingles (empty/whitespace text) are
-        # dropped here: their all-zero signatures would pair every empty
-        # doc with est 1.0, and the SQL oracle excludes them the same way
-        # (WHERE trim(text) != '').
-        import pyarrow.compute as pc
-
-        nonempty = batch.filter(
-            pc.not_equal(pc.utf8_trim_whitespace(batch.column("text").cast(pa.string())), "")
-        )
-        return pack(_cached_minhasher(num_perm)(nonempty))
-
     from .joins import DEFAULT_JOIN_BUCKETS, _bucket_of
 
-    sigs_bin = ds.map_batches(sign, batch_format="pyarrow").materialize()
+    sigs_bin = ds.map_batches(
+        lambda b: _signature_rows(b, num_perm), batch_format="pyarrow"
+    ).materialize()
 
     def band_and_bucket(b: pa.Table) -> pa.Table:
         t = _band_batch(b, num_bands, rows_per_band)
@@ -1229,27 +1232,9 @@ def near_dup_vs_snapshot(
 
     rows_per_band = num_perm // num_bands
 
-    def sign(batch: pa.Table) -> pa.Table:
-        nonempty = batch.filter(
-            pc.not_equal(
-                pc.utf8_trim_whitespace(batch.column("text").cast(pa.string())), ""
-            )
-        )
-        sigs = _cached_minhasher(num_perm)(nonempty)
-        return pa.table(
-            {
-                "key": sigs.column("doc_id"),
-                "payload": pa.array(
-                    [
-                        np.asarray(s, dtype=np.int64).tobytes()
-                        for s in sigs.column("signature").to_pylist()
-                    ],
-                    pa.binary(),
-                ),
-            }
-        )
-
-    sigs_bin = ds.map_batches(sign, batch_format="pyarrow").materialize()
+    sigs_bin = ds.map_batches(
+        lambda b: _signature_rows(b, num_perm), batch_format="pyarrow"
+    ).materialize()
 
     def side_bands(pred, out_name):
         def f(b: pa.Table) -> pa.Table:

@@ -784,6 +784,19 @@ def _lloyd_step(ds, cents: np.ndarray, round_decimals: int) -> np.ndarray:
     return np.round(new, round_decimals)
 
 
+def _refined_centroids(
+    ds, n_clusters: int, refine_iters: int, sample_rows: int, round_decimals: int
+) -> np.ndarray:
+    """Shared centroid trainer for :func:`kmeans_assign` and
+    :func:`semdedup`: deterministic bounded-sample init + distributed
+    Lloyd steps, rounded to the fixed grid the SQL replays — one code
+    path so the two operators (and their oracles) cannot drift."""
+    cents = np.round(_ivf_centroids(ds, n_clusters, sample_rows), round_decimals)
+    for _ in range(refine_iters):
+        cents = _lloyd_step(ds, cents, round_decimals)
+    return cents
+
+
 def kmeans_assign(
     ds,
     *,
@@ -802,9 +815,7 @@ def kmeans_assign(
     every iteration from the literal init centroids."""
     import ray
 
-    cents = np.round(_ivf_centroids(ds, n_clusters, sample_rows), round_decimals)
-    for _ in range(refine_iters):
-        cents = _lloyd_step(ds, cents, round_decimals)
+    cents = _refined_centroids(ds, n_clusters, refine_iters, sample_rows, round_decimals)
     cent_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -994,9 +1005,7 @@ def semdedup(
     """
     import ray
 
-    cents = np.round(_ivf_centroids(ds, n_clusters, sample_rows), round_decimals)
-    for _ in range(refine_iters):
-        cents = _lloyd_step(ds, cents, round_decimals)
+    cents = _refined_centroids(ds, n_clusters, refine_iters, sample_rows, round_decimals)
     cent_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:

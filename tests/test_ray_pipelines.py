@@ -2403,6 +2403,13 @@ def test_shard_rendezvous_minimal_movement():
             assert r["shard_before"] == r["shard_after"]
     # expected fraction 1/9 ~= 56 of 500; allow generous binomial slack
     assert 25 <= len(moved) <= 100
+    # shrink resize: only URLs owned by the removed shard move
+    shrunk = shard_rendezvous(SF, n_before=9, n_after=8).take_all()
+    for r in shrunk:
+        if r["moved"] == 1:
+            assert r["shard_before"] == 8
+        else:
+            assert r["shard_before"] == r["shard_after"]
 
 
 def test_bitext_candidates_planted_pairs():
