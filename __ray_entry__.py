@@ -111,6 +111,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # originals on the marker-stripped URL template (distributed
         # hash_join), then the 2:1 token-length ratio filter.
         "bitext_candidates": ed.bitext_candidates,
+        # Link-farm signal: host pairs linking to EACH OTHER, both
+        # directed counts, from the real page-parsed edge list — one
+        # Min/Sum groupby on the unordered pair key.
+        "reciprocal_links": ed.reciprocal_links,
+        # Scheduler policy composition: host authority = summed integer
+        # PageRank -> per-host politeness cap -> global top-budget.
+        "frontier_priority": ed.frontier_priority,
         # DUST alias->canonical URL rewrite map: light (content_hash,
         # url) rows -> one keyed groupby -> per-family emission
         # (planted mirror families; the natural corpus has no dups).
@@ -1178,6 +1185,51 @@ def oracle_sql() -> dict[str, str]:
                    'site' || (t % 97) || '.example.org' AS dst_host,
                    count(*)::BIGINT AS n_links
             FROM e GROUP BY 1, 2""",
+        # PageRank replay (3 unrolled iterations) -> host authority sum
+        # -> smallest-doc_id cap per host -> top-budget with the same
+        # (priority DESC, doc_id ASC) tie-break the engine sorts on.
+        "frontier_priority": f"""
+            WITH pr AS ({{PR}}),
+            hr AS (
+                SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
+                       sum(rank_units)::BIGINT AS priority
+                FROM pr GROUP BY 1
+            ),
+            f AS (
+                SELECT d.doc_id, h.host, h.priority,
+                       row_number() OVER (
+                           PARTITION BY h.host ORDER BY d.doc_id) AS rn
+                FROM documents d
+                JOIN hr h ON h.host = 'site' || (d.doc_id % 97)
+                                 || '.example.org'
+            )
+            SELECT doc_id, host, priority FROM f WHERE rn <= 3
+            ORDER BY priority DESC, doc_id ASC LIMIT 100""".replace(
+            "{PR}", _pagerank_sql(iters=3)
+        ),
+        # Mutual edges via a direction-swapped self-join of the edge
+        # CTE; host_a < host_b picks one orientation and drops loops.
+        "reciprocal_links": """
+            WITH e AS (
+                SELECT doc_id,
+                       (doc_id*13+1) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id*29+7) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT 'site' || (doc_id % 97) || '.example.org' AS src_host,
+                       'site' || (t % 97) || '.example.org' AS dst_host,
+                       count(*)::BIGINT AS n_links
+                FROM e GROUP BY 1, 2
+            )
+            SELECT a.src_host AS host_a, a.dst_host AS host_b,
+                   a.n_links AS links_ab, b.n_links AS links_ba
+            FROM g a JOIN g b
+              ON b.src_host = a.dst_host AND b.dst_host = a.src_host
+            WHERE a.src_host < a.dst_host""",
         # Every synthesized anchor for target t reads 'related <t>', so
         # the per-target summary collapses to count(*) inlinks with one
         # distinct anchor string; the URL is the page_url formula over t.

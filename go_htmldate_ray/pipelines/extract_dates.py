@@ -1411,3 +1411,173 @@ def bitext_candidates(sf_dir: str, *, max_ratio: int = 2):
         )
 
     return joined.map_batches(ratio_filter, batch_format="pyarrow")
+
+
+def reciprocal_links(sf_dir: str):
+    """Reciprocal host-link detection (the classic link-farm / link-
+    exchange spam signal): host pairs that link to EACH OTHER, with both
+    directed counts — SEO collusion shows up as dense mutual linking,
+    while organic linking is overwhelmingly one-way.
+
+    Built on the REAL page-parsed edge list (:func:`host_link_edges`):
+    each directed edge folds onto its unordered pair key, then ONE
+    Min/Sum groupby per pair reassembles both directions (group size ≤ 2
+    — an aggregate, not a per-group callable) and keeps pairs where both
+    are present.  → (host_a, host_b, links_ab, links_ba), host_a <
+    host_b.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.cleaning import _hash63_cached
+
+    edges = host_link_edges(sf_dir)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key, ha, hb, fwd, bwd = [], [], [], [], []
+        for s, d, c in zip(
+            b.column("src_host").to_pylist(),
+            b.column("dst_host").to_pylist(),
+            b.column("n_links").to_pylist(),
+        ):
+            if s == d:
+                continue  # self-links carry no reciprocity signal
+            a, z = (s, d) if s < d else (d, s)
+            key.append(_hash63_cached(f"{a}|{z}"))
+            ha.append(a)
+            hb.append(z)
+            fwd.append(c if s < d else 0)
+            bwd.append(c if s > d else 0)
+        return pa.table(
+            {
+                "pair_key": pa.array(key, pa.int64()),
+                "host_a": pa.array(ha, pa.string()),
+                "host_b": pa.array(hb, pa.string()),
+                "fwd": pa.array(fwd, pa.int64()),
+                "bwd": pa.array(bwd, pa.int64()),
+            }
+        )
+
+    agg = (
+        edges.map_batches(keyed, batch_format="pyarrow")
+        .groupby("pair_key")
+        .aggregate(Min("host_a"), Min("host_b"), Sum("fwd"), Sum("bwd"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        fwd = b.column("sum(fwd)").cast(pa.int64())
+        bwd = b.column("sum(bwd)").cast(pa.int64())
+        out = pa.table(
+            {
+                "host_a": b.column("min(host_a)"),
+                "host_b": b.column("min(host_b)"),
+                "links_ab": fwd,
+                "links_ba": bwd,
+            }
+        )
+        return out.filter(
+            pc.and_(
+                pc.greater(out.column("links_ab"), 0),
+                pc.greater(out.column("links_ba"), 0),
+            )
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def frontier_priority(
+    sf_dir: str, *, per_host_cap: int = 3, budget: int = 100, iters: int = 3
+):
+    """Authority-weighted crawl-frontier prioritization: every page
+    scores by its HOST's total PageRank mass, a politeness cap keeps at
+    most ``per_host_cap`` pages per host (smallest doc_id first), and
+    the global ``budget`` takes the top rows by (authority DESC, doc_id
+    ASC) — the scheduler policy real crawlers run: fetch authoritative
+    sites first, but never let one host monopolize a wave.
+
+    Shape: integer PageRank (exact nano units, the oracle-replayable
+    :func:`~go_htmldate_ray.stages.graph.pagerank`) → per-batch host
+    partials → one light Sum groupby → broadcast of the ≤n_hosts
+    authority map (small side; a larger host space switches to the
+    bucketed hash_join convention) → salted
+    :func:`~go_htmldate_ray.stages.sampling.cap_per_group` → sort+limit
+    over light (doc_id, host, priority) rows.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import N_HOSTS
+    from ..stages.graph import pagerank
+    from ..stages.sampling import cap_per_group
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    # the deterministic link graph the crawl oracle uses:
+    # doc -> (13d+1)%N and (29d+7)%N
+    nodes = docs.map_batches(
+        lambda b: pa.table({"id": b.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([d, d]), pa.int64()),
+                "dst": pa.array(
+                    np.concatenate([(13 * d + 1) % n, (29 * d + 7) % n]), pa.int64()
+                ),
+            }
+        )
+
+    ranks = pagerank(nodes, docs.map_batches(edges, batch_format="pyarrow"), iters=iters)
+
+    def host_partial(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column("doc_id"), dtype=np.int64)
+        r = np.asarray(b.column("rank_units"), dtype=np.int64)
+        h = d % N_HOSTS
+        hosts, inv = np.unique(h, return_inverse=True)
+        # int64 accumulate (np.add.at), not float bincount weights:
+        # rank-unit sums must stay exact past 2^53 for any `total`
+        sums = np.zeros(len(hosts), dtype=np.int64)
+        np.add.at(sums, inv, r)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"site{int(x)}.example.org" for x in hosts], pa.string()
+                ),
+                "r": pa.array(sums, pa.int64()),
+            }
+        )
+
+    host_rank = (
+        ranks.map_batches(host_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("r"))
+    )
+    hmap = {
+        r["host"]: int(r["sum(r)"]) for r in host_rank.take_all()
+    }  # ≤ N_HOSTS rows — the broadcast small side
+    href = ray.put(hmap)
+
+    def frontier(b: pa.Table) -> pa.Table:
+        m = ray.get(href)
+        ids = b.column("doc_id").to_pylist()
+        hosts = [f"site{i % N_HOSTS}.example.org" for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+                "priority": pa.array([m.get(h, 0) for h in hosts], pa.int64()),
+            }
+        )
+
+    capped = cap_per_group(
+        docs.map_batches(frontier, batch_format="pyarrow"),
+        group_col="host",
+        cap=per_host_cap,
+        id_col="doc_id",
+    )
+    return capped.sort(["priority", "doc_id"], descending=[True, False]).limit(budget)

@@ -2505,3 +2505,44 @@ def test_near_dup_vs_snapshot_cross_side_only_and_planted():
         if r["doc_a"] < 100 <= r["doc_b"]
     }
     assert got == sym
+
+
+def test_reciprocal_links_symmetric_and_loop_free():
+    from go_htmldate_ray.pipelines.extract_dates import (
+        host_link_edges,
+        reciprocal_links,
+    )
+
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_link_edges(SF).take_all()
+    }
+    rows = reciprocal_links(SF).take_all()
+    assert rows
+    seen = set()
+    for r in rows:
+        a, b = r["host_a"], r["host_b"]
+        assert a < b and (a, b) not in seen
+        seen.add((a, b))
+        assert edges[(a, b)] == r["links_ab"]
+        assert edges[(b, a)] == r["links_ba"]
+    # completeness: every mutual non-loop pair surfaced
+    expect = {
+        (s, d)
+        for (s, d) in edges
+        if s < d and (d, s) in edges
+    }
+    assert seen == expect
+
+
+def test_frontier_priority_cap_and_order():
+    from collections import Counter
+
+    from go_htmldate_ray.pipelines.extract_dates import frontier_priority
+
+    rows = frontier_priority(SF, per_host_cap=3, budget=100).take_all()
+    assert len(rows) == 100
+    per_host = Counter(r["host"] for r in rows)
+    assert max(per_host.values()) <= 3
+    pr = [(r["priority"], -r["doc_id"]) for r in rows]
+    assert pr == sorted(pr, reverse=True)  # authority-desc, doc_id-asc order
