@@ -118,6 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Scheduler policy composition: host authority = summed integer
         # PageRank -> per-host politeness cap -> global top-budget.
         "frontier_priority": ed.frontier_priority,
+        # Triangle counting on the oriented host graph: wedges join +
+        # closing-edge join (both bucketed), each triangle credits its
+        # three hosts; zero-triangle hosts included.
+        "host_triangles": ed.host_triangles,
         # DUST alias->canonical URL rewrite map: light (content_hash,
         # url) rows -> one keyed groupby -> per-family emission
         # (planted mirror families; the natural corpus has no dups).
@@ -1207,6 +1211,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY priority DESC, doc_id ASC LIMIT 100""".replace(
             "{PR}", _pagerank_sql(iters=3)
         ),
+        # Oriented distinct host edges from the link formula, the same
+        # two-join triangle enumeration (b < c wedge once), per-host
+        # credit of all three corners, zero hosts via LEFT JOIN.
+        "host_triangles": """
+            WITH e0 AS (
+                SELECT doc_id % 97 AS s,
+                       ((doc_id*13+1) % (SELECT count(*) FROM documents)) % 97
+                           AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id % 97,
+                       ((doc_id*29+7) % (SELECT count(*) FROM documents)) % 97
+                FROM documents
+            ),
+            e AS (
+                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                FROM e0 WHERE s <> t
+            ),
+            tri AS (
+                SELECT w1.a AS a, w1.b AS b, w2.b AS c
+                FROM e w1
+                JOIN e w2 ON w2.a = w1.a AND w2.b > w1.b
+                JOIN e w3 ON w3.a = w1.b AND w3.b = w2.b
+            ),
+            m AS (
+                SELECT a AS h FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            )
+            SELECT 'site' || hh.h || '.example.org' AS host,
+                   coalesce(t.n, 0)::BIGINT AS n_triangles
+            FROM (SELECT DISTINCT doc_id % 97 AS h FROM documents) hh
+            LEFT JOIN (SELECT h, count(*) AS n FROM m GROUP BY h) t
+              USING (h)""",
         # Mutual edges via a direction-swapped self-join of the edge
         # CTE; host_a < host_b picks one orientation and drops loops.
         "reciprocal_links": """

@@ -1581,3 +1581,164 @@ def frontier_priority(
         id_col="doc_id",
     )
     return capped.sort(["priority", "doc_id"], descending=[True, False]).limit(budget)
+
+
+def host_triangles(sf_dir: str):
+    """Distributed triangle counting on the undirected host link graph —
+    the clustering-coefficient building block (dense mutual-link
+    neighborhoods are another link-farm signature; organic host graphs
+    are locally sparse).
+
+    Classic two-join shape on ORIENTED edges (a < b, loops dropped,
+    deduped by a Min aggregate on the packed pair key): wedges = edges ⋈
+    edges on the low endpoint (b < c keeps each wedge once), triangles =
+    wedges ⋈ edges on the packed (b, c) closing key — both via the
+    bucketed :func:`~go_htmldate_ray.stages.joins.hash_join`, no
+    broadcast of the edge set.  Wedge counts are Σ deg(a)²-shaped: at
+    scale the standard mitigation (count wedges only at each edge's
+    LOWER-degree endpoint) bounds the blowup; the low-id orientation
+    used here is its fixture-scale stand-in.  Each triangle credits all
+    three hosts; zero-triangle hosts still appear.
+
+    → (host, n_triangles), one row per host.  Engine edges come from
+    REAL page parses (:func:`host_link_edges`), the oracle re-derives
+    the graph from the link formula — doubling as a parser check.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import N_HOSTS
+
+    edges = host_link_edges(sf_dir)
+
+    def orient(b: pa.Table) -> pa.Table:
+        src = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b.column("src_host"), r"site(?P<i>\d+)"), "i"
+            ),
+            pa.int64(),
+        )
+        dst = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b.column("dst_host"), r"site(?P<i>\d+)"), "i"
+            ),
+            pa.int64(),
+        )
+        lo = pc.min_element_wise(src, dst)
+        hi = pc.max_element_wise(src, dst)
+        t = pa.table({"a": lo, "b": hi})
+        return t.filter(pc.not_equal(t.column("a"), t.column("b")))
+
+    # distinct oriented edges: Min aggregate on the packed key (the
+    # reciprocal_links dedupe shape), then unpack
+    packed = edges.map_batches(orient, batch_format="pyarrow").map_batches(
+        lambda t: pa.table(
+            {
+                "ekey": pc.add(
+                    pc.multiply(t.column("a"), 1 << 32), t.column("b")
+                ),
+                "a": t.column("a"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    e = (
+        packed.groupby("ekey")
+        .aggregate(Min("a"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t.column("min(a)").cast(pa.int64()),
+                    "b": pc.subtract(
+                        t.column("ekey"),
+                        pc.multiply(t.column("min(a)").cast(pa.int64()), 1 << 32),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed by three join sides
+    )
+
+    from ..stages.joins import hash_join
+
+    left = e.map_batches(
+        lambda t: pa.table({"apex": t.column("a"), "b": t.column("b")}),
+        batch_format="pyarrow",
+    )
+    right = e.map_batches(
+        lambda t: pa.table({"apex": t.column("a"), "c": t.column("b")}),
+        batch_format="pyarrow",
+    )
+    wedges = hash_join(left, right, on="apex").map_batches(
+        lambda t: t.filter(pc.less(t.column("b"), t.column("c"))),
+        batch_format="pyarrow",
+    )
+    wkeyed = wedges.map_batches(
+        lambda t: pa.table(
+            {
+                "ekey": pc.add(pc.multiply(t.column("b"), 1 << 32), t.column("c")),
+                "apex": t.column("apex"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    closing = e.map_batches(
+        lambda t: pa.table(
+            {
+                "ekey": pc.add(pc.multiply(t.column("a"), 1 << 32), t.column("b")),
+                "lo": t.column("a"),
+                "hi": t.column("b"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tris = hash_join(wkeyed, closing, on="ekey")
+
+    def credit(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        apex = np.asarray(b.column("apex"), dtype=np.int64)
+        lo = np.asarray(b.column("lo"), dtype=np.int64)
+        hi = np.asarray(b.column("hi"), dtype=np.int64)
+        hosts = np.concatenate([apex, lo, hi])
+        u, counts = np.unique(hosts, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    credits = tris.map_batches(credit, batch_format="pyarrow")
+    # zero-triangle hosts must still appear
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    zeros = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "h": pa.array(
+                    sorted({int(i) % N_HOSTS for i in b.column("doc_id").to_pylist()}),
+                    pa.int64(),
+                ),
+                "n": pa.array(
+                    [0]
+                    * len({int(i) % N_HOSTS for i in b.column("doc_id").to_pylist()}),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = credits.union(zeros).groupby("h").aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "host": pa.array(
+                    [f"site{int(x)}.example.org" for x in b.column("h").to_pylist()],
+                    pa.string(),
+                ),
+                "n_triangles": b.column("sum(n)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -2546,3 +2546,38 @@ def test_frontier_priority_cap_and_order():
     assert max(per_host.values()) <= 3
     pr = [(r["priority"], -r["doc_id"]) for r in rows]
     assert pr == sorted(pr, reverse=True)  # authority-desc, doc_id-asc order
+
+
+def test_host_triangles_matches_bruteforce():
+    from itertools import combinations
+
+    from go_htmldate_ray.pipelines.extract_dates import (
+        host_link_edges,
+        host_triangles,
+    )
+
+    und = set()
+    for r in host_link_edges(SF).take_all():
+        s = int(r["src_host"].split(".")[0][4:])
+        d = int(r["dst_host"].split(".")[0][4:])
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {h: 0 for h in adj}
+    n_tris = 0
+    for a in sorted(adj):
+        for b, c in combinations(sorted(x for x in adj[a] if x > a), 2):
+            if (b, c) in und:
+                n_tris += 1
+                for h in (a, b, c):
+                    expect[h] += 1
+    got = {
+        int(r["host"].split(".")[0][4:]): r["n_triangles"]
+        for r in host_triangles(SF).take_all()
+    }
+    assert n_tris > 0
+    for h, n in expect.items():
+        assert got.get(h, 0) == n
