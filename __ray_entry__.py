@@ -441,6 +441,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             col="text",
             p=10,
         ),
+        # Grouped mergeable sketch: per-host distinct-token HLL
+        # registers (group, bucket, rho_max) — one keyed Max groupby of
+        # constant-size per-block partials instead of a per-group exact
+        # COUNT(DISTINCT) shuffle.
+        "host_token_hll": _host_token_hll,
         # Pregel-style PageRank over the crawl link graph (5 rounds,
         # integer fixed-point units so sums commute; oracle = unrolled
         # iteration CTEs with identical integer arithmetic).
@@ -812,6 +817,29 @@ def _sketches():
     from go_htmldate_ray.stages import sketches
 
     return sketches
+
+
+def _host_token_hll(sf_dir):
+    import pyarrow as pa
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_host(b: pa.Table) -> pa.Table:
+        hosts = [
+            f"site{int(i) % 97}.example.org" for i in b.column("doc_id").to_pylist()
+        ]
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()), "text": b.column("text")}
+        )
+
+    return _sketches().grouped_hll_registers(
+        docs.map_batches(add_host, batch_format="pyarrow"),
+        group_col="host",
+        col="text",
+        p=8,
+    )
 
 
 def _lm():
@@ -1953,6 +1981,30 @@ def oracle_sql() -> dict[str, str]:
                             ELSE strpos(lpad(bin(rest), 54, '0'), '1')
                        END)::BIGINT AS rho_max
             FROM parts GROUP BY bucket""",
+        # p=8 -> 56 rest bits; registers grouped by the doc_id-formula
+        # host; distinct (host, token) pairs feed the same exact-integer
+        # rho as the global sketch.
+        "host_token_hll": r"""
+            WITH toks AS (
+                SELECT 'site' || (doc_id % 97) || '.example.org' AS hostn,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE trim(text) != ''
+            ),
+            h AS (
+                SELECT DISTINCT hostn,
+                       ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                FROM toks
+            ),
+            parts AS (
+                SELECT hostn, (h >> 56)::BIGINT AS bucket,
+                       (h % (1::UBIGINT << 56))::UBIGINT AS rest
+                FROM h
+            )
+            SELECT hostn AS "group", bucket,
+                   max(CASE WHEN rest = 0 THEN 57
+                            ELSE strpos(lpad(bin(rest), 56, '0'), '1')
+                       END)::BIGINT AS rho_max
+            FROM parts GROUP BY hostn, bucket""",
         "pagerank": _pagerank_sql(iters=5),
         "hits_scores": _hits_sql(iters=2),
         "link_degree_histogram": """

@@ -336,3 +336,74 @@ def heavy_hitters(
         ).filter(pc.greater_equal(pc.field("n"), threshold)),
         batch_format="pyarrow",
     )
+
+
+def grouped_hll_registers(ds, *, group_col: str, col: str, p: int = 8):
+    """Per-GROUP HLL registers over the whitespace tokens of a text
+    column → (group, bucket, rho_max): the mergeable-sketch answer to
+    "distinct tokens per host" — per-batch (group, bucket) partial
+    maxima (≤ groups×2^p light rows per block, usually far fewer) → one
+    keyed Max groupby.  Same exact-integer rho as :func:`hll_registers`,
+    so the SQL oracle reproduces every register; estimates come from
+    :func:`hll_estimate` applied per group (pytest-verified accuracy).
+
+    At 100 TB this replaces a per-group exact COUNT(DISTINCT token)
+    shuffle (every (group, token) pair moves) with constant-size rows
+    per group per block.
+    """
+    from ray.data.aggregate import Max
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    rest_bits = 64 - p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs: set = set()
+        for g, t in zip(
+            batch.column(group_col).to_pylist(), batch.column(col).to_pylist()
+        ):
+            for tok in (t or "").split():
+                pairs.add((g, tok))
+        if not pairs:
+            return pa.table(
+                {
+                    "group": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        groups = [g for g, _ in pairs]
+        h = _md5_u64([tok for _, tok in pairs])
+        bucket = (h >> np.uint64(rest_bits)).astype(np.int64)
+        rest = h & ((np.uint64(1) << np.uint64(rest_bits)) - np.uint64(1))
+        rho = rest_bits - _bit_length_u64(rest) + 1
+        # local max per (group, bucket): lexsort + run boundaries
+        gidx = np.unique(np.asarray(groups), return_inverse=True)[1]
+        order = np.lexsort((-rho, bucket, gidx))
+        gs = np.asarray(groups, dtype=object)[order]
+        b_s, r_s = bucket[order], rho[order]
+        g_s = gidx[order]
+        first = np.r_[True, (g_s[1:] != g_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        return pa.table(
+            {
+                "group": pa.array(list(gs[first]), pa.string()),
+                "bucket": pa.array(b_s[first], pa.int64()),
+                "rho": pa.array(r_s[first], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["group", "bucket"])
+        .aggregate(Max("rho"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "group": b.column("group"),
+                "bucket": b.column("bucket"),
+                "rho_max": b.column("max(rho)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -2581,3 +2581,31 @@ def test_host_triangles_matches_bruteforce():
     assert n_tris > 0
     for h, n in expect.items():
         assert got.get(h, 0) == n
+
+
+def test_grouped_hll_per_group_estimates():
+    """Per-group registers must equal per-group independent sketches,
+    and the small-range (linear-counting) estimate must be near-exact
+    at fixture cardinalities."""
+    from collections import defaultdict
+
+    import ray.data
+    from go_htmldate_ray.stages.sketches import grouped_hll_registers, hll_estimate
+
+    docs = [
+        {"host": f"h{i % 3}", "text": " ".join(f"w{i % 3}_{j}" for j in range(i + 1))}
+        for i in range(30)
+    ]
+    ds = ray.data.from_items(docs, override_num_blocks=5)
+    rows = grouped_hll_registers(ds, group_col="host", col="text", p=8).take_all()
+    by_group = defaultdict(list)
+    for r in rows:
+        by_group[r["group"]].append({"bucket": r["bucket"], "rho_max": r["rho_max"]})
+    truth = defaultdict(set)
+    for d in docs:
+        truth[d["host"]].update(d["text"].split())
+    assert set(by_group) == set(truth)
+    for g, regs in by_group.items():
+        est = hll_estimate(regs, p=8)
+        n = len(truth[g])
+        assert abs(est - n) <= max(2, 0.15 * n), (g, est, n)
