@@ -827,9 +827,9 @@ def _host_token_hll(sf_dir):
     )
 
     def add_host(b: pa.Table) -> pa.Table:
-        hosts = [
-            f"site{int(i) % 97}.example.org" for i in b.column("doc_id").to_pylist()
-        ]
+        from go_htmldate_ray.sources.pages import page_host
+
+        hosts = [page_host(int(i)) for i in b.column("doc_id").to_pylist()]
         return pa.table(
             {"host": pa.array(hosts, pa.string()), "text": b.column("text")}
         )

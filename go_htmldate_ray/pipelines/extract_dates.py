@@ -1420,20 +1420,19 @@ def reciprocal_links(sf_dir: str):
     while organic linking is overwhelmingly one-way.
 
     Built on the REAL page-parsed edge list (:func:`host_link_edges`):
-    each directed edge folds onto its unordered pair key, then ONE
-    Min/Sum groupby per pair reassembles both directions (group size ≤ 2
-    — an aggregate, not a per-group callable) and keeps pairs where both
+    each directed edge folds onto its unordered (host_a, host_b)
+    orientation, then ONE Sum groupby on the two host columns reassembles
+    both directions (collision-free — no hashed pair key — and an
+    aggregate, not a per-group callable) and keeps pairs where both
     are present.  → (host_a, host_b, links_ab, links_ba), host_a <
     host_b.
     """
-    from ray.data.aggregate import Min, Sum
-
-    from ..stages.cleaning import _hash63_cached
+    from ray.data.aggregate import Sum
 
     edges = host_link_edges(sf_dir)
 
     def keyed(b: pa.Table) -> pa.Table:
-        key, ha, hb, fwd, bwd = [], [], [], [], []
+        ha, hb, fwd, bwd = [], [], [], []
         for s, d, c in zip(
             b.column("src_host").to_pylist(),
             b.column("dst_host").to_pylist(),
@@ -1442,14 +1441,12 @@ def reciprocal_links(sf_dir: str):
             if s == d:
                 continue  # self-links carry no reciprocity signal
             a, z = (s, d) if s < d else (d, s)
-            key.append(_hash63_cached(f"{a}|{z}"))
             ha.append(a)
             hb.append(z)
             fwd.append(c if s < d else 0)
             bwd.append(c if s > d else 0)
         return pa.table(
             {
-                "pair_key": pa.array(key, pa.int64()),
                 "host_a": pa.array(ha, pa.string()),
                 "host_b": pa.array(hb, pa.string()),
                 "fwd": pa.array(fwd, pa.int64()),
@@ -1457,10 +1454,12 @@ def reciprocal_links(sf_dir: str):
             }
         )
 
+    # group on the two host columns directly (collision-free; a hashed
+    # pair key would silently merge colliding pairs at scale)
     agg = (
         edges.map_batches(keyed, batch_format="pyarrow")
-        .groupby("pair_key")
-        .aggregate(Min("host_a"), Min("host_b"), Sum("fwd"), Sum("bwd"))
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("fwd"), Sum("bwd"))
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -1468,8 +1467,8 @@ def reciprocal_links(sf_dir: str):
         bwd = b.column("sum(bwd)").cast(pa.int64())
         out = pa.table(
             {
-                "host_a": b.column("min(host_a)"),
-                "host_b": b.column("min(host_b)"),
+                "host_a": b.column("host_a"),
+                "host_b": b.column("host_b"),
                 "links_ab": fwd,
                 "links_ba": bwd,
             }
@@ -1507,7 +1506,7 @@ def frontier_priority(
     from ray.data.aggregate import Sum
 
     from ..sources.io import read_parquet_clean
-    from ..sources.pages import N_HOSTS
+    from ..sources.pages import N_HOSTS, page_host
     from ..stages.graph import pagerank
     from ..stages.sampling import cap_per_group
 
@@ -1545,9 +1544,7 @@ def frontier_priority(
         np.add.at(sums, inv, r)
         return pa.table(
             {
-                "host": pa.array(
-                    [f"site{int(x)}.example.org" for x in hosts], pa.string()
-                ),
+                "host": pa.array([page_host(int(x)) for x in hosts], pa.string()),
                 "r": pa.array(sums, pa.int64()),
             }
         )
@@ -1565,7 +1562,7 @@ def frontier_priority(
     def frontier(b: pa.Table) -> pa.Table:
         m = ray.get(href)
         ids = b.column("doc_id").to_pylist()
-        hosts = [f"site{i % N_HOSTS}.example.org" for i in ids]
+        hosts = [page_host(i) for i in ids]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -1607,23 +1604,33 @@ def host_triangles(sf_dir: str):
     from ray.data.aggregate import Min, Sum
 
     from ..sources.io import read_parquet_clean
-    from ..sources.pages import N_HOSTS
+    from ..sources.pages import N_HOSTS, page_host
 
     edges = host_link_edges(sf_dir)
 
+    # anchored fixture-host pattern: a host outside the site<N> scheme
+    # must fail LOUDLY below, not silently drop or mis-bucket its edges
+    _HOST_RX = r"^site(?P<i>\d+)\.example\.org$"
+
     def orient(b: pa.Table) -> pa.Table:
         src = pc.cast(
-            pc.struct_field(
-                pc.extract_regex(b.column("src_host"), r"site(?P<i>\d+)"), "i"
-            ),
+            pc.struct_field(pc.extract_regex(b.column("src_host"), _HOST_RX), "i"),
             pa.int64(),
         )
         dst = pc.cast(
-            pc.struct_field(
-                pc.extract_regex(b.column("dst_host"), r"site(?P<i>\d+)"), "i"
-            ),
+            pc.struct_field(pc.extract_regex(b.column("dst_host"), _HOST_RX), "i"),
             pa.int64(),
         )
+        if src.null_count or dst.null_count:
+            bad = (
+                b.filter(pc.or_(pc.is_null(src), pc.is_null(dst)))
+                .column("src_host")
+                .to_pylist()[:3]
+            )
+            raise ValueError(
+                f"host_triangles: non-fixture host(s) {bad} — generalize the "
+                "node-id mapping before running on arbitrary host graphs"
+            )
         lo = pc.min_element_wise(src, dst)
         hi = pc.max_element_wise(src, dst)
         t = pa.table({"a": lo, "b": hi})
@@ -1713,28 +1720,22 @@ def host_triangles(sf_dir: str):
     credits = tris.map_batches(credit, batch_format="pyarrow")
     # zero-triangle hosts must still appear
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    zeros = docs.map_batches(
-        lambda b: pa.table(
+    def zero_rows(b: pa.Table) -> pa.Table:
+        hs = sorted({int(i) % N_HOSTS for i in b.column("doc_id").to_pylist()})
+        return pa.table(
             {
-                "h": pa.array(
-                    sorted({int(i) % N_HOSTS for i in b.column("doc_id").to_pylist()}),
-                    pa.int64(),
-                ),
-                "n": pa.array(
-                    [0]
-                    * len({int(i) % N_HOSTS for i in b.column("doc_id").to_pylist()}),
-                    pa.int64(),
-                ),
+                "h": pa.array(hs, pa.int64()),
+                "n": pa.array([0] * len(hs), pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    zeros = docs.map_batches(zero_rows, batch_format="pyarrow")
     agg = credits.union(zeros).groupby("h").aggregate(Sum("n"))
     return agg.map_batches(
         lambda b: pa.table(
             {
                 "host": pa.array(
-                    [f"site{int(x)}.example.org" for x in b.column("h").to_pylist()],
+                    [page_host(int(x)) for x in b.column("h").to_pylist()],
                     pa.string(),
                 ),
                 "n_triangles": b.column("sum(n)").cast(pa.int64()),

@@ -362,6 +362,8 @@ def grouped_hll_registers(ds, *, group_col: str, col: str, p: int = 8):
         for g, t in zip(
             batch.column(group_col).to_pylist(), batch.column(col).to_pylist()
         ):
+            if g is None:
+                continue  # null groups skipped, like hll_registers' drop_null
             for tok in (t or "").split():
                 pairs.add((g, tok))
         if not pairs:
