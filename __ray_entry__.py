@@ -122,6 +122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # closing-edge join (both bucketed), each triangle credits its
         # three hosts; zero-triangle hosts included.
         "host_triangles": ed.host_triangles,
+        # Hierarchical heavy-hitter frontier over URL paths: deepest
+        # per-host prefixes whose subtree count >= 4 (light pair
+        # shuffles + a bounded candidate small side).
+        "hot_paths": ed.hot_paths,
         # DUST alias->canonical URL rewrite map: light (content_hash,
         # url) rows -> one keyed groupby -> per-family emission
         # (planted mirror families; the natural corpus has no dups).
@@ -1239,6 +1243,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY priority DESC, doc_id ASC LIMIT 100""".replace(
             "{PR}", _pagerank_sql(iters=3)
         ),
+        # Prefix lattice: directory prefixes (trailing '/') + full-path
+        # leaf; maximal-depth rule via starts_with anti-check among the
+        # >= 4 candidates — same lattice convention as the engine.
+        "hot_paths": f"""
+            WITH u AS (
+                SELECT 'site' || (doc_id % 97) || '.example.org' AS hostn,
+                       CASE WHEN doc_id % 4 = 2
+                            THEN '/' || strftime({_DATE_SQL}, '%Y/%m/%d')
+                                 || '/post-' || doc_id || '.html'
+                            ELSE '/article/' || doc_id || '.html' END AS path
+                FROM documents
+            ),
+            segs AS (SELECT hostn, path, string_split(path, '/') AS a FROM u),
+            pref AS (
+                SELECT hostn, array_to_string(a[1:i], '/') || '/' AS prefix
+                FROM segs, unnest(range(1, len(a))) t(i)
+                UNION ALL
+                SELECT hostn, path FROM u WHERE path != '/'
+            ),
+            c AS (
+                SELECT hostn, prefix, count(*)::BIGINT AS n_urls
+                FROM pref GROUP BY 1, 2 HAVING count(*) >= 4
+            )
+            SELECT p.hostn AS host, p.prefix, p.n_urls FROM c p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM c q
+                WHERE q.hostn = p.hostn AND q.prefix != p.prefix
+                  AND starts_with(q.prefix, p.prefix)
+            )""",
         # Oriented distinct host edges from the link formula, the same
         # two-join triangle enumeration (b < c wedge once), per-host
         # credit of all three corners, zero hosts via LEFT JOIN.

@@ -1743,3 +1743,32 @@ def host_triangles(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def hot_paths(sf_dir: str, *, threshold: int = 4):
+    """Per-host hierarchical hot-path frontier over the synthesized page
+    URLs (:func:`~go_htmldate_ray.stages.urlstats.hot_path_subtrees` —
+    deepest path prefixes whose subtree count reaches ``threshold``),
+    the per-subtree crawl-budgeting signal."""
+    from urllib.parse import urlsplit
+
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import page_host, page_url
+    from ..stages.urlstats import hot_path_subtrees
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "host": pa.array([page_host(i) for i in ids], pa.string()),
+                "path": pa.array(
+                    [urlsplit(page_url(i)).path for i in ids], pa.string()
+                ),
+            }
+        )
+
+    return hot_path_subtrees(
+        docs.map_batches(rows, batch_format="pyarrow"), threshold=threshold
+    )

@@ -2609,3 +2609,23 @@ def test_grouped_hll_per_group_estimates():
         est = hll_estimate(regs, p=8)
         n = len(truth[g])
         assert abs(est - n) <= max(2, 0.15 * n), (g, est, n)
+
+
+def test_hot_path_subtrees_maximal_depth():
+    import ray.data
+    from go_htmldate_ray.stages.urlstats import hot_path_subtrees
+
+    rows_in = (
+        [{"host": "a", "path": f"/cal/2020/{i}.html"} for i in range(6)]
+        + [{"host": "a", "path": "/about.html"}]
+        + [{"host": "b", "path": f"/p/{i}.html"} for i in range(3)]
+        + [{"host": "b", "path": f"/q/{i}.html"} for i in range(2)]
+    )
+    ds = ray.data.from_items(rows_in, override_num_blocks=3)
+    got = {
+        (r["host"], r["prefix"]): r["n_urls"]
+        for r in hot_path_subtrees(ds, threshold=4).take_all()
+    }
+    # host a: /cal/2020/ (6) is the deepest >=4 prefix — '/', '/cal/'
+    # are its ancestors and must NOT be reported; host b: only '/' (5)
+    assert got == {("a", "/cal/2020/"): 6, ("b", "/"): 5}
