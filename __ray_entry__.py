@@ -126,6 +126,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host prefixes whose subtree count >= 4 (light pair
         # shuffles + a bounded candidate small side).
         "hot_paths": ed.hot_paths,
+        # Conjunctive (boolean AND) retrieval: docs containing every
+        # query term, summed tf — matching postings only ever shuffle.
+        "boolean_and_search": lambda sf: _search().boolean_and_search(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+            ("merge", "window", "spark"),
+        ),
+        # Order-insensitive corpus checksum: commutative sum/xor monoids
+        # over per-row 63-bit md5 — block order / resume path invariant.
+        "corpus_checksum": lambda sf: _sketches().corpus_checksum(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ),
         # DUST alias->canonical URL rewrite map: light (content_hash,
         # url) rows -> one keyed groupby -> per-family emission
         # (planted mirror families; the natural corpus has no dups).
@@ -823,6 +834,12 @@ def _sketches():
     return sketches
 
 
+def _search():
+    from go_htmldate_ray.stages import search
+
+    return search
+
+
 def _host_token_hll(sf_dir):
     import pyarrow as pa
 
@@ -1243,6 +1260,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY priority DESC, doc_id ASC LIMIT 100""".replace(
             "{PR}", _pagerank_sql(iters=3)
         ),
+        # Docs with ALL three terms; per-doc tf summed over the terms.
+        "boolean_and_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents WHERE trim(text) != ''
+            ),
+            m AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+                WHERE term IN ('merge', 'window', 'spark') GROUP BY 1, 2
+            )
+            SELECT doc_id, sum(tf)::BIGINT AS total_tf
+            FROM m GROUP BY doc_id HAVING count(*) = 3""",
+        # 63-bit md5 per row; sum mod 2^63 and bit_xor are the engine's
+        # exact commutative monoids.
+        "corpus_checksum": """
+            WITH h AS (
+                SELECT (('0x' || substr(md5(doc_id || ':' || coalesce(text, '')),
+                                        1, 16))::UBIGINT >> 1) AS h
+                FROM documents
+            )
+            SELECT count(*)::BIGINT AS n_docs,
+                   (sum(h::HUGEINT) % 9223372036854775808)::BIGINT AS sum_hash,
+                   bit_xor(h)::BIGINT AS xor_hash
+            FROM h""",
         # Prefix lattice: directory prefixes (trailing '/') + full-path
         # leaf; maximal-depth rule via starts_with anti-check among the
         # >= 4 candidates — same lattice convention as the engine.

@@ -198,9 +198,10 @@ def bench_extract(sf_dir: str, skip_extensive: bool, repeat: int):
     return dt, n, _steady_state_rate(marks, n)
 
 
-def bench_golden_corpus():
-    """Real-page throughput: the reference's 1000-doc corpus ×5, fast mode —
-    the direct comparison point against BASELINE.md's 1304 docs/s."""
+def bench_golden_corpus(skip_extensive: bool = True, reps: int = 15):
+    """Real-page throughput: the reference's 1000-doc corpus ×reps — the
+    direct comparison points against BASELINE.md (fast: 1,304 docs/s;
+    extensive: 595 docs/s, Go single thread)."""
     import json as _json
     from pathlib import Path
 
@@ -210,7 +211,7 @@ def bench_golden_corpus():
     entries = _json.loads(data.read_text())
     dirs = [Path("/root/reference/test-files") / d for d in ("mediacloud", "comparison", "mock")]
     items = []
-    for _rep in range(15):
+    for _rep in range(reps):
         for e in entries:
             for d in dirs:
                 p = d / e["file"]
@@ -235,7 +236,7 @@ def bench_golden_corpus():
         htmls = [open(p, "rb").read() for p in batch.column("path").to_pylist()]
         return pa.table({"url": batch.column("url"), "html": pa.array(htmls, pa.binary())})
 
-    fn = _extract_fn(True)
+    fn = _extract_fn(skip_extensive)
     t0 = time.perf_counter()
     extracted = ds.map_batches(load, batch_format="pyarrow", batch_size=64).map_batches(
         fn, batch_format="pyarrow", batch_size=64
@@ -291,6 +292,11 @@ def run_headline() -> dict:
     queries["golden_corpus_fast"] = round(t, 3)
     extra["golden_corpus_docs_per_s"] = round(n / t, 1)
     extra["golden_corpus_steady_docs_per_s"] = round(ss, 1)
+
+    t, n, ss = bench_golden_corpus(skip_extensive=False, reps=6)
+    queries["golden_corpus_extensive"] = round(t, 3)
+    extra["golden_corpus_ext_docs_per_s"] = round(n / t, 1)
+    extra["golden_corpus_ext_steady_docs_per_s"] = round(ss, 1)
 
     import ray.data
 

@@ -252,3 +252,55 @@ def bm25_topk(
             "score": pd.array([r["nano"] / _NANO for r in top], dtype="float64"),
         }
     )
+
+
+def boolean_and_search(ds, terms: tuple, *, text_col: str = "text"):
+    """Conjunctive (boolean AND) retrieval: documents containing EVERY
+    query term, with each doc's summed term frequency — the other half
+    of the retrieval story next to :func:`bm25_topk`'s ranked scoring.
+
+    Shape: one stateless pass emits only the query terms' (doc_id,
+    term, tf) rows (the filter happens before any shuffle, so the
+    exchange is proportional to matching postings, not the corpus) →
+    one doc-keyed Count/Sum groupby → keep docs matching all
+    ``len(terms)`` distinct terms.  → (doc_id, total_tf).
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Count, Sum
+
+    tset = frozenset(terms)
+    n_terms = len(tset)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        docs, toks, tfs = [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            counts = Counter(tok for tok in (t or "").split() if tok in tset)
+            for tok, c in counts.items():
+                docs.append(d)
+                toks.append(tok)
+                tfs.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "term": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(postings, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(), Sum("tf"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "total_tf": b.column("sum(tf)").cast(pa.int64()),
+            }
+        ).filter(pc.equal(b.column("count()").cast(pa.int64()), n_terms)),
+        batch_format="pyarrow",
+    )

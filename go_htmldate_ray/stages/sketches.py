@@ -409,3 +409,59 @@ def grouped_hll_registers(ds, *, group_col: str, col: str, p: int = 8):
         ),
         batch_format="pyarrow",
     )
+
+
+def corpus_checksum(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Order-insensitive corpus integrity checksum → ONE row
+    (n_docs, sum_hash, xor_hash): per-row 63-bit md5 of ``id:text``,
+    combined with the two commutative monoids (wrapping sum mod 2^63
+    and xor), so any block order / partitioning / resume path yields
+    the same digest — the cheap way to assert two 100 TB copies (or a
+    rerun after failover) are row-identical without a sort or join.
+
+    Per-batch partials are a single (cnt, sum, xor) row each → a tiny
+    driver fold; nothing shuffles.
+    """
+    _MASK = (1 << 63) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        s = 0
+        x = 0
+        for i, t in zip(ids, texts):
+            h = (
+                int.from_bytes(
+                    hashlib.md5(f"{i}:{t or ''}".encode("utf-8")).digest()[:8],
+                    "big",
+                )
+                >> 1
+            )
+            s = (s + h) & _MASK
+            x ^= h
+        return pa.table(
+            {
+                "cnt": pa.array([len(ids)], pa.int64()),
+                "s": pa.array([s], pa.int64()),
+                "x": pa.array([x], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["cnt"] for r in rows)
+    s = 0
+    x = 0
+    for r in rows:
+        s = (s + r["s"]) & _MASK
+        x ^= r["x"]
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "sum_hash": pa.array([s], pa.int64()),
+                "xor_hash": pa.array([x], pa.int64()),
+            }
+        )
+    )

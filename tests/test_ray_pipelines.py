@@ -2629,3 +2629,40 @@ def test_hot_path_subtrees_maximal_depth():
     # host a: /cal/2020/ (6) is the deepest >=4 prefix — '/', '/cal/'
     # are its ancestors and must NOT be reported; host b: only '/' (5)
     assert got == {("a", "/cal/2020/"): 6, ("b", "/"): 5}
+
+
+def test_boolean_and_search_bruteforce():
+    import pyarrow.parquet as pq
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.search import boolean_and_search
+
+    terms = ("merge", "window")
+    rows = boolean_and_search(
+        read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"]),
+        terms,
+    ).take_all()
+    got = {r["doc_id"]: r["total_tf"] for r in rows}
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    expect = {}
+    for i, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = (txt or "").split()
+        counts = {term: toks.count(term) for term in terms}
+        if all(c > 0 for c in counts.values()):
+            expect[i] = sum(counts.values())
+    assert got == expect and expect
+
+
+def test_corpus_checksum_order_and_split_invariant(tmp_path):
+    import ray.data
+    from go_htmldate_ray.stages.sketches import corpus_checksum
+
+    rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(100)]
+    a = corpus_checksum(ray.data.from_items(rows, override_num_blocks=2)).take_all()[0]
+    b = corpus_checksum(
+        ray.data.from_items(list(reversed(rows)), override_num_blocks=13)
+    ).take_all()[0]
+    assert a == b and a["n_docs"] == 100
+    # any single-row change must move both digests
+    rows[50]["text"] = "doc 50 CHANGED"
+    c = corpus_checksum(ray.data.from_items(rows)).take_all()[0]
+    assert c["sum_hash"] != a["sum_hash"] and c["xor_hash"] != a["xor_hash"]
