@@ -626,6 +626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_segment": analytics.orders_by_segment,
         "orders_customer_join": analytics.orders_customer_join,
+        # Skew-aware join: a planted mega-customer (every 3rd order)
+        # takes the hot-key broadcast path, cold keys the bucketed join.
+        "orders_customer_skew_join": analytics.orders_customer_skew_join,
         # LEFT OUTER variant: unmatched orders keep a null segment.
         "orders_customer_left_join": analytics.orders_customer_left_join,
         # FULL OUTER variant: customer-only rows surface too.
@@ -2391,6 +2394,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
                    round(o.o_totalprice, 2) AS o_totalprice
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "orders_customer_skew_join": """
+            WITH p AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 3 = 0 THEN 1
+                            ELSE o_custkey END AS o_custkey,
+                       o_totalprice
+                FROM orders
+            )
+            SELECT p.o_orderkey, p.o_custkey, c.c_mktsegment,
+                   round(p.o_totalprice, 2) AS o_totalprice
+            FROM p JOIN customer c ON p.o_custkey = c.c_custkey""",
         "orders_customer_left_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
                    round(o.o_totalprice, 2) AS o_totalprice

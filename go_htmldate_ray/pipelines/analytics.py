@@ -540,3 +540,54 @@ def events_rollup(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def orders_customer_skew_join(sf_dir: str, *, hot_threshold: int = 1000):
+    """Planted-skew variant of :func:`orders_customer_join`: every third
+    order is re-keyed to customer 1 — a mega-customer owning ~a third of
+    the fact table — so the join exercises
+    :func:`~go_htmldate_ray.stages.joins.skew_join`'s hot-key broadcast
+    path (the mega-key never routes through one bucket task) alongside
+    the bucketed cold path.  Output layout matches the plain join."""
+    import numpy as np
+
+    from ..stages.joins import skew_join
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def plant(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b.column("o_orderkey"), dtype=np.int64)
+        ck = np.asarray(b.column("o_custkey"), dtype=np.int64).copy()
+        ck[ok % 3 == 0] = 1
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_totalprice": b.column("o_totalprice"),
+            }
+        )
+
+    joined = skew_join(
+        orders.map_batches(plant, batch_format="pyarrow"),
+        customer,
+        on="o_custkey",
+        right_on="c_custkey",
+        hot_threshold=hot_threshold,
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "o_totalprice": _round2(b.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )

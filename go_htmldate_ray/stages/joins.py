@@ -591,3 +591,126 @@ def interval_overlap_join(
         left_cells, right_cells, on=_CELL, n_buckets=n_buckets, how="inner"
     )
     return joined.map_batches(contain, batch_format="pyarrow")
+
+
+_SKEW_HOT_KEY_LIMIT = 100_000  # driver-side hot-key set bound
+
+
+def skew_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    hot_threshold: int = 10_000,
+    n_buckets: int = DEFAULT_JOIN_BUCKETS,
+):
+    """Skew-aware inner equi-join: keys whose LEFT-side frequency reaches
+    ``hot_threshold`` take the broadcast path (their right-side rows are
+    ``ray.put`` once and matched inside ``map_batches`` — no shuffle can
+    co-locate a mega-key on one task), everything else takes the normal
+    bucketed :func:`hash_join`.  The standard hot-key split: without it,
+    one key owning 10% of a 10¹⁰-row fact table routes 10⁹ rows through
+    ONE join task.
+
+    Assumes the dimension-table shape on the right: few rows per hot key
+    (the broadcast side is ``|hot keys| × right-rows-per-key``, and the
+    hot-key SET itself is bounded by ``|left| / hot_threshold``, both
+    enforced against ``_SKEW_HOT_KEY_LIMIT``).  Output column layout
+    matches :func:`hash_join` (left columns + right columns minus the
+    right key); row order is not significant, as with every join here.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    right_on = right_on or on
+    right_names = [n for n in right.schema().names if n != right_on]
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = np.asarray(batch.column(on), dtype=np.int64)
+        u, c = np.unique(keys, return_counts=True)
+        # light combiner: only keys that could plausibly go hot matter,
+        # but partial counts must SUM across blocks, so ship all uniques
+        return pa.table(
+            {
+                "k": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        left.map_batches(key_counts, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("c"))
+    )
+    hot_rows = counts.filter(
+        lambda r: r["sum(c)"] >= hot_threshold
+    ).take_all()  # ≤ |left| / hot_threshold rows by construction
+    if len(hot_rows) > _SKEW_HOT_KEY_LIMIT:
+        raise ValueError(
+            f"skew_join: {len(hot_rows)} hot keys exceed the broadcast "
+            f"bound {_SKEW_HOT_KEY_LIMIT}; raise hot_threshold"
+        )
+    hot_keys = frozenset(int(r["k"]) for r in hot_rows)
+
+    if not hot_keys:
+        return hash_join(left, right, on=on, right_on=right_on, n_buckets=n_buckets)
+
+    hot_arr = pa.array(sorted(hot_keys), pa.int64())
+    right_hot_tbl = pa.concat_tables(
+        [
+            b.filter(pc.is_in(b.column(right_on), value_set=hot_arr))
+            for b in right.iter_batches(batch_format="pyarrow", batch_size=8192)
+        ]
+    )
+    if right_hot_tbl.num_rows > _SKEW_HOT_KEY_LIMIT:
+        raise ValueError(
+            f"skew_join: right side has {right_hot_tbl.num_rows} rows for "
+            "hot keys — not the dimension shape this broadcast assumes"
+        )
+    hot_ref = ray.put(right_hot_tbl)
+
+    left_cold = left.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b.column(on), value_set=hot_arr))
+        ),
+        batch_format="pyarrow",
+    )
+    right_cold = right.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b.column(right_on), value_set=hot_arr))
+        ),
+        batch_format="pyarrow",
+    )
+    cold = hash_join(left_cold, right_cold, on=on, right_on=right_on, n_buckets=n_buckets)
+
+    def hot_match(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rt = ray.get(hot_ref)
+        sel = batch.filter(pc.is_in(batch.column(on), value_set=hot_arr))
+        rk = np.asarray(rt.column(right_on), dtype=np.int64)
+        order = np.argsort(rk, kind="stable")
+        rk_s = rk[order]
+        lk = np.asarray(sel.column(on), dtype=np.int64)
+        starts = np.searchsorted(rk_s, lk, side="left")
+        stops = np.searchsorted(rk_s, lk, side="right")
+        reps = (stops - starts).astype(np.int64)
+        left_idx = np.repeat(np.arange(len(lk)), reps)
+        # right-row indices: per left row, the contiguous [start, stop) run
+        right_idx = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts, stops)]
+        ) if len(lk) else np.array([], dtype=np.int64)
+        out = {
+            c: sel.column(c).take(pa.array(left_idx, pa.int64()))
+            for c in sel.column_names
+        }
+        rt_sorted = rt.take(pa.array(order, pa.int64()))
+        for c in right_names:
+            out[c] = rt_sorted.column(c).take(pa.array(right_idx, pa.int64()))
+        return pa.table(out)
+
+    hot = left.map_batches(hot_match, batch_format="pyarrow")
+    return cold.union(hot)

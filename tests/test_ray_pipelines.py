@@ -2666,3 +2666,40 @@ def test_corpus_checksum_order_and_split_invariant(tmp_path):
     rows[50]["text"] = "doc 50 CHANGED"
     c = corpus_checksum(ray.data.from_items(rows)).take_all()[0]
     assert c["sum_hash"] != a["sum_hash"] and c["xor_hash"] != a["xor_hash"]
+
+
+def test_skew_join_equivalent_to_hash_join():
+    """Planted mega-key: skew_join's broadcast+bucket split must emit
+    exactly hash_join's row multiset, including duplicate right keys."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.joins import hash_join, skew_join
+
+    rng = np.random.RandomState(9)
+    # 60% of left rows hit key 7 (the mega-key); right has TWO rows for
+    # key 7 (per-left fanout) and one for others
+    lk = np.where(rng.rand(3000) < 0.6, 7, rng.randint(0, 40, size=3000))
+    left = ray.data.from_items(
+        [{"k": int(k), "lv": i} for i, k in enumerate(lk)], override_num_blocks=8
+    )
+    right_rows = [{"rk": j, "rv": 100 + j} for j in range(40)] + [
+        {"rk": 7, "rv": 999}
+    ]
+    right = ray.data.from_items(right_rows, override_num_blocks=3)
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in skew_join(left, right, on="k", right_on="rk", hot_threshold=100).take_all()
+    )
+    expect = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in hash_join(left, right, on="k", right_on="rk").take_all()
+    )
+    assert got == expect and len(got) > 3000  # fanout on the hot key
+    # no hot keys -> pure hash_join path, still equivalent
+    got2 = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in skew_join(
+            left, right, on="k", right_on="rk", hot_threshold=10**9
+        ).take_all()
+    )
+    assert got2 == expect
