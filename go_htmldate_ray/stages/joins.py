@@ -627,8 +627,6 @@ def skew_join(
     right_names = [n for n in right.schema().names if n != right_on]
 
     def key_counts(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         keys = np.asarray(batch.column(on), dtype=np.int64)
         u, c = np.unique(keys, return_counts=True)
         # light combiner: only keys that could plausibly go hot matter,
@@ -645,8 +643,11 @@ def skew_join(
         .groupby("k")
         .aggregate(Sum("c"))
     )
-    hot_rows = counts.filter(
-        lambda r: r["sum(c)"] >= hot_threshold
+    hot_rows = counts.map_batches(
+        # vectorized filter: counts has one row per DISTINCT left key —
+        # a per-row Python callback here is the max-overhead shape
+        lambda b: b.filter(pc.greater_equal(b.column("sum(c)"), hot_threshold)),
+        batch_format="pyarrow",
     ).take_all()  # ≤ |left| / hot_threshold rows by construction
     if len(hot_rows) > _SKEW_HOT_KEY_LIMIT:
         raise ValueError(
@@ -660,7 +661,17 @@ def skew_join(
 
     hot_arr = pa.array(sorted(hot_keys), pa.int64())
     right_hot_tbl = pa.concat_tables(
+        # seeded with a typed empty table: an empty right side must give
+        # an empty join, not a concat_tables ValueError
         [
+            pa.table(
+                {
+                    n: pa.array([], t)
+                    for n, t in zip(right.schema().names, right.schema().types)
+                }
+            )
+        ]
+        + [
             b.filter(pc.is_in(b.column(right_on), value_set=hot_arr))
             for b in right.iter_batches(batch_format="pyarrow", batch_size=8192)
         ]
@@ -670,6 +681,9 @@ def skew_join(
             f"skew_join: right side has {right_hot_tbl.num_rows} rows for "
             "hot keys — not the dimension shape this broadcast assumes"
         )
+    # sorted by key ONCE here, so the per-batch hot path is pure
+    # searchsorted — no argsort or table copy per batch
+    right_hot_tbl = right_hot_tbl.sort_by(right_on)
     hot_ref = ray.put(right_hot_tbl)
 
     left_cold = left.map_batches(
@@ -687,13 +701,9 @@ def skew_join(
     cold = hash_join(left_cold, right_cold, on=on, right_on=right_on, n_buckets=n_buckets)
 
     def hot_match(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        rt = ray.get(hot_ref)
+        rt = ray.get(hot_ref)  # already key-sorted
         sel = batch.filter(pc.is_in(batch.column(on), value_set=hot_arr))
-        rk = np.asarray(rt.column(right_on), dtype=np.int64)
-        order = np.argsort(rk, kind="stable")
-        rk_s = rk[order]
+        rk_s = np.asarray(rt.column(right_on), dtype=np.int64)
         lk = np.asarray(sel.column(on), dtype=np.int64)
         starts = np.searchsorted(rk_s, lk, side="left")
         stops = np.searchsorted(rk_s, lk, side="right")
@@ -707,9 +717,8 @@ def skew_join(
             c: sel.column(c).take(pa.array(left_idx, pa.int64()))
             for c in sel.column_names
         }
-        rt_sorted = rt.take(pa.array(order, pa.int64()))
         for c in right_names:
-            out[c] = rt_sorted.column(c).take(pa.array(right_idx, pa.int64()))
+            out[c] = rt.column(c).take(pa.array(right_idx, pa.int64()))
         return pa.table(out)
 
     hot = left.map_batches(hot_match, batch_format="pyarrow")

@@ -427,18 +427,12 @@ def corpus_checksum(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        s = 0
-        x = 0
-        for i, t in zip(ids, texts):
-            h = (
-                int.from_bytes(
-                    hashlib.md5(f"{i}:{t or ''}".encode("utf-8")).digest()[:8],
-                    "big",
-                )
-                >> 1
-            )
-            s = (s + h) & _MASK
-            x ^= h
+        # shared md5 fold (_md5_u64, the SQL-idiom hash) >> 1 to 63 bits;
+        # uint64 wrapping sum then mask IS sum mod 2^63 (mod 2^63 factors
+        # through mod 2^64), so the vectorized fold matches the oracle
+        h = _md5_u64([f"{i}:{t or ''}" for i, t in zip(ids, texts)]) >> np.uint64(1)
+        s = int(h.sum(dtype=np.uint64)) & _MASK if len(h) else 0
+        x = int(np.bitwise_xor.reduce(h)) if len(h) else 0
         return pa.table(
             {
                 "cnt": pa.array([len(ids)], pa.int64()),

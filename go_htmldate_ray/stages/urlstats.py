@@ -14,7 +14,11 @@ same host also reaches the threshold (maximal depth — the frontier of
 the θ-heavy forest).  Because directory prefixes end in ``/``, string
 prefix containment between candidates coincides with lattice ancestry,
 which is what both the engine's small-side check and the SQL oracle
-exploit.
+exploit.  (Full-path LEAVES don't carry the trailing ``/``, so a leaf
+that is a string-prefix of a sibling path — ``/a/1`` vs ``/a/12`` —
+would read as its ancestor; both engine and oracle share this
+convention, which is exact whenever leaf names aren't prefixes of each
+other, e.g. paths with file extensions.)
 """
 
 from __future__ import annotations
@@ -40,13 +44,18 @@ def hot_path_subtrees(ds, *, host_col: str = "host", path_col: str = "path", thr
 
     Shape: per-batch (host, prefix) count partials (≤ depth rows per
     URL) → ONE Sum groupby on light pairs → the candidate set
-    (count ≥ threshold, bounded by n_urls/threshold — the documented
-    driver small side) → maximal-depth filter by string-prefix ancestry
-    within each host.
+    (count ≥ threshold, ≤ n_urls·max_depth/threshold rows — each URL
+    contributes one count to every ancestor, so depth multiplies the
+    bound; enforced loudly below) → maximal-depth filter by sorted
+    lexicographic-successor ancestry within each host (descendants of a
+    prefix are contiguous after it in sorted order, so one successor
+    check suffices — O(C log C), never O(C²)).
     """
     from collections import Counter
 
     from ray.data.aggregate import Sum
+
+    _CANDIDATE_LIMIT = 1_000_000  # driver small-side bound, like skew_join's
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: Counter = Counter()
@@ -82,18 +91,25 @@ def hot_path_subtrees(ds, *, host_col: str = "host", path_col: str = "path", thr
         ).filter(pc.greater_equal(pc.field("n_urls"), threshold)),
         batch_format="pyarrow",
     )
-    # candidate set is the small side by construction (≤ n_urls/threshold
-    # rows): resolve maximality on the driver
+    # candidate set is the bounded driver small side: resolve maximality
     rows = candidates.take_all()
+    if len(rows) > _CANDIDATE_LIMIT:
+        raise ValueError(
+            f"hot_path_subtrees: {len(rows)} candidates exceed the driver "
+            f"bound {_CANDIDATE_LIMIT}; raise threshold"
+        )
     by_host: dict[str, list[dict]] = {}
     for r in rows:
         by_host.setdefault(r["host"], []).append(r)
     out_h, out_p, out_n = [], [], []
     for h, cands in sorted(by_host.items()):
-        prefixes = [c["prefix"] for c in cands]
-        for c in sorted(cands, key=lambda c: c["prefix"]):
+        cands.sort(key=lambda c: c["prefix"])
+        for i, c in enumerate(cands):
             p = c["prefix"]
-            if any(q != p and q.startswith(p) for q in prefixes):
+            # a descendant candidate would sort immediately after p:
+            # one successor check replaces the O(C²) any() scan
+            nxt = cands[i + 1]["prefix"] if i + 1 < len(cands) else None
+            if nxt is not None and nxt.startswith(p):
                 continue  # a deeper candidate exists — not maximal
             out_h.append(h)
             out_p.append(p)

@@ -2652,7 +2652,7 @@ def test_boolean_and_search_bruteforce():
     assert got == expect and expect
 
 
-def test_corpus_checksum_order_and_split_invariant(tmp_path):
+def test_corpus_checksum_order_and_split_invariant():
     import ray.data
     from go_htmldate_ray.stages.sketches import corpus_checksum
 
