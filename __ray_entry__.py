@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host prefixes whose subtree count >= 4 (light pair
         # shuffles + a bounded candidate small side).
         "hot_paths": ed.hot_paths,
+        # Structured-data harvesting: JSON-LD block count / @type /
+        # datePublished per page through the REAL parse + json path.
+        "jsonld_summary": ed.jsonld_summary,
         # Conjunctive (boolean AND) retrieval: docs containing every
         # query term, summed tf — matching postings only ever shuffle.
         "boolean_and_search": lambda sf: _search().boolean_and_search(
@@ -1263,6 +1266,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY priority DESC, doc_id ASC LIMIT 100""".replace(
             "{PR}", _pagerank_sql(iters=3)
         ),
+        # Variant doc_id % 4 == 1 embeds exactly one NewsArticle block
+        # with the iso-formula datePublished; every other variant has no
+        # JSON-LD at all.
+        "jsonld_summary": f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END::BIGINT
+                       AS n_jsonld,
+                   CASE WHEN doc_id % 4 = 1 THEN 'NewsArticle' ELSE '' END
+                       AS jsonld_types,
+                   CASE WHEN doc_id % 4 = 1 THEN
+                        strftime({_DATE_SQL}, '%Y-%m-%d') || 'T'
+                        || lpad((doc_id % 24)::VARCHAR, 2, '0') || ':'
+                        || lpad((doc_id % 60)::VARCHAR, 2, '0')
+                        || ':00+00:00'
+                   ELSE '' END AS date_published
+            FROM documents""",
         # Docs with ALL three terms; per-doc tf summed over the terms.
         "boolean_and_search": r"""
             WITH toks AS (

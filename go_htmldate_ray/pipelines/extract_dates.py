@@ -1772,3 +1772,60 @@ def hot_paths(sf_dir: str, *, threshold: int = 4):
     return hot_path_subtrees(
         docs.map_batches(rows, batch_format="pyarrow"), threshold=threshold
     )
+
+
+def jsonld_summary(sf_dir: str):
+    """Structured-data (schema.org JSON-LD) extraction as a standalone
+    operator: per page, the number of ``application/ld+json`` blocks,
+    the sorted comma-joined ``@type`` values, and the first
+    ``datePublished`` — the metadata-harvesting pipeline (knowledge-graph
+    seeding, article classification) that shares nothing with the date
+    cascade's decision logic but everything with its parse machinery.
+
+    Runs the REAL tokenizer + json parse over every page (the planted
+    truth: variant doc_id % 4 == 1 embeds one NewsArticle block, other
+    variants none — so the oracle proves both the found and not-found
+    sides).  Stateless task-pool batch map, no shuffle.
+    """
+    pages = read_pages(sf_dir)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = [jsonld_of(h or b"") for h in batch.column("html").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_jsonld": pa.array([r[0] for r in rows], pa.int64()),
+                "jsonld_types": pa.array([r[1] for r in rows], pa.string()),
+                "date_published": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+
+    return pages.map_batches(summarize, batch_format="pyarrow")
+
+
+def jsonld_of(html: bytes) -> tuple[int, str, str]:
+    """One page's JSON-LD summary: (block count, sorted comma-joined
+    @type values, first datePublished).  Malformed JSON counts as a
+    block but contributes no fields; non-dict payloads likewise."""
+    import json
+
+    from .. import dom
+
+    tree = dom.parse_html(html)
+    n = 0
+    types: list[str] = []
+    date = ""
+    for el in tree.iter_elements():
+        if el.tag == "script" and el.attr("type").lower() == "application/ld+json":
+            n += 1
+            try:
+                obj = json.loads(el.text_content())
+            except ValueError:
+                continue
+            if isinstance(obj, dict):
+                t = obj.get("@type")
+                if isinstance(t, str):
+                    types.append(t)
+                if not date and isinstance(obj.get("datePublished"), str):
+                    date = obj["datePublished"]
+    return n, ",".join(sorted(types)), date

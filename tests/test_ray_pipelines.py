@@ -2703,3 +2703,34 @@ def test_skew_join_equivalent_to_hash_join():
         ).take_all()
     )
     assert got2 == expect
+
+
+def test_jsonld_summary_hostile_inputs():
+    """Malformed JSON-LD, non-dict payloads, and wrong script types must
+    neither raise nor be miscounted — driven through the operator's own
+    per-page helper."""
+    from go_htmldate_ray.pipelines.extract_dates import jsonld_of
+
+    cases = [
+        (b'<script type="application/ld+json">{broken</script>', 1, "", ""),
+        (b'<script type="application/ld+json">[1, 2]</script>', 1, "", ""),
+        (
+            b'<script type="APPLICATION/LD+JSON">'
+            b'{"@type":"Person","datePublished":"2020-01-01"}</script>',
+            1,
+            "Person",
+            "2020-01-01",
+        ),
+        (b'<script type="text/javascript">{"@type":"X"}</script>', 0, "", ""),
+        (
+            b'<script type="application/ld+json">{"@type":"B"}</script>'
+            b'<script type="application/ld+json">{"@type":"A"}</script>',
+            2,
+            "A,B",
+            "",
+        ),
+        (b"", 0, "", ""),
+        (b"\x00garbage<script", 0, "", ""),
+    ]
+    for html, n, types, date in cases:
+        assert jsonld_of(html) == (n, types, date), html
