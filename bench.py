@@ -521,6 +521,14 @@ def run_headline() -> dict:
     queries["image_dhash"] = round(
         bench_query(multimodal.image_dhash_dedup), 3
     )
+    queries["skew_join"] = round(
+        bench_query(
+            lambda sf: analytics.orders_customer_skew_join(sf, hot_threshold=1000)
+        ),
+        3,
+    )
+    queries["host_triangles"] = round(bench_query(ed_mod.host_triangles), 3)
+    queries["jsonld_summary"] = round(bench_query(ed_mod.jsonld_summary), 3)
 
     for name, (t, n) in bench_text_stage(SF_DIR).items():
         queries[f"text_{name}"] = round(t, 3)
