@@ -129,6 +129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Structured-data harvesting: JSON-LD block count / @type /
         # datePublished per page through the REAL parse + json path.
         "jsonld_summary": ed.jsonld_summary,
+        # Mirror/scraper host detection: host pairs with >= 2 near-dup
+        # docs (planted verbatim mirror of host 2 onto host 86; every
+        # natural singleton host pair must be dropped).
+        "mirror_hosts": ed.mirror_hosts,
         # Conjunctive (boolean AND) retrieval: docs containing every
         # query term, summed tf — matching postings only ever shuffle.
         "boolean_and_search": lambda sf: _search().boolean_and_search(
@@ -1266,6 +1270,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY priority DESC, doc_id ASC LIMIT 100""".replace(
             "{PR}", _pagerank_sql(iters=3)
         ),
+        # Augmented corpus (verbatim mirrors of host-2 docs at host 86)
+        # through the FULL minhash recomputation, folded to unordered
+        # host pairs with the >= 2 threshold.
+        "mirror_hosts": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT 3000000 + ((doc_id - 2) // 97) * 97 + 5 AS doc_id,
+                       text
+                FROM documents WHERE doc_id % 97 = 2
+            ),
+            pairs AS ({_minhash_sql(table="aug")}),
+            h AS (
+                SELECT least(doc_a % 97, doc_b % 97) AS a,
+                       greatest(doc_a % 97, doc_b % 97) AS b
+                FROM pairs WHERE doc_a % 97 != doc_b % 97
+            )
+            SELECT 'site' || a || '.example.org' AS host_a,
+                   'site' || b || '.example.org' AS host_b,
+                   count(*)::BIGINT AS n_pairs
+            FROM h GROUP BY a, b HAVING count(*) >= 2""",
         # Variant doc_id % 4 == 1 embeds exactly one NewsArticle block
         # with the iso-formula datePublished; every other variant has no
         # JSON-LD at all.
@@ -3211,7 +3236,12 @@ SELECT d.doc_id, coalesce(s.n_fingerprints, 0) AS n_fingerprints,
 FROM documents d LEFT JOIN summary s USING (doc_id)"""
 
 
-def _minhash_sql(num_perm: int = 128, num_bands: int = 16, threshold: float = 0.8) -> str:
+def _minhash_sql(
+    num_perm: int = 128,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+    table: str = "documents",
+) -> str:
     # Full independent recomputation of stages/dedup.minhash_lsh_pairs:
     # 3-token shingles → 31-bit md5 hashes → (a*h+b) mod 2^61-1 minima
     # (the same a/b drawn from RandomState(42), emitted as literals) →
@@ -3231,7 +3261,7 @@ def _minhash_sql(num_perm: int = 128, num_bands: int = 16, threshold: float = 0.
     return rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
-  FROM documents WHERE trim(text) != ''
+  FROM {table} WHERE trim(text) != ''
 ),
 sh AS (
   SELECT doc_id, unnest(

@@ -1829,3 +1829,80 @@ def jsonld_of(html: bytes) -> tuple[int, str, str]:
                 if not date and isinstance(obj.get("datePublished"), str):
                     date = obj["datePublished"]
     return n, ",".join(sorted(types)), date
+
+
+def mirror_hosts(sf_dir: str, *, min_pairs: int = 2, threshold: float = 0.8):
+    """Mirror / scraper HOST detection: host pairs connected by at least
+    ``min_pairs`` near-duplicate documents — one shared article is
+    coincidence, a stack of them is a mirror or a scraper, the host-level
+    signal dedup pipelines act on (drop the copier, keep the origin).
+
+    Planting: the natural corpus never gives two near-dup pairs the same
+    host pair (73 singletons at sf0.01), so host-index-2 docs are
+    mirrored VERBATIM at ids ``3_000_000 + j*97 + 5`` — all landing on
+    host index 86 — making (site2, site86) the one concentrated pair the
+    threshold must find while every natural singleton must be dropped.
+
+    Shape: the full banded-minhash pair machinery
+    (:func:`~go_htmldate_ray.stages.dedup.minhash_lsh_pairs`,
+    ``hot_buckets="error"``) → stateless host fold onto unordered
+    host pairs → ONE Sum groupby on the two host columns → threshold
+    filter.  → (host_a, host_b, n_pairs).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..sources.io import read_parquet_clean
+    from ..sources.pages import N_HOSTS, page_host
+    from ..stages.dedup import minhash_lsh_pairs
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant_mirrors(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        mask = ids % N_HOSTS == 2
+        sel_ids = ids[mask]
+        mirror = 3_000_000 + ((sel_ids - 2) // N_HOSTS) * N_HOSTS + 5
+        return pa.table(
+            {
+                "doc_id": pa.array(mirror, pa.int64()),
+                "text": b.column("text").filter(pa.array(mask)),
+            }
+        )
+
+    aug = docs.union(docs.map_batches(plant_mirrors, batch_format="pyarrow"))
+    pairs = minhash_lsh_pairs(aug, threshold=threshold, hot_buckets="error")
+
+    def hostify(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = np.asarray(b.column("doc_a"), dtype=np.int64) % N_HOSTS
+        z = np.asarray(b.column("doc_b"), dtype=np.int64) % N_HOSTS
+        keep = a != z
+        a, z = a[keep], z[keep]
+        lo = np.minimum(a, z)
+        hi = np.maximum(a, z)
+        return pa.table(
+            {
+                "host_a": pa.array([page_host(int(x)) for x in lo], pa.string()),
+                "host_b": pa.array([page_host(int(x)) for x in hi], pa.string()),
+                "n": pa.array(np.ones(len(lo), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(hostify, batch_format="pyarrow")
+        .groupby(["host_a", "host_b"])
+        .aggregate(Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "host_a": b.column("host_a"),
+                "host_b": b.column("host_b"),
+                "n_pairs": b.column("sum(n)").cast(pa.int64()),
+            }
+        ).filter(pc.greater_equal(pc.field("n_pairs"), min_pairs)),
+        batch_format="pyarrow",
+    )

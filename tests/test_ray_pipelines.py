@@ -2734,3 +2734,17 @@ def test_jsonld_summary_hostile_inputs():
     ]
     for html, n, types, date in cases:
         assert jsonld_of(html) == (n, types, date), html
+
+
+def test_mirror_hosts_planted_pair_dominates():
+    from go_htmldate_ray.pipelines.extract_dates import mirror_hosts
+
+    rows = mirror_hosts(SF).take_all()
+    by_pair = {(r["host_a"], r["host_b"]): r["n_pairs"] for r in rows}
+    planted = ("site2.example.org", "site86.example.org")
+    # every host-2 doc got a verbatim mirror -> the planted pair carries
+    # one near-dup per mirrored doc (natural same-pair extras possible
+    # at other host pairs, but none can touch the planted count)
+    assert by_pair[planted] == len([i for i in range(500) if i % 97 == 2])
+    assert all(n >= 2 for n in by_pair.values())
+    assert by_pair[planted] == max(by_pair.values())
