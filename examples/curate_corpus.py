@@ -18,7 +18,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import ray
 
 if not ray.is_initialized():
-    ray.init(address="local", num_cpus=8, include_dashboard=False)
+    ray.init(
+        address="local",
+        num_cpus=8,
+        include_dashboard=False,
+        # workers need the repo on their path too — the sys.path shim
+        # above only patches the driver process
+        runtime_env={
+            "env_vars": {"PYTHONPATH": str(Path(__file__).resolve().parent.parent)}
+        },
+    )
 
 
 from go_htmldate_ray.sources.io import read_parquet_clean

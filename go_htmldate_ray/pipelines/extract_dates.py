@@ -1820,7 +1820,9 @@ def jsonld_of(html: bytes) -> tuple[int, str, str]:
             n += 1
             try:
                 obj = json.loads(el.text_content())
-            except ValueError:
+            except (ValueError, RecursionError):
+                # RecursionError: pathologically nested payloads (the
+                # same guard extract.py's json_search uses)
                 continue
             if isinstance(obj, dict):
                 t = obj.get("@type")

@@ -2731,6 +2731,14 @@ def test_jsonld_summary_hostile_inputs():
         ),
         (b"", 0, "", ""),
         (b"\x00garbage<script", 0, "", ""),
+        # pathological nesting: RecursionError must be swallowed, not
+        # kill the pipeline
+        (
+            b'<script type="application/ld+json">' + b"[" * 100000 + b"</script>",
+            1,
+            "",
+            "",
+        ),
     ]
     for html, n, types, date in cases:
         assert jsonld_of(html) == (n, types, date), html
@@ -2745,6 +2753,11 @@ def test_mirror_hosts_planted_pair_dominates():
     # every host-2 doc got a verbatim mirror -> the planted pair carries
     # one near-dup per mirrored doc (natural same-pair extras possible
     # at other host pairs, but none can touch the planted count)
-    assert by_pair[planted] == len([i for i in range(500) if i % 97 == 2])
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_pylist()
+    assert by_pair[planted] == len([i for i in ids if i % 97 == 2])
     assert all(n >= 2 for n in by_pair.values())
     assert by_pair[planted] == max(by_pair.values())
