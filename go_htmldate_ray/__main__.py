@@ -5,6 +5,8 @@ Usage:
     python -m go_htmldate_ray pipeline SF_DIR OUT_DIR [--extensive]
     python -m go_htmldate_ray dedup SF_DIR OUT_DIR [--mode exact|pairs|clusters]
     python -m go_htmldate_ray search SF_DIR TERM [TERM...] [--k N]
+    python -m go_htmldate_ray curate SF_DIR OUT_DIR [--min-words N]
+                                     [--sem-threshold T] [--n-shards N]
     python -m go_htmldate_ray crawl SF_DIR [--budget N] [--max-waves N]
                                     [--checkpoint DIR] [--resume]
 
@@ -55,6 +57,16 @@ def main(argv=None) -> int:
     p_search.add_argument("sf_dir")
     p_search.add_argument("terms", nargs="+", help="query terms")
     p_search.add_argument("--k", type=int, default=10)
+
+    p_curate = sub.add_parser(
+        "curate",
+        help="quality-filter + exact/semantic dedup + jsonl.gz export",
+    )
+    p_curate.add_argument("sf_dir")
+    p_curate.add_argument("out_dir")
+    p_curate.add_argument("--min-words", type=int, default=15)
+    p_curate.add_argument("--sem-threshold", type=float, default=0.5)
+    p_curate.add_argument("--n-shards", type=int, default=8)
 
     p_crawl = sub.add_parser("crawl", help="run the frontier crawl scheduler")
     p_crawl.add_argument("sf_dir")
@@ -141,6 +153,19 @@ def main(argv=None) -> int:
         )
         df = bm25_topk(docs, args.terms, k=args.k)
         print(df.to_json(orient="records"))
+        return 0
+
+    if args.cmd == "curate":
+        from .pipelines.curation import curate_to_jsonl
+
+        report = curate_to_jsonl(
+            args.sf_dir,
+            args.out_dir,
+            min_words=args.min_words,
+            sem_threshold=args.sem_threshold,
+            n_shards=args.n_shards,
+        )
+        print(json.dumps(report))
         return 0
 
     if args.cmd == "crawl":

@@ -113,3 +113,75 @@ def curated_corpus_stats(
             batch_format="pyarrow",
         )
     )
+
+
+def curate_to_jsonl(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    min_words: int = 15,
+    sem_threshold: float = 0.5,
+    n_shards: int = 8,
+    n_clusters: int = 8,
+):
+    """The full curation funnel as one callable (the CLI ``curate``
+    command and ``examples/curate_corpus.py`` both run this): Gopher
+    quality rules ∩ exact-dedup representatives ∩ SemDeDup keep set →
+    byte-deterministic resumable jsonl.gz shards.
+
+    The three keep sets are materialized as driver-side id sets — small
+    sides by semantics (ids only, 8 bytes/doc); at corpus scale each
+    intersection becomes the bucketed anti/semi-join the dedup stages
+    already provide, keeping the same result.  Returns the sink report
+    plus the per-stage keep counts.
+    """
+    import ray
+
+    from ..sources.io import read_parquet_clean
+    from ..sources.sink import write_jsonl_shards
+    from ..stages.dedup import exact_dedup
+    from ..stages.similarity import semdedup
+    from ..stages.text_stage import gopher_quality_batch
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+
+    quality_keep = {
+        r["doc_id"]
+        for r in docs.map_batches(
+            gopher_quality_batch,
+            fn_kwargs={"min_words": min_words, "min_stopword_hits": 1},
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("passes"), 1)),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id"])
+        .take_all()
+    }
+    exact_keep = {r["doc_id"] for r in exact_dedup(docs).take_all()}
+    sem_keep = {
+        r["vec_id"]
+        for r in semdedup(emb, n_clusters=n_clusters, threshold=sem_threshold).take_all()
+        if r["keep"] == 1
+    }
+    keep = quality_keep & exact_keep & sem_keep
+    keep_ref = ray.put(frozenset(keep))
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        return batch.filter(
+            pa.array([i in ks for i in batch.column("doc_id").to_pylist()])
+        )
+
+    report = write_jsonl_shards(
+        docs.map_batches(keep_filter, batch_format="pyarrow"),
+        out_dir,
+        n_shards=n_shards,
+    )
+    report["n_quality"] = len(quality_keep)
+    report["n_exact"] = len(exact_keep)
+    report["n_semdedup"] = len(sem_keep)
+    report["n_kept"] = len(keep)
+    return report

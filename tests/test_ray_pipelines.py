@@ -2761,3 +2761,22 @@ def test_mirror_hosts_planted_pair_dominates():
     assert by_pair[planted] == len([i for i in ids if i % 97 == 2])
     assert all(n >= 2 for n in by_pair.values())
     assert by_pair[planted] == max(by_pair.values())
+
+
+def test_curate_to_jsonl_funnel(tmp_path):
+    import gzip
+    import json
+    import os
+
+    from go_htmldate_ray.pipelines.curation import curate_to_jsonl
+    from go_htmldate_ray.sources.sink import read_jsonl_shards
+
+    out = str(tmp_path / "curated")
+    rep = curate_to_jsonl(SF, out, n_shards=4)
+    assert rep["n_kept"] == rep["rows_written"] > 0
+    assert rep["n_kept"] <= min(rep["n_quality"], rep["n_exact"], rep["n_semdedup"])
+    back = read_jsonl_shards(out).take_all()
+    assert len(back) == rep["rows_written"]
+    # resume: a second run skips every finished shard
+    rep2 = curate_to_jsonl(SF, out, n_shards=4)
+    assert rep2["rows_written"] == 0 and rep2["shards_skipped"] == [0, 1, 2, 3]
