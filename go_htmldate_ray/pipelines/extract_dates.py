@@ -1369,7 +1369,10 @@ def bitext_candidates(sf_dir: str, *, max_ratio: int = 2):
     # synthesis map (read + tokenize + md5) per branch doubles the most
     # expensive stage
     rows = docs.map_batches(sides, batch_format="pyarrow").materialize()
-    en = rows.filter(lambda r: r["side"] == "en").map_batches(
+    en = rows.map_batches(
+        lambda b: b.filter(pc.equal(b.column("side"), "en")),
+        batch_format="pyarrow",
+    ).map_batches(
         lambda b: pa.table(
             {
                 "template_hash": b.column("template_hash"),
@@ -1380,7 +1383,10 @@ def bitext_candidates(sf_dir: str, *, max_ratio: int = 2):
         ),
         batch_format="pyarrow",
     )
-    de = rows.filter(lambda r: r["side"] == "de").map_batches(
+    de = rows.map_batches(
+        lambda b: b.filter(pc.equal(b.column("side"), "de")),
+        batch_format="pyarrow",
+    ).map_batches(
         lambda b: pa.table(
             {
                 "template_hash": b.column("template_hash"),

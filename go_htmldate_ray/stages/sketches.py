@@ -286,7 +286,10 @@ def heavy_hitters(
         .aggregate(Sum("cnt"), Sum("delta"))
         .materialize()  # small by design: ≤ batch_tokens/L rows per batch
     )
-    marker = summary.filter(lambda r: r["token"] == "").take_all()
+    marker = summary.map_batches(
+        lambda b: b.filter(pc.equal(b.column("token"), "")),
+        batch_format="pyarrow",
+    ).take_all()
     u_total = int(marker[0]["sum(delta)"]) if marker else 0
     if support > 1 and u_total >= threshold:
         raise ValueError(
@@ -295,11 +298,13 @@ def heavy_hitters(
             f"rerun with support <= {max(1, threshold // (2 * (u_total // max(1, support - 1) + 1)))}"
         )
     cand_rows = (
-        summary.filter(lambda r: r["token"] != "")
-        .map_batches(
+        summary.map_batches(
             lambda b: b.filter(
-                pc.greater_equal(
-                    pc.add(b.column("sum(delta)"), u_total), threshold
+                pc.and_(
+                    pc.not_equal(b.column("token"), ""),
+                    pc.greater_equal(
+                        pc.add(b.column("sum(delta)"), u_total), threshold
+                    ),
                 )
             ),
             batch_format="pyarrow",
