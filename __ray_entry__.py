@@ -448,6 +448,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             threshold=40,
             ngram=2,
         ),
+        # Vocabulary-coverage scoring: per-doc OOV ppm vs the top-10
+        # corpus vocab (vocab build broadcast once, stateless scoring).
+        "oov_rates": lambda sf: text_stage.oov_rates(
+            read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+            vocab_k=10,
+        ),
         # Collocation mining: top-20 bigrams by PMI (combiner partials →
         # two keyed Sums → two bucketed joins to attach unigram counts).
         "bigram_collocations": lambda sf: text_stage.bigram_collocations(
@@ -2051,6 +2057,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row_id::BIGINT AS row_id, col_id, sum(c)::BIGINT AS counter
             FROM cells GROUP BY row_id, col_id""",
+        # Top-10 vocab (n DESC, token ASC — top_tokens' tie-break), then
+        # per-doc OOV counts with exact integer ppm.
+        "oov_rates": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                FROM documents WHERE trim(text) != ''
+            ),
+            v AS (
+                SELECT term FROM toks GROUP BY term
+                ORDER BY count(*) DESC, term ASC LIMIT 10
+            ),
+            s AS (
+                SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                       sum(CASE WHEN term NOT IN (SELECT term FROM v)
+                                THEN 1 ELSE 0 END)::BIGINT AS n_oov
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.n_oov, 0) AS n_oov,
+                   CASE WHEN coalesce(s.n_tokens, 0) > 0
+                        THEN s.n_oov * 1000000 // s.n_tokens
+                        ELSE 0 END::BIGINT AS oov_ppm
+            FROM documents d LEFT JOIN s USING (doc_id)""",
         "heavy_hitter_tokens": r"""
             WITH d AS (
                 SELECT regexp_split_to_array(trim(text), '\s+') AS a

@@ -1088,3 +1088,44 @@ def cdc_chunk_batch(batch: pa.Table, *, mask_bits: int = 6) -> pa.Table:
             "chunk_md5": pa.array(out_md5, pa.string()),
         }
     )
+
+
+def oov_rates(ds, *, vocab_k: int = 10):
+    """Vocabulary-coverage scoring: per document, the token count and the
+    exact parts-per-million of tokens OUTSIDE the corpus's top
+    ``vocab_k`` vocabulary — the pre-tokenizer health check a training
+    pipeline runs before committing to a vocab (a high OOV tail means
+    the vocab is too small or the corpus too dirty for it).
+
+    Two passes: the :func:`top_tokens` vocabulary build (combiner
+    partials → one token-keyed groupby → k-row result, broadcast via
+    ``ray.put``) then a stateless scoring pass — no further shuffle.
+    → (doc_id, n_tokens, n_oov, oov_ppm), integer-exact.
+    """
+    import ray
+
+    vocab = frozenset(
+        r["token"] for r in top_tokens(ds, k=vocab_k).take_all()
+    )  # ≤ vocab_k rows — the broadcast small side
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        n_out, oov_out, ppm_out = [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").split()
+            n = len(toks)
+            oov = sum(1 for tok in toks if tok not in v)
+            n_out.append(n)
+            oov_out.append(oov)
+            ppm_out.append(oov * 1_000_000 // n if n else 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_out, pa.int64()),
+                "n_oov": pa.array(oov_out, pa.int64()),
+                "oov_ppm": pa.array(ppm_out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2780,3 +2780,31 @@ def test_curate_to_jsonl_funnel(tmp_path):
     # resume: a second run skips every finished shard
     rep2 = curate_to_jsonl(SF, out, n_shards=4)
     assert rep2["rows_written"] == 0 and rep2["shards_skipped"] == [0, 1, 2, 3]
+
+
+def test_oov_rates_bruteforce():
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.text_stage import oov_rates
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    counts = Counter()
+    for txt in t.column("text").to_pylist():
+        counts.update((txt or "").split())
+    vocab = {
+        tok
+        for tok, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    }
+    rows = oov_rates(
+        read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"]),
+        vocab_k=10,
+    ).take_all()
+    got = {r["doc_id"]: r for r in rows}
+    for i, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = (txt or "").split()
+        oov = sum(1 for tok in toks if tok not in vocab)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["n_oov"] == oov
+        assert got[i]["oov_ppm"] == (oov * 1_000_000 // len(toks) if toks else 0)
