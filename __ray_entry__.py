@@ -579,6 +579,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": lambda sf: similarity.kmeans_assign(
             _embeddings(sf), n_clusters=8, refine_iters=2
         ),
+        # Margin-based bitext mining (Artetxe & Schwenk 2019): planted
+        # translated twins matched by the 2·cos − μ_k(b) − μ_k(a*)
+        # distance margin; 6-dp + id tie-breaks keep it SQL-exact.
+        "xling_margin_pairs": lambda sf: similarity.xling_margin_pairs(
+            _embeddings(sf), k=4
+        ),
         # SemDeDup (Abbas et al. 2023): within each k-means cluster drop
         # members whose cosine to any earlier member reaches 0.5; the
         # oracle replays the clustering AND the pairwise rule in SQL.
@@ -2660,6 +2666,44 @@ FROM scored s, t""",
 ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         "kmeans_clusters": _kmeans_sql(),
         "semdedup": _semdedup_sql(),
+        # Planted twins via a correlated list_transform (the engine's
+        # double arithmetic verbatim); both top-k means and the margin
+        # replayed with the same 6-dp rounding and id tie-breaks.
+        "xling_margin_pairs": """
+            WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            b AS (
+                SELECT vec_id + 5000000 AS bid,
+                       list_transform(range(1, len(e) + 1),
+                           p -> e[p] + ((vec_id + p - 1) % 7 - 3) * 0.01) AS e
+                FROM a WHERE vec_id % 29 = 6
+            ),
+            cos AS (
+                SELECT b.bid, a.vec_id AS aid,
+                       round(list_cosine_similarity(a.e, b.e), 6) AS c
+                FROM a, b
+            ),
+            topb AS (
+                SELECT bid, aid, c, row_number() OVER (
+                    PARTITION BY bid ORDER BY c DESC, aid ASC) AS rn
+                FROM cos
+            ),
+            mu_b AS (SELECT bid,
+                            sum(CAST(round(c * 1000000) AS BIGINT)) AS s
+                     FROM topb WHERE rn <= 4 GROUP BY bid),
+            best AS (SELECT bid, aid, c FROM topb WHERE rn = 1),
+            topa AS (
+                SELECT aid, bid, c, row_number() OVER (
+                    PARTITION BY aid ORDER BY c DESC, bid ASC) AS rn
+                FROM cos WHERE aid IN (SELECT aid FROM best)
+            ),
+            mu_a AS (SELECT aid,
+                            sum(CAST(round(c * 1000000) AS BIGINT)) AS s
+                     FROM topa WHERE rn <= 4 GROUP BY aid)
+            SELECT best.bid AS src_id, best.aid AS matched_id,
+                   (8 * CAST(round(best.c * 1000000) AS BIGINT)
+                    - mu_b.s - mu_a.s)::BIGINT AS margin_micro4
+            FROM best JOIN mu_b USING (bid)
+            JOIN mu_a ON mu_a.aid = best.aid""",
         "lang_id": _lang_id_sql(),
         "script_lang_id": _script_lang_sql(),
         "c4_line_filter": _c4_line_sql(),

@@ -1055,3 +1055,154 @@ def semdedup(
         )
 
     return assigned.groupby("cluster").map_groups(within, batch_format="pyarrow")
+
+
+# --- margin-based bitext mining (Artetxe & Schwenk 2019) ---------------------
+
+
+_XLING_SIDE_LIMIT = 100_000  # broadcast bound for the planted language side
+
+
+def xling_margin_pairs(
+    ds,
+    *,
+    k: int = 4,
+    plant_mod: int = 29,
+    plant_res: int = 6,
+    offset: int = 5_000_000,
+):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): pair each
+    "language-B" vector with its best "language-A" neighbor, scored by
+    the distance margin ``2·cos(b, a*) − μ_k(b) − μ_k(a*)`` where
+    ``μ_k(·)`` is the mean of the vector's top-``k`` cosines against the
+    other language — the criterion that separates true translations from
+    hubs (a vector close to everything scores a low margin even with a
+    high raw cosine).
+
+    Planting: language B = translated twins of A vectors with
+    ``vec_id % plant_mod == plant_res`` at ``vec_id + offset``, element
+    ``i`` perturbed by ``((vec_id + i) % 7 - 3) · 0.01`` — pure-double
+    arithmetic the SQL oracle replays exactly.
+
+    Shape: the B matrix is the broadcast small side (``n/plant_mod``
+    rows, bound asserted); ONE pass over A emits per-B rounded-cosine
+    top-k partials (6-dp + id tie-breaks, the ANN float-determinism
+    convention) → per-B merge groupby → a tiny driver fold over
+    ``|B|·k`` rows computes both top-k means and the margins.
+    → (src_id, matched_id, margin_micro4), one row per B vector.
+    """
+    import ray
+
+    def planted_side(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+        return b.filter(pa.array(ids % plant_mod == plant_res))
+
+    src_rows = (
+        ds.map_batches(planted_side, batch_format="pyarrow")
+        .select_columns(["vec_id", "embedding"])
+        .take_all()
+    )
+    if len(src_rows) > _XLING_SIDE_LIMIT:
+        raise ValueError(
+            f"xling_margin_pairs: {len(src_rows)} planted-side rows exceed "
+            f"the broadcast bound {_XLING_SIDE_LIMIT}"
+        )
+    src_rows.sort(key=lambda r: r["vec_id"])
+    src_ids = np.asarray([r["vec_id"] for r in src_rows], dtype=np.int64)
+    amat = np.asarray([r["embedding"] for r in src_rows], dtype=np.float64)
+    dim = amat.shape[1]
+    # the planted perturbation (double arithmetic, SQL-replayable)
+    shift = ((src_ids[:, None] + np.arange(dim)[None, :]) % 7 - 3) * 0.01
+    bmat = amat + shift
+    bnorm = np.linalg.norm(bmat, axis=1, keepdims=True)
+    bnorm[bnorm == 0] = 1.0
+    bunit = bmat / bnorm
+    bids = src_ids + offset
+    b_ref = ray.put(bunit)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bu = ray.get(b_ref)
+        aids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        em = _list_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(em, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = np.round(bu @ (em / norms).T, 6)  # (|B|, batch)
+        out_b, out_a, out_c = [], [], []
+        for bi, bid in enumerate(bids):
+            row = cos[bi]
+            if len(aids) > k:
+                sel = np.lexsort((aids, -row))[:k]
+            else:
+                sel = np.arange(len(aids))
+            out_b.extend([int(bid)] * len(sel))
+            out_a.extend(aids[sel].tolist())
+            out_c.extend(row[sel].tolist())
+        return pa.table(
+            {
+                "b_id": pa.array(out_b, pa.int64()),
+                "a_id": pa.array(out_a, pa.int64()),
+                "c": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        bid = group.column("b_id")[0].as_py()
+        a = np.asarray(group.column("a_id").to_pylist(), dtype=np.int64)
+        c = np.asarray(group.column("c").to_pylist(), dtype=np.float64)
+        sel = np.lexsort((a, -c))[:k]
+        return pa.table(
+            {
+                "b_id": pa.array([bid] * len(sel), pa.int64()),
+                "a_id": pa.array(a[sel], pa.int64()),
+                "c": pa.array(c[sel], pa.float64()),
+            }
+        )
+
+    merged = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=1024)
+        .groupby("b_id")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()  # |B| x k light rows — the driver fold's input
+    )
+    by_b: dict[int, list] = {}
+    for r in merged:
+        by_b.setdefault(r["b_id"], []).append((r["c"], r["a_id"]))
+    # matched-A side: cosines of the matched A vectors against ALL of B
+    # (best = highest cosine, LOWEST id on ties — the ANN convention)
+    matched = sorted(
+        {min(v, key=lambda t: (-t[0], t[1]))[1] for v in by_b.values()}
+    )
+    _, m_mat = _query_matrix(ds, matched)
+    a_cos = np.round(np.asarray(m_mat) @ bunit.T, 6)  # (|matched|, |B|)
+    # all remaining arithmetic in exact integer MICRO units: the 6-dp
+    # cosines are within an ulp of integers after ×1e6, and float MEANS
+    # would diverge from SQL's avg() in the last ulp (pairwise vs
+    # sequential summation) — integers cannot
+    sum_a_micro = {}
+    for mi, aid in enumerate(matched):
+        row = a_cos[mi]
+        sel = np.lexsort((bids, -row))[:k]
+        sum_a_micro[aid] = int(sum(round(c * 1e6) for c in row[sel]))
+    out_s, out_m, out_g = [], [], []
+    for bid in sorted(by_b):
+        entries = sorted(by_b[bid], key=lambda t: (-t[0], t[1]))[:k]
+        best_c, best_a = entries[0]
+        sum_b_micro = int(sum(round(c * 1e6) for c, _ in entries))
+        # 4 × margin in micro units: 8·cos(b,a*) − Σtopk(b) − Σtopk(a*)
+        out_s.append(bid)
+        out_m.append(best_a)
+        out_g.append(
+            8 * int(round(best_c * 1e6)) - sum_b_micro - sum_a_micro[best_a]
+        )
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array(out_s, pa.int64()),
+                "matched_id": pa.array(out_m, pa.int64()),
+                "margin_micro4": pa.array(out_g, pa.int64()),
+            }
+        )
+    )

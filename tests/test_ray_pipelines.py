@@ -2808,3 +2808,17 @@ def test_oov_rates_bruteforce():
         assert got[i]["n_tokens"] == len(toks)
         assert got[i]["n_oov"] == oov
         assert got[i]["oov_ppm"] == (oov * 1_000_000 // len(toks) if toks else 0)
+
+
+def test_xling_margin_planted_twins_match():
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.similarity import xling_margin_pairs
+
+    emb = read_parquet_clean(f"{SF}/embeddings.parquet")
+    rows = xling_margin_pairs(emb, k=4).take_all()
+    assert rows
+    for r in rows:
+        # every planted twin must match its own origin, with a strongly
+        # positive margin (4x micro units: > 0.25 raw margin)
+        assert r["matched_id"] == r["src_id"] - 5_000_000
+        assert r["margin_micro4"] > 1_000_000
