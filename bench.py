@@ -529,6 +529,23 @@ def run_headline() -> dict:
     )
     queries["host_triangles"] = round(bench_query(ed_mod.host_triangles), 3)
     queries["jsonld_summary"] = round(bench_query(ed_mod.jsonld_summary), 3)
+    queries["oov_rates"] = round(
+        bench_query(
+            lambda sf: text_stage.oov_rates(
+                read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+                vocab_k=10,
+            )
+        ),
+        3,
+    )
+    queries["xling_margin"] = round(
+        bench_query(
+            lambda sf: similarity.xling_margin_pairs(
+                read_parquet_clean(f"{sf}/embeddings.parquet"), k=4
+            )
+        ),
+        3,
+    )
 
     for name, (t, n) in bench_text_stage(SF_DIR).items():
         queries[f"text_{name}"] = round(t, 3)
