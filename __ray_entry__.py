@@ -389,6 +389,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # are re-planted as today-ids (1e6+i) on BOTH sides — the oracle
         # proves drops AND keeps.
         "new_docs_vs_snapshot": _new_docs_vs_snapshot,
+        # Asymmetric n-gram containment (Broder) over the bounded
+        # sample: quote/subset detection the symmetric Jaccard misses.
+        "containment_pairs": lambda sf: dedup.containment_pairs(_docs(sf)),
         # Incremental NEAR-dup: new docs' minhash bands probe the
         # snapshot side's band index in one equi-join (no old×old
         # candidates); signature lookup-join verify; 29 natural
@@ -2303,6 +2306,23 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE length(list_intersect(a.gs, b.gs))::DOUBLE
                   / length(list_distinct(list_concat(a.gs, b.gs))) >= 0.03""",
+        "containment_pairs": r"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN length(ts) < 3 THEN [array_to_string(ts, ' ')]
+                                ELSE list_transform(range(1, length(ts) - 1),
+                                                    i -> array_to_string(ts[i:i+2], ' '))
+                           END) AS gs
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+                      FROM documents WHERE doc_id < 200 AND trim(text) != '')
+            )
+            SELECT src_doc, dst_doc, containment_ppm FROM (
+                SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+                       (length(list_intersect(a.gs, b.gs))::BIGINT * 1000000
+                        // length(a.gs))::BIGINT AS containment_ppm
+                FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+            ) WHERE containment_ppm >= 500000""",
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
             scored AS (

@@ -1304,3 +1304,63 @@ def near_dup_vs_snapshot(
         )
 
     return with_b.map_batches(verify, batch_format="pyarrow")
+
+
+def containment_pairs(
+    ds, *, n: int = 3, max_doc_id: int = 200, min_containment_ppm: int = 500_000
+):
+    """Asymmetric n-gram containment C(src→dst) = |S(src)∩S(dst)| /
+    |S(src)| — Broder's containment, the quote/subset detector the
+    symmetric Jaccard misses: a short document quoted inside a long one
+    scores near 1 where resemblance stays low.  Exact integer
+    parts-per-million over ORDERED pairs (src != dst) of the bounded
+    ``doc_id < max_doc_id`` sample — the same explicit O(sample²)
+    broadcast contract as :func:`ngram_jaccard_pairs`.
+    → (src_doc, dst_doc, containment_ppm)."""
+    import ray
+    import ray.data
+
+    sample = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), max_doc_id)),
+        batch_format="pyarrow",
+    )
+    rows = sample.select_columns(["doc_id", "text"]).take_all()
+
+    def shingles(text: str) -> frozenset:
+        toks = (text or "").split()
+        if len(toks) < n:
+            return frozenset([" ".join(toks)]) if toks else frozenset()
+        return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+    sets = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    sets_ref = ray.put(sets)
+    ids = sorted(sets)
+    pair_list = [
+        {"src_doc": a, "dst_doc": b} for a in ids for b in ids if a != b
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(sets_ref)
+        os_, od, op = [], [], []
+        for a, b in zip(
+            batch.column("src_doc").to_pylist(), batch.column("dst_doc").to_pylist()
+        ):
+            sa, sb = table[a], table[b]
+            if not sa:
+                continue
+            ppm = len(sa & sb) * 1_000_000 // len(sa)
+            if ppm >= min_containment_ppm:
+                os_.append(a)
+                od.append(b)
+                op.append(ppm)
+        return pa.table(
+            {
+                "src_doc": pa.array(os_, pa.int64()),
+                "dst_doc": pa.array(od, pa.int64()),
+                "containment_ppm": pa.array(op, pa.int64()),
+            }
+        )
+
+    return ray.data.from_items(pair_list).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -2822,3 +2822,25 @@ def test_xling_margin_planted_twins_match():
         # positive margin (4x micro units: > 0.25 raw margin)
         assert r["matched_id"] == r["src_id"] - 5_000_000
         assert r["margin_micro4"] > 1_000_000
+
+
+def test_containment_asymmetric_quote_detection():
+    """A short doc quoted inside a long one: containment short→long is
+    1.0 while long→short and the symmetric Jaccard stay low."""
+    import ray.data
+    from go_htmldate_ray.stages.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = "zero one two three four five six seven " * 5 + short
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": short},
+            {"doc_id": 1, "text": long},
+            {"doc_id": 2, "text": "unrelated words only here now indeed"},
+        ]
+    )
+    rows = containment_pairs(ds, min_containment_ppm=900_000).take_all()
+    got = {(r["src_doc"], r["dst_doc"]): r["containment_ppm"] for r in rows}
+    assert got[(0, 1)] == 1_000_000  # every shingle of the quote is in the host
+    assert (1, 0) not in got  # the host is NOT contained in the quote
+    assert (0, 2) not in got and (2, 0) not in got
