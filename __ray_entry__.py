@@ -582,6 +582,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": lambda sf: similarity.kmeans_assign(
             _embeddings(sf), n_clusters=8, refine_iters=2
         ),
+        # Johnson–Lindenstrauss projection to 16 dims (seeded Gaussian,
+        # exact ÷4 scale, 6-dp values flattened for value comparison).
+        "jl_projection": lambda sf: similarity.jl_project(
+            _embeddings(sf), out_dim=16
+        ),
         # Margin-based bitext mining (Artetxe & Schwenk 2019): planted
         # translated twins matched by the 2·cos − μ_k(b) − μ_k(a*)
         # distance margin; 6-dp + id tie-breaks keep it SQL-exact.
@@ -2686,6 +2691,7 @@ FROM scored s, t""",
 ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         "kmeans_clusters": _kmeans_sql(),
         "semdedup": _semdedup_sql(),
+        "jl_projection": _jl_sql(),
         # Planted twins via a correlated list_transform (the engine's
         # double arithmetic verbatim); both top-k means and the margin
         # replayed with the same 6-dp rounding and id tie-breaks.
@@ -3824,6 +3830,28 @@ SELECT a.vec_id, a.cluster,
                  >= {threshold}
        ) THEN 0 ELSE 1 END::BIGINT AS keep
 FROM assign a JOIN v v1 ON v1.vec_id = a.vec_id"""
+
+
+def _jl_sql(out_dim: int = 16, seed: int = 11) -> str:
+    # The projection matrix literals come from the same RandomState the
+    # engine rebuilds per batch; the ÷root scale is float-exact.
+    import math
+
+    import numpy as np
+
+    dim = _fixture_embedding_dim()
+    p = np.random.RandomState(seed).standard_normal((out_dim, dim))
+    root = math.isqrt(out_dim)
+    rows = ", ".join(
+        f"({d}, [{','.join(repr(float(x)) for x in p[d])}]::DOUBLE[])"
+        for d in range(out_dim)
+    )
+    return f"""
+WITH p(dim_id, v) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT e.vec_id, p.dim_id::BIGINT AS dim_id,
+       round(list_inner_product(e.e, p.v) / {root}, 6) AS val
+FROM e, p"""
 
 
 def _golden_corpus_sql() -> str:

@@ -2844,3 +2844,44 @@ def test_containment_asymmetric_quote_detection():
     assert got[(0, 1)] == 1_000_000  # every shingle of the quote is in the host
     assert (1, 0) not in got  # the host is NOT contained in the quote
     assert (0, 2) not in got and (2, 0) not in got
+
+
+def test_jl_projection_preserves_cosine_structure():
+    """JL property: pairwise cosines in the 16-d projection track the
+    64-d originals within a loose distortion tolerance."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages.similarity import jl_project
+
+    rows = jl_project(
+        read_parquet_clean(f"{SF}/embeddings.parquet"), out_dim=16
+    ).take_all()
+    proj = {}
+    for r in rows:
+        proj.setdefault(r["vec_id"], [0.0] * 16)[r["dim_id"]] = r["val"]
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    orig = dict(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+    def mean_err(rows_k, k):
+        pk = {}
+        for r in rows_k:
+            pk.setdefault(r["vec_id"], [0.0] * k)[r["dim_id"]] = r["val"]
+        ids = sorted(pk)[:40]
+        P = np.asarray([pk[i] for i in ids])
+        O = np.asarray([orig[i] for i in ids], dtype=np.float64)
+        P /= np.linalg.norm(P, axis=1, keepdims=True)
+        O /= np.linalg.norm(O, axis=1, keepdims=True)
+        iu = np.triu_indices(len(ids), k=1)
+        return float(np.mean(np.abs((P @ P.T)[iu] - (O @ O.T)[iu])))
+
+    # JL distortion at k=16 scales ~1/sqrt(16): mean absolute cosine
+    # error bounded, and it must SHRINK as k grows (the JL guarantee)
+    err16 = mean_err(rows, 16)
+    rows64 = jl_project(
+        read_parquet_clean(f"{SF}/embeddings.parquet"), out_dim=64
+    ).take_all()
+    err64 = mean_err(rows64, 64)
+    assert err16 < 0.3
+    assert err64 < err16 / 1.5
