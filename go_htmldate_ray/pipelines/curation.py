@@ -135,9 +135,6 @@ def curate_to_jsonl(
     already provide, keeping the same result.  Returns the sink report
     plus the per-stage keep counts.
     """
-    import ray
-
-    from ..sources.io import read_parquet_clean
     from ..sources.sink import write_jsonl_shards
     from ..stages.dedup import exact_dedup
     from ..stages.similarity import semdedup
@@ -167,12 +164,12 @@ def curate_to_jsonl(
         if r["keep"] == 1
     }
     keep = quality_keep & exact_keep & sem_keep
-    keep_ref = ray.put(frozenset(keep))
+
+    keep_arr = pa.array(sorted(keep), pa.int64())
 
     def keep_filter(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keep_ref)
         return batch.filter(
-            pa.array([i in ks for i in batch.column("doc_id").to_pylist()])
+            pc.is_in(batch.column("doc_id"), value_set=keep_arr)
         )
 
     report = write_jsonl_shards(

@@ -772,6 +772,17 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 
 # --- exact n-gram Jaccard over a bounded sample ------------------------------
 
+def _token_shingles(text: str, n: int) -> frozenset:
+    """Distinct n-token shingle strings (short docs fall back to one
+    whole-text shingle) — the one shingling rule the sample-pair
+    detectors (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`)
+    and their SQL oracles share."""
+    toks = (text or "").split()
+    if len(toks) < n:
+        return frozenset([" ".join(toks)]) if toks else frozenset()
+    return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
 def ngram_jaccard_pairs(ds, *, n: int = 3, max_doc_id: int = 200, min_jaccard: float = 0.2):
     """Exact distinct n-gram (token shingle) Jaccard for all pairs with
     doc_id below ``max_doc_id`` — the n-gram counterpart of
@@ -788,13 +799,7 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, max_doc_id: int = 200, min_jaccard: f
     )
     rows = sample.select_columns(["doc_id", "text"]).take_all()
 
-    def shingles(text: str) -> frozenset:
-        toks = (text or "").split()
-        if len(toks) < n:
-            return frozenset([" ".join(toks)]) if toks else frozenset()
-        return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
-
-    sets = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    sets = {r["doc_id"]: _token_shingles(r["text"], n) for r in rows}
     sets_ref = ray.put(sets)
     ids = sorted(sets)
     pair_list = [{"doc_a": a, "doc_b": b} for a, b in combinations(ids, 2)]
@@ -1326,13 +1331,7 @@ def containment_pairs(
     )
     rows = sample.select_columns(["doc_id", "text"]).take_all()
 
-    def shingles(text: str) -> frozenset:
-        toks = (text or "").split()
-        if len(toks) < n:
-            return frozenset([" ".join(toks)]) if toks else frozenset()
-        return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
-
-    sets = {r["doc_id"]: shingles(r["text"]) for r in rows}
+    sets = {r["doc_id"]: _token_shingles(r["text"], n) for r in rows}
     sets_ref = ray.put(sets)
     ids = sorted(sets)
     pair_list = [

@@ -1107,6 +1107,18 @@ def xling_margin_pairs(
             f"xling_margin_pairs: {len(src_rows)} planted-side rows exceed "
             f"the broadcast bound {_XLING_SIDE_LIMIT}"
         )
+    import ray.data
+
+    if not src_rows:  # no planted side: empty typed result, not a crash
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([], pa.int64()),
+                    "matched_id": pa.array([], pa.int64()),
+                    "margin_micro4": pa.array([], pa.int64()),
+                }
+            )
+        )
     src_rows.sort(key=lambda r: r["vec_id"])
     src_ids = np.asarray([r["vec_id"] for r in src_rows], dtype=np.int64)
     amat = np.asarray([r["embedding"] for r in src_rows], dtype=np.float64)
@@ -1124,6 +1136,14 @@ def xling_margin_pairs(
         bu = ray.get(b_ref)
         aids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         em = _list_matrix(batch.column("embedding"))
+        if em.size == 0:
+            return pa.table(
+                {
+                    "b_id": pa.array([], pa.int64()),
+                    "a_id": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.float64()),
+                }
+            )
         norms = np.linalg.norm(em, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cos = np.round(bu @ (em / norms).T, 6)  # (|B|, batch)
@@ -1189,11 +1209,13 @@ def xling_margin_pairs(
         entries = sorted(by_b[bid], key=lambda t: (-t[0], t[1]))[:k]
         best_c, best_a = entries[0]
         sum_b_micro = int(sum(round(c * 1e6) for c, _ in entries))
-        # 4 × margin in micro units: 8·cos(b,a*) − Σtopk(b) − Σtopk(a*)
+        # k × margin in micro units: 2k·cos(b,a*) − Σtopk(b) − Σtopk(a*)
         out_s.append(bid)
         out_m.append(best_a)
         out_g.append(
-            8 * int(round(best_c * 1e6)) - sum_b_micro - sum_a_micro[best_a]
+            2 * k * int(round(best_c * 1e6))
+            - sum_b_micro
+            - sum_a_micro[best_a]
         )
     import ray.data
 
@@ -1209,6 +1231,19 @@ def xling_margin_pairs(
 
 
 # --- Johnson–Lindenstrauss random projection ---------------------------------
+
+
+_JL_MATRIX_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _cached_jl_matrix(seed: int, out_dim: int, dim: int) -> np.ndarray:
+    key = (seed, out_dim, dim)
+    m = _JL_MATRIX_CACHE.get(key)
+    if m is None:
+        m = _JL_MATRIX_CACHE[key] = np.random.RandomState(seed).standard_normal(
+            (out_dim, dim)
+        )
+    return m
 
 
 def jl_project(ds, *, out_dim: int = 16, seed: int = 11, round_decimals: int = 6):
@@ -1243,8 +1278,7 @@ def jl_project(ds, *, out_dim: int = 16, seed: int = 11, round_decimals: int = 6
                     "val": pa.array([], pa.float64()),
                 }
             )
-        rng = np.random.RandomState(seed)
-        p = rng.standard_normal((out_dim, mat.shape[1]))
+        p = _cached_jl_matrix(seed, out_dim, mat.shape[1])
         proj = np.round((mat @ p.T) / root, round_decimals)
         n = len(proj)
         ids = np.asarray(batch.column("vec_id"), dtype=np.int64)

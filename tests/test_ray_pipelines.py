@@ -2764,10 +2764,6 @@ def test_mirror_hosts_planted_pair_dominates():
 
 
 def test_curate_to_jsonl_funnel(tmp_path):
-    import gzip
-    import json
-    import os
-
     from go_htmldate_ray.pipelines.curation import curate_to_jsonl
     from go_htmldate_ray.sources.sink import read_jsonl_shards
 
@@ -2857,9 +2853,6 @@ def test_jl_projection_preserves_cosine_structure():
     rows = jl_project(
         read_parquet_clean(f"{SF}/embeddings.parquet"), out_dim=16
     ).take_all()
-    proj = {}
-    for r in rows:
-        proj.setdefault(r["vec_id"], [0.0] * 16)[r["dim_id"]] = r["val"]
     t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
     orig = dict(
         zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
