@@ -582,6 +582,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": lambda sf: similarity.kmeans_assign(
             _embeddings(sf), n_clusters=8, refine_iters=2
         ),
+        # Scalar int8-range quantization: per-dim min/max from one
+        # light aggregate pass, explicit half-up floor both sides.
+        "scalar_quantize": lambda sf: similarity.scalar_quantize(
+            _embeddings(sf)
+        ),
         # Johnson–Lindenstrauss projection to 16 dims (seeded Gaussian,
         # exact ÷4 scale, 6-dp values flattened for value comparison).
         "jl_projection": lambda sf: similarity.jl_project(
@@ -2692,6 +2697,27 @@ ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
         "kmeans_clusters": _kmeans_sql(),
         "semdedup": _semdedup_sql(),
         "jl_projection": _jl_sql(),
+        # Per-dim min/max over the unnested doubles, then the same
+        # half-up floor the engine applies; constant dims -> 0.
+        "scalar_quantize": """
+            WITH v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            x AS (
+                SELECT vec_id, i.i - 1 AS dim_id, e[i.i] AS val
+                FROM v, unnest(range(1, len(e) + 1)) i(i)
+            ),
+            s AS (
+                SELECT dim_id, min(val) AS lo, max(val) AS hi
+                FROM x GROUP BY dim_id
+            )
+            SELECT x.vec_id, x.dim_id,
+                   CASE WHEN s.hi > s.lo THEN
+                        least(greatest(
+                            floor((x.val - s.lo) * 255 / (s.hi - s.lo) + 0.5),
+                            0), 255)
+                   ELSE 0 END::BIGINT AS q
+            FROM x JOIN s USING (dim_id)""",
         # Planted twins via a correlated list_transform (the engine's
         # double arithmetic verbatim); both top-k means and the margin
         # replayed with the same 6-dp rounding and id tie-breaks.

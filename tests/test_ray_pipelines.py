@@ -2878,3 +2878,31 @@ def test_jl_projection_preserves_cosine_structure():
     err64 = mean_err(rows64, 64)
     assert err16 < 0.3
     assert err64 < err16 / 1.5
+
+
+def test_scalar_quantize_roundtrip_error_bounded():
+    """Dequantized values must sit within half a quantization step of
+    the originals, ids/dims must cover the full matrix, and a constant
+    dimension must quantize to 0 everywhere."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.similarity import scalar_quantize
+
+    rng = np.random.RandomState(2)
+    vecs = rng.standard_normal((50, 8))
+    vecs[:, 3] = 7.5  # constant dimension
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)],
+        override_num_blocks=4,
+    )
+    rows = scalar_quantize(ds).take_all()
+    assert len(rows) == 50 * 8
+    lo, hi = vecs.min(axis=0), vecs.max(axis=0)
+    for r in rows:
+        d = r["dim_id"]
+        if d == 3:
+            assert r["q"] == 0
+            continue
+        step = (hi[d] - lo[d]) / 255
+        deq = lo[d] + r["q"] * step
+        assert abs(deq - vecs[r["vec_id"], d]) <= step / 2 + 1e-9
