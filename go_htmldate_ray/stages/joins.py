@@ -686,6 +686,8 @@ def skew_join(
     right_hot_tbl = right_hot_tbl.sort_by(right_on)
     hot_ref = ray.put(right_hot_tbl)
 
+    all_right_hot = right.count() == right_hot_tbl.num_rows
+
     left_cold = left.map_batches(
         lambda b: b.filter(
             pc.invert(pc.is_in(b.column(on), value_set=hot_arr))
@@ -698,8 +700,6 @@ def skew_join(
         ),
         batch_format="pyarrow",
     )
-    cold = hash_join(left_cold, right_cold, on=on, right_on=right_on, n_buckets=n_buckets)
-
     def hot_match(batch: pa.Table) -> pa.Table:
         rt = ray.get(hot_ref)  # already key-sorted
         sel = batch.filter(pc.is_in(batch.column(on), value_set=hot_arr))
@@ -722,4 +722,12 @@ def skew_join(
         return pa.table(out)
 
     hot = left.map_batches(hot_match, batch_format="pyarrow")
+    if all_right_hot:
+        # every right row (possibly zero) is on the broadcast side: the
+        # cold inner join is provably empty — skip its barrier entirely
+        # (this also sidesteps schema inference on an empty mapped side)
+        return hot
+    cold = hash_join(
+        left_cold, right_cold, on=on, right_on=right_on, n_buckets=n_buckets
+    )
     return cold.union(hot)

@@ -2906,3 +2906,54 @@ def test_scalar_quantize_roundtrip_error_bounded():
         step = (hi[d] - lo[d]) / 255
         deq = lo[d] + r["q"] * step
         assert abs(deq - vecs[r["vec_id"], d]) <= step / 2 + 1e-9
+
+
+def test_skew_join_empty_right_side():
+    """Hot keys + an empty right side must give an empty inner join,
+    not a concat_tables crash (review-found edge, now pinned)."""
+    import pyarrow as pa
+    import ray.data
+    from go_htmldate_ray.stages.joins import skew_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "lv": i} for i in range(200)], override_num_blocks=4
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())})
+    )
+    got = skew_join(left, right, on="k", right_on="rk", hot_threshold=50).take_all()
+    assert got == []
+
+
+def test_hot_path_subtrees_deep_trap_paths():
+    """Depth-30 calendar-trap paths: the deepest >=threshold prefix wins
+    and ancestors stay suppressed even through a 30-level chain."""
+    import ray.data
+    from go_htmldate_ray.stages.urlstats import hot_path_subtrees
+
+    deep = "/".join(f"d{i}" for i in range(30))
+    rows = [{"host": "t", "path": f"/{deep}/{j}.html"} for j in range(5)]
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    got = hot_path_subtrees(ds, threshold=4).take_all()
+    assert len(got) == 1
+    assert got[0]["prefix"] == f"/{deep}/" and got[0]["n_urls"] == 5
+
+
+def test_heavy_hitters_trigrams():
+    from collections import Counter
+
+    import ray.data
+    from go_htmldate_ray.stages.sketches import heavy_hitters
+
+    docs = ["a b c d a b c", "a b c x y z", "x y z x y z"]
+    ds = ray.data.from_items([{"text": t} for t in docs], override_num_blocks=2)
+    got = {
+        r["token"]: r["n"]
+        for r in heavy_hitters(ds, threshold=2, support=1, ngram=3).take_all()
+    }
+    truth = Counter()
+    for t in docs:
+        w = t.split()
+        truth.update(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
+    assert got == {tok: c for tok, c in truth.items() if c >= 2}
+    assert "a b c" in got and got["a b c"] == 3
