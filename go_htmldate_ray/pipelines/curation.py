@@ -129,56 +129,113 @@ def curate_to_jsonl(
     quality rules ∩ exact-dedup representatives ∩ SemDeDup keep set →
     byte-deterministic resumable jsonl.gz shards.
 
-    The three keep sets are materialized as driver-side id sets — small
-    sides by semantics (ids only, 8 bytes/doc); at corpus scale each
-    intersection becomes the bucketed anti/semi-join the dedup stages
-    already provide, keeping the same result.  Returns the sink report
-    plus the per-stage keep counts.
+    Scale shape — the same light-flag-row composition as
+    :func:`curated_corpus_stats`, never a driver-side id set:
+
+    - each stage emits LIGHT ``(doc_id, q, e, s)`` int64 flag rows
+      (quality pass, exact-dup representative, SemDeDup keep);
+    - ONE ``groupby(doc_id)`` Max-aggregate folds them into a per-doc
+      flag table (~40 B/doc), which is materialized so the heavy
+      upstream scans (quality text pass, content hashing, SemDeDup)
+      run exactly once even though both the stage counts and the
+      export filter consume it;
+    - the export filter is the bucketed :func:`hash_join` of the corpus
+      onto the kept ids (an inner join on a unique key IS the semi-join)
+      — one keyed shuffle of the kept text, no ``is_in`` broadcast and
+      no unbounded ``take_all`` anywhere on the path.
+
+    Embedding-id contract (explicit policy): ``vec_id == doc_id``
+    positionally identifies a document's embedding row.  A document
+    WITHOUT an embedding row has no SemDeDup evidence and **fails** the
+    semantic stage (its ``s`` flag never fires) — silently exporting
+    unvetted docs would defeat the dedup guarantee.  Run embedding
+    backfill first if full coverage is required.
+
+    Returns the sink report plus the per-stage keep counts.
     """
+    from ray.data.aggregate import Max, Sum
+
     from ..sources.sink import write_jsonl_shards
     from ..stages.dedup import exact_dedup
+    from ..stages.joins import hash_join
     from ..stages.similarity import semdedup
     from ..stages.text_stage import gopher_quality_batch
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
 
-    quality_keep = {
-        r["doc_id"]
-        for r in docs.map_batches(
-            gopher_quality_batch,
-            fn_kwargs={"min_words": min_words, "min_stopword_hits": 1},
-            batch_format="pyarrow",
+    def _flag_table(ids: pa.ChunkedArray | pa.Array, which: str, vals=None) -> pa.Table:
+        n = len(ids)
+        zero = pa.array([0] * n, pa.int64())
+        cols = {"doc_id": pc.cast(ids, pa.int64()), "q": zero, "e": zero, "s": zero}
+        cols[which] = pc.cast(vals, pa.int64()) if vals is not None else pa.array(
+            [1] * n, pa.int64()
         )
-        .map_batches(
-            lambda b: b.filter(pc.equal(b.column("passes"), 1)),
-            batch_format="pyarrow",
-        )
-        .select_columns(["doc_id"])
-        .take_all()
-    }
-    exact_keep = {r["doc_id"] for r in exact_dedup(docs).take_all()}
-    sem_keep = {
-        r["vec_id"]
-        for r in semdedup(emb, n_clusters=n_clusters, threshold=sem_threshold).take_all()
-        if r["keep"] == 1
-    }
-    keep = quality_keep & exact_keep & sem_keep
+        return pa.table(cols)
 
-    keep_arr = pa.array(sorted(keep), pa.int64())
-
-    def keep_filter(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.is_in(batch.column("doc_id"), value_set=keep_arr)
+    def quality_flags(batch: pa.Table) -> pa.Table:
+        q = gopher_quality_batch(
+            batch, min_words=min_words, min_stopword_hits=1
         )
+        return _flag_table(q.column("doc_id"), "q", q.column("passes"))
+
+    def exact_flags(batch: pa.Table) -> pa.Table:
+        # exact_dedup emits one (doc_id, n_dups) row per distinct text,
+        # doc_id = the class representative
+        return _flag_table(batch.column("doc_id"), "e")
+
+    def sem_flags(batch: pa.Table) -> pa.Table:
+        return _flag_table(batch.column("vec_id"), "s", batch.column("keep"))
+
+    flags = (
+        docs.map_batches(quality_flags, batch_format="pyarrow")
+        .union(
+            exact_dedup(docs).map_batches(exact_flags, batch_format="pyarrow")
+        )
+        .union(
+            semdedup(emb, n_clusters=n_clusters, threshold=sem_threshold).map_batches(
+                sem_flags, batch_format="pyarrow"
+            )
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        q = batch.column("max(q)").combine_chunks()
+        e = batch.column("max(e)").combine_chunks()
+        s = batch.column("max(s)").combine_chunks()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "q": q,
+                "e": e,
+                "s": s,
+                "keep": pc.multiply(pc.multiply(q, e), s),
+            }
+        )
+
+    per_doc = (
+        flags.groupby("doc_id")
+        .aggregate(Max("q"), Max("e"), Max("s"))
+        .map_batches(finalize, batch_format="pyarrow")
+        .materialize()  # light rows: heavy upstream scans run once
+    )
+
+    totals = per_doc.aggregate(Sum("q"), Sum("e"), Sum("s"), Sum("keep"))
+
+    kept_ids = per_doc.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.filter(pc.equal(b.column("keep"), 1)).column("doc_id")}
+        ),
+        batch_format="pyarrow",
+    )
 
     report = write_jsonl_shards(
-        docs.map_batches(keep_filter, batch_format="pyarrow"),
+        hash_join(docs, kept_ids, on="doc_id"),
         out_dir,
         n_shards=n_shards,
     )
-    report["n_quality"] = len(quality_keep)
-    report["n_exact"] = len(exact_keep)
-    report["n_semdedup"] = len(sem_keep)
-    report["n_kept"] = len(keep)
+    report["n_quality"] = int(totals["sum(q)"] or 0)
+    report["n_exact"] = int(totals["sum(e)"] or 0)
+    report["n_semdedup"] = int(totals["sum(s)"] or 0)
+    report["n_kept"] = int(totals["sum(keep)"] or 0)
     return report

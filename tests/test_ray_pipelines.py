@@ -2778,6 +2778,69 @@ def test_curate_to_jsonl_funnel(tmp_path):
     assert rep2["rows_written"] == 0 and rep2["shards_skipped"] == [0, 1, 2, 3]
 
 
+def test_curate_to_jsonl_matches_driver_set_reference(tmp_path):
+    """The scale-safe flag-row/join composition must produce BYTE-identical
+    shards to the straightforward driver-side id-set intersection (the
+    pre-round-4 implementation, replayed here at fixture scale as the
+    reference semantics)."""
+    import glob
+
+    import pyarrow.compute as pc
+    from go_htmldate_ray.pipelines.curation import curate_to_jsonl
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.sources.sink import write_jsonl_shards
+    from go_htmldate_ray.stages.dedup import exact_dedup
+    from go_htmldate_ray.stages.similarity import semdedup
+    from go_htmldate_ray.stages.text_stage import gopher_quality_batch
+
+    out_new = str(tmp_path / "new")
+    rep = curate_to_jsonl(SF, out_new, n_shards=4)
+
+    # reference path: driver id sets + is_in filter (fixture-scale only)
+    docs = read_parquet_clean(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    emb = read_parquet_clean(f"{SF}/embeddings.parquet")
+    quality_keep = {
+        r["doc_id"]
+        for r in docs.map_batches(
+            gopher_quality_batch,
+            fn_kwargs={"min_words": 15, "min_stopword_hits": 1},
+            batch_format="pyarrow",
+        ).take_all()
+        if r["passes"] == 1
+    }
+    exact_keep = {r["doc_id"] for r in exact_dedup(docs).take_all()}
+    sem_keep = {
+        r["vec_id"]
+        for r in semdedup(emb, n_clusters=8, threshold=0.5).take_all()
+        if r["keep"] == 1
+    }
+    keep = quality_keep & exact_keep & sem_keep
+    assert rep["n_quality"] == len(quality_keep)
+    assert rep["n_exact"] == len(exact_keep)
+    assert rep["n_semdedup"] == len(sem_keep)
+    assert rep["n_kept"] == len(keep)
+
+    import pyarrow as pa
+
+    keep_arr = pa.array(sorted(keep), pa.int64())
+    out_ref = str(tmp_path / "ref")
+    write_jsonl_shards(
+        docs.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("doc_id"), value_set=keep_arr)),
+            batch_format="pyarrow",
+        ),
+        out_ref,
+        n_shards=4,
+    )
+    new_files = sorted(glob.glob(f"{out_new}/shard=*/part.jsonl.gz"))
+    ref_files = sorted(glob.glob(f"{out_ref}/shard=*/part.jsonl.gz"))
+    assert [f.split("/shard=")[1] for f in new_files] == [
+        f.split("/shard=")[1] for f in ref_files
+    ]
+    for nf, rf in zip(new_files, ref_files):
+        assert open(nf, "rb").read() == open(rf, "rb").read(), nf
+
+
 def test_oov_rates_bruteforce():
     from collections import Counter
 
