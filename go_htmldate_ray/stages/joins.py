@@ -604,6 +604,7 @@ def skew_join(
     right_on: str | None = None,
     hot_threshold: int = 10_000,
     n_buckets: int = DEFAULT_JOIN_BUCKETS,
+    materialize_left: bool = False,
 ):
     """Skew-aware inner equi-join: keys whose LEFT-side frequency reaches
     ``hot_threshold`` take the broadcast path (their right-side rows are
@@ -616,15 +617,27 @@ def skew_join(
     Assumes the dimension-table shape on the right: few rows per hot key
     (the broadcast side is ``|hot keys| × right-rows-per-key``, and the
     hot-key SET itself is bounded by ``|left| / hot_threshold``, both
-    enforced against ``_SKEW_HOT_KEY_LIMIT``).  Output column layout
+    enforced against ``_SKEW_HOT_KEY_LIMIT``).  Hot right rows are
+    collected by a DISTRIBUTED filter pass — only the (bounded)
+    survivors plus one count-sentinel row per block reach the driver,
+    never the right table itself — and the same pass yields the right
+    row total, so no second ``count()`` execution.  Output column layout
     matches :func:`hash_join` (left columns + right columns minus the
     right key); row order is not significant, as with every join here.
+
+    ``materialize_left``: the left lineage is consumed three times (key
+    counts, hot map, cold map).  For a plain read that recompute is
+    cheaper than pinning the table; for an expensive derived left, pass
+    True to materialize once and trade object-store footprint for the
+    3× recompute.
     """
     import ray
     from ray.data.aggregate import Sum
 
     right_on = right_on or on
     right_names = [n for n in right.schema().names if n != right_on]
+    if materialize_left:
+        left = left.materialize()
 
     def key_counts(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch.column(on), dtype=np.int64)
@@ -660,21 +673,51 @@ def skew_join(
         return hash_join(left, right, on=on, right_on=right_on, n_buckets=n_buckets)
 
     hot_arr = pa.array(sorted(hot_keys), pa.int64())
-    right_hot_tbl = pa.concat_tables(
-        # seeded with a typed empty table: an empty right side must give
-        # an empty join, not a concat_tables ValueError
-        [
-            pa.table(
-                {
-                    n: pa.array([], t)
-                    for n, t in zip(right.schema().names, right.schema().types)
-                }
+
+    probe_fields = list(zip(right.schema().names, right.schema().types))
+    _PROBE_N = "__skew_probe_n"
+
+    def probe_hot(batch: pa.Table) -> pa.Table:
+        """Distributed hot-row filter: emits the batch's hot rows
+        (``_PROBE_N`` = 0) plus ONE count-sentinel row carrying the
+        batch's total row count — so the driver learns |right| from the
+        same pass that collects the (bounded) broadcast side."""
+        hot = batch.filter(pc.is_in(batch.column(right_on), value_set=hot_arr))
+        if hot.num_rows > _SKEW_HOT_KEY_LIMIT:
+            # fail inside the task, before anything ships to the driver
+            raise ValueError(
+                f"skew_join: right side has >{_SKEW_HOT_KEY_LIMIT} rows for "
+                "hot keys in one block — not the dimension shape this "
+                "broadcast assumes"
             )
-        ]
-        + [
-            b.filter(pc.is_in(b.column(right_on), value_set=hot_arr))
-            for b in right.iter_batches(batch_format="pyarrow", batch_size=8192)
-        ]
+        hot = hot.append_column(
+            _PROBE_N, pa.array(np.zeros(hot.num_rows, dtype=np.int64), pa.int64())
+        )
+        if batch.num_rows == 0:
+            return hot
+        sentinel = pa.table(
+            {
+                **{n: pa.nulls(1, t) for n, t in probe_fields},
+                _PROBE_N: pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+        return pa.concat_tables([hot, sentinel])
+
+    # batch_size=None → whole-block batches: one sentinel row per block
+    probe = right.map_batches(probe_hot, batch_format="pyarrow", batch_size=None)
+    empty_probe = pa.table(
+        {
+            **{n: pa.array([], t) for n, t in probe_fields},
+            _PROBE_N: pa.array([], pa.int64()),
+        }
+    )
+    # gather as Arrow block refs (schema-exact, zero row re-inference);
+    # the empty seed keeps an all-empty right side a typed empty join
+    parts = [t for t in ray.get(probe.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables([empty_probe] + parts)
+    right_total = int(pc.sum(tbl.column(_PROBE_N)).as_py() or 0)
+    right_hot_tbl = tbl.filter(pc.equal(tbl.column(_PROBE_N), 0)).drop_columns(
+        [_PROBE_N]
     )
     if right_hot_tbl.num_rows > _SKEW_HOT_KEY_LIMIT:
         raise ValueError(
@@ -686,7 +729,7 @@ def skew_join(
     right_hot_tbl = right_hot_tbl.sort_by(right_on)
     hot_ref = ray.put(right_hot_tbl)
 
-    all_right_hot = right.count() == right_hot_tbl.num_rows
+    all_right_hot = right_total == right_hot_tbl.num_rows
 
     left_cold = left.map_batches(
         lambda b: b.filter(

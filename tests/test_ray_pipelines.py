@@ -2986,6 +2986,11 @@ def test_skew_join_empty_right_side():
     )
     got = skew_join(left, right, on="k", right_on="rk", hot_threshold=50).take_all()
     assert got == []
+    # materialize_left path: same result, left pinned once
+    got2 = skew_join(
+        left, right, on="k", right_on="rk", hot_threshold=50, materialize_left=True
+    ).take_all()
+    assert got2 == []
 
 
 def test_hot_path_subtrees_deep_trap_paths():
