@@ -1298,6 +1298,45 @@ def shard_rendezvous(sf_dir: str, *, n_before: int = 8, n_after: int = 9):
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
+_LANG_MARKER_RE = None  # compiled lazily; module import stays cheap
+
+
+def _lang_marker_re():
+    global _LANG_MARKER_RE
+    if _LANG_MARKER_RE is None:
+        import re
+
+        # path SEGMENTS that are bare ISO-639-1-ish language markers
+        # (optionally with a region tag, e.g. /en-us/) — the STRAND
+        # normalization; host names and query strings are untouched
+        _LANG_MARKER_RE = re.compile(
+            r"/(?:en|de|fr|es|it|nl|pl|pt|ru|tr|ja|zh|ar|cs|sv|da|ro|hu)"
+            r"(?:-[a-z]{2})?(?=/)"
+        )
+    return _LANG_MARKER_RE
+
+
+def strip_lang_markers(url: str) -> str:
+    """Remove language-marker path segments (``/de/``, ``/en-us/`` …)
+    from a URL's PATH — the STRAND URL-template normalization that makes
+    mirrored-language page URLs collide on one template key."""
+    scheme_end = url.find("://")
+    path_start = url.find("/", scheme_end + 3) if scheme_end >= 0 else 0
+    if path_start < 0:
+        return url
+    return url[:path_start] + _lang_marker_re().sub("", url[path_start:])
+
+
+def insert_lang_marker(url: str, lang: str) -> str:
+    """Inverse fixture helper: serve the ``lang`` mirror of ``url`` by
+    inserting a ``/{lang}/`` segment at the start of the path."""
+    scheme_end = url.find("://")
+    path_start = url.find("/", scheme_end + 3) if scheme_end >= 0 else 0
+    if path_start < 0:
+        return f"{url}/{lang}/"
+    return f"{url[:path_start]}/{lang}{url[path_start:]}"
+
+
 def bitext_candidates(sf_dir: str, *, max_ratio: int = 2):
     """STRAND-style parallel-page (bitext) candidate mining: pages whose
     URLs differ only by a language marker are paired by joining on the
@@ -1305,6 +1344,11 @@ def bitext_candidates(sf_dir: str, *, max_ratio: int = 2):
     length ratio test (``len_a <= 2*len_b`` and vice versa) — the
     URL-matching + length-filter core of Resnik & Smith's STRAND, the
     way crawl-derived translation corpora are seeded.
+
+    The template key is :func:`strip_lang_markers` applied to EACH
+    side's own URL — the de side serves a real ``/de/``-segment mirror
+    URL and the stripping (not fixture knowledge) is what makes the two
+    sides collide, so the operator works on genuinely mirrored URLs.
 
     Planting: docs with ``doc_id % 23 == 4`` (excluding the date-path
     URL variant ``doc_id % 4 == 2``) serve a ``/de/`` mirror whose token
@@ -1343,16 +1387,18 @@ def bitext_candidates(sf_dir: str, *, max_ratio: int = 2):
         for i, t in zip(ids, texts):
             n = len((t or "").split())
             h = page_host(i)
+            en_url = page_url(i)
             side.append("en")
             doc.append(i)
-            tmpl.append(_tmpl_hash(page_url(i)))
+            tmpl.append(_tmpl_hash(strip_lang_markers(en_url)))
             host.append(h)
             ntok.append(n)
             if i % 23 == 4 and i % 4 != 2:
                 side.append("de")
                 doc.append(i)
-                # the /de/ marker strips back to the en URL (the template)
-                tmpl.append(_tmpl_hash(page_url(i)))
+                # the mirror serves a REAL /de/ path-segment URL; only
+                # strip_lang_markers makes it collide with the en side
+                tmpl.append(_tmpl_hash(strip_lang_markers(insert_lang_marker(en_url, "de"))))
                 host.append(h)
                 ntok.append(n + (i % 3) - 1)
         return pa.table(

@@ -1254,19 +1254,24 @@ def jl_project(ds, *, out_dim: int = 16, seed: int = 11, round_decimals: int = 6
     distortion bound (pytest-verified; the projection VALUES are
     SQL-exact from the literal matrix).
 
-    ``out_dim`` must be a perfect square of an integer power so the
-    scale is float-exact (default 16 → ÷4 exactly); outputs round to
-    ``round_decimals`` and flatten to (vec_id, dim_id, val) rows for
-    engine-agnostic value comparison.  Stateless broadcast matmul pass —
-    no shuffle.
+    ``out_dim`` must be a power of 4 (16, 64, 256, …) so ``√out_dim``
+    is a power of two and the ÷√out_dim scale is an exponent shift —
+    float-EXACT, which keeps the projection values bit-identical to the
+    SQL oracle's literal-matrix replay (a perfect square whose root is
+    odd, e.g. 9 → ÷3, would merely share the same inexact double op on
+    both sides); outputs round to ``round_decimals`` and flatten to
+    (vec_id, dim_id, val) rows for engine-agnostic value comparison.
+    Stateless broadcast matmul pass — no shuffle.
     """
     import math
 
     import ray
 
     root = math.isqrt(out_dim)
-    if root * root != out_dim:
-        raise ValueError(f"out_dim must be a perfect square, got {out_dim}")
+    if root * root != out_dim or root & (root - 1):
+        raise ValueError(
+            f"out_dim must be a power of 4 (root a power of two), got {out_dim}"
+        )
 
     def project(batch: pa.Table) -> pa.Table:
         mat = _list_matrix(batch.column("embedding"))

@@ -361,6 +361,11 @@ def grouped_hll_registers(ds, *, group_col: str, col: str, p: int = 8):
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     rest_bits = 64 - p
+    # the group output column keeps the INPUT column's Arrow type (an
+    # int host id groups as int64, a host string as string) — hardcoding
+    # pa.string() here would mis-type or reject non-string group keys
+    _schema = ds.schema()
+    group_type = dict(zip(_schema.names, _schema.types))[group_col]
 
     def partial(batch: pa.Table) -> pa.Table:
         pairs: set = set()
@@ -374,7 +379,7 @@ def grouped_hll_registers(ds, *, group_col: str, col: str, p: int = 8):
         if not pairs:
             return pa.table(
                 {
-                    "group": pa.array([], pa.string()),
+                    "group": pa.array([], group_type),
                     "bucket": pa.array([], pa.int64()),
                     "rho": pa.array([], pa.int64()),
                 }
@@ -393,7 +398,7 @@ def grouped_hll_registers(ds, *, group_col: str, col: str, p: int = 8):
         first = np.r_[True, (g_s[1:] != g_s[:-1]) | (b_s[1:] != b_s[:-1])]
         return pa.table(
             {
-                "group": pa.array(list(gs[first]), pa.string()),
+                "group": pa.array(list(gs[first]), group_type),
                 "bucket": pa.array(b_s[first], pa.int64()),
                 "rho": pa.array(r_s[first], pa.int64()),
             }

@@ -2425,6 +2425,45 @@ def test_bitext_candidates_planted_pairs():
         assert r["n_tokens_de"] <= 2 * r["n_tokens_en"]
 
 
+def test_strip_lang_markers_real_urls():
+    """The STRAND normalization must strip real marker segments from each
+    side's own URL (not rely on fixture knowledge) and leave everything
+    else alone."""
+    from go_htmldate_ray.pipelines.extract_dates import (
+        insert_lang_marker,
+        strip_lang_markers,
+    )
+
+    en = "https://site1.example.org/article/42.html"
+    de = insert_lang_marker(en, "de")
+    assert de == "https://site1.example.org/de/article/42.html"
+    assert strip_lang_markers(de) == en
+    assert strip_lang_markers(en) == en  # no marker → unchanged
+    # region-tagged markers, mid-path markers, multiple markers
+    assert (
+        strip_lang_markers("https://h.example.org/en-us/docs/a.html")
+        == "https://h.example.org/docs/a.html"
+    )
+    assert (
+        strip_lang_markers("https://h.example.org/blog/de/2020/01/x.html")
+        == "https://h.example.org/blog/2020/01/x.html"
+    )
+    assert (
+        strip_lang_markers("https://h.example.org/en/de/x.html")
+        == "https://h.example.org/x.html"
+    )
+    # a segment that merely STARTS with a code is not a marker
+    assert (
+        strip_lang_markers("https://h.example.org/design/x.html")
+        == "https://h.example.org/design/x.html"
+    )
+    # trailing /de (no following slash) is a leaf name, not a marker
+    assert (
+        strip_lang_markers("https://h.example.org/article/de")
+        == "https://h.example.org/article/de"
+    )
+
+
 def test_jsonl_shard_sink_roundtrip_resume_and_determinism(tmp_path):
     import gzip
     import hashlib
@@ -2609,6 +2648,24 @@ def test_grouped_hll_per_group_estimates():
         est = hll_estimate(regs, p=8)
         n = len(truth[g])
         assert abs(est - n) <= max(2, 0.15 * n), (g, est, n)
+
+
+def test_grouped_hll_int_group_column():
+    """A non-string group column (int host ids) must carry its own Arrow
+    type through to the output group column, not be forced to string."""
+    import ray.data
+    from go_htmldate_ray.stages.sketches import grouped_hll_registers
+
+    docs = [
+        {"hid": i % 3, "text": " ".join(f"w{i % 3}_{j}" for j in range(i + 1))}
+        for i in range(12)
+    ]
+    ds = ray.data.from_items(docs, override_num_blocks=3)
+    out = grouped_hll_registers(ds, group_col="hid", col="text", p=8)
+    sch = out.schema()
+    assert str(dict(zip(sch.names, sch.types))["group"]) == "int64"
+    groups = {r["group"] for r in out.take_all()}
+    assert groups == {0, 1, 2}
 
 
 def test_hot_path_subtrees_maximal_depth():

@@ -1000,3 +1000,17 @@ def test_repeated_substrings_vs_python_rule(ray_session):
     }
     assert got == expected
     assert any(sub.startswith(boiler[:20]) for _, sub in got)  # planted repeat found
+
+
+def test_repeated_substrings_broadcast_bound_guard(ray_session):
+    """The doc-text broadcast is loudly bounded: exceeding
+    broadcast_doc_limit must raise before anything materializes, with a
+    message pointing at the join-based scale path."""
+    import pytest
+    import ray
+
+    from go_htmldate_ray.stages.suffix import repeated_substrings
+
+    rows = [{"doc_id": i, "text": f"doc {i} text"} for i in range(6)]
+    with pytest.raises(ValueError, match="broadcasts doc texts"):
+        repeated_substrings(ray.data.from_items(rows), broadcast_doc_limit=5)
