@@ -6,27 +6,76 @@ operator ladder (map_batches + groupby().map_groups + sort):
 - **Tumbling-window aggregate**: window assignment is a vectorized batch
   map (pure arithmetic on timestamps — the partial/combiner step), the
   final combine is a small groupby on (window, type).
-- **As-of join**: the small side (orders per customer, sorted by date)
-  is broadcast once via ``ray.put``; each event batch binary-searches its
-  user's order history.  At 100 TB the same shape co-partitions both
-  sides on the key and sort-merges within partitions — the partitioning
-  assumption (events and orders hash-partitioned on the same key) is the
-  one documented in SURVEY.md §2.6.
-- **Sessionization**: groupby(user) → per-group sort by time → gap scan.
-  Ordering is only assumed *within* a user group, which the groupby
-  guarantees; session ids are deterministic (user_id * 10^6 + index).
+- **As-of join**: the small side's (key·2^21 + day, orderkey)-sorted
+  arrays are broadcast once via ``ray.put``; each event batch answers
+  every row with ONE vectorized ``searchsorted``.  At scale the same
+  resolve runs per HASH BUCKET of the key after one co-locating groupby
+  shuffle — never per key (millions of per-key Python callbacks is the
+  max-scheduling-overhead shape) and never per row.
+- **Sessionization**: groupby(key hash bucket) → per-bucket vectorized
+  lexsort + run-boundary gap scan (the ``tfidf_top_terms`` /
+  ``paragraph_dedup`` pattern).  Ordering is only assumed *within* a
+  bucket, which the groupby guarantees; session ids are deterministic
+  (user_id * 10^6 + per-user session index).
 """
 
 from __future__ import annotations
 
-import bisect
-from datetime import timedelta
-
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
 from ..sources.io import read_parquet_clean
+from ..stages.joins import _bucket_of
 
 SESSION_GAP_MINUTES = 30
+
+# (key, day) pairs pack into ONE int64 so an as-of lookup is a single
+# searchsorted over a sorted int64 array: low 21 bits = day ordinal
+# (covers ~5.7 millennia), high bits = key (< 2^42).  Bounds are loud.
+_PACK_DAY_BITS = 21
+_PACK_DAY_SPAN = 1 << _PACK_DAY_BITS
+
+
+def _pack_key_day(key: np.ndarray, days: np.ndarray, what: str) -> np.ndarray:
+    if len(days) and (days.min() < 0 or days.max() >= _PACK_DAY_SPAN):
+        raise ValueError(f"{what}: day ordinal outside [0, 2^{_PACK_DAY_BITS})")
+    if len(key) and (key.min() < 0 or key.max() >= (1 << (63 - _PACK_DAY_BITS))):
+        raise ValueError(f"{what}: key outside [0, 2^{63 - _PACK_DAY_BITS})")
+    return key * _PACK_DAY_SPAN + days
+
+
+def _asof_resolve(
+    t_pack: np.ndarray, o_pack_sorted: np.ndarray, o_key_sorted: np.ndarray
+) -> np.ndarray:
+    """Vectorized as-of core: for each packed (key, day) target, the
+    orderkey of the latest order with the same key and day ≤ target —
+    ties on day resolve to the max orderkey because the order side is
+    sorted by (pack, orderkey) and ``searchsorted(right)`` lands after
+    the whole equal-pack run.  -1 where the key has no earlier order."""
+    idx = np.searchsorted(o_pack_sorted, t_pack, side="right")
+    cand = np.maximum(idx - 1, 0)
+    ok = (idx > 0) & (
+        (o_pack_sorted[cand] >> _PACK_DAY_BITS) == (t_pack >> _PACK_DAY_BITS)
+    )
+    res = np.full(len(t_pack), -1, dtype=np.int64)
+    if len(o_pack_sorted):
+        res[ok] = o_key_sorted[cand[ok]]
+    return res
+
+
+def _day_ordinal_from_ts(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Calendar-day ordinal (days since epoch) of a timestamp column —
+    int64 floor division, matching ``ts.date()`` for the post-epoch
+    timestamps the events table carries."""
+    us = np.asarray(pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()))
+    return us // 86_400_000_000
+
+
+def _day_ordinal_from_date(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return np.asarray(
+        pc.cast(pc.cast(col, pa.date32()), pa.int32()), dtype=np.int64
+    )
 
 
 def windowed_events(sf_dir: str):
@@ -101,64 +150,48 @@ def asof_join_latest_order(sf_dir: str, mode: str = "auto"):
     orders = pq.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
     )
-    by_cust: dict[int, list[tuple]] = {}
-    for ck, od, ok in zip(
-        orders.column("o_custkey").to_pylist(),
-        orders.column("o_orderdate").to_pylist(),
-        orders.column("o_orderkey").to_pylist(),
-    ):
-        if hasattr(od, "date"):
-            od = od.date()
-        by_cust.setdefault(ck, []).append((od, ok))
-    for ck in by_cust:
-        # Ties on date resolve to the highest orderkey, matching the SQL
-        # row_number ordering (o_orderdate DESC, o_orderkey DESC).
-        by_cust[ck].sort()
-    orders_ref = ray.put(by_cust)
+    ck = np.asarray(orders.column("o_custkey"), dtype=np.int64)
+    days = _day_ordinal_from_date(orders.column("o_orderdate"))
+    okey = np.asarray(orders.column("o_orderkey"), dtype=np.int64)
+    pack = _pack_key_day(ck, days, "asof_join_latest_order")
+    # sorted ONCE by (pack, orderkey): ties on date resolve to the
+    # highest orderkey, matching the SQL row_number ordering
+    # (o_orderdate DESC, o_orderkey DESC)
+    order = np.lexsort((okey, pack))
+    orders_ref = ray.put((pack[order], okey[order]))
 
     events = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 
     def join(batch: pa.Table) -> pa.Table:
-        table = ray.get(orders_ref)
-        out = []
-        for uid, ts in zip(
-            batch.column("user_id").to_pylist(), batch.column("ts").to_pylist()
-        ):
-            hist = table.get(uid)
-            if not hist:
-                out.append(-1)
-                continue
-            d = ts.date()
-            idx = bisect.bisect_right(hist, (d, float("inf")))
-            if idx == 0:
-                out.append(-1)
-            else:
-                # among same latest date, take max orderkey
-                latest_date = hist[idx - 1][0]
-                k = idx - 1
-                best = hist[k][1]
-                while k > 0 and hist[k - 1][0] == latest_date:
-                    k -= 1
-                    best = max(best, hist[k][1])
-                out.append(best)
+        o_pack, o_key = ray.get(orders_ref)
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        t_pack = _pack_key_day(
+            uid, _day_ordinal_from_ts(batch.column("ts")), "asof_join_latest_order"
+        )
         return pa.table(
             {
                 "event_id": batch.column("event_id"),
-                "o_orderkey": pa.array(out, pa.int64()),
+                "o_orderkey": pa.array(
+                    _asof_resolve(t_pack, o_pack, o_key), pa.int64()
+                ),
             }
         )
 
     return events.map_batches(join, batch_format="pyarrow")
 
 
-def _asof_latest_order_copartition(sf_dir: str):
-    """Co-partitioned as-of join: events and orders are tagged, unioned
-    and hash-co-located on the customer key by ONE groupby shuffle; the
-    as-of walk (sort orders, bisect per event) runs inside each key
-    group.  Nothing is broadcast and the driver holds no state — the
-    shape that survives an orders table too large for ``ray.put``."""
+def _asof_latest_order_copartition(sf_dir: str, n_buckets: int = 64):
+    """Co-partitioned as-of join: events and orders are tagged with a
+    packed ``(key·2^21 + day)`` int64, unioned, and hash-co-located by
+    ONE groupby shuffle on a HASH BUCKET of the key — not the raw key
+    (millions of per-key Python callbacks is the max-scheduling-overhead
+    shape).  Each bucket resolves ALL of its keys with one vectorized
+    lexsort + ``searchsorted`` (:func:`_asof_resolve`); the key is the
+    packed value's high bits, so key identity rides inside the same
+    binary search.  Nothing is broadcast and the driver holds no state —
+    the shape that survives an orders table too large for ``ray.put``."""
     import ray.data
 
     events = read_parquet_clean(
@@ -169,28 +202,32 @@ def _asof_latest_order_copartition(sf_dir: str):
     )
 
     def tag_events(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        uid = np.asarray(batch.column("user_id"), dtype=np.int64)
+        pack = _pack_key_day(
+            uid, _day_ordinal_from_ts(batch.column("ts")), "asof copartition"
+        )
+        key = batch.column("user_id").cast(pa.int64())
         return pa.table(
             {
-                "key": batch.column("user_id").cast(pa.int64()),
-                "is_order": pa.array([False] * n, pa.bool_()),
+                "bucket": _bucket_of(key, n_buckets),
+                "pack": pa.array(pack, pa.int64()),
                 "event_id": batch.column("event_id").cast(pa.int64()),
-                "ts": batch.column("ts").cast(pa.timestamp("us")),
-                "o_orderkey": pa.nulls(n, pa.int64()),
-                "o_orderdate": pa.nulls(n, pa.date32()),
+                "o_orderkey": pa.nulls(batch.num_rows, pa.int64()),
             }
         )
 
     def tag_orders(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        ck = np.asarray(batch.column("o_custkey"), dtype=np.int64)
+        pack = _pack_key_day(
+            ck, _day_ordinal_from_date(batch.column("o_orderdate")), "asof copartition"
+        )
+        key = batch.column("o_custkey").cast(pa.int64())
         return pa.table(
             {
-                "key": batch.column("o_custkey").cast(pa.int64()),
-                "is_order": pa.array([True] * n, pa.bool_()),
-                "event_id": pa.nulls(n, pa.int64()),
-                "ts": pa.nulls(n, pa.timestamp("us")),
+                "bucket": _bucket_of(key, n_buckets),
+                "pack": pa.array(pack, pa.int64()),
+                "event_id": pa.nulls(batch.num_rows, pa.int64()),
                 "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
-                "o_orderdate": batch.column("o_orderdate").cast(pa.date32()),
             }
         )
 
@@ -202,80 +239,92 @@ def _asof_latest_order_copartition(sf_dir: str):
         {"event_id": pa.array([], pa.int64()), "o_orderkey": pa.array([], pa.int64())}
     )
 
-    def asof_group(group: pa.Table) -> pa.Table:
-        mask = group.column("is_order")
-        order_rows = group.filter(mask)
-        event_rows = group.filter(pa.compute.invert(mask))
-        if event_rows.num_rows == 0:
-            return empty
-        hist = sorted(
-            zip(
-                order_rows.column("o_orderdate").to_pylist(),
-                order_rows.column("o_orderkey").to_pylist(),
-            )
+    def asof_bucket(group: pa.Table) -> pa.Table:
+        is_order = np.asarray(
+            pc.is_valid(group.column("o_orderkey")), dtype=bool
         )
-        out = []
-        for ts in event_rows.column("ts").to_pylist():
-            if not hist:
-                out.append(-1)
-                continue
-            d = ts.date()
-            idx = bisect.bisect_right(hist, (d, float("inf")))
-            if idx == 0:
-                out.append(-1)
-            else:
-                latest_date = hist[idx - 1][0]
-                k = idx - 1
-                best = hist[k][1]
-                while k > 0 and hist[k - 1][0] == latest_date:
-                    k -= 1
-                    best = max(best, hist[k][1])
-                out.append(best)
+        pack = np.asarray(group.column("pack"), dtype=np.int64)
+        t_pack = pack[~is_order]
+        if len(t_pack) == 0:
+            return empty
+        o_pack = pack[is_order]
+        o_key = np.asarray(
+            pc.fill_null(group.column("o_orderkey"), -1), dtype=np.int64
+        )[is_order]
+        order = np.lexsort((o_key, o_pack))
+        eid = np.asarray(
+            pc.fill_null(group.column("event_id"), -1), dtype=np.int64
+        )[~is_order]
         return pa.table(
             {
-                "event_id": event_rows.column("event_id"),
-                "o_orderkey": pa.array(out, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "o_orderkey": pa.array(
+                    _asof_resolve(t_pack, o_pack[order], o_key[order]), pa.int64()
+                ),
             }
         )
 
-    return unioned.groupby("key").map_groups(asof_group, batch_format="pyarrow")
+    return unioned.groupby("bucket").map_groups(asof_bucket, batch_format="pyarrow")
 
 
-def sessionize_events(sf_dir: str):
+def sessionize_events(sf_dir: str, n_buckets: int = 64):
     """events → (event_id, session_id): a new session starts when a user's
     gap since their previous event exceeds 30 minutes.
-    session_id = user_id * 10^6 + per-user session index (0-based)."""
+    session_id = user_id * 10^6 + per-user session index (0-based).
+
+    Shape: ONE groupby shuffle on a hash BUCKET of the user key, then a
+    fully vectorized per-bucket resolve — lexsort by (user, ts, event_id)
+    and a run-boundary segmented cumsum of the gap indicator (the
+    ``paragraph_dedup`` pattern).  Grouping on the raw user key would
+    invoke a Python callback once per user — the max-scheduling-overhead
+    shape at corpus-scale key cardinality."""
     import ray.data
 
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 
-    gap = timedelta(minutes=SESSION_GAP_MINUTES)
+    gap_us = SESSION_GAP_MINUTES * 60_000_000
 
-    def sessionize(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        uid = g.column("user_id")[0].as_py()
-        tss = g.column("ts").to_pylist()
-        session_idx = 0
-        ids = []
-        prev = None
-        for ts in tss:
-            if prev is not None and (ts - prev) > gap:
-                session_idx += 1
-            ids.append(uid * 10**6 + session_idx)
-            prev = ts
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64())
         return pa.table(
             {
-                "event_id": g.column("event_id"),
-                "session_id": pa.array(ids, pa.int64()),
+                "bucket": _bucket_of(uid, n_buckets),
+                "user_id": uid,
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+    def sessionize(group: pa.Table) -> pa.Table:
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        eid = np.asarray(group.column("event_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts_us"), dtype=np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, t, e = uid[order], ts[order], eid[order]
+        first = np.r_[True, u[1:] != u[:-1]]  # run boundary per user
+        gap_hit = np.r_[False, (t[1:] - t[:-1]) > gap_us]
+        inc = (~first & gap_hit).astype(np.int64)
+        # segmented cumsum: global cumsum minus its value at each user's
+        # first row (inc is 0 there, so the base is the carry-in)
+        cs = np.cumsum(inc)
+        seg = np.cumsum(first) - 1
+        base = cs[np.flatnonzero(first)][seg]
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "session_id": pa.array(u * 10**6 + (cs - base), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize, batch_format="pyarrow")
+    )
 
 
 def sliding_window_events(sf_dir: str, window_hours: int = 2, hop_hours: int = 1):
