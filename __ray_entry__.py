@@ -633,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Min/Count-grouped; the oracle replays the formula and the
         # 56-bit hash in SQL, so any decode error fails the hash.
         "image_dhash_dups": _image_dhash_dups,
+        "image_dhash_png_dups": _image_dhash_png_dups,
         "crawl_reachable": _crawl_reachable,
         # Crawl-ORDERING evidence: pages per wave == BFS depth histogram
         # under a non-binding budget (depth-tracking recursive-CTE oracle).
@@ -878,6 +879,12 @@ def _image_dhash_dups(sf_dir):
     from go_htmldate_ray.stages.multimodal import image_dhash_dedup
 
     return image_dhash_dedup(sf_dir)
+
+
+def _image_dhash_png_dups(sf_dir):
+    from go_htmldate_ray.stages.multimodal import image_dhash_dedup
+
+    return image_dhash_dedup(sf_dir, n_families=37, image_format="png")
 
 
 def _sketches():
@@ -2837,6 +2844,33 @@ GROUP BY lang.pred_lang""",
                        (299 * (((d.doc_id % 41) * 37 + x.x * 11 + y.y * 23) % 256)
                         + 587 * (((d.doc_id % 41) * 59 + x.x * 17 + y.y * 5) % 256)
                         + 114 * (((d.doc_id % 41) * 83 + x.x * 3 + y.y * 29) % 256))
+                       // 1000 AS gray
+                FROM documents d, range(9) x(x), range(7) y(y)
+            ),
+            bits AS (
+                SELECT a.doc_id, (a.y * 8 + a.x)::BIGINT AS idx
+                FROM g a JOIN g b
+                  ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+                WHERE a.x < 8 AND b.gray > a.gray
+            ),
+            h AS (
+                SELECT d.doc_id,
+                       coalesce(sum(1::BIGINT << idx), 0)::BIGINT AS dhash
+                FROM documents d LEFT JOIN bits USING (doc_id)
+                GROUP BY d.doc_id
+            )
+            SELECT dhash, min(doc_id) AS rep_doc, count(*)::BIGINT AS n_docs
+            FROM h GROUP BY dhash""",
+        # same dHash replay with the synth_family_png formulas (mod 37,
+        # different affine constants) — the engine side routes through
+        # the REAL stdlib-zlib PNG decode with all five scanline filters,
+        # so a wrong unfilter produces a different hash and fails here.
+        "image_dhash_png_dups": """
+            WITH g AS (
+                SELECT d.doc_id, x.x, y.y,
+                       (299 * (((d.doc_id % 37) * 41 + x.x * 13 + y.y * 19) % 256)
+                        + 587 * (((d.doc_id % 37) * 67 + x.x * 7 + y.y * 31) % 256)
+                        + 114 * (((d.doc_id % 37) * 89 + x.x * 5 + y.y * 3) % 256))
                        // 1000 AS gray
                 FROM documents d, range(9) x(x), range(7) y(y)
             ),

@@ -2,12 +2,12 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata; decode,
 feature-extraction, resize and frame/window sampling run as actor-pool
-``map_batches`` stages.  The image/audio codec libraries are not
-available in this container, so COMPRESSED-format kernels are stubbed:
-each stage raises ``NotImplementedError`` unless a kernel fn is injected.
-Uncompressed BMP needs no codec library, so :func:`decode_bmp` /
-:func:`bmp_image_features` / :func:`bmp_resize` are REAL numpy-only
-kernels (tested end-to-end through the stages on genuine BMP bytes).
+``map_batches`` stages.  Three image codecs are REAL and
+container-library-free: uncompressed BMP (numpy), netpbm P2/P3/P5/P6
+(numpy), and 8-bit PNG (stdlib ``zlib`` + numpy scanline unfiltering) —
+so the default stage kernels decode genuinely; only formats whose codecs
+require external libraries (JPEG, WebP, …) are out of scope and raise
+``ValueError`` from the sniffer (inject a kernel fn to support them).
 The Ray-side plumbing — schema, batch sizing, actor signature, output
 layout — is real, tested, and (for the md5-based feature fake used by
 the oracle pipeline) independently recomputable by the DuckDB oracle
@@ -230,11 +230,222 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
+# --- real stdlib-zlib + numpy PNG codec ---------------------------------------
+# PNG needs no external codec library either: chunks are length-prefixed,
+# IDAT is zlib, and the five scanline filters unfilter with numpy (Sub is
+# a per-lane cumsum mod 256; Average/Paeth keep their sequential-in-x
+# recurrence).  8-bit depth, non-interlaced; gray / gray+alpha / RGB /
+# RGBA / palette color types.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB array from an 8-bit-depth non-interlaced PNG
+    (color types 0/2/3/4/6; alpha dropped, gray broadcast, palette
+    resolved) — pure stdlib ``zlib`` + numpy scanline unfiltering."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = []
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} compression={comp} "
+            f"interlace={interlace} (8-bit non-interlaced only)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PNG geometry")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)  # int workspace: exact mod-256 math
+    out = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels
+    zero_px = np.zeros(bpp, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = data[y]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-lane cumsum mod 256 (mod distributes)
+            rec = (np.cumsum(cur.reshape(w, bpp), axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average: left is a sequential recurrence in x
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(w):
+                left = rec[(x - 1) * bpp : x * bpp] if x else zero_px
+                up = prev[x * bpp : (x + 1) * bpp]
+                rec[x * bpp : (x + 1) * bpp] = (
+                    cur[x * bpp : (x + 1) * bpp] + (left + up) // 2
+                ) % 256
+        elif f == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(w):
+                a = rec[(x - 1) * bpp : x * bpp] if x else zero_px
+                b = prev[x * bpp : (x + 1) * bpp]
+                c = prev[(x - 1) * bpp : x * bpp] if x else zero_px
+                p = a + b - c
+                pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c)
+                )
+                rec[x * bpp : (x + 1) * bpp] = (
+                    cur[x * bpp : (x + 1) * bpp] + pred
+                ) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 0:
+        img = np.repeat(px, 3, axis=2)
+    elif ctype == 2:
+        img = px
+    elif ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        img = pal[idx]
+    elif ctype == 4:
+        img = np.repeat(px[:, :, :1], 3, axis=2)  # gray+alpha: drop alpha
+    else:
+        img = px[:, :, :3]  # RGBA: drop alpha
+    return np.ascontiguousarray(img)
+
+
+def encode_png(img: np.ndarray, *, row_filters: list[int] | None = None) -> bytes:
+    """8-bit non-interlaced PNG bytes from an (h, w, c) uint8 array
+    (c = 1 → grayscale, 3 → RGB, 4 → RGBA) — exact :func:`decode_png`
+    roundtrip.  ``row_filters`` cycles filter types across scanlines
+    (default all 0); passing ``[0, 1, 2, 3, 4]`` forces a decoder
+    through every unfilter path."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}.get(c)
+    if ctype is None:
+        raise ValueError(f"encode_png: unsupported channel count {c}")
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int64)
+    zero_px = np.zeros(c, dtype=np.int64)
+
+    def shift_left(row: np.ndarray) -> np.ndarray:
+        return np.concatenate([zero_px, row[:-c]]) if stride else row
+
+    lines = []
+    for y in range(h):
+        f = row_filters[y % len(row_filters)] if row_filters else 0
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        left = shift_left(cur)
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            filt = (cur - (left + prev) // 2) % 256
+        elif f == 4:
+            ul = shift_left(prev)
+            p = left + prev - ul
+            pa_, pb_, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, prev, ul)
+            )
+            filt = (cur - pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_image_features(payload: bytes) -> np.ndarray:
+    """The shared :func:`_image_features` kernel over PNG input."""
+    return _image_features(decode_png(payload))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniffing decoder over the codec-free formats: BMP or netpbm."""
+    """Sniffing decoder over the codec-library-free formats: BMP, PNG, or
+    netpbm.  Formats that genuinely need an external codec (JPEG, WebP,
+    …) raise ``ValueError`` — there is no longer a stubbed path."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     return decode_pnm(payload)
+
+
+def image_features(payload: bytes) -> np.ndarray:
+    """Real default feature kernel: sniffing decode → 8-dim features."""
+    return _image_features(decode_image(payload))
+
+
+def image_resize(payload: bytes, width: int, height: int) -> tuple[bytes, int, int]:
+    """Real default resize kernel: sniffing decode → nearest-neighbor
+    resample → PNG re-encode (PNG as the canonical output container)."""
+    img = decode_image(payload)
+    src_h, src_w = img.shape[:2]
+    yi = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
+    xi = np.minimum((np.arange(width) * src_w) // width, src_w - 1)
+    return encode_png(img[yi][:, xi]), width, height
 
 
 def pnm_image_features(payload: bytes) -> np.ndarray:
@@ -245,22 +456,19 @@ def pnm_image_features(payload: bytes) -> np.ndarray:
 class ImageDecodeStage:
     """Actor-pool stage: decode media payloads → feature vectors.
 
-    Real decoding requires an image codec library that is not shipped in
-    this environment; construct with ``feature_fn=fake_image_features``
-    for the deterministic test path.  Batch sizes should stay small for
-    large binary payloads (one decoded image can be 100× its encoded
-    size) — callers pass ``batch_size<=32``.
+    The default ``feature_fn`` is the REAL :func:`image_features`
+    kernel (sniffing BMP/PNG/netpbm decode → 8-dim features); inject
+    ``fake_image_features`` for the md5-based oracle path, or a
+    codec-library kernel for formats this container can't decode
+    (JPEG/WebP raise ``ValueError`` from the sniffer).  Batch sizes
+    should stay small for large binary payloads (one decoded image can
+    be 100× its encoded size) — callers pass ``batch_size<=32``.
     """
 
     def __init__(self, feature_fn: Optional[Callable[[bytes], np.ndarray]] = None):
-        self.feature_fn = feature_fn
+        self.feature_fn = feature_fn or image_features
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.feature_fn is None:
-            raise NotImplementedError(
-                "image decode requires a codec library not present in this "
-                "container; inject feature_fn (e.g. fake_image_features)"
-            )
         payloads = batch.column("payload").to_pylist()
         feats = [self.feature_fn(p or b"").tolist() for p in payloads]
         return pa.table(
@@ -275,11 +483,12 @@ class ImageDecodeStage:
 class ImageResizeStage:
     """Actor-pool stage: resize image payloads to a target geometry.
 
-    The resize kernel (decode → resample → encode) is stubbed like the
-    decoder; inject ``resize_fn=fake_resize`` for the deterministic
-    path.  Output keeps the payload column binary with explicit
-    width/height metadata columns — the layout a downstream training
-    pipeline consumes."""
+    The default ``resize_fn`` is the REAL :func:`image_resize` kernel
+    (sniffing decode → nearest-neighbor resample → PNG re-encode);
+    inject ``fake_resize`` for the shape-bookkeeping test path or a
+    codec-library kernel for container-unsupported formats.  Output
+    keeps the payload column binary with explicit width/height metadata
+    columns — the layout a downstream training pipeline consumes."""
 
     def __init__(
         self,
@@ -289,14 +498,9 @@ class ImageResizeStage:
     ):
         self.width = width
         self.height = height
-        self.resize_fn = resize_fn
+        self.resize_fn = resize_fn or image_resize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.resize_fn is None:
-            raise NotImplementedError(
-                "image resize requires a codec library not present in this "
-                "container; inject resize_fn (e.g. fake_resize)"
-            )
         payloads = batch.column("payload").to_pylist()
         out_p, out_w, out_h = [], [], []
         for p in payloads:
@@ -464,15 +668,16 @@ def synth_family_bmp(family: int, *, width: int = 9, height: int = 7) -> bytes:
 
 
 class ImageDHashStage:
-    """Actor-pool stage: BMP ``payload`` → ``dhash`` int64 per row, via
-    the real :func:`decode_bmp` → :func:`dhash64` path."""
+    """Actor-pool stage: image ``payload`` → ``dhash`` int64 per row, via
+    the real sniffing :func:`decode_image` (BMP/PNG/netpbm) →
+    :func:`dhash64` path."""
 
     def __init__(self, hash_w: int = 8, hash_h: int = 7):
         self.hash_w, self.hash_h = hash_w, hash_h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         hashes = [
-            dhash64(decode_bmp(p.as_py()), hash_w=self.hash_w, hash_h=self.hash_h)
+            dhash64(decode_image(p.as_py()), hash_w=self.hash_w, hash_h=self.hash_h)
             for p in batch.column("payload")
         ]
         return pa.table(
@@ -483,19 +688,39 @@ class ImageDHashStage:
         )
 
 
-def image_dhash_dedup(sf_dir: str, *, n_families: int = 41):
+def synth_family_png(family: int, *, width: int = 9, height: int = 7) -> bytes:
+    """Planted-truth PNG for the PNG-codec dedup oracle: RGB pixel
+    (x, y) = affine-mod-256 formulas of (family, x, y) — DIFFERENT
+    constants from :func:`synth_family_bmp`, so the two oracles are
+    independent — pushed through the REAL :func:`encode_png` with
+    row_filters cycling 0..4, so decoding exercises every scanline
+    unfilter path (a decoder that mishandles Sub/Up/Average/Paeth
+    produces a different hash and fails the oracle)."""
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    r = (family * 41 + x * 13 + y * 19) % 256
+    g = (family * 67 + x * 7 + y * 31) % 256
+    b = (family * 89 + x * 5 + y * 3) % 256
+    img = np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8)
+    return encode_png(img, row_filters=[0, 1, 2, 3, 4])
+
+
+def image_dhash_dedup(sf_dir: str, *, n_families: int = 41, image_format: str = "bmp"):
     """documents → (dhash, rep_doc, n_docs): perceptual-hash exact image
-    dedup over REAL decoded BMPs.  Each document gets a synthetic image
-    from :func:`synth_family_bmp` keyed by ``doc_id % n_families`` (the
-    planted truth the DuckDB oracle replays pixel-for-pixel), the
-    actor-pool :class:`ImageDHashStage` decodes and hashes it, and a
-    single Min/Count groupby on the uniform 64-bit hash yields one row
-    per distinct image — the :func:`~.dedup.exact_dedup` shape with a
+    dedup over REAL decoded images.  Each document gets a synthetic image
+    from :func:`synth_family_bmp` (or :func:`synth_family_png` with
+    ``image_format="png"`` — zlib-compressed, all five scanline filters)
+    keyed by ``doc_id % n_families`` (the planted truth the DuckDB
+    oracle replays pixel-for-pixel), the actor-pool
+    :class:`ImageDHashStage` decodes and hashes it, and a single
+    Min/Count groupby on the uniform 64-bit hash yields one row per
+    distinct image — the :func:`~.dedup.exact_dedup` shape with a
     perceptual key.  At 100 TB: hashes are 8 bytes/row, the only shuffle
     is over the hash key, and near-dup extension is a Hamming-ball bucket
     join over the same column."""
     from ray.data.aggregate import Count, Min
 
+    synth = {"bmp": synth_family_bmp, "png": synth_family_png}[image_format]
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def to_media(batch: pa.Table) -> pa.Table:
@@ -504,7 +729,7 @@ def image_dhash_dedup(sf_dir: str, *, n_families: int = 41):
             {
                 "doc_id": batch.column("doc_id"),
                 "payload": pa.array(
-                    [synth_family_bmp(i % n_families) for i in ids], pa.binary()
+                    [synth(i % n_families) for i in ids], pa.binary()
                 ),
             }
         )

@@ -115,7 +115,9 @@ def test_multimodal_stub_plumbing():
     ).take_all()
     assert len(out) == 8
     assert all(len(r["features"]) == 8 for r in out)
-    with pytest.raises(NotImplementedError):
+    # default kernel is the REAL sniffing decoder: undecodable bytes
+    # (e.g. a JPEG, which needs an external codec) raise ValueError
+    with pytest.raises(ValueError):
         ImageDecodeStage()(
             pa.table(
                 {
@@ -312,7 +314,9 @@ def test_multimodal_resize_and_audio_stages():
     ).take_all()
     assert len(resized) == 6
     assert all(len(r["payload"]) == 32 and r["width"] == 8 and r["height"] == 4 for r in resized)
-    with pytest.raises(NotImplementedError):
+    # default kernel is the REAL sniffing decode→resample→encode path:
+    # undecodable bytes raise ValueError
+    with pytest.raises(ValueError):
         ImageResizeStage()(
             pa.table(
                 {
@@ -1490,6 +1494,136 @@ def test_pnm_codec_and_dispatch():
     assert abs(feats[2] - 200 / 255) < 1e-9 and feats[5] == 0.0
 
 
+def test_png_codec_roundtrip_filters_and_color_types():
+    """encode_png → decode_png is exact for every filter type and for
+    gray/RGB/RGBA inputs; hand-built palette and gray+alpha PNGs decode;
+    malformed payloads raise; decode_image sniffs PNG."""
+    import zlib
+
+    import numpy as np
+    import pytest
+    from go_htmldate_ray.stages.multimodal import (
+        _PNG_SIG,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(29)
+    # each filter type alone, then all five cycling, across geometries
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        for h, w in [(1, 1), (3, 5), (7, 9), (4, 2)]:
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            got = decode_png(encode_png(img, row_filters=filters))
+            assert np.array_equal(got, img), (filters, h, w)
+
+    # grayscale (1ch) broadcasts; RGBA drops alpha
+    g = rng.randint(0, 256, size=(3, 4, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(g)), np.repeat(g, 3, axis=2))
+    rgba = rng.randint(0, 256, size=(2, 3, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(rgba, row_filters=[4])), rgba[:, :, :3]
+    )
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    # hand-built palette PNG: 2x2, palette [red, green, blue]
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raster = zlib.compress(bytes([0, 0, 1]) + bytes([0, 2, 0]))  # rows: filt+2px
+    pal_png = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", raster)
+        + chunk(b"IEND", b"")
+    )
+    img = decode_png(pal_png)
+    assert img[0, 0].tolist() == [255, 0, 0] and img[0, 1].tolist() == [0, 255, 0]
+    assert img[1, 0].tolist() == [0, 0, 255] and img[1, 1].tolist() == [255, 0, 0]
+
+    # gray+alpha (color type 4): alpha dropped, gray broadcast
+    ihdr4 = (1).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 4, 0, 0, 0])
+    raster4 = zlib.compress(bytes([0, 77, 255]) + bytes([0, 200, 0]))
+    ga_png = (
+        _PNG_SIG + chunk(b"IHDR", ihdr4) + chunk(b"IDAT", raster4) + chunk(b"IEND", b"")
+    )
+    ga = decode_png(ga_png)
+    assert ga.shape == (2, 1, 3)
+    assert ga[0, 0].tolist() == [77, 77, 77] and ga[1, 0].tolist() == [200, 200, 200]
+
+    # sniffing dispatch
+    img = rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+
+    good = encode_png(img)
+
+    def with_ihdr(ihdr_tail):  # 2x2 header + a syntactically-fine IDAT
+        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + ihdr_tail
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+
+    for bad in (
+        b"",
+        b"\x89PNG\r\n\x1a\nnot-chunks",
+        good[:30],  # truncated chunk
+        with_ihdr(bytes([16, 2, 0, 0, 0])),  # 16-bit depth
+        with_ihdr(bytes([8, 2, 0, 0, 1])),  # interlaced
+        with_ihdr(bytes([8, 7, 0, 0, 0])),  # unknown color type
+    ):
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+
+def test_png_default_stage_kernels_and_resize(ray_session):
+    """The stage defaults are now REAL kernels: ImageDecodeStage with no
+    injected fn extracts genuine features from PNG bytes, and
+    ImageResizeStage re-encodes a decodable PNG at the target geometry."""
+    import numpy as np
+    import ray.data
+    from go_htmldate_ray.stages.multimodal import (
+        ImageDecodeStage,
+        ImageResizeStage,
+        decode_png,
+        encode_png,
+    )
+
+    solid = np.full((4, 6, 3), 120, dtype=np.uint8)
+    ds = ray.data.from_items(
+        [{"media_id": 7, "media_type": "image", "payload": encode_png(solid, row_filters=[2])}]
+    )
+    out = ds.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=8, concurrency=1
+    ).take_all()
+    assert len(out) == 1
+    feats = out[0]["features"]
+    assert abs(feats[0] - 6 / 4096) < 1e-12 and abs(feats[1] - 4 / 4096) < 1e-12
+    assert abs(feats[2] - 120 / 255) < 1e-9 and feats[5] == 0.0
+
+    resized = ray.data.from_items(
+        [{"media_id": 7, "payload": encode_png(solid)}]
+    ).map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"width": 3, "height": 2},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=1,
+    ).take_all()
+    assert resized[0]["width"] == 3 and resized[0]["height"] == 2
+    back = decode_png(resized[0]["payload"])
+    assert back.shape == (2, 3, 3) and (back == 120).all()
+
+
 def test_bpe_token_count_batch():
     """BPE-ish pre-tokenizer counts match hand-derivable pieces:
     contractions split off, letter/digit/symbol runs each one piece,
@@ -2369,6 +2503,37 @@ def test_image_dhash_dedup_groups_by_family():
     # rep_doc is the min doc_id of each residue class 0..4
     assert sorted(r["rep_doc"] for r in rows) == [0, 1, 2, 3, 4]
     assert sum(r["n_docs"] for r in rows) == 500
+
+
+def test_image_dhash_dedup_png_mode_matches_formula():
+    """PNG mode routes through the real zlib decode (all five scanline
+    filters per synth_family_png) and must group identically by family,
+    with hashes equal to dhash64 over the formula pixels."""
+    import numpy as np
+    from go_htmldate_ray.stages.multimodal import (
+        decode_png,
+        dhash64,
+        image_dhash_dedup,
+        synth_family_png,
+    )
+
+    # decode parity with the planted formulas first
+    fam = 3
+    img = decode_png(synth_family_png(fam))
+    assert img.shape == (7, 9, 3)
+    x = np.arange(9)[None, :]
+    y = np.arange(7)[:, None]
+    assert (img[..., 0] == (fam * 41 + x * 13 + y * 19) % 256).all()
+    assert (img[..., 1] == (fam * 67 + x * 7 + y * 31) % 256).all()
+    assert (img[..., 2] == (fam * 89 + x * 5 + y * 3) % 256).all()
+
+    rows = image_dhash_dedup(SF, n_families=5, image_format="png").take_all()
+    assert len(rows) == 5
+    assert sorted(r["rep_doc"] for r in rows) == [0, 1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in rows) == 500
+    by_rep = {r["rep_doc"]: r["dhash"] for r in rows}
+    for f in range(5):
+        assert by_rep[f] == dhash64(decode_png(synth_family_png(f)))
 
 
 def test_crawl_trap_hosts_flags_only_planted_exploders():
