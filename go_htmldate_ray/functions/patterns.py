@@ -810,6 +810,31 @@ _SKIP_WORDS = frozenset({
     "jaar",  # nl
     "vuonna",  # fi
     "tahun",  # id/ms
+    # --- per-locale SKIP prepositions/particles, the analog of
+    # go-dateparser's translation-data "skip" lists (each locale's
+    # ignorable function words between date components).  Like the
+    # year-word block above, skipping only ever PREVENTS a reject —
+    # a full day+month+year is still required, so these cannot
+    # fabricate a date:
+    "em", "às", "no", "na", "do", "da",  # pt: "em 1 de janeiro de 2022 às 14h"
+    "w", "z", "o", "dniu", "dn",  # pl: "w dniu 14 maja 2021"
+    "v", "ve", "od", "ze", "zo",  # cs/sk: "v pondělí 24. února 2020"
+    "i", "klockan",  # sv/da/no: "i maj 2020", "klockan 14"
+    "pe", "la", "din", "în",  # ro: "pe 3 mai 2020", "din 12 martie 2020"
+    "las", "por",  # es: "a las 14:30", "por la tarde"
+    "à", "er",  # fr: "à 14h30", "1er" split ordinal
+    "alle",  # it: "alle 14:30"
+    "op", "om",  # nl: "op 14 augustus 2019 om 15:00"
+    "vom",  # de: "vom 3. Mai 2020"
+    "tarihinde", "tarihli", "tarih", "tarihi",  # tr: "3 Aralık 2008 tarihinde"
+    "в", "от",  # ru/uk/bg: "в мае 2020", "от 14 мая"
+    "від", "у",  # uk
+    # --- split day-suffix tokens (the tokenizer breaks "3-án" / "14-го"
+    # / "14-go" at the hyphen; go-dateparser removes these via its
+    # per-locale simplification regexes):
+    "án", "én", "jén", "ján",  # hu: "május 3-án", "június 1-jén"
+    "го",  # ru/uk/bg: "14-го мая"
+    "go", "ego",  # pl: "14-go maja"
 })
 _TIME_OF_DAY = re.compile(r"\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?")
 # Combining marks (category Mn/Mc) are not matched by the \w letter

@@ -165,6 +165,37 @@ def test_external_date_parser(s, expected):
     assert _fmt(external_date_parser(s, opts)) == expected
 
 
+# Per-locale skip tokens (the go-dateparser translation-data "skip"
+# lists: prepositions / particles / split day-suffixes).  Skipping only
+# prevents a reject — full day+month+year is still required, so the
+# negative rows pin that no date is fabricated.
+LOCALE_SKIP_CASES = [
+    ("2020. május 3-án", "2020-05-03"),          # hu adessive day suffix
+    ("2021. június 1-jén", "2021-06-01"),
+    ("em 1 de janeiro de 2022", "2022-01-01"),   # pt preposition
+    ("w dniu 14 maja 2021", "2021-05-14"),       # pl "on the day"
+    ("v pondělí 24. února 2020", "2020-02-24"),  # cs preposition + weekday
+    ("pe 3 mai 2020", "2020-05-03"),             # ro preposition
+    ("3 Aralık 2008 tarihinde", "2008-12-03"),   # tr "on the date of"
+    ("14-го мая 2020", "2020-05-14"),            # ru split ordinal suffix
+    ("14-go maja 2021", "2021-05-14"),           # pl split ordinal suffix
+    ("den 14 augusti 2019 klockan 14", "2019-08-14"),  # sv
+    ("op 14 augustus 2019 om 15:00", "2019-08-14"),    # nl
+    ("vom 3. Mai 2020", "2020-05-03"),           # de
+    ("від 14 травня 2020", "2020-05-14"),        # uk
+    ("i maj 2020", ""),                          # month+year only: strict
+    ("у травні 2020", ""),
+    ("Publicerad 3 maj 2020", ""),               # verbs are NOT skip words
+    ("Zveřejněno 3. září 2021", ""),
+    ("3rd Tuesday in March", ""),
+]
+
+
+@pytest.mark.parametrize("s,expected", LOCALE_SKIP_CASES)
+def test_external_date_parser_locale_skip_tokens(s, expected):
+    assert _fmt(external_date_parser(s, Options())) == expected
+
+
 # --- validateDate (validators_test.go:27-79) --------------------------------
 
 def test_validate_date_window():
