@@ -1003,9 +1003,10 @@ def test_repeated_substrings_vs_python_rule(ray_session):
 
 
 def test_repeated_substrings_broadcast_bound_guard(ray_session):
-    """The doc-text broadcast is loudly bounded: exceeding
+    """The explicit broadcast mode is loudly bounded: exceeding
     broadcast_doc_limit must raise before anything materializes, with a
-    message pointing at the join-based scale path."""
+    message pointing at the join-based scale path; auto mode switches
+    to the join path instead of raising."""
     import pytest
     import ray
 
@@ -1013,4 +1014,42 @@ def test_repeated_substrings_broadcast_bound_guard(ray_session):
 
     rows = [{"doc_id": i, "text": f"doc {i} text"} for i in range(6)]
     with pytest.raises(ValueError, match="broadcasts doc texts"):
-        repeated_substrings(ray.data.from_items(rows), broadcast_doc_limit=5)
+        repeated_substrings(
+            ray.data.from_items(rows),
+            broadcast_doc_limit=5,
+            prefix_attach="broadcast",
+        )
+    with pytest.raises(ValueError, match="unknown prefix_attach"):
+        repeated_substrings(ray.data.from_items(rows), prefix_attach="bogus")
+
+
+def test_repeated_substrings_join_attach_matches_broadcast(ray_session):
+    """The corpus-scale join-based prefix attach must emit exactly the
+    broadcast path's (length, substring) set — exercised by forcing
+    auto over the limit so the join path is what auto picks."""
+    import random
+
+    import ray
+
+    from go_htmldate_ray.stages.suffix import repeated_substrings
+
+    rng = random.Random(31)
+    boiler = "standard footer text repeated across the site"
+    rows = []
+    for i in range(8):
+        body = "".join(rng.choice("abcde ") for _ in range(rng.randrange(15, 50)))
+        rows.append({"doc_id": i, "text": body + (boiler if i % 2 == 0 else "")})
+
+    def run(**kw):
+        return {
+            (r["length"], r["substring"])
+            for r in repeated_substrings(
+                ray.data.from_items(rows), min_len=20, cap=64, **kw
+            ).take_all()
+        }
+
+    a = run(prefix_attach="broadcast")
+    b = run(prefix_attach="join")
+    c = run(broadcast_doc_limit=4)  # auto → join (8 docs > 4)
+    assert a == b == c
+    assert any(sub.startswith(boiler[:20]) for _, sub in a)
