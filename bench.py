@@ -521,6 +521,14 @@ def run_headline() -> dict:
     queries["image_dhash"] = round(
         bench_query(multimodal.image_dhash_dedup), 3
     )
+    queries["image_dhash_png"] = round(
+        bench_query(
+            lambda sf: multimodal.image_dhash_dedup(
+                sf, n_families=37, image_format="png"
+            )
+        ),
+        3,
+    )
     queries["skew_join"] = round(
         bench_query(
             lambda sf: analytics.orders_customer_skew_join(sf, hot_threshold=1000)
