@@ -94,6 +94,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Host connectivity from REAL page parses: DOM anchor extraction
         # -> per-batch pair-count partials -> one small Sum groupby.
         "host_link_edges": ed.host_link_edges,
+        # Connected components over the strong (n_links >= 2) host graph:
+        # string nodes -> md5-derived int ids -> min-label propagation,
+        # component surfaced as the labelling host string.
+        "host_components": lambda sf: _typed_df(
+            ed.host_components(sf),
+            {"host": "string", "component": "string"},
+        ),
+        # Co-citation: target-host pairs sharing >= 3 distinct linking
+        # hosts (bucketed vectorized pair expansion, loud out-degree cap).
+        "host_cocitation": ed.host_cocitation,
         # Anchor-text aggregation per target URL from REAL page parses:
         # (dst, anchor) partial counts -> Sum groupby -> tiny per-dst
         # finalize (rows per group = distinct anchors, not inlinks).
@@ -254,6 +264,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, text_stage.fingerprint_batch, ["doc_id", "text"]
         ),
         "lang_id": lambda sf: _map(sf, text_stage.lang_id_batch, ["doc_id", "text"]),
+        # Character-distribution entropy (integer nano-unit terms, the
+        # charlm_nll exactness scheme): one utf-32 decode + np.unique +
+        # reduceat per batch.
+        "char_entropy": lambda sf: _map(
+            sf, text_stage.char_entropy_batch, ["doc_id", "text"]
+        ),
+        # LID confusion audit: docs where the script-rule regime
+        # overrides the stopword argmax, as a (stop_lang, script_lang)
+        # count table over the snippet-planted corpus.
+        "lid_disagreement": lambda sf: text_stage.lid_disagreement(
+            read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            )
+        ),
         # Two-regime production lang-ID: Unicode-script codepoint
         # bucketing decides CJK/ar/he/el/hi/th outright, stopword argmax
         # handles Latin/Cyrillic; planted pure-script snippets
@@ -659,6 +683,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_per_type": analytics.top_users_per_type,
         "asof_latest_order": _streaming("asof_join_latest_order"),
         "sessionize_events": _streaming("sessionize_events"),
+        # Politeness audit over the fetch log: per-key ordered gap scan
+        # vs the key's declared minimum delay (same bucketed vectorized
+        # shape as sessionize_events).
+        "crawl_delay_compliance": _streaming("crawl_delay_compliance"),
         # Distributed range (interval) join: grid-cell equi-join
         # reduction + exact containment filter over overlapping windows.
         "events_in_windows": _streaming("events_in_windows"),
@@ -1297,6 +1325,63 @@ def oracle_sql() -> dict[str, str]:
                    'site' || (t % 97) || '.example.org' AS dst_host,
                    count(*)::BIGINT AS n_links
             FROM e GROUP BY 1, 2""",
+        # pipelines/extract_dates.host_components — recursive reachability
+        # over the strong (n >= 2, src != dst) symmetric host graph;
+        # component = host whose md5-derived 63-bit id is minimal in the
+        # component (the engine's min-label convergence target).
+        "host_components": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id,
+                       (doc_id*13+1) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id*29+7) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT 'site' || (doc_id % 97) || '.example.org' AS s,
+                       'site' || (t % 97) || '.example.org' AS d,
+                       count(*) AS n
+                FROM e GROUP BY 1, 2
+            ),
+            ed AS (SELECT s, d FROM g WHERE n >= 2 AND s != d),
+            sym AS (SELECT s AS u, d AS v FROM ed
+                    UNION SELECT d, s FROM ed),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN sym e2 ON e2.u = r.v
+            )
+            SELECT u AS host,
+                   arg_min(v, ('0x' || substr(md5(v), 1, 16))::UBIGINT >> 1)
+                       AS component
+            FROM reach GROUP BY u""",
+        # pipelines/extract_dates.host_cocitation — distinct-edge self
+        # join per source, unordered target pairs with >= 3 shared
+        # sources (string < is byte-wise on both sides).
+        "host_cocitation": """
+            WITH e AS (
+                SELECT doc_id,
+                       (doc_id*13+1) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id*29+7) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+            ),
+            de AS (
+                SELECT DISTINCT
+                       'site' || (doc_id % 97) || '.example.org' AS s,
+                       'site' || (t % 97) || '.example.org' AS d
+                FROM e
+            ),
+            p AS (
+                SELECT a.d AS host_a, b.d AS host_b
+                FROM de a JOIN de b ON a.s = b.s AND a.d < b.d
+            )
+            SELECT host_a, host_b, count(*)::BIGINT AS n_common
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 3""",
         # PageRank replay (3 unrolled iterations) -> host authority sum
         # -> smallest-doc_id cap per host -> top-budget with the same
         # (priority DESC, doc_id ASC) tie-break the engine sorts on.
@@ -2514,6 +2599,22 @@ def oracle_sql() -> dict[str, str]:
                               ROWS UNBOUNDED PRECEDING
                           ) AS BIGINT) AS session_id
             FROM ordered""",
+        # pipelines/streaming.crawl_delay_compliance — lag-window gap scan
+        # in integer microseconds vs the fixture's per-key delay policy.
+        "crawl_delay_compliance": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+                FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN prev IS NOT NULL
+                             AND epoch_us(ts) - epoch_us(prev)
+                                 < (user_id % 5 + 1) * 60000000
+                            THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+                   (user_id % 5 + 1) * 60 AS min_gap_s
+            FROM g GROUP BY user_id""",
         "events_by_type": """
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
@@ -2782,6 +2883,33 @@ ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
             JOIN mu_a ON mu_a.aid = best.aid""",
         "lang_id": _lang_id_sql(),
         "script_lang_id": _script_lang_sql(),
+        # stages/text_stage.char_entropy_batch — integer nano-unit
+        # per-distinct-codepoint terms (charlm_nll exactness scheme);
+        # DuckDB length/substr count codepoints like the engine's utf-32
+        # bucketing.
+        "char_entropy": """
+            WITH ch AS (
+                SELECT doc_id, substr(text, i, 1) AS c
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, length(text) + 1)) AS i
+                      FROM documents WHERE length(text) >= 1)),
+            cc AS (SELECT doc_id, c, count(*)::BIGINT AS k
+                   FROM ch GROUP BY doc_id, c)
+            SELECT doc_id, sum(k)::BIGINT AS n_cp,
+                   sum(floor(k::DOUBLE * ln(k::DOUBLE) * 1e9
+                             + 0.5))::BIGINT AS ent_term_nano
+            FROM cc GROUP BY doc_id""",
+        # stages/text_stage.lid_disagreement — both LID regimes recomputed
+        # over the SAME planted corpus (_script_aug_sql), joined on
+        # doc_id, disagreement cells counted.
+        "lid_disagreement": f"""
+            WITH s AS ({_script_lang_sql()}),
+            f AS ({_lang_id_sql(f'({_script_aug_sql()}) AS aug2')})
+            SELECT f.pred_lang AS stop_lang, s.pred_lang AS script_lang,
+                   count(*)::BIGINT AS n_docs
+            FROM s JOIN f USING (doc_id)
+            WHERE s.pred_lang != f.pred_lang
+            GROUP BY 1, 2""",
         "c4_line_filter": _c4_line_sql(),
         "hashed_classifier": _hashed_classifier_sql(),
         "mojibake_repair": _mojibake_sql(),
@@ -3035,6 +3163,24 @@ SELECT doc_id,
 FROM h"""
 
 
+def _script_aug_sql() -> str:
+    """The snippet-planted corpus (plant_script_snippets) as a SELECT —
+    shared by the script-LID oracle and the LID-disagreement oracle so
+    both regimes provably read the same text."""
+    from go_htmldate_ray.stages.text_stage import SCRIPT_SNIPPETS
+
+    planted = "\n      ".join(
+        f"WHEN {cls} THEN '{snippet}'" for cls, snippet in SCRIPT_SNIPPETS.items()
+    )
+    return f"""
+  SELECT doc_id,
+    CASE doc_id % 12
+      {planted}
+      WHEN 11 THEN coalesce(text, '') || ' 汉'
+      ELSE coalesce(text, '') END AS text
+  FROM documents"""
+
+
 def _script_lang_sql() -> str:
     # Generated from stages/text_stage._SCRIPT_RANGES /
     # _SCRIPT_LANG_RULES / SCRIPT_SNIPPETS (the tables ARE the operator's
@@ -3045,7 +3191,6 @@ def _script_lang_sql() -> str:
     # text.  DuckDB length() counts codepoints, matching the engine's
     # utf-32 bucketing exactly.
     from go_htmldate_ray.stages.text_stage import (
-        SCRIPT_SNIPPETS,
         _SCRIPT_LANG_RULES,
         _SCRIPT_RANGES,
     )
@@ -3063,9 +3208,6 @@ def _script_lang_sql() -> str:
         for n, rs in _SCRIPT_RANGES
     )
     total = " + ".join(f"c_{n}" for n in names)
-    planted = "\n      ".join(
-        f"WHEN {cls} THEN '{snippet}'" for cls, snippet in SCRIPT_SNIPPETS.items()
-    )
     # script rules in declared order; ja's guard is kana presence
     rule_whens = []
     for lang, scripts in _SCRIPT_LANG_RULES:
@@ -3088,13 +3230,7 @@ def _script_lang_sql() -> str:
     mains = "\n        ".join(main_whens)
     greatest = ", ".join(f"c_{n}" for n in names)
     return f"""
-WITH aug AS (
-  SELECT doc_id,
-    CASE doc_id % 12
-      {planted}
-      WHEN 11 THEN coalesce(text, '') || ' 汉'
-      ELSE coalesce(text, '') END AS text
-  FROM documents
+WITH aug AS ({_script_aug_sql()}
 ),
 c AS (
   SELECT doc_id,

@@ -1960,3 +1960,46 @@ def mirror_hosts(sf_dir: str, *, min_pairs: int = 2, threshold: float = 0.8):
         ).filter(pc.greater_equal(pc.field("n_pairs"), min_pairs)),
         batch_format="pyarrow",
     )
+
+
+def host_components(sf_dir: str, *, min_links: int = 2):
+    """Connected components over the STRONG host-link graph: keep edges
+    with ``n_links >= min_links`` (and ``src != dst``), then label each
+    host with its component via
+    :func:`~go_htmldate_ray.stages.graph.string_connected_components`
+    (min-label propagation over md5-derived int ids; component surfaced
+    as the labelling host's string).  The strong-edge filter is the
+    operator's semantics — repeated linkage, not a single stray anchor,
+    is what binds hosts into a site cluster — and it is what keeps the
+    fixture graph non-trivial (13 components at sf0.01).
+
+    Hosts with no strong edge are absent from the output (singletons),
+    matching ``near_dup_clusters``' convention.
+    """
+    from ..stages.graph import string_connected_components
+
+    edges = host_link_edges(sf_dir).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("n_links"), min_links),
+                pc.invert(
+                    pc.equal(b.column("src_host"), b.column("dst_host"))
+                ),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return string_connected_components(edges)
+
+
+def host_cocitation(sf_dir: str, *, min_common: int = 3):
+    """Co-citation pairs over the REAL host-link graph: hosts that share
+    ``>= min_common`` distinct linking hosts (see
+    :func:`~go_htmldate_ray.stages.graph.cocitation_pairs`) — the
+    related-domain / link-farm candidate list a crawl prioritizer or
+    spam classifier consumes.  ``host_link_edges`` output rows are
+    already distinct (src, dst), the pairing stage's caller contract.
+    """
+    from ..stages.graph import cocitation_pairs
+
+    return cocitation_pairs(host_link_edges(sf_dir), min_common=min_common)

@@ -519,3 +519,81 @@ def orders_overlapping_windows(sf_dir: str):
         grid_us=_SERVICE_STRIDE_US,
     )
     return joined.select_columns(["o_orderkey", "window_id"])
+
+
+def crawl_delay_compliance(sf_dir: str, n_buckets: int = 64):
+    """Politeness audit over a fetch log: per key (the events fixture's
+    ``user_id`` standing in for a crawl host), order fetches by
+    (ts, event_id) and count consecutive-fetch gaps SHORTER than the
+    key's declared minimum delay — exactly the check a crawl operator
+    runs against the fetch log to prove the politeness scheduler honored
+    per-host Crawl-delay at 10^10 fetches.
+
+    The per-key minimum delay is deterministic fixture policy:
+    ``(user_id % 5 + 1)`` minutes (five distinct budgets, every branch
+    exercised).  Output: ``(user_id, n_events, n_violations,
+    min_gap_s)``; single-event keys have 0 violations.
+
+    Shape: same as :func:`sessionize_events` — one groupby shuffle on a
+    hash bucket of the key, then a fully vectorized per-bucket resolve
+    (lexsort + run-boundary gap scan + one ``np.unique`` count); gaps
+    compare in integer microseconds, so the SQL oracle matches exactly.
+    """
+    import ray.data
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64())
+        return pa.table(
+            {
+                "bucket": _bucket_of(uid, n_buckets),
+                "user_id": uid,
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "ts_us": pc.cast(
+                    pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    def audit(group: pa.Table) -> pa.Table:
+        uid = np.asarray(group.column("user_id"), dtype=np.int64)
+        eid = np.asarray(group.column("event_id"), dtype=np.int64)
+        ts = np.asarray(group.column("ts_us"), dtype=np.int64)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_violations": pa.array([], pa.int64()),
+                    "min_gap_s": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        u, t = uid[order], ts[order]
+        first = np.r_[True, u[1:] != u[:-1]]
+        min_gap_min = (u % 5) + 1  # fixture policy, in minutes
+        min_gap_us = min_gap_min * 60_000_000
+        viol = np.r_[False, (t[1:] - t[:-1]) < min_gap_us[1:]] & ~first
+        users, starts = np.unique(u, return_index=True)
+        n_events = np.diff(np.r_[starts, len(u)])
+        boundaries = starts
+        n_viol = np.add.reduceat(viol.astype(np.int64), boundaries)
+        # reduceat on a single-row final segment still works; but a
+        # segment whose slice is empty can't occur (every user has >= 1)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "n_violations": pa.array(n_viol, pa.int64()),
+                "min_gap_s": pa.array((users % 5 + 1) * 60, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(audit, batch_format="pyarrow")
+    )

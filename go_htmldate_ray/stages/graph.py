@@ -34,6 +34,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     n_buckets: int | None = None,
+    seed_col: str | None = None,
 ):
     """(nodes: ``id``, edges: ``src``/``dst``) → Dataset (doc_id,
     rank_units) after ``iters`` synchronous power-iteration rounds.
@@ -41,6 +42,16 @@ def pagerank(
     ``rank_units`` sums to ≤ ``total`` (minus floor losses and dangling
     leakage); divide by ``total`` for the float rank.  Nodes absent from
     every edge still receive the teleport base each round.
+
+    ``seed_col``: optional 0/1 int column on ``nodes`` restricting the
+    teleport (and the initial mass) to the seed set — this is TrustRank
+    (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004): trust flows outward
+    from hand-vetted seeds, so spam clusters far from any seed decay to
+    ~0 while the uniform-teleport PageRank would still fund them.
+    Non-seed nodes start at 0 and receive no teleport base, only
+    in-edge transfers; the per-seed base divides by the SEED count.
+    The extra cost over plain PageRank is one ``sum()`` pass over the
+    node set — the iteration loop is unchanged.
     """
     import ray.data
     from ray.data.aggregate import Sum
@@ -57,8 +68,15 @@ def pagerank(
                 }
             )
         )
-    base = (total * (damping_den - damping_num)) // (damping_den * n_nodes)
-    r0 = total // n_nodes
+    if seed_col is not None:
+        n_seeds = int(nodes.sum(seed_col) or 0)
+        if n_seeds == 0:
+            raise ValueError("pagerank: seed_col given but no seed rows")
+        base = (total * (damping_den - damping_num)) // (damping_den * n_seeds)
+        r0 = total // n_seeds
+    else:
+        base = (total * (damping_den - damping_num)) // (damping_den * n_nodes)
+        r0 = total // n_nodes
     if n_buckets is None:
         # Per-iteration shuffle task count scales with buckets; size to
         # the node count (~500k rank rows per bucket, floor 8) so a
@@ -517,5 +535,263 @@ def hits(nodes, edges, *, iters: int = 2, scale_shift: int = 1, base_shift: int 
                 "auth_units": b.column("auth_units"),
             }
         ),
+        batch_format="pyarrow",
+    )
+
+
+def _host_id64(host: str) -> int:
+    """Stable 63-bit node id for a host string: top 64 bits of md5,
+    shifted right one bit so the value fits signed int64 on both the
+    engine and DuckDB sides (the simhash oracle's id scheme).  Injective
+    in practice — at 10^8 hosts the birthday collision odds are ~3e-4,
+    and a collision can only merge two components, never crash."""
+    import hashlib
+
+    return int(hashlib.md5(host.encode("utf-8")).hexdigest()[:16], 16) >> 1
+
+
+def string_connected_components(
+    edges,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_iters: int = 25,
+):
+    """(src, dst) string-edge Dataset → (host, component) labels:
+    connected components over an undirected string-keyed graph (host
+    linkage, mirror clusters, spam farms).
+
+    Reuses the int64 min-label propagation of
+    :func:`~go_htmldate_ray.stages.dedup.connected_components` by
+    mapping each host to :func:`_host_id64`; the component label is the
+    minimum node id in the component, surfaced as that node's host
+    string (``component``).  Exchange budget: the id→host mapping is a
+    per-batch-distinct partial → one Min groupby over the HOST set
+    (≪ edges), plus the CC rounds' light-pair joins; nothing touches
+    the driver.
+    """
+    import ray.data
+
+    from .dedup import connected_components
+    from .joins import hash_join
+
+    def to_id_pairs(b: pa.Table) -> pa.Table:
+        src = b.column(src_col).to_pylist()
+        dst = b.column(dst_col).to_pylist()
+        cache: dict[str, int] = {}
+
+        def hid(h: str) -> int:
+            v = cache.get(h)
+            if v is None:
+                v = cache[h] = _host_id64(h)
+            return v
+
+        return pa.table(
+            {
+                "doc_a": pa.array([hid(s) for s in src], pa.int64()),
+                "doc_b": pa.array([hid(d) for d in dst], pa.int64()),
+            }
+        )
+
+    def to_mapping(b: pa.Table) -> pa.Table:
+        hosts = sorted(
+            set(b.column(src_col).to_pylist())
+            | set(b.column(dst_col).to_pylist())
+        )
+        return pa.table(
+            {
+                "node_id": pa.array([_host_id64(h) for h in hosts], pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = edges.map_batches(to_id_pairs, batch_format="pyarrow")
+    labels = connected_components(pairs, max_iters=max_iters)
+    if not hasattr(labels, "map_batches"):  # typed-empty DataFrame
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "host": pd.Series([], dtype="string"),
+                "component": pd.Series([], dtype="string"),
+            }
+        )
+    mapping = (
+        edges.map_batches(to_mapping, batch_format="pyarrow")
+        .groupby("node_id")
+        .aggregate(Min("host"))
+        .map_batches(
+            lambda b: pa.table(
+                {"node_id": b.column("node_id"), "host": b.column("min(host)")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # labels: (doc_id=node id, cluster_rep=min node id in component)
+    with_host = hash_join(
+        labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "node_id": b.column("doc_id"),
+                    "rep_id": b.column("cluster_rep"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        mapping,
+        on="node_id",
+    )
+    rep_host = mapping.map_batches(
+        lambda b: pa.table(
+            {"rep_id": b.column("node_id"), "component": b.column("host")}
+        ),
+        batch_format="pyarrow",
+    )
+    out = hash_join(with_host, rep_host, on="rep_id")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"host": b.column("host"), "component": b.column("component")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def cocitation_pairs(
+    edges,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    min_common: int = 3,
+    max_out_degree: int = 4096,
+    n_buckets: int = 64,
+):
+    """Co-citation over a DISTINCT (src, dst) edge set: pairs of targets
+    linked from the same source, scored by how many sources they share —
+    the classic related-domain / link-farm signal (Small 1973; used for
+    "related:" queries and spam-cluster seeds).
+
+    Output: ``(host_a, host_b, n_common)`` with ``host_a < host_b`` and
+    ``n_common >= min_common``.
+
+    Shape: hash-bucket by ``src`` (each source's out-list must be
+    co-located — ONE groupby), then a fully vectorized per-bucket pass:
+    lexsort by (src, dst), per-src run boundaries, pair expansion via
+    repeat/offset index arithmetic, partial pair counts via one
+    ``np.unique``; a final small Sum groupby over the surviving pair
+    rows.  The per-src cartesian is quadratic in out-degree, so
+    ``max_out_degree`` is enforced LOUDLY (raise, not truncate) — at
+    web scale cap hub pages first (drop or sample out-lists above the
+    cap) exactly like skew_join's hot-key bound.
+
+    Caller contract: ``edges`` rows must be distinct (src, dst) pairs
+    (e.g. the output of ``host_link_edges``, already a groupby).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def tag(b: pa.Table) -> pa.Table:
+        src = b.column(src_col).to_pylist()
+        cache: dict[str, int] = {}
+
+        def bucket(h: str) -> int:
+            v = cache.get(h)
+            if v is None:
+                v = cache[h] = _host_id64(h) % n_buckets
+            return v
+
+        return pa.table(
+            {
+                "bucket": pa.array([bucket(s) for s in src], pa.int64()),
+                "src": b.column(src_col),
+                "dst": b.column(dst_col),
+            }
+        )
+
+    def expand(group: pa.Table) -> pa.Table:
+        src = np.asarray(group.column("src").to_pylist(), dtype=object)
+        dst = np.asarray(group.column("dst").to_pylist(), dtype=object)
+        n = len(src)
+        if n == 0:
+            return pa.table(
+                {
+                    "host_a": pa.array([], pa.string()),
+                    "host_b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # factorize hosts to codes so all pair work is integer
+        all_hosts, codes = np.unique(
+            np.concatenate([src, dst]), return_inverse=True
+        )
+        s_code, d_code = codes[:n], codes[n:]
+        order = np.lexsort((d_code, s_code))
+        s_sorted, d_sorted = s_code[order], d_code[order]
+        # per-src runs
+        starts = np.flatnonzero(np.r_[True, s_sorted[1:] != s_sorted[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        worst = int(lens.max())
+        if worst > max_out_degree:
+            raise ValueError(
+                f"cocitation_pairs: source out-degree {worst} exceeds "
+                f"max_out_degree={max_out_degree}; cap hub out-lists "
+                "upstream (drop or sample) before pairing"
+            )
+        # all (i < j) index pairs within each run, vectorized:
+        # for a run of length L starting at s the pairs are
+        # (s+a, s+b) for 0 <= a < b < L.
+        L = lens
+        pair_counts = L * (L - 1) // 2
+        total = int(pair_counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "host_a": pa.array([], pa.string()),
+                    "host_b": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # integer-only pair expansion: element at within-run position p
+        # pairs (as the larger index) with each of the p elements before
+        # it, so repeat every element p times as 'j' and enumerate
+        # 0..p-1 as the local 'i' offset from its run start.
+        run_starts_per_elem = np.repeat(starts, lens)
+        p = np.arange(n) - run_starts_per_elem  # within-run position
+        j_idx = np.repeat(np.arange(n), p)
+        a_local = np.arange(total) - np.repeat(np.cumsum(p) - p, p)
+        i_idx = run_starts_per_elem[j_idx] + a_local
+        ca, cb = d_sorted[i_idx], d_sorted[j_idx]
+        # unordered pair: smaller HOST STRING first (codes are sorted
+        # by np.unique, so code order == lexicographic host order)
+        lo = np.minimum(ca, cb)
+        hi = np.maximum(ca, cb)
+        keep = lo != hi  # self-pairs impossible on distinct edges, but cheap
+        lo, hi = lo[keep], hi[keep]
+        K = len(all_hosts)
+        pair_key = lo.astype(np.int64) * K + hi
+        uniq, counts = np.unique(pair_key, return_counts=True)
+        return pa.table(
+            {
+                "host_a": pa.array(all_hosts[uniq // K].tolist(), pa.string()),
+                "host_b": pa.array(all_hosts[uniq % K].tolist(), pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partial = (
+        edges.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(expand, batch_format="pyarrow")
+    )
+    agg = partial.groupby(["host_a", "host_b"]).aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "host_a": b.column("host_a"),
+                "host_b": b.column("host_b"),
+                "n_common": b.column("sum(n)").cast(pa.int64()),
+            }
+        ).filter(pc.field("n_common") >= min_common),
         batch_format="pyarrow",
     )

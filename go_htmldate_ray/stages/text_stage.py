@@ -1129,3 +1129,118 @@ def oov_rates(ds, *, vocab_k: int = 10):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def char_entropy_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_cp, ent_term_nano — character-distribution entropy
+    statistics per document, a classic cheap quality signal (very low
+    entropy = boilerplate/repeated filler; very high = binary junk or
+    mojibake; used alongside the Gopher rules).
+
+    Exactness contract (same scheme as ``charlm_nll``): for each
+    distinct codepoint c with count k the per-term quantity is
+    ``floor(k * ln(k) * 1e9 + 0.5)`` — an integer, so the per-document
+    sum commutes and hash-compares exactly against the SQL oracle.
+    Shannon entropy in nats is recoverable as
+    ``ln(n_cp) - ent_term_nano / (1e9 * n_cp)``.
+
+    Vectorized: ONE utf-32 decode of the concatenated batch text, one
+    ``np.unique`` over (doc, codepoint) keys, one integer ``reduceat``
+    per batch — no per-character Python.  Documents with no text are
+    omitted (the oracle's ``length(text) >= 1`` guard).
+    """
+    texts = [t or "" for t in batch.column("text").to_pylist()]
+    doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    if int(lens.sum()) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_cp": pa.array([], pa.int64()),
+                "ent_term_nano": pa.array([], pa.int64()),
+            }
+        )
+    joined = "".join(texts)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    # codepoints < 0x110000 < 2^21, so (doc, cp) packs into one int64
+    key = (doc_idx << 21) | cps
+    uniq, counts = np.unique(key, return_counts=True)
+    term = np.floor(
+        counts.astype(np.float64) * np.log(counts.astype(np.float64)) * 1e9
+        + 0.5
+    ).astype(np.int64)
+    d = uniq >> 21
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    per_doc = d[starts]
+    sums = np.add.reduceat(term, starts)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[per_doc], pa.int64()),
+            "n_cp": pa.array(lens[per_doc], pa.int64()),
+            "ent_term_nano": pa.array(sums, pa.int64()),
+        }
+    )
+
+
+def lid_disagreement(ds):
+    """Docs where the two language-ID regimes disagree, aggregated to a
+    (stop_lang, script_lang, n_docs) confusion table — the audit a
+    curation team runs before trusting either LID: a large cell means a
+    whole script or stopword profile is being misrouted.
+
+    Both regimes run over the SAME snippet-planted text
+    (:func:`plant_script_snippets`, so every script branch is exercised
+    at fixture scale): ``stop_lang`` is the pure stopword argmax,
+    ``script_lang`` the two-regime decision (script rules else that same
+    fallback) — so every disagreement row is a doc where a script rule
+    overrode the stopword vote.  One stateless map (both LIDs share the
+    planted batch) + per-batch pair-count partials → one tiny Sum
+    groupby over the language-pair set.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aug = plant_script_snippets(batch)
+        stop = lang_id_batch(aug).column("pred_lang").to_pylist()
+        script = script_lang_batch(aug).column("pred_lang").to_pylist()
+        counts: Counter = Counter()
+        for a, b in zip(stop, script):
+            if a != b:
+                counts[(a, b)] += 1
+        if not counts:
+            return pa.table(
+                {
+                    "stop_lang": pa.array([], pa.string()),
+                    "script_lang": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ka, kb = zip(*counts.keys())
+        return pa.table(
+            {
+                "stop_lang": pa.array(list(ka), pa.string()),
+                "script_lang": pa.array(list(kb), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["stop_lang", "script_lang"])
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "stop_lang": b.column("stop_lang"),
+                    "script_lang": b.column("script_lang"),
+                    "n_docs": b.column("sum(n)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -3247,3 +3247,141 @@ def test_heavy_hitters_trigrams():
         truth.update(" ".join(w[i : i + 3]) for i in range(len(w) - 2))
     assert got == {tok: c for tok, c in truth.items() if c >= 2}
     assert "a b c" in got and got["a b c"] == 3
+
+
+def test_cocitation_pairs_toy_graph():
+    """Pair expansion + counting vs a hand-enumerated toy edge set."""
+    import ray.data
+
+    from go_htmldate_ray.stages.graph import cocitation_pairs
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_host": ["s1", "s1", "s1", "s2", "s2", "s3", "s1"],
+                "dst_host": ["a", "b", "c", "a", "c", "b", "d"],
+            }
+        )
+    )
+    out = sorted(
+        (r["host_a"], r["host_b"], r["n_common"])
+        for r in cocitation_pairs(edges, min_common=1, n_buckets=4).take_all()
+    )
+    # s1 -> {a,b,c,d}: 6 pairs; s2 -> {a,c}: ac; s3 -> {b}: none
+    assert out == [
+        ("a", "b", 1),
+        ("a", "c", 2),
+        ("a", "d", 1),
+        ("b", "c", 1),
+        ("b", "d", 1),
+        ("c", "d", 1),
+    ]
+    # threshold filters
+    out2 = cocitation_pairs(edges, min_common=2, n_buckets=4).take_all()
+    assert [(r["host_a"], r["host_b"], r["n_common"]) for r in out2] == [
+        ("a", "c", 2)
+    ]
+
+
+def test_cocitation_out_degree_cap_is_loud():
+    import ray.data
+
+    from go_htmldate_ray.stages.graph import cocitation_pairs
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_host": ["hub"] * 5,
+                "dst_host": [f"d{i}" for i in range(5)],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="out-degree"):
+        cocitation_pairs(edges, max_out_degree=4, n_buckets=2).take_all()
+
+
+def test_string_connected_components_two_islands():
+    import ray.data
+
+    from go_htmldate_ray.stages.graph import (
+        _host_id64,
+        string_connected_components,
+    )
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_host": ["a", "b", "x"],
+                "dst_host": ["b", "c", "y"],
+            }
+        )
+    )
+    out = {
+        r["host"]: r["component"]
+        for r in string_connected_components(edges).take_all()
+    }
+    assert set(out) == {"a", "b", "c", "x", "y"}
+    # each island labelled by its min-md5-id member, consistently
+    abc_rep = min(["a", "b", "c"], key=_host_id64)
+    xy_rep = min(["x", "y"], key=_host_id64)
+    assert {out["a"], out["b"], out["c"]} == {abc_rep}
+    assert {out["x"], out["y"]} == {xy_rep}
+
+
+def test_char_entropy_batch_hand_computed():
+    import math
+
+    from go_htmldate_ray.stages.text_stage import char_entropy_batch
+
+    batch = pa.table(
+        {
+            "doc_id": [7, 8, 9],
+            "text": ["aab", "", "zzzz"],
+        }
+    )
+    out = char_entropy_batch(batch)
+    rows = {
+        r["doc_id"]: (r["n_cp"], r["ent_term_nano"])
+        for r in out.to_pylist()
+    }
+    # empty doc omitted
+    assert set(rows) == {7, 9}
+    # "aab": a count 2 (term floor(2 ln2 1e9 + .5)), b count 1 (term 0)
+    assert rows[7] == (3, math.floor(2 * math.log(2) * 1e9 + 0.5))
+    assert rows[9] == (4, math.floor(4 * math.log(4) * 1e9 + 0.5))
+    # recoverable entropy: H = ln(n) - terms/(1e9 n); uniform "ab" = ln 2
+    out2 = char_entropy_batch(pa.table({"doc_id": [1], "text": ["ab"]}))
+    r = out2.to_pylist()[0]
+    h = math.log(r["n_cp"]) - r["ent_term_nano"] / (1e9 * r["n_cp"])
+    assert abs(h - math.log(2)) < 1e-9
+
+
+def test_host_graph_queries_match_duckdb():
+    """host_components / host_cocitation / char_entropy /
+    lid_disagreement / crawl_delay_compliance vs their DuckDB oracles at
+    sf0.001 (the driver gate runs sf0.01; this pins the same contract in
+    pytest)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    from tools.check_oracles import canon, to_pandas
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    for name in (
+        "host_components",
+        "host_cocitation",
+        "char_entropy",
+        "lid_disagreement",
+        "crawl_delay_compliance",
+    ):
+        ray_df = canon(to_pandas(qs[name](SF)))
+        duck_df = canon(con.sql(oracles[name]).df())
+        duck_df = duck_df.astype(ray_df.dtypes.to_dict())
+        assert ray_df.equals(duck_df), name
