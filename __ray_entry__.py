@@ -104,6 +104,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Co-citation: target-host pairs sharing >= 3 distinct linking
         # hosts (bucketed vectorized pair expansion, loud out-degree cap).
         "host_cocitation": ed.host_cocitation,
+        # Bibliographic coupling (the cocitation dual): source-host
+        # pairs linking to >= 3 common targets.
+        "host_bib_coupling": ed.host_bib_coupling,
+        # Host-level curation gate: per-doc badword-rate flags rolled up
+        # to the host, whole host kept/dropped by flagged-doc rate.
+        "host_quality_gate": ed.host_quality_gate,
         # Anchor-text aggregation per target URL from REAL page parses:
         # (dst, anchor) partial counts -> Sum groupby -> tiny per-dst
         # finalize (rows per group = distinct anchors, not inlinks).
@@ -229,6 +235,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "quality_scores": lambda sf: _map(
             sf, text_stage.quality_batch, ["doc_id", "text"]
+        ),
+        # C4-style badword blocklist filter as a rate gate — both counts
+        # are one RE2 count_substring_regex kernel over the column.
+        "badword_filter": lambda sf: _map(
+            sf, cleaning.badword_batch, ["doc_id", "text"]
         ),
         # RAG/LM context chunking: overlapping 100-char windows, stride
         # 80 — a stateless flat expansion (rows ≈ len/stride per doc).
@@ -522,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer fixed-point units so sums commute; oracle = unrolled
         # iteration CTEs with identical integer arithmetic).
         "pagerank": _pagerank,
+        # TrustRank (seeded PageRank): teleport restricted to the
+        # doc_id % 17 == 0 seed set, 3 rounds, same integer arithmetic.
+        "trustrank": _trustrank,
         # HITS hubs/authorities: integer-exact half-rounds (join + Sum
         # per half-round, per-half-round >> replacing normalization).
         "hits_scores": lambda sf: _hits(sf, iters=2),
@@ -1005,6 +1019,35 @@ def _pagerank(sf_dir, iters: int = 5):
     return pagerank(nodes, edges, iters=iters)
 
 
+def _trustrank(sf_dir, iters: int = 3):
+    """Seeded PageRank (TrustRank): teleport + initial mass restricted
+    to the deterministic ``doc_id % 17 == 0`` seed set (hand-vetted
+    hosts stand-in; ~6%% of nodes at every sf, so trust decays visibly
+    along the fixture ring)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_htmldate_ray.stages.graph import pagerank
+
+    nodes, edges = _link_graph(sf_dir)
+
+    def seed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("id"), dtype=np.int64)
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "is_seed": pa.array((ids % 17 == 0).astype(np.int64)),
+            }
+        )
+
+    return pagerank(
+        nodes.map_batches(seed, batch_format="pyarrow"),
+        edges,
+        iters=iters,
+        seed_col="is_seed",
+    )
+
+
 def _degree_histogram(sf_dir):
     from go_htmldate_ray.stages.graph import degree_histogram
 
@@ -1139,6 +1182,50 @@ def _pagerank_sql(iters: int = 5) -> str:
         r{k} AS (
             SELECT p.id,
                    (({total} * 15) // (100 * (SELECT n FROM nn))
+                    + coalesce(c.s, 0))::BIGINT AS r
+            FROM r{k - 1} p
+            LEFT JOIN (
+                SELECT e.dst AS id, sum((r.r * 85) // (100 * d.outdeg)) AS s
+                FROM edges e JOIN r{k - 1} r ON r.id = e.src
+                             JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+            ) c ON c.id = p.id
+        )"""
+        )
+    parts.append(f"\n        SELECT id AS doc_id, r AS rank_units FROM r{iters}")
+    return "".join(parts)
+
+
+def _trustrank_sql(iters: int = 3) -> str:
+    """Seeded-PageRank unrolled CTEs: identical integer transfer rule,
+    but base and initial mass only on the doc_id %% 17 == 0 seeds,
+    divided by the SEED count."""
+    total = 10**15
+    parts = [
+        f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        ns AS (SELECT count(*) AS k FROM documents WHERE doc_id % 17 = 0),
+        edges AS (
+            SELECT doc_id AS src,
+                   (doc_id*13+1) % (SELECT n FROM nn) AS dst FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id*29+7) % (SELECT n FROM nn) FROM documents
+        ),
+        deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id AS id,
+                      (CASE WHEN doc_id % 17 = 0
+                            THEN {total} // (SELECT k FROM ns)
+                            ELSE 0 END)::BIGINT AS r
+               FROM documents)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+        r{k} AS (
+            SELECT p.id,
+                   ((CASE WHEN p.id % 17 = 0
+                          THEN ({total} * 15) // (100 * (SELECT k FROM ns))
+                          ELSE 0 END)
                     + coalesce(c.s, 0))::BIGINT AS r
             FROM r{k - 1} p
             LEFT JOIN (
@@ -1382,6 +1469,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host_a, host_b, count(*)::BIGINT AS n_common
             FROM p GROUP BY 1, 2 HAVING count(*) >= 3""",
+        # pipelines/extract_dates.host_bib_coupling — the cocitation
+        # dual: distinct-edge self join per TARGET, unordered source
+        # pairs with >= 3 shared targets.
+        "host_bib_coupling": """
+            WITH e AS (
+                SELECT doc_id,
+                       (doc_id*13+1) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id*29+7) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+            ),
+            de AS (
+                SELECT DISTINCT
+                       'site' || (doc_id % 97) || '.example.org' AS s,
+                       'site' || (t % 97) || '.example.org' AS d
+                FROM e
+            ),
+            p AS (
+                SELECT a.s AS host_a, b.s AS host_b
+                FROM de a JOIN de b ON a.d = b.d AND a.s < b.s
+            )
+            SELECT host_a, host_b, count(*)::BIGINT AS n_common
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 3""",
+        # pipelines/extract_dates.host_quality_gate — per-doc badword
+        # rate flag (the badword_filter rule) rolled up to the fixture
+        # host, whole-host keep by flagged-doc rate (<= 20%).
+        "host_quality_gate": r"""
+            WITH f AS (
+                SELECT doc_id % 97 AS h,
+                       CASE WHEN len(regexp_extract_all(
+                                      text, '\b(?:slow|dup)\b')) * 1000
+                                 <= len(regexp_extract_all(
+                                        text, '\S+')) * 50
+                            THEN 0 ELSE 1 END AS flagged
+                FROM documents
+            )
+            SELECT 'site' || h || '.example.org' AS host,
+                   count(*)::BIGINT AS n_docs,
+                   sum(flagged)::BIGINT AS n_flagged,
+                   (CASE WHEN sum(flagged) * 1000 <= count(*) * 200
+                         THEN 1 ELSE 0 END)::BIGINT AS host_keep
+            FROM f GROUP BY 1""",
         # PageRank replay (3 unrolled iterations) -> host authority sum
         # -> smallest-doc_id cap per host -> top-budget with the same
         # (priority DESC, doc_id ASC) tie-break the engine sorts on.
@@ -2028,6 +2159,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(regexp_split_to_array(trim(text), '\s+')) END
                        AS n_tokens
             FROM documents""",
+        # stages/cleaning.badword_batch — same RE2 patterns, integer
+        # rate gate (5% bad-token rate).
+        "badword_filter": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '\b(?:slow|dup)\b'))::BIGINT
+                       AS n_bad,
+                   (CASE WHEN len(regexp_extract_all(
+                                   text, '\b(?:slow|dup)\b')) * 1000
+                              <= len(regexp_extract_all(text, '\S+')) * 50
+                         THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM documents""",
         "quality_scores": r"""
             WITH t AS (
                 SELECT doc_id, text,
@@ -2287,6 +2430,7 @@ def oracle_sql() -> dict[str, str]:
                        END)::BIGINT AS rho_max
             FROM parts GROUP BY hostn, bucket""",
         "pagerank": _pagerank_sql(iters=5),
+        "trustrank": _trustrank_sql(iters=3),
         "hits_scores": _hits_sql(iters=2),
         "link_degree_histogram": """
             WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -2003,3 +2003,92 @@ def host_cocitation(sf_dir: str, *, min_common: int = 3):
     from ..stages.graph import cocitation_pairs
 
     return cocitation_pairs(host_link_edges(sf_dir), min_common=min_common)
+
+
+def host_bib_coupling(sf_dir: str, *, min_common: int = 3):
+    """Bibliographic coupling over the REAL host-link graph: pairs of
+    SOURCE hosts that link to ``>= min_common`` common targets — the
+    dual of :func:`host_cocitation` (Kessler 1963) and the other half of
+    the classic related-site / link-farm signal pair.  Same engine, with
+    the grouping role swapped: co-locate each TARGET's in-list, pair the
+    sources.
+    """
+    from ..stages.graph import cocitation_pairs
+
+    return cocitation_pairs(
+        host_link_edges(sf_dir),
+        src_col="dst_host",
+        dst_col="src_host",
+        min_common=min_common,
+    )
+
+
+def host_quality_gate(sf_dir: str, *, max_flagged_per_mille: int = 200):
+    """Host-level curation gate (RefinedWeb / C4-at-host-granularity):
+    roll the per-document badword-rate flag up to the host and keep or
+    drop the WHOLE host by its flagged-document rate —
+    ``host_keep = n_flagged * 1000 <= n_docs * max_flagged_per_mille``
+    (default: drop hosts where > 20%% of documents fail the badword
+    gate).  Output: (host, n_docs, n_flagged, host_keep).
+
+    Host assignment is the crawl fixture's ``site{doc_id %% 97}``
+    mapping (the same one the link-graph oracles use).  Shape: the
+    badword kernel + a per-batch np.bincount partial (rows per batch
+    <= 97 distinct hosts) -> ONE tiny Sum groupby -> integer finalize.
+    At 100 TB the shuffle moves n_hosts x n_blocks light rows, never a
+    document.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..sources.io import read_parquet_clean
+    from ..stages.cleaning import badword_batch
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = badword_batch(batch)
+        d = np.asarray(flags.column("doc_id"), dtype=np.int64)
+        keep = np.asarray(flags.column("keep"), dtype=np.int64)
+        uniq, inv = np.unique(d % 97, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        flagged = np.bincount(
+            inv, weights=(1 - keep), minlength=len(uniq)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"site{int(h)}.example.org" for h in uniq], pa.string()
+                ),
+                "n": pa.array(n, pa.int64()),
+                "flagged": pa.array(flagged, pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").cast(pa.int64())
+        f = batch.column("sum(flagged)").cast(pa.int64())
+        keep = pc.cast(
+            pc.less_equal(
+                pc.multiply(f, pa.scalar(1000, pa.int64())),
+                pc.multiply(n, pa.scalar(max_flagged_per_mille, pa.int64())),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_docs": n,
+                "n_flagged": f,
+                "host_keep": keep,
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n"), Sum("flagged"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -535,3 +535,50 @@ def cdc_dup_chunk_stats(ds, *, mask_bits: int = 6):
         return out.filter(_pc.greater(out.column("n_occurrences"), 1))
 
     return summary.map_batches(finalize, batch_format="pyarrow")
+
+
+# C4's badwords pass (Raffel et al. 2020 §2.2) drops any page containing
+# a word from the "List of Dirty, Naughty, Obscene..." blocklist.  The
+# fixture blocklist below stands in for that list with two words whose
+# fixture frequencies differ by ~30x ("slow" is near-universal, "dup" is
+# rare), so both keep branches and the rate arithmetic are exercised at
+# every scale factor.  Mirrored literally in the SQL oracle.
+BADWORD_FIXTURE_BLOCKLIST = ("slow", "dup")
+
+
+def badword_batch(
+    batch: pa.Table,
+    *,
+    blocklist: tuple[str, ...] = BADWORD_FIXTURE_BLOCKLIST,
+    max_bad_per_mille: int = 50,
+) -> pa.Table:
+    """doc_id, n_tokens, n_bad, keep — blocklist ("badwords") document
+    filter, the C4 cleaning pass generalized to a RATE gate:
+    ``keep = n_bad * 1000 <= n_tokens * max_bad_per_mille`` (default 5%%
+    bad-token rate; ``max_bad_per_mille=0`` recovers C4's strict
+    any-hit drop).
+
+    Fully vectorized — both counts are ONE ``pc.count_substring_regex``
+    RE2 kernel over the column (word-boundary alternation for hits,
+    ``\\S+`` for tokens), zero Python per row; integer comparison, so
+    the SQL oracle (DuckDB RE2 ``regexp_extract_all``) matches exactly.
+    """
+    text = pc.cast(pc.fill_null(batch.column("text"), ""), pa.string())
+    pat = r"\b(?:" + "|".join(re.escape(w) for w in blocklist) + r")\b"
+    n_bad = pc.count_substring_regex(text, pat).cast(pa.int64())
+    n_tok = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+    keep = pc.cast(
+        pc.less_equal(
+            pc.multiply(n_bad, pa.scalar(1000, pa.int64())),
+            pc.multiply(n_tok, pa.scalar(max_bad_per_mille, pa.int64())),
+        ),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tok,
+            "n_bad": n_bad,
+            "keep": keep,
+        }
+    )

@@ -135,10 +135,19 @@ def pagerank(
     def node_rows(value: int, marker: int):
         def f(batch: pa.Table) -> pa.Table:
             ids = batch.column("id").cast(pa.int64())
+            if seed_col is not None:
+                # TrustRank: mass (initial AND per-round teleport) only
+                # on seed rows; non-seeds keep c=0 base rows so they
+                # stay "real" nodes (marker) and can accumulate
+                # in-edge transfers.
+                s = np.asarray(batch.column(seed_col), dtype=np.int64)
+                c = pa.array(value * s, pa.int64())
+            else:
+                c = pa.array([value] * len(ids), pa.int64())
             return pa.table(
                 {
                     "id": ids,
-                    "c": pa.array([value] * len(ids), pa.int64()),
+                    "c": c,
                     # marker=1 on base rows lets the post-groupby filter
                     # drop mass sent to edge dsts OUTSIDE the node set
                     # (phantom ids), matching the oracle's LEFT JOIN on

@@ -3377,11 +3377,87 @@ def test_host_graph_queries_match_duckdb():
     for name in (
         "host_components",
         "host_cocitation",
+        "host_bib_coupling",
+        "host_quality_gate",
         "char_entropy",
         "lid_disagreement",
         "crawl_delay_compliance",
+        "trustrank",
+        "badword_filter",
     ):
         ray_df = canon(to_pandas(qs[name](SF)))
         duck_df = canon(con.sql(oracles[name]).df())
         duck_df = duck_df.astype(ray_df.dtypes.to_dict())
         assert ray_df.equals(duck_df), name
+
+
+def test_trustrank_mass_stays_near_seeds():
+    """Seeded teleport semantics: a node unreachable from any seed ends
+    at 0; seeds keep the teleport base; total mass <= total."""
+    import ray.data
+
+    from go_htmldate_ray.stages.graph import pagerank
+
+    # seed 0 -> 1 -> 2 chain, node 3 isolated (non-seed, no in-edges)
+    nodes = ray.data.from_arrow(
+        pa.table({"id": [0, 1, 2, 3], "is_seed": [1, 0, 0, 0]})
+    )
+    edges = ray.data.from_arrow(pa.table({"src": [0, 1], "dst": [1, 2]}))
+    total = 10**15
+    out = {
+        r["doc_id"]: r["rank_units"]
+        for r in pagerank(
+            nodes, edges, iters=3, total=total, seed_col="is_seed"
+        ).take_all()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[3] == 0  # no seed path, no teleport
+    base = (total * 15) // 100  # one seed -> full base on node 0
+    assert out[0] == base
+    # node 1 receives 85% of node 0's previous rank each round
+    assert out[1] == (base * 85) // 100
+    assert 0 < out[2] <= (out[1] * 85) // 100 + 1
+    assert sum(out.values()) <= total
+
+
+def test_trustrank_requires_nonempty_seed_set():
+    import ray.data
+
+    from go_htmldate_ray.stages.graph import pagerank
+
+    nodes = ray.data.from_arrow(pa.table({"id": [0, 1], "is_seed": [0, 0]}))
+    edges = ray.data.from_arrow(pa.table({"src": [0], "dst": [1]}))
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(nodes, edges, seed_col="is_seed")
+
+
+def test_badword_batch_rate_gate():
+    from go_htmldate_ray.stages.cleaning import badword_batch
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "slow slow slow join",  # 3/4 bad -> drop at 5%
+                " ".join(["scan"] * 40 + ["dup"]),  # 1/41 bad -> drop (>5%? 1000 <= 41*50=2050 -> keep)
+                "clean text only here",
+                "",
+            ],
+        }
+    )
+    out = {r["doc_id"]: r for r in badword_batch(batch).to_pylist()}
+    assert (out[1]["n_bad"], out[1]["keep"]) == (3, 0)
+    assert (out[2]["n_bad"], out[2]["n_tokens"], out[2]["keep"]) == (1, 41, 1)
+    assert (out[3]["n_bad"], out[3]["keep"]) == (0, 1)
+    assert (out[4]["n_tokens"], out[4]["keep"]) == (0, 1)
+    # word-boundary: "slowly"/"dupfree" must not match
+    out2 = badword_batch(
+        pa.table({"doc_id": [9], "text": ["slowly dupfree backup"]})
+    ).to_pylist()[0]
+    assert out2["n_bad"] == 0
+    # strict C4 semantics at max_bad_per_mille=0
+    strict = badword_batch(
+        pa.table({"doc_id": [5], "text": ["one dup here"]}),
+        max_bad_per_mille=0,
+    ).to_pylist()[0]
+    assert strict["keep"] == 0
