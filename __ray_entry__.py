@@ -536,6 +536,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TrustRank (seeded PageRank): teleport restricted to the
         # doc_id % 17 == 0 seed set, 3 rounds, same integer arithmetic.
         "trustrank": _trustrank,
+        # Spam mass (Gyöngyi et al. 2006): the per-mille fraction of
+        # each node's PageRank NOT funded by the trusted core —
+        # pagerank run twice (uniform + seeded), one light equi-join.
+        "spam_mass": _spam_mass,
         # HITS hubs/authorities: integer-exact half-rounds (join + Sum
         # per half-round, per-half-round >> replacing normalization).
         "hits_scores": lambda sf: _hits(sf, iters=2),
@@ -1019,15 +1023,13 @@ def _pagerank(sf_dir, iters: int = 5):
     return pagerank(nodes, edges, iters=iters)
 
 
-def _trustrank(sf_dir, iters: int = 3):
-    """Seeded PageRank (TrustRank): teleport + initial mass restricted
-    to the deterministic ``doc_id % 17 == 0`` seed set (hand-vetted
-    hosts stand-in; ~6%% of nodes at every sf, so trust decays visibly
-    along the fixture ring)."""
+def _seeded_link_graph(sf_dir):
+    """:func:`_link_graph` with the deterministic ``doc_id % 17 == 0``
+    seed set stamped on the node table (hand-vetted hosts stand-in;
+    ~6%% of nodes at every sf, so trust decays visibly along the
+    fixture ring)."""
     import numpy as np
     import pyarrow as pa
-
-    from go_htmldate_ray.stages.graph import pagerank
 
     nodes, edges = _link_graph(sf_dir)
 
@@ -1040,12 +1042,25 @@ def _trustrank(sf_dir, iters: int = 3):
             }
         )
 
-    return pagerank(
-        nodes.map_batches(seed, batch_format="pyarrow"),
-        edges,
-        iters=iters,
-        seed_col="is_seed",
-    )
+    return nodes.map_batches(seed, batch_format="pyarrow"), edges
+
+
+def _trustrank(sf_dir, iters: int = 3):
+    """Seeded PageRank (TrustRank): teleport + initial mass restricted
+    to the ``doc_id % 17 == 0`` seed set."""
+    from go_htmldate_ray.stages.graph import pagerank
+
+    nodes, edges = _seeded_link_graph(sf_dir)
+    return pagerank(nodes, edges, iters=iters, seed_col="is_seed")
+
+
+def _spam_mass(sf_dir, iters: int = 3):
+    """Link-spam mass (PageRank minus TrustRank, as a per-mille
+    fraction of PageRank) per node — the VLDB 2006 demotion signal."""
+    from go_htmldate_ray.stages.graph import spam_mass
+
+    nodes, edges = _seeded_link_graph(sf_dir)
+    return spam_mass(nodes, edges, seed_col="is_seed", iters=iters)
 
 
 def _degree_histogram(sf_dir):
@@ -2431,6 +2446,22 @@ def oracle_sql() -> dict[str, str]:
             FROM parts GROUP BY hostn, bucket""",
         "pagerank": _pagerank_sql(iters=5),
         "trustrank": _trustrank_sql(iters=3),
+        # stages/graph.spam_mass — both unrolled rank CTE chains as
+        # derived tables, one equi-join.  DuckDB // truncates toward
+        # zero while numpy floors, so the oracle subtracts the positive
+        # mod first (numerator then divides exactly; trunc == floor).
+        "spam_mass": f"""
+            SELECT p.doc_id,
+                   p.rank_units AS pr_units,
+                   t.rank_units AS tr_units,
+                   (CASE WHEN p.rank_units > 0
+                         THEN (((p.rank_units - t.rank_units) * 1000)
+                               - (((((p.rank_units - t.rank_units) * 1000)
+                                    % p.rank_units) + p.rank_units)
+                                  % p.rank_units)) // p.rank_units
+                         ELSE 0 END)::BIGINT AS spam_mass_permille
+            FROM ({_pagerank_sql(iters=3)}) p
+            JOIN ({_trustrank_sql(iters=3)}) t ON t.doc_id = p.doc_id""",
         "hits_scores": _hits_sql(iters=2),
         "link_degree_histogram": """
             WITH nn AS (SELECT count(*) AS n FROM documents),

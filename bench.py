@@ -555,6 +555,34 @@ def run_headline() -> dict:
         3,
     )
 
+    # round-4 additions: host-graph components/cocitation over the real
+    # link graph, seeded PageRank, politeness audit, host-level badword
+    # gate
+    queries["host_components"] = round(bench_query(ed_mod.host_components), 3)
+    queries["host_cocitation"] = round(bench_query(ed_mod.host_cocitation), 3)
+    queries["trustrank"] = round(
+        bench_query(lambda sf: entrymod._trustrank(sf, iters=3)), 3
+    )
+    queries["spam_mass"] = round(
+        bench_query(lambda sf: entrymod._spam_mass(sf, iters=3)), 3
+    )
+    from go_htmldate_ray.pipelines import streaming as _str_mod
+
+    queries["crawl_delay_compliance"] = round(
+        bench_query(_str_mod.crawl_delay_compliance), 3
+    )
+    queries["host_quality_gate"] = round(
+        bench_query(ed_mod.host_quality_gate), 3
+    )
+    queries["badword_filter"] = round(
+        bench_query(
+            lambda sf: read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            ).map_batches(cleaning.badword_batch, batch_format="pyarrow")
+        ),
+        3,
+    )
+
     for name, (t, n) in bench_text_stage(SF_DIR).items():
         queries[f"text_{name}"] = round(t, 3)
         extra[f"text_{name}_docs_per_s"] = round(n / t, 1)

@@ -804,3 +804,65 @@ def cocitation_pairs(
         ).filter(pc.field("n_common") >= min_common),
         batch_format="pyarrow",
     )
+
+
+def spam_mass(
+    nodes,
+    edges,
+    *,
+    seed_col: str = "is_seed",
+    iters: int = 3,
+    total: int = 10**15,
+):
+    """Link-spam mass estimation (Gyöngyi, Berkhin, Garcia-Molina,
+    Pedersen, VLDB 2006): the fraction of a node's PageRank that does
+    NOT come from the trusted core.  Runs :func:`pagerank` twice over
+    the same edge set — once uniform, once teleport-restricted to the
+    ``seed_col`` set (TrustRank) — and emits per node
+    ``spam_mass_nano = (pr - tr) * 10^9 // pr`` (floor division on both
+    sides, so negative values for over-trusted seeds round identically
+    in the SQL oracle).  High spam mass = the node's rank is funded
+    almost entirely by untrusted links — the paper's demotion signal.
+
+    Exchange budget: exactly 2x one pagerank run plus ONE bucketed
+    equi-join of two light (id, units) tables; nothing new shuffles.
+    Output: (doc_id, pr_units, tr_units, spam_mass_permille).
+    """
+    from .joins import hash_join
+
+    pr = pagerank(nodes, edges, iters=iters, total=total)
+    tr = pagerank(nodes, edges, iters=iters, total=total, seed_col=seed_col)
+
+    def tag(name):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    name: batch.column("rank_units"),
+                }
+            )
+
+        return f
+
+    joined = hash_join(
+        pr.map_batches(tag("pr_units"), batch_format="pyarrow"),
+        tr.map_batches(tag("tr_units"), batch_format="pyarrow"),
+        on="doc_id",
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch.column("pr_units"), dtype=np.int64)
+        t = np.asarray(batch.column("tr_units"), dtype=np.int64)
+        mass = np.zeros(len(p), dtype=np.int64)
+        nz = p > 0
+        mass[nz] = ((p[nz] - t[nz]) * 1000) // p[nz]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pr_units": batch.column("pr_units"),
+                "tr_units": batch.column("tr_units"),
+                "spam_mass_permille": pa.array(mass, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -3383,6 +3383,7 @@ def test_host_graph_queries_match_duckdb():
         "lid_disagreement",
         "crawl_delay_compliance",
         "trustrank",
+        "spam_mass",
         "badword_filter",
     ):
         ray_df = canon(to_pandas(qs[name](SF)))
@@ -3418,6 +3419,30 @@ def test_trustrank_mass_stays_near_seeds():
     assert out[1] == (base * 85) // 100
     assert 0 < out[2] <= (out[1] * 85) // 100 + 1
     assert sum(out.values()) <= total
+
+
+def test_spam_mass_toy_graph():
+    """A node fed only by non-seed links carries full (1000‰) spam
+    mass; a seed node's mass is negative (over-trusted)."""
+    import ray.data
+
+    from go_htmldate_ray.stages.graph import spam_mass
+
+    # seed 0 -> 1; spam cluster 2 -> 3 (unreachable from the seed)
+    nodes = ray.data.from_arrow(
+        pa.table({"id": [0, 1, 2, 3], "is_seed": [1, 0, 0, 0]})
+    )
+    edges = ray.data.from_arrow(pa.table({"src": [0, 2], "dst": [1, 3]}))
+    out = {
+        r["doc_id"]: r
+        for r in spam_mass(nodes, edges, iters=2).take_all()
+    }
+    assert out[3]["tr_units"] == 0 and out[3]["pr_units"] > 0
+    assert out[3]["spam_mass_permille"] == 1000
+    assert out[0]["spam_mass_permille"] < 0  # seed: tr > pr
+    # exact floor-division contract on a negative case
+    p, t = out[0]["pr_units"], out[0]["tr_units"]
+    assert out[0]["spam_mass_permille"] == ((p - t) * 1000) // p
 
 
 def test_trustrank_requires_nonempty_seed_set():
