@@ -241,6 +241,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "badword_filter": lambda sf: _map(
             sf, cleaning.badword_batch, ["doc_id", "text"]
         ),
+        # Per-host template/boilerplate line detection (within-domain
+        # line dedup): planted footer (100%) + nav (~50%, the threshold
+        # boundary) lines; lines shuffle as md5 hashes, never text.
+        "host_boilerplate": lambda sf: cleaning.host_boilerplate_lines(
+            _map(sf, cleaning.plant_host_template_lines, ["doc_id", "text"])
+        ),
         # RAG/LM context chunking: overlapping 100-char windows, stride
         # 80 — a stateless flat expansion (rows ≈ len/stride per doc).
         "chunk_documents": lambda sf: _map(
@@ -2174,6 +2180,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(regexp_split_to_array(trim(text), '\s+')) END
                        AS n_tokens
             FROM documents""",
+        # stages/cleaning.host_boilerplate_lines over
+        # plant_host_template_lines — per-doc distinct (host, line)
+        # rows, doc counts per host, exact integer rate threshold.
+        "host_boilerplate": """
+            WITH dl AS (
+                SELECT DISTINCT doc_id, doc_id % 97 AS h,
+                       trim(text) AS ln
+                FROM documents WHERE trim(text) != ''
+                UNION
+                SELECT DISTINCT doc_id, doc_id % 97,
+                       'home | news | archive | site' || (doc_id % 97)
+                FROM documents WHERE doc_id % 2 = 0
+                UNION
+                SELECT DISTINCT doc_id, doc_id % 97,
+                       'copyright site' || (doc_id % 97)
+                           || '.example.org all rights reserved'
+                FROM documents
+            ),
+            lc AS (SELECT h, ln, count(*)::BIGINT AS n_line
+                   FROM dl GROUP BY 1, 2),
+            hc AS (SELECT doc_id % 97 AS h, count(*)::BIGINT AS n_docs
+                   FROM documents GROUP BY 1)
+            SELECT 'site' || lc.h || '.example.org' AS host,
+                   md5(lc.ln) AS line_md5,
+                   lc.n_line AS n_docs_line,
+                   hc.n_docs AS n_docs_host,
+                   ((lc.n_line * 1000) // hc.n_docs)::BIGINT AS per_mille
+            FROM lc JOIN hc ON hc.h = lc.h
+            WHERE hc.n_docs >= 3 AND lc.n_line * 1000 >= hc.n_docs * 500""",
         # stages/cleaning.badword_batch — same RE2 patterns, integer
         # rate gate (5% bad-token rate).
         "badword_filter": r"""

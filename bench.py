@@ -582,6 +582,18 @@ def run_headline() -> dict:
         ),
         3,
     )
+    queries["host_boilerplate"] = round(
+        bench_query(
+            lambda sf: cleaning.host_boilerplate_lines(
+                read_parquet_clean(
+                    f"{sf}/documents.parquet", columns=["doc_id", "text"]
+                ).map_batches(
+                    cleaning.plant_host_template_lines, batch_format="pyarrow"
+                )
+            )
+        ),
+        3,
+    )
 
     for name, (t, n) in bench_text_stage(SF_DIR).items():
         queries[f"text_{name}"] = round(t, 3)

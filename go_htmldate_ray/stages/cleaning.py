@@ -582,3 +582,134 @@ def badword_batch(
             "keep": keep,
         }
     )
+
+
+def plant_host_template_lines(batch: pa.Table) -> pa.Table:
+    """Deterministic fixture augmentation for host-template detection:
+    every document gains its host's footer line (100%% of the host's
+    docs), even doc_ids gain a nav line (~50%% — the keep threshold's
+    boundary case), and the original fixture text stays as line 1 (a
+    unique-ish line that must NOT be flagged).  Host assignment is the
+    crawl fixture's ``site{doc_id %% 97}`` map.  Mirrored literally in
+    the SQL oracle."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        h = int(i) % 97
+        lines = [t or ""]
+        if int(i) % 2 == 0:
+            lines.append(f"home | news | archive | site{h}")
+        lines.append(f"copyright site{h}.example.org all rights reserved")
+        out.append("\n".join(lines))
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())}
+    )
+
+
+def host_boilerplate_lines(ds, *, min_docs: int = 3, min_per_mille: int = 500):
+    """documents (doc_id, text; multi-line) → (host, line_md5,
+    n_docs_line, n_docs_host, per_mille) for every line occurring in
+    ``>= min_per_mille``/1000 of a host's documents (host needs
+    ``>= min_docs``) — per-host template/boilerplate removal, the
+    within-domain line-dedup pass of CCNet/RefinedWeb-style curation
+    (navigation bars, footers, cookie banners repeat on nearly every
+    page of a site but nowhere else).
+
+    Shape: per-batch partial — each doc's DISTINCT trimmed non-empty
+    lines become (host, md5(line), 1) rows plus one (host, '', 1) doc
+    counter row — pre-aggregated by (host, line) within the batch, then
+    ONE Sum groupby on (host, line_md5); the finalize filters by the
+    exact integer inequality ``n_line * 1000 >= n_host * min_per_mille``.
+    Lines travel as md5 hashes, never text, so the shuffle moves ~48
+    bytes per distinct (host, line) per block at any corpus size.
+    ``per_mille`` is the floor ratio (n_line * 1000 // n_host).
+
+    Host assignment is the fixture's ``doc_id %% 97`` map (callers with
+    a real host column should pre-map and pass it through ``text`` +
+    their own partial; the stage logic is identical).
+    """
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        acc: dict[tuple[int, str], int] = {}
+        for i, t in zip(ids, texts):
+            hk = int(i) % 97
+            acc[(hk, "")] = acc.get((hk, ""), 0) + 1  # doc counter row
+            seen = set()
+            for ln in (t or "").split("\n"):
+                ln = ln.strip()
+                if ln:
+                    seen.add(hashlib.md5(ln.encode("utf-8")).hexdigest())
+            for hmd in seen:
+                acc[(hk, hmd)] = acc.get((hk, hmd), 0) + 1
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "hkey": pa.array([k[0] for k in keys], pa.int64()),
+                "line_md5": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([acc[k] for k in keys], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hkey", "line_md5"])
+        .aggregate(Sum("n"))
+    )
+
+    # Split doc counters ('' key) from line rows INSIDE tasks, then one
+    # bucketed int-keyed equi-join — both sides are light aggregate
+    # rows (hash_join buckets on int64 keys).
+    def split(want_counter: bool):
+        def f(b: pa.Table) -> pa.Table:
+            mask = pc.equal(b.column("line_md5"), "")
+            if not want_counter:
+                mask = pc.invert(mask)
+            t = b.filter(mask)
+            if want_counter:
+                return pa.table(
+                    {
+                        "tkey": t.column("hkey"),
+                        "n_docs_host": t.column("sum(n)").cast(pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "hkey": t.column("hkey"),
+                    "line_md5": t.column("line_md5"),
+                    "n_docs_line": t.column("sum(n)").cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    doc_totals = counts.map_batches(split(True), batch_format="pyarrow")
+    line_rows = counts.map_batches(split(False), batch_format="pyarrow")
+    joined = hash_join(line_rows, doc_totals, on="hkey", right_on="tkey")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nl = np.asarray(batch.column("n_docs_line"), dtype=np.int64)
+        nh = np.asarray(batch.column("n_docs_host"), dtype=np.int64)
+        keep = (nh >= min_docs) & (nl * 1000 >= nh * min_per_mille)
+        hk = np.asarray(batch.column("hkey"), dtype=np.int64)
+        t = pa.table(
+            {
+                "host": pa.array(
+                    [f"site{int(h)}.example.org" for h in hk], pa.string()
+                ),
+                "line_md5": batch.column("line_md5"),
+                "n_docs_line": batch.column("n_docs_line"),
+                "n_docs_host": batch.column("n_docs_host"),
+                "per_mille": pa.array(
+                    (nl * 1000) // np.maximum(nh, 1), pa.int64()
+                ),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -3385,6 +3385,7 @@ def test_host_graph_queries_match_duckdb():
         "trustrank",
         "spam_mass",
         "badword_filter",
+        "host_boilerplate",
     ):
         ray_df = canon(to_pandas(qs[name](SF)))
         duck_df = canon(con.sql(oracles[name]).df())
@@ -3454,6 +3455,47 @@ def test_trustrank_requires_nonempty_seed_set():
     edges = ray.data.from_arrow(pa.table({"src": [0], "dst": [1]}))
     with pytest.raises(ValueError, match="seed"):
         pagerank(nodes, edges, seed_col="is_seed")
+
+
+def test_host_boilerplate_lines_toy():
+    """Footer on every doc of a host is flagged; a unique line is not;
+    the 50% nav line sits exactly on the >= threshold."""
+    import hashlib as _h
+
+    import ray.data
+
+    from go_htmldate_ray.stages.cleaning import host_boilerplate_lines
+
+    # doc_ids 0,97,194,291 all map to host site0; 1,98 to site1 (< min_docs)
+    rows = {
+        0: "unique zero\nfooter line",
+        97: "unique ninetyseven\nfooter line\nnav line",
+        194: "unique oneninetyfour\nfooter line\nnav line",
+        291: "unique twoninetyone\nfooter line",
+        1: "a\nfooter line",
+        98: "b\nfooter line",
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(rows),
+                "text": list(rows.values()),
+            }
+        )
+    )
+    out = host_boilerplate_lines(ds, min_docs=3, min_per_mille=500)
+    got = {
+        (r["host"], r["line_md5"]): (r["n_docs_line"], r["per_mille"])
+        for r in out.take_all()
+    }
+    md5 = lambda s: _h.md5(s.encode()).hexdigest()  # noqa: E731
+    # footer: 4/4 docs of site0 -> flagged at 1000 permille
+    assert got[("site0.example.org", md5("footer line"))] == (4, 1000)
+    # nav: 2/4 -> exactly 500 permille, >= threshold keeps it
+    assert got[("site0.example.org", md5("nav line"))] == (2, 500)
+    # unique lines never flagged; site1 has only 2 docs (< min_docs)
+    assert all(h == "site0.example.org" for h, _ in got)
+    assert len(got) == 2
 
 
 def test_badword_batch_rate_gate():
