@@ -506,11 +506,53 @@ def near_dup_clusters(
     return connected_components(pairs, max_iters=max_iters)
 
 
+# Below this many edge rows the whole symmetric edge list fits one
+# task's working set (~32M rows ≈ 512 MB int64 pairs) and the label
+# propagation runs as ONE vectorized remote task instead of paying
+# 2 joins + groupby + materialize of fixed latency per distributed
+# round — a 97-node host graph must not cost 15 s of scheduling.
+# The distributed rounds below remain the >32M-edge scale path.
+_SMALL_CC_EDGE_ROWS = 32_000_000
+
+
+def _cc_small_task(*tables: pa.Table) -> pa.Table:
+    """In-memory min-label propagation with pointer jumping — identical
+    fixed point (label = min node id in component) to the distributed
+    rounds, all numpy."""
+    u = np.concatenate(
+        [np.asarray(t.column("u"), dtype=np.int64) for t in tables]
+    )
+    v = np.concatenate(
+        [np.asarray(t.column("v"), dtype=np.int64) for t in tables]
+    )
+    uniq, u_idx = np.unique(u, return_inverse=True)
+    v_idx = np.searchsorted(uniq, v)  # v ⊆ u by symmetry
+    lab = uniq.copy()
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, u_idx, lab[v_idx])
+        new = new[np.searchsorted(uniq, new)]  # pointer jump
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq, pa.int64()),
+            "cluster_rep": pa.array(lab, pa.int64()),
+        }
+    )
+
+
 def connected_components(
     pairs, a_col: str = "doc_a", b_col: str = "doc_b", *, max_iters: int = 25
 ):
     """(a, b) pair Dataset → (doc_id, cluster_rep) component labels via
-    distributed min-label propagation (see :func:`near_dup_clusters`)."""
+    distributed min-label propagation (see :func:`near_dup_clusters`).
+
+    Hybrid: edge lists under ``_SMALL_CC_EDGE_ROWS`` solve in ONE
+    vectorized remote task (same min-label fixed point); larger graphs
+    run the per-round join + Min-groupby + pointer-doubling exchanges.
+    """
     import ray.data
     from ray.data.aggregate import Min, Sum
 
@@ -533,7 +575,8 @@ def connected_components(
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         import pandas as pd
 
         return pd.DataFrame(
@@ -542,6 +585,12 @@ def connected_components(
                 "cluster_rep": pd.Series([], dtype="int64"),
             }
         )
+    if n_edges <= _SMALL_CC_EDGE_ROWS:
+        import ray as _ray
+
+        fn = _ray.remote(_cc_small_task)
+        out = _ray.get(fn.remote(*edges.to_arrow_refs()))
+        return ray.data.from_arrow(out)
 
     def rebase(mat):
         """Fresh Dataset over a materialized dataset's blocks (zero-copy
@@ -573,7 +622,13 @@ def connected_components(
     # up exponentially (measured: round 4 took 100× round 0 unpinned).
     n_nodes = labels.count()
     n_blocks = max(1, min(512, n_nodes // 2_000_000 + 1))
-    j_buckets = max(64, n_blocks)
+    # Shuffle width scales with the node count (adaptive_buckets: ~500k
+    # rows per bucket, floor 8) — a 97-node host graph must not pay 64
+    # near-empty join tasks × 2 joins × rounds in pure scheduling
+    # overhead, exactly the pagerank sizing rule.
+    from .joins import adaptive_buckets
+
+    j_buckets = max(adaptive_buckets(n_nodes), n_blocks)
     labels = rebase(labels.repartition(n_blocks).materialize())
     prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
 

@@ -35,6 +35,7 @@ def pagerank(
     damping_den: int = 100,
     n_buckets: int | None = None,
     seed_col: str | None = None,
+    _extra_vectors: list | None = None,
 ):
     """(nodes: ``id``, edges: ``src``/``dst``) → Dataset (doc_id,
     rank_units) after ``iters`` synchronous power-iteration rounds.
@@ -68,15 +69,21 @@ def pagerank(
                 }
             )
         )
-    if seed_col is not None:
-        n_seeds = int(nodes.sum(seed_col) or 0)
-        if n_seeds == 0:
-            raise ValueError("pagerank: seed_col given but no seed rows")
-        base = (total * (damping_den - damping_num)) // (damping_den * n_seeds)
-        r0 = total // n_seeds
-    else:
-        base = (total * (damping_den - damping_num)) // (damping_den * n_nodes)
-        r0 = total // n_nodes
+    base = r0 = 0
+    if _extra_vectors is None:
+        if seed_col is not None:
+            n_seeds = int(nodes.sum(seed_col) or 0)
+            if n_seeds == 0:
+                raise ValueError("pagerank: seed_col given but no seed rows")
+            base = (total * (damping_den - damping_num)) // (
+                damping_den * n_seeds
+            )
+            r0 = total // n_seeds
+        else:
+            base = (total * (damping_den - damping_num)) // (
+                damping_den * n_nodes
+            )
+            r0 = total // n_nodes
     if n_buckets is None:
         # Per-iteration shuffle task count scales with buckets; size to
         # the node count (~500k rank rows per bucket, floor 8) so a
@@ -132,69 +139,73 @@ def pagerank(
         .materialize()
     )
 
-    def node_rows(value: int, marker: int):
+    # vectors: list of (column name, base, r0, seed mask col or None).
+    # The public pagerank runs ONE vector; spam_mass pushes the uniform
+    # AND the seeded vector through the SAME joins/groupbys (one loop,
+    # k extra int64 columns — not k× the exchanges).
+    vecs = [("c0", base, r0, seed_col)]
+    if _extra_vectors:
+        vecs = list(_extra_vectors)
+    names = [v[0] for v in vecs]
+
+    def node_rows(use_r0: bool, marker: int):
         def f(batch: pa.Table) -> pa.Table:
             ids = batch.column("id").cast(pa.int64())
-            if seed_col is not None:
-                # TrustRank: mass (initial AND per-round teleport) only
-                # on seed rows; non-seeds keep c=0 base rows so they
-                # stay "real" nodes (marker) and can accumulate
-                # in-edge transfers.
-                s = np.asarray(batch.column(seed_col), dtype=np.int64)
-                c = pa.array(value * s, pa.int64())
-            else:
-                c = pa.array([value] * len(ids), pa.int64())
-            return pa.table(
-                {
-                    "id": ids,
-                    "c": c,
-                    # marker=1 on base rows lets the post-groupby filter
-                    # drop mass sent to edge dsts OUTSIDE the node set
-                    # (phantom ids), matching the oracle's LEFT JOIN on
-                    # real node ids
-                    "b": pa.array([marker] * len(ids), pa.int64()),
-                }
-            )
+            cols: dict = {"id": ids}
+            for name, vbase, vr0, vseed in vecs:
+                value = vr0 if use_r0 else vbase
+                if vseed is not None:
+                    # TrustRank: mass (initial AND per-round teleport)
+                    # only on seed rows; non-seeds keep c=0 base rows so
+                    # they stay "real" nodes (marker) and can accumulate
+                    # in-edge transfers.
+                    sd = np.asarray(batch.column(vseed), dtype=np.int64)
+                    cols[name] = pa.array(value * sd, pa.int64())
+                else:
+                    cols[name] = pa.array([value] * len(ids), pa.int64())
+            # marker=1 on base rows lets the post-groupby filter drop
+            # mass sent to edge dsts OUTSIDE the node set (phantom ids),
+            # matching the oracle's LEFT JOIN on real node ids
+            cols["b"] = pa.array([marker] * len(ids), pa.int64())
+            return pa.table(cols)
 
         return f
 
     base_rows = rebase(
-        nodes.map_batches(node_rows(base, 1), batch_format="pyarrow")
+        nodes.map_batches(node_rows(False, 1), batch_format="pyarrow")
         .repartition(n_blocks)
         .materialize()
     )
     ranks = rebase(
-        nodes.map_batches(node_rows(r0, 1), batch_format="pyarrow")
-        .select_columns(["id", "c"])
+        nodes.map_batches(node_rows(True, 1), batch_format="pyarrow")
+        .select_columns(["id", *names])
         .repartition(n_blocks)
         .materialize()
     )
 
     def contrib(batch: pa.Table) -> pa.Table:
-        r = np.asarray(batch.column("c"), dtype=np.int64)
         outdeg = np.asarray(batch.column("outdeg"), dtype=np.int64)
-        n = len(r)
-        return pa.table(
-            {
-                "id": batch.column("dst"),
-                "c": pa.array(
-                    (r * damping_num) // (damping_den * outdeg), pa.int64()
-                ),
-                "b": pa.array(np.zeros(n, dtype=np.int64)),
-            }
-        )
+        cols: dict = {"id": batch.column("dst")}
+        for name in names:
+            r = np.asarray(batch.column(name), dtype=np.int64)
+            cols[name] = pa.array(
+                (r * damping_num) // (damping_den * outdeg), pa.int64()
+            )
+        cols["b"] = pa.array(np.zeros(len(outdeg), dtype=np.int64))
+        return pa.table(cols)
 
     def keep_real_nodes(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         real = pc.greater(b.column("sum(b)"), 0)
-        return pa.table(
-            {
-                "id": b.column("id").filter(real),
-                "c": b.column("sum(c)").filter(real).cast(pa.int64()),
-            }
-        )
+        cols: dict = {"id": b.column("id").filter(real)}
+        for name in names:
+            cols[name] = (
+                b.column(f"sum({name})").filter(real).cast(pa.int64())
+            )
+        return pa.table(cols)
 
+    sums = [Sum(name) for name in names] + [Sum("b")]
     for _ in range(iters):
         joined = hash_join(
             edges_deg, ranks, on="src", right_on="id", n_buckets=n_buckets
@@ -203,14 +214,16 @@ def pagerank(
         ranks = (
             base_rows.union(contribs)
             .groupby("id")
-            .aggregate(Sum("c"), Sum("b"))
+            .aggregate(*sums)
             .map_batches(keep_real_nodes, batch_format="pyarrow")
         )
         ranks = rebase(ranks.repartition(n_blocks).materialize())
 
+    if _extra_vectors:
+        return ranks  # (id, <one column per vector>)
     return ranks.map_batches(
         lambda b: pa.table(
-            {"doc_id": b.column("id"), "rank_units": b.column("c")}
+            {"doc_id": b.column("id"), "rank_units": b.column("c0")}
         ),
         batch_format="pyarrow",
     )
@@ -616,6 +629,12 @@ def string_connected_components(
 
     from ray.data.aggregate import Min
 
+    # The edge table is consumed THREE times below (pairs, mapping,
+    # rep_host) — materialize once so an expensive upstream lineage
+    # (e.g. a full-corpus page parse) doesn't re-execute per consumer.
+    # Edges are light (src, dst[, weight]) rows by contract.
+    edges = edges.materialize()
+
     pairs = edges.map_batches(to_id_pairs, batch_format="pyarrow")
     labels = connected_components(pairs, max_iters=max_iters)
     if not hasattr(labels, "map_batches"):  # typed-empty DataFrame
@@ -627,6 +646,8 @@ def string_connected_components(
                 "component": pd.Series([], dtype="string"),
             }
         )
+    # mapping feeds two joins (with_host, rep_host) — materialize the
+    # n_hosts-row table once for the same reason as edges above.
     mapping = (
         edges.map_batches(to_mapping, batch_format="pyarrow")
         .groupby("node_id")
@@ -637,6 +658,7 @@ def string_connected_components(
             ),
             batch_format="pyarrow",
         )
+        .materialize()
     )
     # labels: (doc_id=node id, cluster_rep=min node id in component)
     with_host = hash_join(
@@ -824,30 +846,34 @@ def spam_mass(
     in the SQL oracle).  High spam mass = the node's rank is funded
     almost entirely by untrusted links — the paper's demotion signal.
 
-    Exchange budget: exactly 2x one pagerank run plus ONE bucketed
-    equi-join of two light (id, units) tables; nothing new shuffles.
-    Output: (doc_id, pr_units, tr_units, spam_mass_permille).
+    Exchange budget: ONE pagerank loop — both rank vectors (uniform and
+    seed-restricted) ride the SAME per-round join + Sum groupby as two
+    int64 columns, so the dual run costs one extra column, not 2x the
+    exchanges, and no final join is needed (the rows already carry both
+    units).  Output: (doc_id, pr_units, tr_units, spam_mass_permille).
     """
-    from .joins import hash_join
-
-    pr = pagerank(nodes, edges, iters=iters, total=total)
-    tr = pagerank(nodes, edges, iters=iters, total=total, seed_col=seed_col)
-
-    def tag(name):
-        def f(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "doc_id": batch.column("doc_id"),
-                    name: batch.column("rank_units"),
-                }
-            )
-
-        return f
-
-    joined = hash_join(
-        pr.map_batches(tag("pr_units"), batch_format="pyarrow"),
-        tr.map_batches(tag("tr_units"), batch_format="pyarrow"),
-        on="doc_id",
+    n_nodes = nodes.count()
+    n_seeds = int(nodes.sum(seed_col) or 0)
+    if n_seeds == 0:
+        raise ValueError("spam_mass: no seed rows")
+    joined = pagerank(
+        nodes,
+        edges,
+        iters=iters,
+        total=total,
+        _extra_vectors=[
+            ("pr_units", (total * 15) // (100 * n_nodes), total // n_nodes, None),
+            ("tr_units", (total * 15) // (100 * n_seeds), total // n_seeds, seed_col),
+        ],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("id"),
+                "pr_units": b.column("pr_units"),
+                "tr_units": b.column("tr_units"),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
