@@ -682,6 +682,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 56-bit hash in SQL, so any decode error fails the hash.
         "image_dhash_dups": _image_dhash_dups,
         "image_dhash_png_dups": _image_dhash_png_dups,
+        # Same dedup over REAL baseline-JPEG decode (numpy DCT codec).
+        # The family pixel design guarantees dHash survives the lossy
+        # round trip by margin, so the oracle replays ORIGINAL pixels.
+        "image_dhash_jpeg_dups": _image_dhash_jpeg_dups,
         "crawl_reachable": _crawl_reachable,
         # Crawl-ORDERING evidence: pages per wave == BFS depth histogram
         # under a non-binding budget (depth-tracking recursive-CTE oracle).
@@ -937,6 +941,12 @@ def _image_dhash_png_dups(sf_dir):
     from go_htmldate_ray.stages.multimodal import image_dhash_dedup
 
     return image_dhash_dedup(sf_dir, n_families=37, image_format="png")
+
+
+def _image_dhash_jpeg_dups(sf_dir):
+    from go_htmldate_ray.stages.multimodal import image_dhash_dedup
+
+    return image_dhash_dedup(sf_dir, n_families=37, image_format="jpeg")
 
 
 def _sketches():
@@ -3210,6 +3220,34 @@ GROUP BY lang.pred_lang""",
                         + 587 * (((d.doc_id % 37) * 67 + x.x * 7 + y.y * 31) % 256)
                         + 114 * (((d.doc_id % 37) * 89 + x.x * 5 + y.y * 3) % 256))
                        // 1000 AS gray
+                FROM documents d, range(9) x(x), range(7) y(y)
+            ),
+            bits AS (
+                SELECT a.doc_id, (a.y * 8 + a.x)::BIGINT AS idx
+                FROM g a JOIN g b
+                  ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+                WHERE a.x < 8 AND b.gray > a.gray
+            ),
+            h AS (
+                SELECT d.doc_id,
+                       coalesce(sum(1::BIGINT << idx), 0)::BIGINT AS dhash
+                FROM documents d LEFT JOIN bits USING (doc_id)
+                GROUP BY d.doc_id
+            )
+            SELECT dhash, min(doc_id) AS rep_doc, count(*)::BIGINT AS n_docs
+            FROM h GROUP BY dhash""",
+        # stages/multimodal.synth_family_jpeg + ImageDHashStage over the
+        # REAL numpy JPEG codec — the pixel design guarantees the dHash
+        # survives the lossy round trip by margin (gaps >= 24 vs <= ~3
+        # perturbation at quality 95), so replaying the ORIGINAL pixel
+        # formula is exact; r=g=b makes the luma equal gray on both sides.
+        "image_dhash_jpeg_dups": """
+            WITH g AS (
+                SELECT d.doc_id, x.x, y.y,
+                       CASE WHEN x.x % 2 = 0 THEN 128
+                            ELSE 104 + 48 * (((d.doc_id % 37)
+                                 >> (((x.x // 2) + 4 * y.y) % 6)) & 1)
+                       END AS gray
                 FROM documents d, range(9) x(x), range(7) y(y)
             ),
             bits AS (

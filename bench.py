@@ -529,6 +529,14 @@ def run_headline() -> dict:
         ),
         3,
     )
+    queries["image_dhash_jpeg"] = round(
+        bench_query(
+            lambda sf: multimodal.image_dhash_dedup(
+                sf, n_families=37, image_format="jpeg"
+            )
+        ),
+        3,
+    )
     queries["skew_join"] = round(
         bench_query(
             lambda sf: analytics.orders_customer_skew_join(sf, hot_threshold=1000)

@@ -2,12 +2,14 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata; decode,
 feature-extraction, resize and frame/window sampling run as actor-pool
-``map_batches`` stages.  Three image codecs are REAL and
+``map_batches`` stages.  Four image codecs are REAL and
 container-library-free: uncompressed BMP (numpy), netpbm P2/P3/P5/P6
-(numpy), and 8-bit PNG (stdlib ``zlib`` + numpy scanline unfiltering) —
-so the default stage kernels decode genuinely; only formats whose codecs
-require external libraries (JPEG, WebP, …) are out of scope and raise
-``ValueError`` from the sniffer (inject a kernel fn to support them).
+(numpy), 8-bit PNG (stdlib ``zlib`` + numpy scanline unfiltering), and
+baseline JPEG (:mod:`.jpeg` — numpy DCT + Annex-K Huffman, arbitrary
+sampling factors on decode) — so the default stage kernels decode
+genuinely; only formats whose codecs require external libraries (WebP,
+AVIF, …) are out of scope and raise ``ValueError`` from the sniffer
+(inject a kernel fn to support them).
 The Ray-side plumbing — schema, batch sizing, actor signature, output
 layout — is real, tested, and (for the md5-based feature fake used by
 the oracle pipeline) independently recomputable by the DuckDB oracle
@@ -423,13 +425,18 @@ def png_image_features(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniffing decoder over the codec-library-free formats: BMP, PNG, or
-    netpbm.  Formats that genuinely need an external codec (JPEG, WebP,
-    …) raise ``ValueError`` — there is no longer a stubbed path."""
+    """Sniffing decoder over the codec-library-free formats: BMP, PNG,
+    baseline JPEG, or netpbm.  Formats that genuinely need an external
+    codec (WebP, AVIF, …) raise ``ValueError`` — there is no stubbed
+    path."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return decode_pnm(payload)
 
 
@@ -460,7 +467,7 @@ class ImageDecodeStage:
     kernel (sniffing BMP/PNG/netpbm decode → 8-dim features); inject
     ``fake_image_features`` for the md5-based oracle path, or a
     codec-library kernel for formats this container can't decode
-    (JPEG/WebP raise ``ValueError`` from the sniffer).  Batch sizes
+    (WebP/AVIF raise ``ValueError`` from the sniffer).  Batch sizes
     should stay small for large binary payloads (one decoded image can
     be 100× its encoded size) — callers pass ``batch_size<=32``.
     """
@@ -705,6 +712,28 @@ def synth_family_png(family: int, *, width: int = 9, height: int = 7) -> bytes:
     return encode_png(img, row_filters=[0, 1, 2, 3, 4])
 
 
+def synth_family_jpeg(family: int, *, width: int = 9, height: int = 7) -> bytes:
+    """Planted-truth JPEG for the JPEG-codec dedup oracle.  dHash bits
+    must survive the LOSSY round trip, so the pixel design guarantees it
+    by margin: even columns are a fixed 128 reference, odd columns are
+    104 or 152 by the family's bit at index ``(x//2 + 4y) % 6`` — every
+    adjacent-column luma gap is ≥ 24 while baseline JPEG at quality 95
+    perturbs these flats by ≤ ~3, so ``dhash64(decode(encode(img))) ==
+    dhash64(img)`` exactly, the SQL oracle replays the ORIGINAL pixel
+    formula, and all 37 family hashes are distinct (verified in
+    pytest).  r = g = b = gray ⇒ the dHash luma (299r+587g+114b)//1000
+    equals gray exactly on both sides."""
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    j = ((x // 2) + 4 * y) % 6
+    bit = (family >> j) & 1
+    gray = np.where(x % 2 == 0, 128, 104 + 48 * bit).astype(np.uint8)
+    img = np.repeat(gray[:, :, None], 3, axis=2)
+    from .jpeg import encode_jpeg
+
+    return encode_jpeg(img, quality=95)
+
+
 def image_dhash_dedup(sf_dir: str, *, n_families: int = 41, image_format: str = "bmp"):
     """documents → (dhash, rep_doc, n_docs): perceptual-hash exact image
     dedup over REAL decoded images.  Each document gets a synthetic image
@@ -720,7 +749,11 @@ def image_dhash_dedup(sf_dir: str, *, n_families: int = 41, image_format: str = 
     join over the same column."""
     from ray.data.aggregate import Count, Min
 
-    synth = {"bmp": synth_family_bmp, "png": synth_family_png}[image_format]
+    synth = {
+        "bmp": synth_family_bmp,
+        "png": synth_family_png,
+        "jpeg": synth_family_jpeg,
+    }[image_format]
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def to_media(batch: pa.Table) -> pa.Table:

@@ -3528,3 +3528,156 @@ def test_badword_batch_rate_gate():
         max_bad_per_mille=0,
     ).to_pylist()[0]
     assert strict["keep"] == 0
+
+
+def test_jpeg_codec_roundtrip_color_and_gray():
+    """Smooth-gradient round trip at quality 95 must land within a few
+    levels per channel (PSNR > 40 dB); output is byte-deterministic."""
+    import numpy as np
+
+    from go_htmldate_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 33, 45
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 255 / h), (xx * 255 / w), ((yy + xx) * 255 / (h + w))],
+        axis=-1,
+    ).astype(np.uint8)
+    data = encode_jpeg(img, quality=95)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert encode_jpeg(img, quality=95) == data  # deterministic
+    dec = decode_jpeg(data)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    mse = (err.astype(float) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 40
+    assert err.max() <= 8
+    # grayscale single-component path
+    g = ((yy * 2 + xx) % 200).astype(np.uint8)
+    d2 = decode_jpeg(encode_jpeg(g, quality=95))
+    assert d2.shape == g.shape and d2.ndim == 2
+    # non-multiple-of-8 1x1 edge
+    one = np.array([[[10, 200, 30]]], dtype=np.uint8)
+    d3 = decode_jpeg(encode_jpeg(one, quality=95))
+    assert d3.shape == (1, 1, 3)
+    assert np.abs(d3.astype(int) - one.astype(int)).max() <= 12
+
+
+def _flat_jpeg_420(w: int, h: int, *, dri: int = 0) -> bytes:
+    """Hand-crafted 4:2:0 color JPEG of a flat mid-gray (128) image —
+    exercises the decoder's general-sampling MCU layout, chroma
+    upsampling and (with dri) restart-marker handling, which the 4:4:4
+    encoder never emits."""
+    import numpy as np
+
+    from go_htmldate_ray.stages import jpeg as J
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend((0xFF, marker))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    q = J._scaled_quant(J._QUANT_LUM, 90)
+    seg(0xDB, bytes([0]) + bytes(q.reshape(64)[J._ZIGZAG].astype(np.uint8)))
+    # SOF0: Y h=2 v=2, Cb/Cr h=1 v=1, all quant table 0
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00] + J._DC_LUM_BITS + J._DC_LUM_VALS))
+    seg(0xC4, bytes([0x10] + J._AC_LUM_BITS + J._AC_LUM_VALS))
+    if dri:
+        seg(0xDD, dri.to_bytes(2, "big"))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    dc = J._build_huffman_codes(J._DC_LUM_BITS, J._DC_LUM_VALS)
+    ac = J._build_huffman_codes(J._AC_LUM_BITS, J._AC_LUM_VALS)
+    mcus_x, mcus_y = -(-w // 16), -(-h // 16)
+    n_mcus = mcus_x * mcus_y
+    wtr = J._BitWriter()
+    written = 0
+    rst = 0
+    for m in range(n_mcus):
+        if dri and written and written % dri == 0:
+            wtr.flush()
+            out += wtr.buf
+            wtr = J._BitWriter()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+        # Y(128)->coef 0, Cb/Cr(128)->0: every block is DC diff 0 + EOB
+        for _ in range(6):  # 4 Y + Cb + Cr
+            c, l = dc[0]
+            wtr.write(c, l)
+            c, l = ac[0x00]
+            wtr.write(c, l)
+        written += 1
+    wtr.flush()
+    out += wtr.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decoder_420_sampling_and_restarts():
+    import numpy as np
+
+    from go_htmldate_ray.stages.jpeg import decode_jpeg
+
+    img = decode_jpeg(_flat_jpeg_420(20, 18))
+    assert img.shape == (18, 20, 3)
+    assert np.all(img == 128)
+    img2 = decode_jpeg(_flat_jpeg_420(36, 20, dri=1))
+    assert img2.shape == (20, 36, 3)
+    assert np.all(img2 == 128)
+
+
+def test_jpeg_decoder_rejects_non_baseline():
+    import pytest as _pytest
+
+    from go_htmldate_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    import numpy as np
+
+    good = bytearray(encode_jpeg(np.full((8, 8), 99, np.uint8)))
+    # flip SOF0 -> SOF2 (progressive)
+    i = good.find(b"\xff\xc0")
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with _pytest.raises((ValueError, IndexError)):
+        decode_jpeg(bytes(good[: len(good) // 2]))  # truncated stream
+
+
+def test_jpeg_dhash_families_survive_lossy_roundtrip():
+    """The planted-oracle contract: every family's dHash is identical
+    before and after the lossy round trip, and all 37 are distinct."""
+    from go_htmldate_ray.stages.jpeg import decode_jpeg
+    from go_htmldate_ray.stages.multimodal import dhash64, synth_family_jpeg
+
+    seen = {}
+    for fam in range(37):
+        payload = synth_family_jpeg(fam)
+        import numpy as np
+
+        x = np.arange(9)[None, :]
+        y = np.arange(7)[:, None]
+        bit = (fam >> (((x // 2) + 4 * y) % 6)) & 1
+        gray = np.where(x % 2 == 0, 128, 104 + 48 * bit).astype(np.uint8)
+        orig = np.repeat(gray[:, :, None], 3, axis=2)
+        assert dhash64(decode_jpeg(payload)) == dhash64(orig), fam
+        seen[dhash64(orig)] = fam
+    assert len(seen) == 37
+
+
+def test_jpeg_sniffed_by_decode_image():
+    import numpy as np
+
+    from go_htmldate_ray.stages.multimodal import decode_image
+    from go_htmldate_ray.stages.jpeg import encode_jpeg
+
+    img = np.full((9, 9, 3), 77, np.uint8)
+    out = decode_image(encode_jpeg(img, quality=95))
+    assert out.shape == (9, 9, 3)
+    assert np.abs(out.astype(int) - 77).max() <= 3
