@@ -686,6 +686,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # The family pixel design guarantees dHash survives the lossy
         # round trip by margin, so the oracle replays ORIGINAL pixels.
         "image_dhash_jpeg_dups": _image_dhash_jpeg_dups,
+        # Per-window integer audio energy over REAL RIFF/WAVE decode
+        # (PCM codec in numpy/stdlib) — the VAD/segmentation layout.
+        "audio_window_energy": lambda sf: __import__(
+            "go_htmldate_ray.stages.multimodal", fromlist=["x"]
+        ).audio_window_energy(sf),
         "crawl_reachable": _crawl_reachable,
         # Crawl-ORDERING evidence: pages per wave == BFS depth histogram
         # under a non-binding budget (depth-tracking recursive-CTE oracle).
@@ -3264,6 +3269,20 @@ GROUP BY lang.pred_lang""",
             )
             SELECT dhash, min(doc_id) AS rep_doc, count(*)::BIGINT AS n_docs
             FROM h GROUP BY dhash""",
+        # stages/multimodal.audio_window_energy — the synthesized WAVE's
+        # sample formula replayed; energy is an int64 sum of squares, so
+        # the comparison is exact.
+        "audio_window_energy": """
+            WITH s AS (
+                SELECT d.doc_id, i.i,
+                       ((d.doc_id * 7 + i.i * 13) % 65536) - 32768 AS v
+                FROM documents d, range(600) i(i)
+            )
+            SELECT doc_id AS media_id,
+                   (i // 256)::BIGINT AS window_index,
+                   count(*)::BIGINT AS n_window_samples,
+                   sum(v * v)::BIGINT AS energy
+            FROM s GROUP BY 1, 2""",
         # golden_corpus_dates_full: includes the 6 inconsistently-recorded
         # corpus rows → rows-only by necessity (byte parity is gated in
         # tests/test_golden_corpus.py).

@@ -528,11 +528,13 @@ class ImageResizeStage:
 class AudioWindowStage:
     """Actor-pool stage: audio payload → per-window RMS energy rows.
 
-    A real implementation decodes the container to PCM first; the stub
-    interprets the raw payload as little-endian int16 samples (inject
-    ``decode_fn`` for a real decoder).  Output is the exploded
-    (media_id, window_index, rms) layout a VAD / segmentation pipeline
-    consumes — one shuffle key candidate per window row."""
+    The default decoder is REAL for canonical audio: RIFF/WAVE payloads
+    go through :func:`decode_wav` (PCM 8/16-bit, channel 0); anything
+    else is interpreted as raw little-endian int16 PCM.  Inject
+    ``decode_fn`` for compressed formats (MP3/AAC are out of scope).
+    Output is the exploded (media_id, window_index, rms) layout a VAD /
+    segmentation pipeline consumes — one shuffle key candidate per
+    window row."""
 
     def __init__(
         self,
@@ -540,7 +542,7 @@ class AudioWindowStage:
         decode_fn: Optional[Callable[[bytes], np.ndarray]] = None,
     ):
         self.window = window
-        self.decode_fn = decode_fn or self._pcm16
+        self.decode_fn = decode_fn or _audio_samples
 
     @staticmethod
     def _pcm16(payload: bytes) -> np.ndarray:
@@ -786,3 +788,136 @@ def image_dhash_dedup(sf_dir: str, *, n_families: int = 41, image_format: str = 
         ),
         batch_format="pyarrow",
     )
+
+
+# --- real WAV (RIFF) codec ---------------------------------------------------
+# Canonical PCM WAVE needs no codec library: RIFF container, fmt chunk
+# (PCM uint8 / int16), data chunk.  This makes the audio plumbing a REAL
+# decode path like the four image codecs; compressed audio (MP3, AAC,
+# ...) stays out of scope and raises ValueError.
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAVE bytes → (samples as (n, channels) int32, sample_rate).
+
+    Supports PCM (format 1) at 8-bit unsigned (rescaled to signed 16-bit
+    range: (v - 128) * 256, exact integers) and 16-bit signed.  Walks
+    chunks properly (skips LIST/fact/etc., honors odd-size padding)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"wav: only PCM supported, got format {audio_format}")
+    if channels < 1:
+        raise ValueError("wav: zero channels")
+    if bits == 16:
+        usable = len(data) - (len(data) % (2 * channels))
+        samples = np.frombuffer(data[:usable], dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        usable = len(data) - (len(data) % channels)
+        raw = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.int32)
+        samples = (raw - 128) * 256
+    else:
+        raise ValueError(f"wav: only 8/16-bit PCM supported, got {bits}")
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """(n,) or (n, channels) int16 samples → canonical PCM WAVE bytes
+    (deterministic; the audio fixtures' synthesizer)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    n, channels = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block = channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _audio_samples(payload: bytes) -> np.ndarray:
+    """Sniffing audio decode: RIFF/WAVE through the real codec (channel
+    0 of multi-channel audio), else raw little-endian int16 PCM."""
+    if payload[:4] == b"RIFF":
+        samples, _rate = decode_wav(payload)
+        return samples[:, 0].astype(np.float64)
+    usable = len(payload) - (len(payload) % 2)
+    return np.frombuffer(payload[:usable], dtype="<i2").astype(np.float64)
+
+
+def synth_wav(doc_id: int, *, n_samples: int = 600, rate: int = 8000) -> bytes:
+    """Deterministic fixture WAVE per document: sample i is
+    ``((doc_id * 7 + i * 13) % 65536) - 32768`` — mirrored literally in
+    the SQL oracle."""
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((doc_id * 7 + i * 13) % 65536) - 32768
+    return encode_wav(s.astype(np.int16), rate=rate)
+
+
+def audio_window_energy(sf_dir: str, *, window: int = 256, n_samples: int = 600):
+    """documents → (media_id, window_index, n_window_samples, energy):
+    per-window integer sum-of-squares energy over REAL WAV decode — the
+    exact-arithmetic cousin of the RMS layout a VAD / segmentation
+    pipeline consumes (energy is int64, so the SQL oracle matches
+    bit-for-bit; rms = sqrt(energy / n) when a float view is wanted).
+
+    Shape: synthesize → decode → window explode, all inside one
+    stateless batch map (rows ≈ n_samples/window per doc); no shuffle.
+    """
+    import ray.data
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_ids, out_win, out_n, out_e = [], [], [], []
+        for d in ids:
+            samples = _audio_samples(synth_wav(int(d), n_samples=n_samples))
+            s = samples.astype(np.int64)
+            for w0 in range(0, len(s), window):
+                chunk = s[w0 : w0 + window]
+                out_ids.append(d)
+                out_win.append(w0 // window)
+                out_n.append(len(chunk))
+                out_e.append(int((chunk * chunk).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.int64()),
+                "window_index": pa.array(out_win, pa.int64()),
+                "n_window_samples": pa.array(out_n, pa.int64()),
+                "energy": pa.array(out_e, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

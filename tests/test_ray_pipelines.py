@@ -3681,3 +3681,63 @@ def test_jpeg_sniffed_by_decode_image():
     out = decode_image(encode_jpeg(img, quality=95))
     assert out.shape == (9, 9, 3)
     assert np.abs(out.astype(int) - 77).max() <= 3
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from go_htmldate_ray.stages.multimodal import decode_wav, encode_wav
+
+    s = (np.sin(np.linspace(0, 20, 500)) * 20000).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(s, rate=16000))
+    assert rate == 16000
+    assert np.array_equal(dec[:, 0], s.astype(np.int32))
+    # stereo preserved per channel
+    st = np.stack([s, -s], axis=1).astype(np.int16)
+    dec2, _ = decode_wav(encode_wav(st))
+    assert dec2.shape == (500, 2) and np.array_equal(dec2[:, 1], -s.astype(np.int32))
+    # extra chunks (LIST) before data are skipped, odd sizes padded
+    raw = bytearray(encode_wav(s))
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    wav = bytes(raw[:12]) + extra + bytes(raw[12:])
+    wav = b"RIFF" + (len(wav) - 8).to_bytes(4, "little") + wav[8:]
+    dec3, _ = decode_wav(wav)
+    assert np.array_equal(dec3[:, 0], s.astype(np.int32))
+    # 8-bit unsigned path: value 130 -> (130-128)*256 = 512
+    fmt8 = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVEfmt " + len(fmt8).to_bytes(4, "little") + fmt8
+        + b"data" + (2).to_bytes(4, "little") + bytes([130, 126])
+    )
+    dec4, _ = decode_wav(b"RIFF" + len(body).to_bytes(4, "little") + body)
+    assert dec4[:, 0].tolist() == [512, -512]
+    # rejects
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+
+
+def test_audio_window_stage_sniffs_wav():
+    import numpy as np
+    import ray.data
+
+    from go_htmldate_ray.stages.multimodal import AudioWindowStage, encode_wav
+
+    s = np.array([3, -4, 0, 0, 5, 12], dtype=np.int16)
+    audio = ray.data.from_items(
+        [{"media_id": 1, "payload": encode_wav(s)}]
+    )
+    rows = sorted(
+        audio.map_batches(
+            AudioWindowStage(window=2), batch_format="pyarrow"
+        ).take_all(),
+        key=lambda r: r["window_index"],
+    )
+    assert [round(r["rms"], 6) for r in rows] == [
+        round((12.5) ** 0.5, 6),
+        0.0,
+        round((84.5) ** 0.5, 6),
+    ]
