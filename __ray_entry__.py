@@ -691,6 +691,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_window_energy": lambda sf: __import__(
             "go_htmldate_ray.stages.multimodal", fromlist=["x"]
         ).audio_window_energy(sf),
+        # REAL video frame sampling: MJPG AVI container-parsed, every
+        # 2nd frame JPEG-decoded, keyframe dHash emitted — the video
+        # dedup fingerprint layout.
+        "video_frame_dhash": lambda sf: __import__(
+            "go_htmldate_ray.stages.multimodal", fromlist=["x"]
+        ).video_frame_dhash(sf),
         "crawl_reachable": _crawl_reachable,
         # Crawl-ORDERING evidence: pages per wave == BFS depth histogram
         # under a non-binding budget (depth-tracking recursive-CTE oracle).
@@ -3283,6 +3289,32 @@ GROUP BY lang.pred_lang""",
                    count(*)::BIGINT AS n_window_samples,
                    sum(v * v)::BIGINT AS energy
             FROM s GROUP BY 1, 2""",
+        # stages/multimodal.video_frame_dhash — frame fi of doc d is the
+        # synth_family_jpeg image of (d % 37 + fi) % 37; the dHash
+        # margin contract (see image_dhash_jpeg_dups) makes replaying
+        # the ORIGINAL pixel formula exact per sampled frame.
+        "video_frame_dhash": """
+            WITH fr AS (SELECT unnest([0, 2, 4]) AS fi),
+            g AS (
+                SELECT d.doc_id, fr.fi, x.x, y.y,
+                       CASE WHEN x.x % 2 = 0 THEN 128
+                            ELSE 104 + 48 * ((((d.doc_id % 37 + fr.fi) % 37)
+                                 >> (((x.x // 2) + 4 * y.y) % 6)) & 1)
+                       END AS gray
+                FROM documents d, fr, range(9) x(x), range(7) y(y)
+            ),
+            bits AS (
+                SELECT a.doc_id, a.fi, (a.y * 8 + a.x)::BIGINT AS idx
+                FROM g a JOIN g b
+                  ON b.doc_id = a.doc_id AND b.fi = a.fi
+                 AND b.y = a.y AND b.x = a.x + 1
+                WHERE a.x < 8 AND b.gray > a.gray
+            )
+            SELECT d.doc_id AS media_id, fr.fi::BIGINT AS frame_index,
+                   coalesce(sum(1::BIGINT << idx), 0)::BIGINT AS dhash
+            FROM documents d CROSS JOIN fr
+            LEFT JOIN bits ON bits.doc_id = d.doc_id AND bits.fi = fr.fi
+            GROUP BY 1, 2""",
         # golden_corpus_dates_full: includes the 6 inconsistently-recorded
         # corpus rows → rows-only by necessity (byte parity is gated in
         # tests/test_golden_corpus.py).

@@ -921,3 +921,140 @@ def audio_window_energy(sf_dir: str, *, window: int = 256, n_samples: int = 600)
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# --- real MJPEG-in-AVI video container ---------------------------------------
+# Motion-JPEG AVI is the one video format expressible with the codecs
+# already in the repo: a RIFF 'AVI ' container whose 'movi' LIST holds
+# one baseline-JPEG payload per frame ('00dc' chunks).  The writer emits
+# a minimal-but-valid structure (avih + strl headers, movi frames); the
+# reader walks RIFF recursively and yields the frame payloads — so
+# frame sampling and per-frame feature extraction decode GENUINELY.
+# Inter-frame-coded formats (H.264, VP9, ...) stay out of scope.
+
+
+def encode_mjpeg_avi(frames: list[bytes], *, width: int, height: int, fps: int = 10) -> bytes:
+    """JPEG frame payloads → minimal MJPG AVI bytes (deterministic)."""
+    if not frames:
+        raise ValueError("avi: no frames")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = (
+        (1_000_000 // fps).to_bytes(4, "little")  # usec / frame
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off; plain flags
+        + len(frames).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")  # streams
+        + (0).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + bytes(16)
+    )
+    strh = (
+        b"vids" + b"MJPG" + bytes(12)
+        + (1).to_bytes(4, "little")  # scale
+        + fps.to_bytes(4, "little")  # rate
+        + (0).to_bytes(4, "little")
+        + len(frames).to_bytes(4, "little")
+        + bytes(16)
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (width * height * 3).to_bytes(4, "little")
+        + bytes(16)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def avi_frame_payloads(payload: bytes) -> list[bytes]:
+    """MJPG AVI bytes → list of per-frame JPEG payloads (the '00dc'/
+    '00db' chunks of the movi LIST).  Raises ``ValueError`` on
+    non-AVI / non-MJPEG input."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid in (b"00dc", b"00db"):
+                frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:])
+    return frames
+
+
+def synth_family_avi(family: int, *, n_frames: int = 5) -> bytes:
+    """Deterministic fixture video: every Nth-frame sample of family f
+    is the :func:`synth_family_jpeg` image of ``(f + frame) % 37`` —
+    so decoded frame features are SQL-replayable via the same
+    margin-safe dHash contract as the still-image oracle."""
+    frames = [
+        synth_family_jpeg((family + k) % 37) for k in range(n_frames)
+    ]
+    return encode_mjpeg_avi(frames, width=9, height=7)
+
+
+def video_frame_dhash(sf_dir: str, *, n_families: int = 37, every_nth: int = 2):
+    """documents → (media_id, frame_index, dhash): REAL video frame
+    sampling — each document's synthetic MJPG AVI is container-parsed,
+    every ``every_nth`` frame's JPEG payload is decoded through
+    :mod:`.jpeg`, and the frame's dHash emitted.  This is the
+    keyframe-fingerprint layout video dedup consumes (group the dhash
+    column exactly like :func:`image_dhash_dedup`).
+
+    Shape: one stateless batch map (decode cost ∝ sampled frames), no
+    shuffle; at scale the JPEG decode runs where every per-payload
+    kernel runs — inside the actor pool, batch sizes kept small.
+    """
+    import ray.data
+
+    from .jpeg import decode_jpeg
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_ids, out_fr, out_h = [], [], []
+        for d in ids:
+            payload = synth_family_avi(int(d) % n_families)
+            frames = avi_frame_payloads(payload)
+            for fi in range(0, len(frames), every_nth):
+                out_ids.append(d)
+                out_fr.append(fi)
+                out_h.append(dhash64(decode_jpeg(frames[fi])))
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.int64()),
+                "frame_index": pa.array(out_fr, pa.int64()),
+                "dhash": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -3741,3 +3741,30 @@ def test_audio_window_stage_sniffs_wav():
         0.0,
         round((84.5) ** 0.5, 6),
     ]
+
+
+def test_mjpeg_avi_container_roundtrip():
+    import numpy as np
+
+    from go_htmldate_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from go_htmldate_ray.stages.multimodal import (
+        avi_frame_payloads,
+        encode_mjpeg_avi,
+    )
+
+    frames = [
+        encode_jpeg(np.full((7, 9, 3), 40 * (k + 1), np.uint8), quality=95)
+        for k in range(4)
+    ]
+    avi = encode_mjpeg_avi(frames, width=9, height=7)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    got = avi_frame_payloads(avi)
+    assert got == frames  # payloads survive the container byte-exactly
+    # decoded frames carry the per-frame levels
+    for k, f in enumerate(got):
+        img = decode_jpeg(f)
+        assert abs(int(img.mean()) - 40 * (k + 1)) <= 3, k
+    with pytest.raises(ValueError, match="AVI"):
+        avi_frame_payloads(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="frames"):
+        encode_mjpeg_avi([], width=9, height=7)
