@@ -686,6 +686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # The family pixel design guarantees dHash survives the lossy
         # round trip by margin, so the oracle replays ORIGINAL pixels.
         "image_dhash_jpeg_dups": _image_dhash_jpeg_dups,
+        # Same dedup over REAL GIF decode (stdlib-free LZW) — lossless,
+        # so the oracle replays exact palette-indexed pixels.
+        "image_dhash_gif_dups": _image_dhash_gif_dups,
         # Per-window integer audio energy over REAL RIFF/WAVE decode
         # (PCM codec in numpy/stdlib) — the VAD/segmentation layout.
         "audio_window_energy": lambda sf: __import__(
@@ -958,6 +961,12 @@ def _image_dhash_jpeg_dups(sf_dir):
     from go_htmldate_ray.stages.multimodal import image_dhash_dedup
 
     return image_dhash_dedup(sf_dir, n_families=37, image_format="jpeg")
+
+
+def _image_dhash_gif_dups(sf_dir):
+    from go_htmldate_ray.stages.multimodal import image_dhash_dedup
+
+    return image_dhash_dedup(sf_dir, n_families=37, image_format="gif")
 
 
 def _sketches():
@@ -3259,6 +3268,35 @@ GROUP BY lang.pred_lang""",
                             ELSE 104 + 48 * (((d.doc_id % 37)
                                  >> (((x.x // 2) + 4 * y.y) % 6)) & 1)
                        END AS gray
+                FROM documents d, range(9) x(x), range(7) y(y)
+            ),
+            bits AS (
+                SELECT a.doc_id, (a.y * 8 + a.x)::BIGINT AS idx
+                FROM g a JOIN g b
+                  ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+                WHERE a.x < 8 AND b.gray > a.gray
+            ),
+            h AS (
+                SELECT d.doc_id,
+                       coalesce(sum(1::BIGINT << idx), 0)::BIGINT AS dhash
+                FROM documents d LEFT JOIN bits USING (doc_id)
+                GROUP BY d.doc_id
+            )
+            SELECT dhash, min(doc_id) AS rep_doc, count(*)::BIGINT AS n_docs
+            FROM h GROUP BY dhash""",
+        # stages/multimodal.synth_family_gif + ImageDHashStage over the
+        # REAL LZW GIF codec — lossless, so the palette-index pixel
+        # formula replays exactly.
+        "image_dhash_gif_dups": """
+            WITH g AS (
+                SELECT d.doc_id, x.x, y.y,
+                       (299 * ((((d.doc_id % 37) * 5 + x.x * 3 + y.y * 7)
+                                % 16) * 31 % 256)
+                        + 587 * ((((d.doc_id % 37) * 5 + x.x * 3 + y.y * 7)
+                                  % 16) * 57 % 256)
+                        + 114 * ((((d.doc_id % 37) * 5 + x.x * 3 + y.y * 7)
+                                  % 16) * 11 % 256))
+                       // 1000 AS gray
                 FROM documents d, range(9) x(x), range(7) y(y)
             ),
             bits AS (

@@ -2,11 +2,12 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata; decode,
 feature-extraction, resize and frame/window sampling run as actor-pool
-``map_batches`` stages.  Four image codecs are REAL and
+``map_batches`` stages.  Five image codecs are REAL and
 container-library-free: uncompressed BMP (numpy), netpbm P2/P3/P5/P6
-(numpy), 8-bit PNG (stdlib ``zlib`` + numpy scanline unfiltering), and
+(numpy), 8-bit PNG (stdlib ``zlib`` + numpy scanline unfiltering),
 baseline JPEG (:mod:`.jpeg` — numpy DCT + Annex-K Huffman, arbitrary
-sampling factors on decode) — so the default stage kernels decode
+sampling factors on decode), and GIF87a/89a (real LZW both ways,
+interlacing on decode) — so the default stage kernels decode
 genuinely; only formats whose codecs require external libraries (WebP,
 AVIF, …) are out of scope and raise ``ValueError`` from the sniffer
 (inject a kernel fn to support them).
@@ -437,6 +438,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     return decode_pnm(payload)
 
 
@@ -755,6 +758,7 @@ def image_dhash_dedup(sf_dir: str, *, n_families: int = 41, image_format: str = 
         "bmp": synth_family_bmp,
         "png": synth_family_png,
         "jpeg": synth_family_jpeg,
+        "gif": synth_family_gif,
     }[image_format]
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
@@ -1058,3 +1062,257 @@ def video_frame_dhash(sf_dir: str, *, n_families: int = 37, every_nth: int = 2):
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# --- real GIF codec ----------------------------------------------------------
+# GIF87a/89a needs no codec library either: palette + LZW-compressed
+# index stream.  Decoder handles interlacing, local/global palettes,
+# transparency (emitted as the palette color — flattening is the
+# caller's concern) and multi-frame files (first frame returned;
+# :func:`gif_frame_indices` exposes the animation).  Encoder writes a
+# non-interlaced GIF87a of an (h, w) palette-index array — enough to
+# synthesize real fixtures; full-color images go through PNG/JPEG.
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW → uint8 index array (little-endian bit packing,
+    clear/EOI codes, 12-bit code cap)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # dictionary as flat arrays: prefix link + last byte + first byte
+    max_entries = 4096
+    prefix = np.full(max_entries, -1, dtype=np.int32)
+    last = np.zeros(max_entries, dtype=np.uint8)
+    first = np.zeros(max_entries, dtype=np.uint8)
+    for i in range(clear):
+        last[i] = first[i] = i
+
+    def reset():
+        return clear + 2, min_code_size + 1
+
+    next_code, code_size = reset()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = -1
+    buf = bytearray()  # decode buffer for one code chain
+    while pos < len(data) or nbits >= code_size:
+        while nbits < code_size and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            next_code, code_size = reset()
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:
+            out[n_out] = last[code]
+            n_out += 1
+            prev = code
+            continue
+        if code < next_code:
+            entry = code
+        elif code == next_code:
+            entry = -2  # KwKwK case: prev + first(prev)
+        else:
+            raise ValueError("gif: corrupt LZW stream")
+        # materialize the chain for `entry`
+        buf.clear()
+        c = prev if entry == -2 else entry
+        while c >= 0:
+            buf.append(last[c])
+            c = prefix[c]
+        chain = bytes(reversed(buf))
+        if entry == -2:
+            chain += chain[:1]
+        n = len(chain)
+        if n_out + n > n_pixels:
+            chain = chain[: n_pixels - n_out]
+            n = len(chain)
+        out[n_out : n_out + n] = np.frombuffer(chain, dtype=np.uint8)
+        n_out += n
+        if next_code < max_entries:
+            # new entry = prev's chain + first byte of the current chain
+            prefix[next_code] = prev
+            first[next_code] = first[prev]
+            last[next_code] = chain[0]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+        if n_out >= n_pixels:
+            break
+    if n_out < n_pixels:
+        raise ValueError("gif: truncated LZW stream")
+    return out
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    parts = []
+    while True:
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        parts.append(payload[pos : pos + n])
+        pos += n
+    return b"".join(parts), pos
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_frame_indices(payload: bytes):
+    """GIF bytes → yields (index array (h, w) uint8, palette (n, 3)
+    uint8) per frame.  Frames are raw (no disposal compositing)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gpal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            return
+        if b0 == 0x21:  # extension: label + subblocks
+            pos += 2
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+        w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gpal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: no palette")
+        min_code = payload[pos]
+        pos += 1
+        data, pos = _gif_subblocks(payload, pos)
+        idx = _lzw_decode(data, min_code, w * h).reshape(h, w)
+        if iflags & 0x40:  # interlaced
+            out = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, h, step)
+                for r in rows:
+                    out[r] = idx[src]
+                    src += 1
+            idx = out
+        yield idx, pal
+    _ = (sw, sh)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → first frame as (h, w, 3) uint8 RGB."""
+    for idx, pal in gif_frame_indices(payload):
+        return pal[np.minimum(idx, len(pal) - 1)]
+    raise ValueError("gif: no image data")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) uint8 index array + (n, 3) uint8 palette → GIF87a bytes
+    (real LZW compression, non-interlaced, single frame,
+    deterministic)."""
+    h, w = indices.shape
+    n_pal = len(palette)
+    bits = max(2, int(n_pal - 1).bit_length())
+    pal_n = 1 << bits
+    pal = np.zeros((pal_n, 3), dtype=np.uint8)
+    pal[:n_pal] = palette
+    out = bytearray(b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | ((bits - 1) << 4) | (bits - 1))
+    out += b"\x00\x00"
+    out += pal.tobytes()
+    out += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    min_code = bits
+    out.append(min_code)
+    clear = 1 << min_code
+    eoi = clear + 1
+    # LZW encode with dict of tuples
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    code_size = min_code + 1
+    acc = 0
+    nbits = 0
+    body = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = indices.reshape(-1).astype(np.uint8).tobytes()
+    cur = b""
+    for i in range(len(seq)):
+        nxt = cur + seq[i : i + 1]
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = clear + 2
+            code_size = min_code + 1
+        cur = seq[i : i + 1]
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        body.append(acc & 0xFF)
+    for k in range(0, len(body), 255):
+        blk = body[k : k + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synth_family_gif(family: int, *, width: int = 9, height: int = 7) -> bytes:
+    """Planted-truth GIF for the GIF-codec dedup oracle: palette color i
+    is (31i, 57i, 11i) mod 256 and pixel (x, y) holds index
+    ``(family*5 + x*3 + y*7) %% 16`` — lossless, so the SQL oracle
+    replays the exact pixels (DIFFERENT constants from the BMP/PNG/JPEG
+    families, keeping the four oracles independent)."""
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    idx = ((family * 5 + x * 3 + y * 7) % 16).astype(np.uint8)
+    i = np.arange(16)
+    pal = np.stack(
+        [(i * 31) % 256, (i * 57) % 256, (i * 11) % 256], axis=1
+    ).astype(np.uint8)
+    return encode_gif(idx, pal)

@@ -3768,3 +3768,44 @@ def test_mjpeg_avi_container_roundtrip():
         avi_frame_payloads(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(ValueError, match="frames"):
         encode_mjpeg_avi([], width=9, height=7)
+
+
+def test_gif_codec_roundtrip_interlace_and_kwkwk():
+    import numpy as np
+
+    from go_htmldate_ray.stages.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+        synth_family_gif,
+    )
+
+    pal = np.array([[0, 0, 0], [10, 20, 30], [200, 100, 50]], np.uint8)
+    # LZW round trip is lossless and byte-deterministic
+    idx = (np.arange(13 * 21).reshape(13, 21) % 3).astype(np.uint8)
+    g = encode_gif(idx, pal)
+    assert g[:6] == b"GIF87a" and encode_gif(idx, pal) == g
+    assert np.array_equal(decode_gif(g), pal[idx])
+    # KwKwK-heavy runs (the cScSc LZW corner)
+    runs = np.tile(np.array([[1, 1, 1, 2, 2, 2, 1, 1, 1]], np.uint8), (40, 13))
+    assert np.array_equal(decode_gif(encode_gif(runs, pal)), pal[runs])
+    # code-size growth + 4096-entry dictionary reset
+    big = (np.arange(200 * 300).reshape(200, 300) * 7919 % 64).astype(np.uint8)
+    bpal = np.arange(64 * 3, dtype=np.uint8).reshape(64, 3)
+    assert np.array_equal(decode_gif(encode_gif(big, bpal)), bpal[big])
+    # interlaced decode: permute rows into pass order and set the flag
+    h, w = 13, 9
+    base = (np.arange(h * w).reshape(h, w) % 3).astype(np.uint8)
+    order = [
+        r
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, h, step)
+    ]
+    raw = bytearray(encode_gif(base[order], pal))
+    i = raw.index(0x2C, 13 + 3 * 4)
+    raw[i + 9] |= 0x40
+    assert np.array_equal(decode_gif(bytes(raw)), pal[base])
+    # sniffer dispatch + family synth decode
+    assert decode_image(synth_family_gif(5)).shape == (7, 9, 3)
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + bytes(20))
