@@ -694,6 +694,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_window_energy": lambda sf: __import__(
             "go_htmldate_ray.stages.multimodal", fromlist=["x"]
         ).audio_window_energy(sf),
+        # One pipeline through ALL FIVE real image codecs: sniff ->
+        # genuine decode -> per-format media inventory.
+        "media_sniff_stats": lambda sf: __import__(
+            "go_htmldate_ray.stages.multimodal", fromlist=["x"]
+        ).media_sniff_stats(sf),
         # REAL video frame sampling: MJPG AVI container-parsed, every
         # 2nd frame JPEG-decoded, keyframe dHash emitted — the video
         # dedup fingerprint layout.
@@ -3327,6 +3332,16 @@ GROUP BY lang.pred_lang""",
                    count(*)::BIGINT AS n_window_samples,
                    sum(v * v)::BIGINT AS energy
             FROM s GROUP BY 1, 2""",
+        # stages/multimodal.media_sniff_stats — every synthetic payload
+        # decodes to 7x9 = 63 pixels; format is doc_id % 5.
+        "media_sniff_stats": """
+            SELECT CASE doc_id % 5
+                       WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                       WHEN 2 THEN 'jpeg' WHEN 3 THEN 'gif'
+                       ELSE 'pnm' END AS format,
+                   count(*)::BIGINT AS n_media,
+                   (count(*) * 63)::BIGINT AS n_pixels
+            FROM documents GROUP BY 1""",
         # stages/multimodal.video_frame_dhash — frame fi of doc d is the
         # synth_family_jpeg image of (d % 37 + fi) % 37; the dHash
         # margin contract (see image_dhash_jpeg_dups) makes replaying

@@ -1316,3 +1316,87 @@ def synth_family_gif(family: int, *, width: int = 9, height: int = 7) -> bytes:
         [(i * 31) % 256, (i * 57) % 256, (i * 11) % 256], axis=1
     ).astype(np.uint8)
     return encode_gif(idx, pal)
+
+
+def sniff_image_format(payload: bytes) -> str:
+    """Header sniff shared with :func:`decode_image`: 'bmp', 'png',
+    'jpeg', 'gif', 'pnm', or 'unknown'."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        return "pnm"
+    return "unknown"
+
+
+def media_sniff_stats(sf_dir: str):
+    """documents → (format, n_media, n_pixels): one pipeline through ALL
+    five real codecs — each document gets a payload in the container
+    chosen by ``doc_id %% 5``, the stage sniffs the format, decodes it
+    genuinely, and aggregates per-format counts and decoded pixel
+    totals.  The media-inventory table a curation run prints before
+    deciding per-format budgets.
+
+    Shape: per-batch partial counts (≤ 5 rows per block) → one tiny Sum
+    groupby.  Decoded dimensions come from the REAL decode, so a codec
+    that mis-parses dimensions fails the oracle, not just a unit test.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def synth_ppm(family: int) -> bytes:
+        x = np.arange(9)[None, :]
+        y = np.arange(7)[:, None]
+        r = (family * 3 + x * 11 + y * 2) % 256
+        img = np.stack(np.broadcast_arrays(r, (r * 2) % 256, (r * 5) % 256), axis=-1)
+        return encode_ppm(img.astype(np.uint8))
+
+    encoders = [
+        synth_family_bmp,
+        synth_family_png,
+        synth_family_jpeg,
+        synth_family_gif,
+        synth_ppm,
+    ]
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        acc: dict[str, list[int]] = {}
+        for d in ids:
+            payload = encoders[int(d) % 5](int(d) % 37)
+            fmt = sniff_image_format(payload)
+            img = decode_image(payload)
+            a = acc.setdefault(fmt, [0, 0])
+            a[0] += 1
+            a[1] += int(img.shape[0]) * int(img.shape[1])
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "format": pa.array(keys, pa.string()),
+                "n": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "px": pa.array([acc[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("format")
+        .aggregate(Sum("n"), Sum("px"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "format": b.column("format"),
+                    "n_media": b.column("sum(n)").cast(pa.int64()),
+                    "n_pixels": b.column("sum(px)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
