@@ -746,6 +746,15 @@ _CJK_DATE = re.compile(
     r"(\d{4})\s*[年년]\s*(\d{1,2})\s*[月월]\s*(\d{1,2})\s*[日일]?"
 )
 
+# Mongolian dates are numeric with marker words ("2019 оны 3 сарын
+# 15", optionally "3 дугаар/дүгээр сарын"); go-dateparser's mn
+# translations reduce them the same way.  Requires both "оны" (year
+# marker) and "сарын" (month marker), so the unrestricted bag stays
+# safe.
+_MN_DATE = re.compile(
+    r"(\d{4})\s*оны\s*([01]?\d)\s*(?:дугаар|дүгээр)?\s*сарын\s*([0-3]?\d)"
+)
+
 # Vietnamese dates are numeric with marker words ("ngày 5 tháng 3 năm
 # 2021"); go-dateparser's vi translations reduce them the same way.
 # Requires the literal "tháng", so the unrestricted bag stays safe.
@@ -896,6 +905,17 @@ def lenient_absolute_parse(s: str, cfg=None) -> Optional[datetime]:
             try:
                 return datetime(
                     int(m_cjk.group(1)), int(m_cjk.group(2)), int(m_cjk.group(3)),
+                    tzinfo=timezone.utc,
+                )
+            except ValueError:
+                pass
+
+    if languages is None or "mn" in languages:
+        m_mn = _MN_DATE.search(s)
+        if m_mn is not None:
+            try:
+                return datetime(
+                    int(m_mn.group(1)), int(m_mn.group(2)), int(m_mn.group(3)),
                     tzinfo=timezone.utc,
                 )
             except ValueError:

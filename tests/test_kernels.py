@@ -411,6 +411,10 @@ def test_locale_months_round4_batch():
         # Vietnamese numeric marker-word form (regex path, like CJK)
         ("ngày 2 tháng 9 năm 1945", (1945, 9, 2)),
         ("5 tháng 3 2021", (2021, 3, 5)),
+        # Mongolian numeric marker-word forms (оны / [дугаар] сарын)
+        ("2019 оны 3 сарын 15", (2019, 3, 15)),
+        ("2021 оны 11 дүгээр сарын 9", (2021, 11, 9)),
+        ("2020 оны 1 дугаар сарын 31", (2020, 1, 31)),
     ]
     for s, ymd in cases:
         dt = lenient_absolute_parse(s)
@@ -427,10 +431,17 @@ def test_locale_months_round4_batch():
         dt = lenient_absolute_parse(s, DateParserConfig(languages=langs))
         assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
 
-    # vi is gated like CJK: excluded when languages names other locales
+    # vi/mn are gated like CJK: excluded when languages names others
     assert lenient_absolute_parse(
         "ngày 2 tháng 9 năm 1945", DateParserConfig(languages=["pt"])
     ) is None
+    assert lenient_absolute_parse(
+        "2019 оны 3 сарын 15", DateParserConfig(languages=["pt"])
+    ) is None
+    dt = lenient_absolute_parse(
+        "2019 оны 3 сарын 15", DateParserConfig(languages=["mn"])
+    )
+    assert dt is not None and (dt.year, dt.month, dt.day) == (2019, 3, 15)
 
 
 def test_locale_months_round5_batch():
