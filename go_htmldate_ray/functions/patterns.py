@@ -752,7 +752,8 @@ _CJK_DATE = re.compile(
 # marker) and "сарын" (month marker), so the unrestricted bag stays
 # safe.
 _MN_DATE = re.compile(
-    r"(\d{4})\s*оны\s*([01]?\d)\s*(?:дугаар|дүгээр)?\s*сарын\s*([0-3]?\d)"
+    r"(\d{4})\s*оны\s*([01]?\d)(?!\d)\s*(?:дугаар|дүгээр)?"
+    r"\s*сарын\s*([0-3]?\d)(?!\d)"
 )
 
 # Vietnamese dates are numeric with marker words ("ngày 5 tháng 3 năm

@@ -589,8 +589,9 @@ def connected_components(
         import ray as _ray
 
         fn = _ray.remote(_cc_small_task)
-        out = _ray.get(fn.remote(*edges.to_arrow_refs()))
-        return ray.data.from_arrow(out)
+        # from_arrow_refs keeps the label table in the object store —
+        # the result never lands on the driver
+        return ray.data.from_arrow_refs([fn.remote(*edges.to_arrow_refs())])
 
     def rebase(mat):
         """Fresh Dataset over a materialized dataset's blocks (zero-copy

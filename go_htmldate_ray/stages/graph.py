@@ -572,6 +572,20 @@ def _host_id64(host: str) -> int:
     return int(hashlib.md5(host.encode("utf-8")).hexdigest()[:16], 16) >> 1
 
 
+def _host_ids(hosts: list[str]) -> list[int]:
+    """Per-batch memoized :func:`_host_id64` over a host column — the
+    shared loop of ``string_connected_components`` and
+    ``cocitation_pairs`` (Zipf-hot hosts hash once per batch)."""
+    cache: dict[str, int] = {}
+    out = []
+    for h in hosts:
+        v = cache.get(h)
+        if v is None:
+            v = cache[h] = _host_id64(h)
+        out.append(v)
+    return out
+
+
 def string_connected_components(
     edges,
     *,
@@ -598,20 +612,14 @@ def string_connected_components(
     from .joins import hash_join
 
     def to_id_pairs(b: pa.Table) -> pa.Table:
-        src = b.column(src_col).to_pylist()
-        dst = b.column(dst_col).to_pylist()
-        cache: dict[str, int] = {}
-
-        def hid(h: str) -> int:
-            v = cache.get(h)
-            if v is None:
-                v = cache[h] = _host_id64(h)
-            return v
-
         return pa.table(
             {
-                "doc_a": pa.array([hid(s) for s in src], pa.int64()),
-                "doc_b": pa.array([hid(d) for d in dst], pa.int64()),
+                "doc_a": pa.array(
+                    _host_ids(b.column(src_col).to_pylist()), pa.int64()
+                ),
+                "doc_b": pa.array(
+                    _host_ids(b.column(dst_col).to_pylist()), pa.int64()
+                ),
             }
         )
 
@@ -723,18 +731,10 @@ def cocitation_pairs(
     from ray.data.aggregate import Sum
 
     def tag(b: pa.Table) -> pa.Table:
-        src = b.column(src_col).to_pylist()
-        cache: dict[str, int] = {}
-
-        def bucket(h: str) -> int:
-            v = cache.get(h)
-            if v is None:
-                v = cache[h] = _host_id64(h) % n_buckets
-            return v
-
+        ids = _host_ids(b.column(src_col).to_pylist())
         return pa.table(
             {
-                "bucket": pa.array([bucket(s) for s in src], pa.int64()),
+                "bucket": pa.array([i % n_buckets for i in ids], pa.int64()),
                 "src": b.column(src_col),
                 "dst": b.column(dst_col),
             }
@@ -838,13 +838,15 @@ def spam_mass(
 ):
     """Link-spam mass estimation (Gyöngyi, Berkhin, Garcia-Molina,
     Pedersen, VLDB 2006): the fraction of a node's PageRank that does
-    NOT come from the trusted core.  Runs :func:`pagerank` twice over
-    the same edge set — once uniform, once teleport-restricted to the
-    ``seed_col`` set (TrustRank) — and emits per node
-    ``spam_mass_nano = (pr - tr) * 10^9 // pr`` (floor division on both
-    sides, so negative values for over-trusted seeds round identically
-    in the SQL oracle).  High spam mass = the node's rank is funded
-    almost entirely by untrusted links — the paper's demotion signal.
+    NOT come from the trusted core.  Computes the uniform AND the
+    teleport-restricted (TrustRank) rank vector and emits per node
+    ``spam_mass_permille = (pr - tr) * 1000 // pr`` — numpy FLOOR
+    division; per-mille, not nano, because both ranks are bounded by
+    ``total`` (10^15) so the ×1000 product stays inside int64 for any
+    graph.  (DuckDB's ``//`` truncates toward zero, so the SQL oracle
+    subtracts the positive mod first — see the oracle comment.)  High
+    spam mass = the node's rank is funded almost entirely by untrusted
+    links — the paper's demotion signal.
 
     Exchange budget: ONE pagerank loop — both rank vectors (uniform and
     seed-restricted) ride the SAME per-round join + Sum groupby as two

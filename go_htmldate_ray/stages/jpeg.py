@@ -9,16 +9,17 @@ decodes BMP, netpbm, PNG and baseline JPEG genuinely.
 Scope and honesty notes:
 
 * **Encoder** (:func:`encode_jpeg`): grayscale or RGB, 4:4:4 (no chroma
-  subsampling), fixed Annex-K Huffman tables, optional restart
-  intervals.  Fully deterministic — identical input bytes in, identical
+  subsampling), fixed Annex-K Huffman tables, single interleaved scan,
+  no restart intervals.  Fully deterministic — identical input bytes in, identical
   JPEG bytes out (the property the dedup pipelines rely on).  The DCT /
   quantization path is vectorized over all blocks at once (one einsum);
   only the entropy coder walks blocks in Python.
-* **Decoder** (:func:`decode_jpeg`): any baseline sequential JPEG —
-  arbitrary sampling factors (4:2:0/4:2:2/4:4:4), multiple DQT/DHT
-  segments, DRI/RSTn restart markers.  Progressive (SOF2), arithmetic
-  coding and 12-bit precision raise ``ValueError`` (they are different
-  processes, not missing table entries).  Entropy decoding is a
+* **Decoder** (:func:`decode_jpeg`): single-scan (interleaved) baseline
+  sequential JPEG — arbitrary sampling factors (4:2:0/4:2:2/4:4:4),
+  multiple DQT/DHT segments, DRI/RSTn restart markers.  Progressive
+  (SOF2), arithmetic coding, 12-bit precision AND multi-scan baseline
+  files (one scan per component) raise ``ValueError`` LOUDLY — a
+  partial decode would silently drop chroma.  Entropy decoding is a
   per-coefficient Python loop — JPEG Huffman is inherently sequential —
   so at scale this runs where every per-image kernel runs: inside an
   actor-pool ``map_batches`` stage, one image per call, parallel across
@@ -244,9 +245,21 @@ class _BitReader:
         self.acc = 0
 
     def skip_restart(self) -> None:
-        """Consume the RSTn marker the reader is positioned on."""
+        """Consume the RSTn marker the reader is positioned on.  The
+        interval's final pad byte may itself be a stuffed 0xFF (FF 00)
+        or fill 0xFF bytes may precede the marker (T.81 B.1.1.2) —
+        step over both before requiring RSTn."""
         self.byte_align()
-        if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0x00:
+            self.pos += 2  # stuffed pad byte from the closing flush
+        while (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and d[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill bytes before the marker
+        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
             self.pos += 2
         else:
             raise ValueError("jpeg: expected restart marker")
@@ -433,7 +446,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     Handles arbitrary sampling factors (chroma upsampled by sample
     repetition), multiple DQT/DHT segments, and DRI/RSTn restarts.
-    Progressive / arithmetic / 12-bit inputs raise ``ValueError``.
+    Progressive / arithmetic / 12-bit / multi-scan inputs raise
+    ``ValueError``.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
@@ -510,6 +524,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     if not scan_comps or height == 0 or width == 0:
         raise ValueError("jpeg: incomplete headers")
+    if len(scan_comps) != len(comps):
+        # legal per T.81 (one scan per component) but decoding only the
+        # first scan would silently return luma-only pixels
+        raise ValueError("jpeg: multi-scan baseline not supported")
 
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)

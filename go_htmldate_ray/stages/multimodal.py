@@ -872,12 +872,17 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 def _audio_samples(payload: bytes) -> np.ndarray:
     """Sniffing audio decode: RIFF/WAVE through the real codec (channel
-    0 of multi-channel audio), else raw little-endian int16 PCM."""
+    0 of multi-channel audio), else raw little-endian int16 PCM.  A
+    payload that merely STARTS with b'RIFF' but is not a parseable WAVE
+    (raw PCM whose first samples spell RIFF) falls back to the raw
+    interpretation instead of killing the task."""
     if payload[:4] == b"RIFF":
-        samples, _rate = decode_wav(payload)
-        return samples[:, 0].astype(np.float64)
-    usable = len(payload) - (len(payload) % 2)
-    return np.frombuffer(payload[:usable], dtype="<i2").astype(np.float64)
+        try:
+            samples, _rate = decode_wav(payload)
+            return samples[:, 0].astype(np.float64)
+        except ValueError:
+            pass
+    return AudioWindowStage._pcm16(payload)
 
 
 def synth_wav(doc_id: int, *, n_samples: int = 600, rate: int = 8000) -> bytes:

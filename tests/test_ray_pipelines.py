@@ -3809,3 +3809,57 @@ def test_gif_codec_roundtrip_interlace_and_kwkwk():
     assert decode_image(synth_family_gif(5)).shape == (7, 9, 3)
     with pytest.raises(ValueError, match="signature"):
         decode_gif(b"NOTGIF" + bytes(20))
+
+
+def test_jpeg_restart_with_stuffed_pad_and_fill_bytes():
+    """The interval's closing pad byte may be a stuffed 0xFF (FF 00) and
+    fill 0xFF bytes may precede RSTn — both must be stepped over."""
+    import numpy as np
+
+    from go_htmldate_ray.stages.jpeg import decode_jpeg
+
+    base = _flat_jpeg_420(36, 20, dri=1)
+    i = base.find(b"\xff\xd0")
+    assert i > 0
+    stuffed = base[:i] + b"\xff\x00" + base[i:]
+    assert np.all(decode_jpeg(stuffed) == 128)
+    filled = base[:i] + b"\xff" + base[i:]
+    assert np.all(decode_jpeg(filled) == 128)
+
+
+def test_jpeg_multiscan_rejected_loudly():
+    """A baseline file whose SOS names fewer components than SOF must
+    raise, not silently return luma-only pixels."""
+    import numpy as np
+
+    from go_htmldate_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(np.full((8, 8, 3), 90, np.uint8)))
+    i = data.find(b"\xff\xda")
+    # original SOS payload: len(2) ns=3 (id,tt)*3 spectral(3) = 12 bytes
+    one_comp = b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    data = data[:i] + one_comp + data[i + 2 + 12 :]
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(bytes(data))
+
+
+def test_audio_sniff_riff_coincidence_falls_back():
+    """Raw PCM whose first samples spell 'RIFF' must fall back to the
+    raw interpretation, not crash the stage."""
+    import numpy as np
+
+    from go_htmldate_ray.stages.multimodal import _audio_samples
+
+    payload = b"RIFF" + np.array([100, -100], np.int16).tobytes()
+    out = _audio_samples(payload)
+    expect = np.frombuffer(payload, dtype="<i2").astype(np.float64)
+    assert np.array_equal(out, expect)
+
+
+def test_mn_date_rejects_out_of_range_runs():
+    from go_htmldate_ray.functions.patterns import lenient_absolute_parse
+
+    # '40' must not parse as day 4; '152' must not parse as day 15
+    assert lenient_absolute_parse("2020 оны 3 сарын 40") is None
+    assert lenient_absolute_parse("2020 оны 3 сарын 152") is None
+    assert lenient_absolute_parse("2020 оны 133 сарын 5") is None
