@@ -740,6 +740,13 @@ _EXTRA_MONTHS: dict[str, int] = {}
 for _tbl in LOCALE_MONTHS.values():
     _EXTRA_MONTHS.update(_tbl)
 
+# Thai civil dates carry Buddhist-Era years (BE = CE + 543); like
+# go-dateparser's th locale, a year that is plausible-BE-but-absurd-CE
+# next to a THAI month name converts.  The set keys the conversion to
+# the month token so "2562" next to an English month stays literal.
+_THAI_MONTH_NAMES = frozenset(LOCALE_MONTHS.get("th", {}))
+_BE_MIN_YEAR = 2400  # 1857 CE; no TH web page predates this
+
 # CJK / Korean full dates: 2021年3月4日 / 2021년 3월 4일 (go-dateparser's
 # ja/zh/ko locale translations reduce these to numeric triples).
 _CJK_DATE = re.compile(
@@ -940,6 +947,7 @@ def lenient_absolute_parse(s: str, cfg=None) -> Optional[datetime]:
 
     month = None
     month_idx = -1
+    month_is_thai = False
     year = None
     digit_indices: list[tuple[int, int]] = []  # (token index, value)
 
@@ -960,6 +968,7 @@ def lenient_absolute_parse(s: str, cfg=None) -> Optional[datetime]:
                 if m is not None:
                     month = m
                     month_idx = i
+                    month_is_thai = key in _THAI_MONTH_NAMES
                     continue
             if (
                 key in _WEEKDAYS
@@ -991,6 +1000,9 @@ def lenient_absolute_parse(s: str, cfg=None) -> Optional[datetime]:
 
     if month is None or year is None or not 1 <= year <= 9999:
         return None
+
+    if month_is_thai and year >= _BE_MIN_YEAR:
+        year -= 543  # Buddhist Era → CE, gated on the Thai month token
 
     # Day: prefer the digit token adjacent to the month name
     day = None

@@ -415,6 +415,11 @@ def test_locale_months_round4_batch():
         ("2019 оны 3 сарын 15", (2019, 3, 15)),
         ("2021 оны 11 дүгээр сарын 9", (2021, 11, 9)),
         ("2020 оны 1 дугаар сарын 31", (2020, 1, 31)),
+        # Thai Buddhist-Era years convert (BE = CE + 543), gated on the
+        # Thai month token; a CE year next to a Thai month stays literal
+        ("15 มกราคม 2562", (2019, 1, 15)),
+        ("1 ธันวาคม 2566", (2023, 12, 1)),
+        ("15 มกราคม 2019", (2019, 1, 15)),
     ]
     for s, ymd in cases:
         dt = lenient_absolute_parse(s)
