@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Host connectivity from REAL page parses: DOM anchor extraction
         # -> per-batch pair-count partials -> one small Sum groupby.
         "host_link_edges": ed.host_link_edges,
+        # Per-page outlink spam signals from REAL DOM parses (external
+        # ratio, distinct-host fanout) — stateless, no shuffle.
+        "page_link_stats": ed.page_link_stats,
         # Connected components over the strong (n_links >= 2) host graph:
         # string nodes -> md5-derived int ids -> min-label propagation,
         # component surfaced as the labelling host string.
@@ -151,6 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Scheduler policy composition: host authority = summed integer
         # PageRank -> per-host politeness cap -> global top-budget.
         "frontier_priority": ed.frontier_priority,
+        # Anti-spam scheduler variant: per-host budget keyed on seeded
+        # TrustRank mass instead of raw PageRank.
+        "trusted_frontier_priority": lambda sf: ed.frontier_priority(
+            sf, rank="trustrank"
+        ),
         # Triangle counting on the oriented host graph: wedges join +
         # closing-edge join (both bucketed), each triangle credits its
         # three hosts; zero-triangle hosts included.
@@ -1454,6 +1462,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
                    count(*) AS n_pages
             FROM documents GROUP BY 1""",
+        # pipelines/extract_dates.page_link_stats — the synthesized
+        # pages' two formula anchors replayed per page.
+        "page_link_stats": """
+            WITH e AS (
+                SELECT doc_id,
+                       (doc_id*13+1) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id,
+                       (doc_id*29+7) % (SELECT count(*) FROM documents) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_links,
+                   sum(CASE WHEN t % 97 != doc_id % 97
+                            THEN 1 ELSE 0 END)::BIGINT AS n_external,
+                   count(DISTINCT t % 97)::BIGINT AS n_distinct_hosts
+            FROM e GROUP BY doc_id""",
         "host_link_edges": """
             WITH e AS (
                 SELECT doc_id,
@@ -1590,6 +1616,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, priority FROM f WHERE rn <= 3
             ORDER BY priority DESC, doc_id ASC LIMIT 100""".replace(
             "{PR}", _pagerank_sql(iters=3)
+        ),
+        # ed.frontier_priority(rank="trustrank") — identical policy
+        # replay over the seeded-teleport rank CTE.
+        "trusted_frontier_priority": f"""
+            WITH pr AS ({{PR}}),
+            hr AS (
+                SELECT 'site' || (doc_id % 97) || '.example.org' AS host,
+                       sum(rank_units)::BIGINT AS priority
+                FROM pr GROUP BY 1
+            ),
+            f AS (
+                SELECT d.doc_id, h.host, h.priority,
+                       row_number() OVER (
+                           PARTITION BY h.host ORDER BY d.doc_id) AS rn
+                FROM documents d
+                JOIN hr h ON h.host = 'site' || (d.doc_id % 97)
+                                 || '.example.org'
+            )
+            SELECT doc_id, host, priority FROM f WHERE rn <= 3
+            ORDER BY priority DESC, doc_id ASC LIMIT 100""".replace(
+            "{PR}", _trustrank_sql(iters=3)
         ),
         # Augmented corpus (verbatim mirrors of host-2 docs at host 86)
         # through the FULL minhash recomputation, folded to unordered

@@ -1536,7 +1536,12 @@ def reciprocal_links(sf_dir: str):
 
 
 def frontier_priority(
-    sf_dir: str, *, per_host_cap: int = 3, budget: int = 100, iters: int = 3
+    sf_dir: str,
+    *,
+    per_host_cap: int = 3,
+    budget: int = 100,
+    iters: int = 3,
+    rank: str = "pagerank",
 ):
     """Authority-weighted crawl-frontier prioritization: every page
     scores by its HOST's total PageRank mass, a politeness cap keeps at
@@ -1544,6 +1549,11 @@ def frontier_priority(
     the global ``budget`` takes the top rows by (authority DESC, doc_id
     ASC) — the scheduler policy real crawlers run: fetch authoritative
     sites first, but never let one host monopolize a wave.
+
+    ``rank="trustrank"`` swaps the authority signal for the seeded
+    TrustRank vector (doc_id %% 17 seeds) — the anti-spam scheduler
+    variant: hosts whose rank is funded only by untrusted links get no
+    budget even when their raw PageRank is high (Gyöngyi et al.).
 
     Shape: integer PageRank (exact nano units, the oracle-replayable
     :func:`~go_htmldate_ray.stages.graph.pagerank`) → per-batch host
@@ -1583,7 +1593,26 @@ def frontier_priority(
             }
         )
 
-    ranks = pagerank(nodes, docs.map_batches(edges, batch_format="pyarrow"), iters=iters)
+    if rank == "trustrank":
+        def seed(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("id"), dtype=np.int64)
+            return pa.table(
+                {
+                    "id": b.column("id"),
+                    "is_seed": pa.array((ids % 17 == 0).astype(np.int64)),
+                }
+            )
+
+        ranks = pagerank(
+            nodes.map_batches(seed, batch_format="pyarrow"),
+            docs.map_batches(edges, batch_format="pyarrow"),
+            iters=iters,
+            seed_col="is_seed",
+        )
+    else:
+        ranks = pagerank(
+            nodes, docs.map_batches(edges, batch_format="pyarrow"), iters=iters
+        )
 
     def host_partial(b: pa.Table) -> pa.Table:
         d = np.asarray(b.column("doc_id"), dtype=np.int64)
@@ -2092,3 +2121,53 @@ def host_quality_gate(sf_dir: str, *, max_flagged_per_mille: int = 200):
         .aggregate(Sum("n"), Sum("flagged"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def page_link_stats(sf_dir: str):
+    """Per-page outlink statistics from REAL DOM parses — (doc_id,
+    n_links, n_external, n_distinct_hosts): the page-level link-spam /
+    hub-vs-content signals (a page whose links are overwhelmingly
+    external, or that fans out to many distinct hosts, is a directory /
+    link-farm candidate; a content page links mostly within its site).
+
+    Shape: one stateless batch map over the page table (parse + count,
+    one output row per page), no shuffle — the cheapest possible
+    pre-filter before the host-level graph analyses.
+    """
+    from .. import dom
+    from ..state.urls import host_of
+
+    pages = read_pages(sf_dir)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        n_links, n_ext, n_hosts = [], [], []
+        for url, html in zip(urls, batch.column("html").to_pylist()):
+            src = host_of(url or "")
+            total = ext = 0
+            hosts = set()
+            tree = dom.parse_html(html or b"")
+            for el in tree.iter_elements():
+                if el.tag == "a":
+                    href = el.attr("href")
+                    if href:
+                        dst = host_of(href)
+                        if dst:
+                            total += 1
+                            hosts.add(dst)
+                            if dst != src:
+                                ext += 1
+            n_links.append(total)
+            n_ext.append(ext)
+            n_hosts.append(len(hosts))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_links": pa.array(n_links, pa.int64()),
+                "n_external": pa.array(n_ext, pa.int64()),
+                "n_distinct_hosts": pa.array(n_hosts, pa.int64()),
+            }
+        )
+
+    return pages.map_batches(stats, batch_format="pyarrow")

@@ -3863,3 +3863,35 @@ def test_mn_date_rejects_out_of_range_runs():
     assert lenient_absolute_parse("2020 оны 3 сарын 40") is None
     assert lenient_absolute_parse("2020 оны 3 сарын 152") is None
     assert lenient_absolute_parse("2020 оны 133 сарын 5") is None
+
+
+def test_page_link_stats_counts_real_anchors():
+    import __ray_entry__ as entry
+
+    rows = {
+        r["doc_id"]: r
+        for r in entry.queries()["page_link_stats"](SF).take_all()
+    }
+    n = len(rows)
+    assert n > 0
+    # every synthesized page carries exactly the two formula anchors
+    d = 3
+    t1, t2 = (13 * d + 1) % n, (29 * d + 7) % n
+    expect_ext = sum(1 for t in (t1, t2) if t % 97 != d % 97)
+    r = rows[d]
+    assert r["n_links"] == 2
+    assert r["n_external"] == expect_ext
+    assert r["n_distinct_hosts"] == len({t1 % 97, t2 % 97})
+
+
+def test_trusted_frontier_differs_from_pagerank_frontier():
+    """The anti-spam variant must actually change the budget: the two
+    top-100 sets differ on the fixture graph (trust concentrates near
+    the doc_id % 17 seeds)."""
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    pr = {r["doc_id"] for r in qs["frontier_priority"](SF).take_all()}
+    tr = {r["doc_id"] for r in qs["trusted_frontier_priority"](SF).take_all()}
+    assert len(pr) == 100 and len(tr) == 100
+    assert pr != tr
