@@ -289,6 +289,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, text_stage.fingerprint_batch, ["doc_id", "text"]
         ),
         "lang_id": lambda sf: _map(sf, text_stage.lang_id_batch, ["doc_id", "text"]),
+        # SpotSigs near-dup pairs (Theobald et al. SIGIR 2008):
+        # stopword-anchored chain signatures, df-pruned candidates,
+        # exact integer-ppm Jaccard verify over the FULL sets.
+        "spotsigs_pairs": lambda sf: dedup.spotsigs_pairs(
+            read_parquet_clean(
+                f"{sf}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            threshold_ppm=600000,
+        ),
         # Character-distribution entropy (integer nano-unit terms, the
         # charlm_nll exactness scheme): one utf-32 decode + np.unique +
         # reduceat per batch.
@@ -3173,6 +3182,50 @@ ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
                     - mu_b.s - mu_a.s)::BIGINT AS margin_micro4
             FROM best JOIN mu_b USING (bid)
             JOIN mu_a ON mu_a.aid = best.aid""",
+        # stages/dedup.spotsigs_pairs — full signature/df/Jaccard replay
+        # over string_split lists (the fixture is single-space text).
+        "spotsigs_pairs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+            ),
+            sig_lists AS (
+                SELECT doc_id,
+                       [array_to_string(
+                            list_filter(
+                                arr[i + 1 :], x -> x NOT IN ('the', 'a')
+                            )[:2], ' ')
+                        FOR i IN range(1, len(arr) + 1)
+                        IF arr[i] IN ('the', 'a')] AS raw
+                FROM toks
+            ),
+            sigs0 AS (SELECT doc_id, unnest(raw) AS sig FROM sig_lists),
+            -- a full chain of 2 tokens joins with exactly one space;
+            -- shorter tails ('' or one token) drop like the engine's
+            -- len(tail) == chain rule
+            sigs AS (SELECT DISTINCT doc_id, sig FROM sigs0
+                     WHERE sig LIKE '% %'),
+            df AS (SELECT sig, count(*) AS d FROM sigs GROUP BY sig),
+            rare AS (SELECT s.doc_id, s.sig FROM sigs s JOIN df USING (sig)
+                     WHERE df.d BETWEEN 2 AND 4),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM rare a JOIN rare b
+                       ON a.sig = b.sig AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sigs GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_shared
+                FROM sigs a JOIN sigs b
+                  ON a.sig = b.sig AND a.doc_id < b.doc_id
+                JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b, i.n_shared::BIGINT AS n_shared,
+                   ((i.n_shared * 1000000)
+                    // (sa.sz + sb.sz - i.n_shared))::BIGINT AS jaccard_ppm
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                         JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.n_shared * 1000000
+                  >= 600000 * (sa.sz + sb.sz - i.n_shared)""",
         "lang_id": _lang_id_sql(),
         "script_lang_id": _script_lang_sql(),
         # stages/text_stage.char_entropy_batch — integer nano-unit

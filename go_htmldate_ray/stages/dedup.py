@@ -1419,3 +1419,259 @@ def containment_pairs(
     return ray.data.from_items(pair_list).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+# --- SpotSigs near-dup (Theobald, Siddharth, Paepcke, SIGIR 2008) ------------
+
+SPOTSIG_ANTECEDENTS = ("the", "a")
+
+
+def _spot_signatures(
+    text: str, *, antecedents=SPOTSIG_ANTECEDENTS, chain: int = 2
+) -> set[str]:
+    """The document's spot-signature set: for every stopword-antecedent
+    occurrence, the chain of the next ``chain`` non-antecedent tokens
+    (anchors with fewer than ``chain`` followers are dropped).  Spot
+    signatures skip boilerplate by construction — navigation and
+    template text is stopword-poor, body prose is stopword-rich."""
+    toks = (text or "").split()
+    ante = set(antecedents)
+    sigs: set[str] = set()
+    for i, t in enumerate(toks):
+        if t in ante:
+            tail = [w for w in toks[i + 1 :] if w not in ante][:chain]
+            if len(tail) == chain:
+                sigs.add(" ".join(tail))
+    return sigs
+
+
+def spotsigs_pairs(
+    ds,
+    *,
+    antecedents=SPOTSIG_ANTECEDENTS,
+    chain: int = 2,
+    min_df: int = 2,
+    max_df: int = 4,
+    threshold_ppm: int = 500_000,
+    n_buckets: int = 64,
+    max_candidate_docs: int = 100_000,
+):
+    """documents → (doc_a, doc_b, n_shared, jaccard_ppm): SpotSigs
+    near-duplicate pairs — candidates are generated ONLY from RARE
+    signatures (``min_df <= df <= max_df``, the paper's inverted-index
+    pruning: a signature shared by half the corpus identifies nothing),
+    then verified by EXACT Jaccard over each pair's FULL signature sets
+    in integer ppm (``n_shared * 10^6 >= threshold * union``), so the
+    SQL oracle matches bit-for-bit.
+
+    Shape: one stateless signature pass (light (sig63, doc) rows +
+    per-doc set sizes) → ONE groupby on the signature-hash bucket with a
+    vectorized per-bucket resolve (lexsort + run boundaries; runs
+    outside the df window are dropped BEFORE pair expansion; expansion
+    is the cocitation repeat/offset arithmetic) → Sum groupby on packed
+    pair keys → verify: the candidate docs' full signature rows
+    self-join per bucket (bounded by ``max_candidate_docs``, enforced
+    LOUDLY) → sizes attach → integer Jaccard filter.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .cleaning import _hash63_cached
+    from .joins import _bucket_of
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_d, out_h = [], []
+        sizes_d, sizes_n = [], []
+        for d, t in zip(ids, texts):
+            sigs = _spot_signatures(t, antecedents=antecedents, chain=chain)
+            sizes_d.append(d)
+            sizes_n.append(len(sigs))
+            for sg in sigs:
+                out_d.append(d)
+                out_h.append(_hash63_cached(sg))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "sig": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    def size_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "sdoc": pa.array(ids, pa.int64()),
+                "sz": pa.array(
+                    [
+                        len(
+                            _spot_signatures(
+                                t, antecedents=antecedents, chain=chain
+                            )
+                        )
+                        for t in texts
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    base = ds.select_columns(["doc_id", "text"]).materialize()
+    rows = (
+        base.map_batches(sig_rows, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "bkt", _bucket_of(b.column("sig"), n_buckets)
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed by candidates AND verify below
+    )
+
+    def expand_rare(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        sig = np.asarray(group.column("sig"), dtype=np.int64)
+        doc = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((doc, sig))
+        sig, doc = sig[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, sig[1:] != sig[:-1]])
+        lens = np.diff(np.r_[starts, len(sig)])
+        keep = (lens >= min_df) & (lens <= max_df)
+        pairs = []
+        for s0, ln in zip(starts[keep], lens[keep]):
+            d = doc[s0 : s0 + ln]
+            ai, bi = np.triu_indices(ln, k=1)
+            pairs.append((d[ai].astype(np.int64) << 32) | d[bi])
+        if not pairs:
+            return empty
+        packed = np.concatenate(pairs)
+        uniq, counts = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "pair": pa.array(uniq, pa.int64()),
+                "n": pa.array(np.ones(len(uniq), dtype=np.int64)),
+            }
+        )
+
+    candidates = (
+        rows.groupby("bkt")
+        .map_groups(expand_rare, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table({"pair": b.column("pair")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    pair_keys = set()
+    cand_docs = set()
+    for row in candidates.take_all():  # bounded: rare-sig pairs only
+        p = int(row["pair"])
+        pair_keys.add(p)
+        cand_docs.add(p >> 32)
+        cand_docs.add(p & 0xFFFFFFFF)
+    if len(cand_docs) > max_candidate_docs:
+        raise ValueError(
+            f"spotsigs_pairs: {len(cand_docs)} candidate docs exceed the "
+            f"max_candidate_docs={max_candidate_docs} bound — raise the "
+            "bound or tighten min_df/max_df"
+        )
+    cand_ref = ray.put(cand_docs)
+    pair_ref = ray.put(pair_keys)
+
+    # verify: full signature rows of candidate docs, self-joined per
+    # bucket — exact shared-signature counts over the FULL sets
+    def filter_cand(b: pa.Table) -> pa.Table:
+        cd = ray.get(cand_ref)
+        mask = pa.array(
+            [int(x) in cd for x in b.column("doc_id").to_pylist()]
+        )
+        return b.filter(mask)
+
+    def full_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        pk = ray.get(pair_ref)
+        sig = np.asarray(group.column("sig"), dtype=np.int64)
+        doc = np.asarray(group.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((doc, sig))
+        sig, doc = sig[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, sig[1:] != sig[:-1]])
+        lens = np.diff(np.r_[starts, len(sig)])
+        pairs = []
+        for s0, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            d = doc[s0 : s0 + ln]
+            ai, bi = np.triu_indices(ln, k=1)
+            pairs.append((d[ai].astype(np.int64) << 32) | d[bi])
+        if not pairs:
+            return empty
+        packed = np.concatenate(pairs)
+        packed = packed[np.isin(packed, np.fromiter(pk, np.int64))] if pk else packed[:0]
+        if len(packed) == 0:
+            return empty
+        uniq, counts = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "pair": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    shared = (
+        rows.map_batches(filter_cand, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(full_pairs, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n"))
+    )
+
+    def filter_cand_sizes(b: pa.Table) -> pa.Table:
+        cd = ray.get(cand_ref)
+        mask = pa.array([int(x) in cd for x in b.column("sdoc").to_pylist()])
+        return b.filter(mask)
+
+    sizes = {
+        int(r["sdoc"]): int(r["sz"])
+        for r in base.map_batches(size_rows, batch_format="pyarrow")
+        .map_batches(filter_cand_sizes, batch_format="pyarrow")
+        .take_all()
+    }  # ≤ candidate docs — bounded above
+    size_ref = ray.put(sizes)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        sz = ray.get(size_ref)
+        pair = np.asarray(b.column("pair"), dtype=np.int64)
+        n = np.asarray(b.column("sum(n)"), dtype=np.int64)
+        da = pair >> 32
+        db = pair & 0xFFFFFFFF
+        union = np.array(
+            [sz[int(a)] + sz[int(x)] for a, x in zip(da, db)], dtype=np.int64
+        ) - n
+        keep = n * 1_000_000 >= threshold_ppm * union
+        jac = np.zeros(len(n), dtype=np.int64)
+        nz = union > 0
+        jac[nz] = (n[nz] * 1_000_000) // union[nz]
+        t = pa.table(
+            {
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
+                "n_shared": pa.array(n, pa.int64()),
+                "jaccard_ppm": pa.array(jac, pa.int64()),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return shared.map_batches(finalize, batch_format="pyarrow")

@@ -3895,3 +3895,48 @@ def test_trusted_frontier_differs_from_pagerank_frontier():
     tr = {r["doc_id"] for r in qs["trusted_frontier_priority"](SF).take_all()}
     assert len(pr) == 100 and len(tr) == 100
     assert pr != tr
+
+
+def test_spotsigs_pairs_toy_and_pruning():
+    import ray.data
+
+    from go_htmldate_ray.stages.dedup import _spot_signatures, spotsigs_pairs
+
+    # signature extraction: anchors, chain skip-over-stopwords, short
+    # tails dropped ('a' and the final 'the' see only one follower)
+    assert _spot_signatures("the quick fox saw a the cat") == {"quick fox"}
+    assert "quick fox" in _spot_signatures("the quick fox ran")
+    assert _spot_signatures("word the") == set()  # no followers -> dropped
+    assert _spot_signatures("the a the a") == set()  # only stopwords
+
+    t1 = "the quick fox ran over the lazy dog near a tall tree today"
+    t2 = "the quick fox ran over the lazy dog near a tall oak today"
+    t3 = "scan merge join group sort the window batch stream a value filter"
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": [t1, t2, t3]})
+    )
+    out = spotsigs_pairs(ds, threshold_ppm=300000).take_all()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard_ppm"]) for r in out] == [
+        (1, 2, 500000)
+    ]
+    # threshold above the pair's jaccard filters it
+    assert spotsigs_pairs(ds, threshold_ppm=600000).take_all() == []
+    # df pruning: a signature shared by EVERY doc generates no candidates
+    common = ["the common tail word%d extra" % i for i in range(6)]
+    ds2 = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(6)), "text": common})
+    )
+    assert (
+        spotsigs_pairs(ds2, threshold_ppm=100000, max_df=4).take_all() == []
+    )
+    # loud candidate bound
+    dup = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [10, 11],
+                "text": ["the same rare tail here"] * 2,
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="candidate docs"):
+        spotsigs_pairs(dup, max_candidate_docs=1).take_all()
