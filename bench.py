@@ -590,6 +590,20 @@ def run_headline() -> dict:
         ),
         3,
     )
+    queries["page_link_stats"] = round(
+        bench_query(ed_mod.page_link_stats), 3
+    )
+    queries["spotsigs"] = round(
+        bench_query(
+            lambda sf: dedup_mod.spotsigs_pairs(
+                read_parquet_clean(
+                    f"{sf}/documents.parquet", columns=["doc_id", "text"]
+                ),
+                threshold_ppm=600000,
+            )
+        ),
+        3,
+    )
     queries["host_boilerplate"] = round(
         bench_query(
             lambda sf: cleaning.host_boilerplate_lines(
