@@ -742,6 +742,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Per-group exact quantiles: one histogram pass for ALL groups
         # (light (key,bin,cnt) rows), one combined collect pass.
         "grouped_quantiles": _grouped_quantiles,
+        # Per-language doc-length quantiles — the length-filter
+        # calibration table (CCNet tunes length cuts per language); the
+        # same bounded-scan grouped exact-quantile machinery.
+        "doclen_quantiles_by_lang": _doclen_quantiles_by_lang,
         # Grouped top-N: keyed Sum groupby -> stable-hash type buckets ->
         # vectorized in-bucket ranking.
         "top_users_per_type": analytics.top_users_per_type,
@@ -956,6 +960,33 @@ def _grouped_quantiles_sql() -> str:
         f"SELECT event_type, {q}::DOUBLE AS q, "
         f"percentile_disc({q}) WITHIN GROUP (ORDER BY value) AS value "
         "FROM events GROUP BY event_type"
+        for q in _GROUPED_QS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _doclen_quantiles_by_lang(sf_dir):
+    from go_htmldate_ray.stages.quantiles import grouped_quantiles
+
+    out = grouped_quantiles(
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+        ),
+        "lang",
+        "n_chars",
+        _GROUPED_QS,
+    )
+    # n_chars is integral; surface the discrete quantile as int64 like
+    # the oracle's percentile_disc
+    out["value"] = out["value"].astype("int64")
+    return out
+
+
+def _doclen_quantiles_sql() -> str:
+    parts = [
+        f"SELECT lang, {q}::DOUBLE AS q, "
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_chars) AS value "
+        "FROM documents GROUP BY lang"
         for q in _GROUPED_QS
     ]
     return "\nUNION ALL\n".join(parts)
@@ -2811,6 +2842,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "value_quantiles": _value_quantiles_sql(),
         "grouped_quantiles": _grouped_quantiles_sql(),
+        "doclen_quantiles_by_lang": _doclen_quantiles_sql(),
         "sliding_window_events": """
             SELECT strftime(date_trunc('hour', ts) - j.j * INTERVAL 1 HOUR,
                             '%Y-%m-%d %H:%M:%S') AS window_start,
