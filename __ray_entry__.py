@@ -2305,11 +2305,14 @@ def oracle_sql() -> dict[str, str]:
         # stages/cleaning.host_boilerplate_lines over
         # plant_host_template_lines — per-doc distinct (host, line)
         # rows, doc counts per host, exact integer rate threshold.
-        "host_boilerplate": """
+        "host_boilerplate": r"""
             WITH dl AS (
                 SELECT DISTINCT doc_id, doc_id % 97 AS h,
-                       trim(text) AS ln
-                FROM documents WHERE trim(text) != ''
+                       trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'),
+                            ' ') AS ln
+                FROM documents
+                WHERE trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'),
+                           ' ') != ''
                 UNION
                 SELECT DISTINCT doc_id, doc_id % 97,
                        'home | news | archive | site' || (doc_id % 97)
@@ -3214,11 +3217,17 @@ ORDER BY weight_nano DESC, doc_id ASC LIMIT 50""",
                     - mu_b.s - mu_a.s)::BIGINT AS margin_micro4
             FROM best JOIN mu_b USING (bid)
             JOIN mu_a ON mu_a.aid = best.aid""",
-        # stages/dedup.spotsigs_pairs — full signature/df/Jaccard replay
-        # over string_split lists (the fixture is single-space text).
-        "spotsigs_pairs": """
+        # stages/dedup.spotsigs_pairs — full signature/df/Jaccard replay;
+        # tokenization is the SAME explicit ASCII-whitespace RE2 class as
+        # the engine's _spot_signatures, so multi-space/newline/tab text
+        # cannot desynchronize the two sides.
+        "spotsigs_pairs": r"""
             WITH toks AS (
-                SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(text, '[ \t\n\r\f\v]+'),
+                           x -> x != '') AS arr
+                FROM documents
             ),
             sig_lists AS (
                 SELECT doc_id,

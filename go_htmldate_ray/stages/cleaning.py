@@ -591,13 +591,19 @@ def plant_host_template_lines(batch: pa.Table) -> pa.Table:
     boundary case), and the original fixture text stays as line 1 (a
     unique-ish line that must NOT be flagged).  Host assignment is the
     crawl fixture's ``site{doc_id %% 97}`` map.  Mirrored literally in
-    the SQL oracle."""
+    the SQL oracle.
+
+    The fixture text is whitespace-normalized (runs of ``[ \\t\\n\\r\\f\\v]``
+    collapse to one space, then space-trim) so line 1 is guaranteed
+    single-line/single-space — the oracle treats the fixture text as ONE
+    line, and an embedded newline or double space would otherwise
+    desynchronize engine and oracle."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     texts = batch.column("text").to_pylist()
     out = []
     for i, t in zip(ids, texts):
         h = int(i) % 97
-        lines = [t or ""]
+        lines = [re.sub(r"[ \t\n\r\f\v]+", " ", t or "").strip(" ")]
         if int(i) % 2 == 0:
             lines.append(f"home | news | archive | site{h}")
         lines.append(f"copyright site{h}.example.org all rights reserved")
@@ -607,7 +613,13 @@ def plant_host_template_lines(batch: pa.Table) -> pa.Table:
     )
 
 
-def host_boilerplate_lines(ds, *, min_docs: int = 3, min_per_mille: int = 500):
+def host_boilerplate_lines(
+    ds,
+    *,
+    min_docs: int = 3,
+    min_per_mille: int = 500,
+    host_col: str | None = None,
+):
     """documents (doc_id, text; multi-line) → (host, line_md5,
     n_docs_line, n_docs_host, per_mille) for every line occurring in
     ``>= min_per_mille``/1000 of a host's documents (host needs
@@ -616,71 +628,119 @@ def host_boilerplate_lines(ds, *, min_docs: int = 3, min_per_mille: int = 500):
     (navigation bars, footers, cookie banners repeat on nearly every
     page of a site but nowhere else).
 
-    Shape: per-batch partial — each doc's DISTINCT trimmed non-empty
-    lines become (host, md5(line), 1) rows plus one (host, '', 1) doc
-    counter row — pre-aggregated by (host, line) within the batch, then
-    ONE Sum groupby on (host, line_md5); the finalize filters by the
-    exact integer inequality ``n_line * 1000 >= n_host * min_per_mille``.
-    Lines travel as md5 hashes, never text, so the shuffle moves ~48
-    bytes per distinct (host, line) per block at any corpus size.
-    ``per_mille`` is the floor ratio (n_line * 1000 // n_host).
+    ``host_col`` names a string host column; ``None`` keeps the crawl
+    fixture's ``site{doc_id %% 97}.example.org`` map (the oracle path).
 
-    Host assignment is the fixture's ``doc_id %% 97`` map (callers with
-    a real host column should pre-map and pass it through ``text`` +
-    their own partial; the stage logic is identical).
+    Shape: per-batch partial — line split/trim/flatten are Arrow
+    kernels, per-doc distinct + per-(host, line) counting is numpy
+    ``np.unique`` index arithmetic, and md5 runs ONCE per distinct line
+    per batch (template lines repeat on nearly every page, so this is
+    ~docs_per_host× fewer digests than hashing per occurrence).  Each
+    doc's DISTINCT trimmed non-empty lines become (host, md5(line), 1)
+    rows plus one (host, '', 1) doc counter row, pre-aggregated within
+    the batch, then ONE Sum groupby on (host, line_md5); the finalize
+    filters by the exact integer inequality
+    ``n_line * 1000 >= n_host * min_per_mille``.  Lines travel as md5
+    hashes, never text, so the shuffle moves ~50 bytes + the host
+    string per distinct (host, line) per block at any corpus size.
+    ``per_mille`` is the floor ratio (n_line * 1000 // n_host).  The
+    totals join is keyed on the 63-bit host hash (collision odds are
+    ~n²/2⁶⁴ — negligible at any real host count).
     """
     from ray.data.aggregate import Sum
 
     from .joins import hash_join
 
     def partial(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        acc: dict[tuple[int, str], int] = {}
-        for i, t in zip(ids, texts):
-            hk = int(i) % 97
-            acc[(hk, "")] = acc.get((hk, ""), 0) + 1  # doc counter row
-            seen = set()
-            for ln in (t or "").split("\n"):
-                ln = ln.strip()
-                if ln:
-                    seen.add(hashlib.md5(ln.encode("utf-8")).hexdigest())
-            for hmd in seen:
-                acc[(hk, hmd)] = acc.get((hk, hmd), 0) + 1
-        keys = sorted(acc)
+        empty = pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "line_md5": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        if host_col is not None:
+            hosts_all = np.asarray(
+                pc.cast(
+                    pc.fill_null(batch.column(host_col), ""), pa.string()
+                ).to_pylist(),
+                dtype=object,
+            )
+        else:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            hosts_all = np.asarray(
+                [f"site{int(i) % 97}.example.org" for i in ids], dtype=object
+            )
+        uniq_hosts, hinv = np.unique(hosts_all, return_inverse=True)
+
+        text = pc.cast(pc.fill_null(batch.column("text"), ""), pa.string())
+        lines = pc.split_pattern(text, "\n")
+        flat = pc.utf8_trim_whitespace(pc.list_flatten(lines))
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        keep_mask = pc.not_equal(flat, "")
+        flat_np = np.asarray(flat.filter(keep_mask).to_pylist(), dtype=object)
+        parent = parent[keep_mask.to_numpy(zero_copy_only=False)].astype(
+            np.int64
+        )
+
+        out_h: list = list(uniq_hosts)  # doc counter rows first
+        out_m: list = [""] * len(uniq_hosts)
+        out_n: list = [
+            int(c) for c in np.bincount(hinv, minlength=len(uniq_hosts))
+        ]
+        if len(flat_np):
+            uniq_lines, linv = np.unique(flat_np, return_inverse=True)
+            md5s = [
+                hashlib.md5(s.encode("utf-8")).hexdigest() for s in uniq_lines
+            ]
+            nl = len(uniq_lines)
+            # distinct (doc, line) occurrences, then count per (host, line)
+            first = np.unique(parent * nl + linv, return_index=True)[1]
+            hl = hinv[parent[first]].astype(np.int64) * nl + linv[first]
+            uk, counts = np.unique(hl, return_counts=True)
+            out_h.extend(uniq_hosts[uk // nl])
+            out_m.extend(md5s[int(k)] for k in uk % nl)
+            out_n.extend(int(c) for c in counts)
         return pa.table(
             {
-                "hkey": pa.array([k[0] for k in keys], pa.int64()),
-                "line_md5": pa.array([k[1] for k in keys], pa.string()),
-                "n": pa.array([acc[k] for k in keys], pa.int64()),
+                "host": pa.array(out_h, pa.string()),
+                "line_md5": pa.array(out_m, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
             }
         )
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["hkey", "line_md5"])
+        .groupby(["host", "line_md5"])
         .aggregate(Sum("n"))
     )
 
     # Split doc counters ('' key) from line rows INSIDE tasks, then one
-    # bucketed int-keyed equi-join — both sides are light aggregate
-    # rows (hash_join buckets on int64 keys).
+    # bucketed int-keyed equi-join on the 63-bit host hash — both sides
+    # are light aggregate rows (hash_join buckets on int64 keys).
     def split(want_counter: bool):
         def f(b: pa.Table) -> pa.Table:
             mask = pc.equal(b.column("line_md5"), "")
             if not want_counter:
                 mask = pc.invert(mask)
             t = b.filter(mask)
+            hkeys = pa.array(
+                [_hash63_cached(h) for h in t.column("host").to_pylist()],
+                pa.int64(),
+            )
             if want_counter:
                 return pa.table(
                     {
-                        "tkey": t.column("hkey"),
+                        "tkey": hkeys,
                         "n_docs_host": t.column("sum(n)").cast(pa.int64()),
                     }
                 )
             return pa.table(
                 {
-                    "hkey": t.column("hkey"),
+                    "hkey": hkeys,
+                    "host": t.column("host"),
                     "line_md5": t.column("line_md5"),
                     "n_docs_line": t.column("sum(n)").cast(pa.int64()),
                 }
@@ -696,12 +756,9 @@ def host_boilerplate_lines(ds, *, min_docs: int = 3, min_per_mille: int = 500):
         nl = np.asarray(batch.column("n_docs_line"), dtype=np.int64)
         nh = np.asarray(batch.column("n_docs_host"), dtype=np.int64)
         keep = (nh >= min_docs) & (nl * 1000 >= nh * min_per_mille)
-        hk = np.asarray(batch.column("hkey"), dtype=np.int64)
         t = pa.table(
             {
-                "host": pa.array(
-                    [f"site{int(h)}.example.org" for h in hk], pa.string()
-                ),
+                "host": batch.column("host"),
                 "line_md5": batch.column("line_md5"),
                 "n_docs_line": batch.column("n_docs_line"),
                 "n_docs_host": batch.column("n_docs_host"),

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import re
 from itertools import combinations
 
 import numpy as np
@@ -1433,13 +1434,32 @@ def _spot_signatures(
     occurrence, the chain of the next ``chain`` non-antecedent tokens
     (anchors with fewer than ``chain`` followers are dropped).  Spot
     signatures skip boilerplate by construction — navigation and
-    template text is stopword-poor, body prose is stopword-rich."""
-    toks = (text or "").split()
+    template text is stopword-poor, body prose is stopword-rich.
+
+    O(n * chain): one backward pass precomputes, for every position,
+    the index of the first non-antecedent token at-or-after it, so each
+    anchor reads its ``chain``-token tail by pointer hops instead of
+    re-scanning the remaining token list (which made stopword-dense
+    100k-token docs quadratic).
+
+    Tokenization is the explicit ASCII-whitespace class (not
+    ``str.split``) so the SQL oracle's RE2 split matches bit-for-bit on
+    multi-space / newline / tab text."""
+    toks = [t for t in re.split(r"[ \t\n\r\f\v]+", text or "") if t]
     ante = set(antecedents)
+    n = len(toks)
+    # nxt[i] = smallest j >= i with toks[j] not an antecedent; n if none
+    nxt = [n] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        nxt[i] = i if toks[i] not in ante else nxt[i + 1]
     sigs: set[str] = set()
     for i, t in enumerate(toks):
         if t in ante:
-            tail = [w for w in toks[i + 1 :] if w not in ante][:chain]
+            tail = []
+            j = nxt[i + 1] if i + 1 <= n else n
+            while j < n and len(tail) < chain:
+                tail.append(toks[j])
+                j = nxt[j + 1]
             if len(tail) == chain:
                 sigs.add(" ".join(tail))
     return sigs
@@ -1483,6 +1503,15 @@ def spotsigs_pairs(
     def sig_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        # pairs are packed (a << 32) | b — ids outside [0, 2^32) would
+        # silently merge unrelated pairs, so reject them loudly (same
+        # convention as the max_out_degree/max_candidate_docs bounds)
+        for d in ids:
+            if not 0 <= int(d) < (1 << 32):
+                raise ValueError(
+                    f"spotsigs_pairs: doc_id {d} outside [0, 2^32) — "
+                    "packed pair keys require 32-bit non-negative ids"
+                )
         out_d, out_h = [], []
         sizes_d, sizes_n = [], []
         for d, t in zip(ids, texts):

@@ -214,6 +214,8 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("jpeg: truncated stream")
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
@@ -259,7 +261,11 @@ class _BitReader:
             and d[self.pos + 1] == 0xFF
         ):
             self.pos += 1  # fill bytes before the marker
-        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
             self.pos += 2
         else:
             raise ValueError("jpeg: expected restart marker")
@@ -463,6 +469,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        if pos + 1 >= n:
+            raise ValueError("jpeg: truncated stream")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -470,10 +478,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
         seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("jpeg: truncated stream")
         body = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
+                if i + 65 > len(body):
+                    raise ValueError("jpeg: truncated stream")
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 if pq != 0:
                     raise ValueError("jpeg: 16-bit quant tables unsupported")
@@ -485,13 +497,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("jpeg: truncated stream")
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1 : i + 17])
                 nv = sum(bits)
+                if i + 17 + nv > len(body):
+                    raise ValueError("jpeg: truncated stream")
                 vals = list(body[i + 17 : i + 17 + nv])
                 huff[(tc, th)] = _build_huffman_decoder(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("jpeg: truncated stream")
             if body[0] != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
             height = int.from_bytes(body[1:3], "big")
@@ -506,8 +524,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: only baseline sequential supported")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("jpeg: truncated stream")
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("jpeg: truncated stream")
             ns = body[0]
             scan_comps = []
             for si in range(ns):

@@ -3940,3 +3940,80 @@ def test_spotsigs_pairs_toy_and_pruning():
     )
     with pytest.raises(ValueError, match="candidate docs"):
         spotsigs_pairs(dup, max_candidate_docs=1).take_all()
+
+
+def test_spotsigs_docid_bounds_and_whitespace():
+    """Pair keys pack (a << 32) | b — out-of-range doc_ids must raise
+    loudly, and tokenization must agree with the oracle's RE2 split on
+    tab/newline/multi-space text."""
+    import ray.data
+
+    from go_htmldate_ray.stages.dedup import _spot_signatures, spotsigs_pairs
+
+    assert _spot_signatures("the quick\tfox  saw a\nthe cat") == {"quick fox"}
+
+    bad = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 1 << 32],
+                "text": ["the rare tail one", "the rare tail one"],
+            }
+        )
+    )
+    # the raise happens inside a Ray task, so it surfaces wrapped in
+    # RayTaskError — match the message, not the (rewrapped) type
+    with pytest.raises(Exception, match=r"doc_id .* outside \[0, 2\^32\)"):
+        spotsigs_pairs(bad).take_all()
+
+
+def test_jpeg_truncated_raises_valueerror():
+    """Truncations anywhere — header, segment body, entropy data — must
+    surface as the documented ValueError, never a bare IndexError."""
+    import numpy as np
+
+    from go_htmldate_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.arange(24 * 24 * 3, dtype=np.uint32) % 251).astype(
+        np.uint8
+    ).reshape(24, 24, 3)
+    data = encode_jpeg(img, quality=90)
+    for cut in (3, 8, 40, len(data) // 2, len(data) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:cut])
+    # a lone trailing 0xFF (half a marker) is also a truncation
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:2] + b"\xff")
+
+
+def test_host_boilerplate_host_col():
+    """host_col generalizes the fixture's doc_id % 97 map: explicit host
+    strings group the line stats, and the line 1 uniqueness /
+    footer 100% / nav ~50% behavior is preserved."""
+    import hashlib
+
+    import ray.data
+
+    from go_htmldate_ray.stages.cleaning import host_boilerplate_lines
+
+    rows = []
+    for host in ("alpha.example", "beta.example"):
+        for i in range(4):
+            lines = [f"unique body {host} {i}", f"footer of {host}"]
+            if i % 2 == 0:
+                lines.append(f"nav of {host}")
+            rows.append(
+                {"doc_id": len(rows), "host": host, "text": "\n".join(lines)}
+            )
+    ds = ray.data.from_items(rows)
+    out = host_boilerplate_lines(ds, min_docs=3, host_col="host").take_all()
+    got = {(r["host"], r["line_md5"]): r for r in out}
+    for host in ("alpha.example", "beta.example"):
+        foot = hashlib.md5(f"footer of {host}".encode()).hexdigest()
+        nav = hashlib.md5(f"nav of {host}".encode()).hexdigest()
+        assert got[(host, foot)]["n_docs_line"] == 4
+        assert got[(host, foot)]["n_docs_host"] == 4
+        assert got[(host, foot)]["per_mille"] == 1000
+        assert got[(host, nav)]["n_docs_line"] == 2  # exactly the threshold
+        assert got[(host, nav)]["per_mille"] == 500
+    # unique body lines never flagged
+    assert len(out) == 4
