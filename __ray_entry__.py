@@ -75,7 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
         return ds.map_batches(fn, batch_format="pyarrow")
 
-    return {
+    return _rotate({
         "extract_dates": lambda sf: ed.extract_dates(sf),
         "extract_dates_extensive": lambda sf: ed.extract_dates(
             sf, skip_extensive_search=False
@@ -780,7 +780,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FULL OUTER variant: customer-only rows surface too.
         "orders_customer_full_join": analytics.orders_customer_full_join,
         "pricing_summary": analytics.pricing_summary,
-    }
+    })
+
+
+# The driver verifies a 50-query prefix sample of queries() per round;
+# rounds 1-4 always drew the same dict-order prefix, leaving ~75 queries
+# driver-unseen (all green in the recorded local full sweeps).  Front-load
+# the never-yet-sampled families (plus a small staple set for round-over-
+# round continuity) so round 5's driver artifact covers new ground.
+_DRIVER_ROTATION: tuple = (
+    # staples: keep the flagship extraction queries in every sample
+    "extract_dates",
+    "extract_dates_extensive",
+    "url_dates",
+    "golden_corpus_dates",
+    "crawl_reachable",
+    # never sampled in r1-r4 driver artifacts
+    "spotsigs_pairs",
+    "char_entropy",
+    "lid_disagreement",
+    "hashed_classifier",
+    "repetition_scores",
+    "gopher_quality",
+    "lang_doc_stats",
+    "tfidf_top_terms",
+    "paragraph_dedup",
+    "pii_redaction",
+    "decontaminate",
+    "dataset_split",
+    "bpe_token_counts",
+    "packed_sequences",
+    "charlm_nll",
+    "ccnet_buckets",
+    "dsir_weights",
+    "vocab_top_tokens",
+    "sample_stratified",
+    "new_docs_vs_snapshot",
+    "containment_pairs",
+    "near_dup_vs_snapshot",
+    "bm25_search",
+    "countmin_tokens",
+    "heavy_hitter_tokens",
+    "oov_rates",
+    "bigram_collocations",
+    "hll_text_registers",
+    "pagerank",
+    "trustrank",
+    "spam_mass",
+    "hits_scores",
+    "link_degree_histogram",
+    "inverted_index",
+    "remove_dup_spans",
+    "dup_ngrams",
+    "near_dup_clusters",
+    "near_dup_keep",
+    "curated_corpus_stats",
+    "knn_graph",
+    "ann_pq_topk",
+    "kmeans_clusters",
+    "semdedup",
+    "image_dhash_jpeg_dups",
+    "media_sniff_stats",
+    "video_frame_dhash",
+    "grouped_quantiles",
+    "doclen_quantiles_by_lang",
+    "top_users_per_type",
+    "events_rollup",
+    "orders_customer_skew_join",
+)
+
+
+def _rotate(q: dict) -> dict:
+    ordered = {k: q[k] for k in _DRIVER_ROTATION if k in q}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 def _embeddings(sf_dir):
@@ -1475,7 +1548,7 @@ def _streaming(name):
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _rotate({
         "extract_dates": f"""
             SELECT doc_id, {_URL_SQL} AS url,
                    strftime({_DATE_SQL}, '%Y-%m-%d') AS date_str
@@ -3512,7 +3585,7 @@ GROUP BY lang.pred_lang""",
         # golden_corpus_dates_full: includes the 6 inconsistently-recorded
         # corpus rows → rows-only by necessity (byte parity is gated in
         # tests/test_golden_corpus.py).
-    }
+    })
 
 
 _CHARLM_NLL_SQL = r"""

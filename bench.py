@@ -689,16 +689,79 @@ def run_extract_only() -> dict:
     }
 
 
+# the driver captures only the LAST ~2000 chars of stdout and parses the
+# final line — the full-detail headline dict (56 pipelines of keys) blew
+# past that window in round 4 ("parsed": null).  Keep the compact summary
+# for the final line under this budget; full detail goes on the previous
+# line and into BENCH_detail.json.
+_FINAL_LINE_BUDGET = 1800
+
+_SUMMARY_QUERIES = (
+    "extract_fast",
+    "extract_extensive",
+    "golden_corpus_fast",
+    "golden_corpus_extensive",
+    "crawl",
+    "dedup_exact",
+    "minhash_lsh",
+    "ann_topk",
+    "pagerank",
+    "pricing_summary",
+)
+_SUMMARY_EXTRAS = (
+    "extract_fast_pages_per_s",
+    "extract_fast_steady_pages_per_s",
+    "extract_extensive_pages_per_s",
+    "golden_corpus_docs_per_s",
+    "golden_corpus_ext_docs_per_s",
+    "crawl_pages_per_s",
+)
+
+
+def _compact_summary(result: dict) -> dict:
+    """Driver-parseable final line: totals + the headline subset only."""
+    queries = result.get("queries", {})
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": {k: queries[k] for k in _SUMMARY_QUERIES if k in queries},
+        "sf": result.get("sf"),
+        "num_cpus": result.get("num_cpus"),
+        "n_pipelines": len(queries),
+        "detail": "BENCH_detail.json",
+    }
+    for k in _SUMMARY_EXTRAS:
+        if k in result:
+            out[k] = result[k]
+    line = json.dumps(out)
+    while len(line) > _FINAL_LINE_BUDGET and out["queries"]:
+        out["queries"].popitem()
+        line = json.dumps(out)
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
+        print(json.dumps(result))
     elif "--extract-only" in sys.argv:
         os.environ.setdefault("GRAFT_BENCH_REPEAT", str(SCALING_REPEAT))
         REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", str(SCALING_REPEAT)))
         result = run_extract_only()
+        print(json.dumps(result))
     else:
         result = run_headline()
-    print(json.dumps(result))
+        try:
+            with open(
+                os.path.join(os.path.dirname(__file__), "BENCH_detail.json"),
+                "w",
+            ) as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            pass  # read-only checkout: detail still printed below
+        print(json.dumps(result))  # full detail (previous line, + file)
+        print(json.dumps(_compact_summary(result)))  # driver-parsed line
     import ray
 
     if ray.is_initialized():

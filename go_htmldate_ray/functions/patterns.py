@@ -232,6 +232,10 @@ LOCALE_MONTHS: dict[str, dict[str, int]] = {
         "ιανουαρίου": 1, "φεβρουαρίου": 2, "μαρτίου": 3, "απριλίου": 4,
         "μαΐου": 5, "ιουνίου": 6, "ιουλίου": 7, "αυγούστου": 8,
         "σεπτεμβρίου": 9, "οκτωβρίου": 10, "νοεμβρίου": 11, "δεκεμβρίου": 12,
+        # nominatives (archive headers: "Ιανουάριος 2020")
+        "ιανουάριος": 1, "φεβρουάριος": 2, "μάρτιος": 3, "απρίλιος": 4,
+        "μάιος": 5, "ιούνιος": 6, "ιούλιος": 7, "αύγουστος": 8,
+        "σεπτέμβριος": 9, "οκτώβριος": 10, "νοέμβριος": 11, "δεκέμβριος": 12,
     },
     "ar": {
         "يناير": 1, "فبراير": 2, "مارس": 3, "أبريل": 4, "ابريل": 4,
@@ -702,6 +706,35 @@ _LOCALE_MONTH_ABBREVS_SAFE: dict[str, dict[str, int]] = {
         "янв": 1, "фев": 2, "мар": 3, "апр": 4, "июн": 6, "июл": 7,
         "авг": 8, "сен": 9, "сент": 9, "окт": 10, "ноя": 11, "дек": 12,
     },
+    # round-5 depth batch: abbreviations for the locales whose full +
+    # genitive tables landed in round 4 (the go-dateparser abbreviated
+    # forms; stems that double as ordinary prose words live in the
+    # restricted table below).
+    "el": {
+        # Greek script is unique to el — no cross-locale collisions
+        "ιαν": 1, "φεβ": 2, "μάρ": 3, "μαρ": 3, "απρ": 4, "μαΐ": 5,
+        "μαϊ": 5, "ιούν": 6, "ιουν": 6, "ιούλ": 7, "ιουλ": 7, "αύγ": 8,
+        "αυγ": 8, "σεπ": 9, "σεπτ": 9, "οκτ": 10, "νοέ": 11, "νοε": 11,
+        "δεκ": 12,
+    },
+    "bg": {"яну": 1, "септ": 9, "ное": 11},
+    "uk": {
+        "січ": 1, "лют": 2, "бер": 3, "квіт": 4, "трав": 5, "черв": 6,
+        "лип": 7, "серп": 8, "вер": 9, "жовт": 10,
+    },
+    "sr": {"јан": 1, "феб": 2, "сеп": 9, "дец": 12},
+    "fi": {
+        # stems used as abbreviations ("3. maalis 2019"); elo/loka are
+        # ordinary Finnish nouns and live in the restricted table
+        "tammi": 1, "helmi": 2, "maalis": 3, "huhti": 4, "touko": 5,
+        "kesä": 6, "heinä": 7, "syys": 9, "marras": 11, "joulu": 12,
+    },
+    "lt": {
+        "saus": 1, "birž": 6, "liep": 7, "rugp": 8, "rugpj": 8,
+        "rugs": 9, "spal": 10, "lapkr": 11, "gruod": 12,
+    },
+    "lv": {"jūn": 6, "jūl": 7},
+    "et": {"jaan": 1, "veebr": 2, "dets": 12},
 }
 
 # Abbreviations that double as ordinary words somewhere ("ago"/"set"/
@@ -718,7 +751,7 @@ _LOCALE_MONTH_ABBREVS_RESTRICTED: dict[str, dict[str, int]] = {
     "it": {"ago": 8, "set": 9, "gen": 1, "mag": 5, "lug": 7},
     "pt": {"ago": 8, "set": 9, "out": 10},
     "pl": {"lis": 11, "sty": 1, "lip": 7, "sie": 8},
-    "cs": {"led": 1, "pro": 12, "dub": 4},
+    "cs": {"led": 1, "pro": 12, "dub": 4, "lis": 11},
     "no": {"des": 12},
     "da": {"des": 12},
     "ro": {"noi": 11},
@@ -731,6 +764,15 @@ _LOCALE_MONTH_ABBREVS_RESTRICTED: dict[str, dict[str, int]] = {
     "ht": {"mas": 3, "me": 5, "jen": 6},
     "rw": {"mata": 4},
     "ps": {"می": 5},
+    # round-5 depth batch ("elo" the Finnish noun / Elo rating, "loka"
+    # = Finnish "dirt"; lt 3-letter stems collide with es/fr prose
+    # ("vas", "bal"); "avg" = the English average abbreviation; "нов"
+    # = the Slavic adjective "new"; cs "lis" rides the cs entry above)
+    "fi": {"elo": 8, "loka": 10},
+    "lt": {"vas": 2, "kov": 3, "bal": 4, "geg": 5},
+    "sr": {"avg": 8, "нов": 11},
+    "bs": {"avg": 8},
+    "mk": {"avg": 8},
 }
 
 for _lang, _tbl in _LOCALE_MONTH_ABBREVS_SAFE.items():

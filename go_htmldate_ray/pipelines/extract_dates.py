@@ -656,6 +656,16 @@ def redirect_resolution(sf_dir: str, *, broadcast_limit: int = 100_000):
         import ray
 
         pairs = rmap.select_columns(["id", "page_url"]).take_all()
+        if len(pairs) > broadcast_limit:
+            # loud in-stage guard (same convention as skew_join's
+            # _SKEW_HOT_KEY_LIMIT): the pre-checked doc count can lie
+            # (stale metadata, multi-row-per-doc maps) and a silently
+            # oversized broadcast would OOM every worker heap at once
+            raise ValueError(
+                f"redirect_resolution: broadcast map has {len(pairs)} rows "
+                f"> broadcast_limit={broadcast_limit}; use the join path "
+                "(raise broadcast_limit only with a matching worker heap)"
+            )
         ids_sorted = np.array([p["id"] for p in pairs], dtype=np.int64)
         order = np.argsort(ids_sorted)
         ids_sorted = ids_sorted[order]

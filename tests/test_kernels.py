@@ -589,6 +589,99 @@ def test_locale_months_uk_nominative():
         assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
 
 
+def test_locale_months_round5_depth():
+    """Full 12-month sweeps for the European locales the round-4 batch
+    added (fi/el/bg/sr/hr/sk/sl/lt/lv/et), in the style of the
+    reference's per-locale sweeps (extractors_test.go:208-303), plus
+    the round-5 abbreviation forms and their prose-ambiguity gates."""
+    from go_htmldate_ray.functions.kernels import DateParserConfig
+    from go_htmldate_ray.functions.patterns import lenient_absolute_parse
+
+    sweeps = {
+        # genitive/partitive (the form dates are written in)
+        "fi": ["tammikuuta", "helmikuuta", "maaliskuuta", "huhtikuuta",
+               "toukokuuta", "kesäkuuta", "heinäkuuta", "elokuuta",
+               "syyskuuta", "lokakuuta", "marraskuuta", "joulukuuta"],
+        "el": ["Ιανουαρίου", "Φεβρουαρίου", "Μαρτίου", "Απριλίου",
+               "Μαΐου", "Ιουνίου", "Ιουλίου", "Αυγούστου",
+               "Σεπτεμβρίου", "Οκτωβρίου", "Νοεμβρίου", "Δεκεμβρίου"],
+        "bg": ["януари", "февруари", "март", "април", "май", "юни",
+               "юли", "август", "септември", "октомври", "ноември",
+               "декември"],
+        "sr": ["јануара", "фебруара", "марта", "априла", "маја", "јуна",
+               "јула", "августа", "септембра", "октобра", "новембра",
+               "децембра"],
+        "sk": ["januára", "februára", "marca", "apríla", "mája", "júna",
+               "júla", "augusta", "septembra", "októbra", "novembra",
+               "decembra"],
+        "sl": ["januarja", "februarja", "marca", "aprila", "maja",
+               "junija", "julija", "avgusta", "septembra", "oktobra",
+               "novembra", "decembra"],
+        "lt": ["sausio", "vasario", "kovo", "balandžio", "gegužės",
+               "birželio", "liepos", "rugpjūčio", "rugsėjo", "spalio",
+               "lapkričio", "gruodžio"],
+        "lv": ["janvāra", "februāra", "marta", "aprīļa", "maija",
+               "jūnija", "jūlija", "augusta", "septembra", "oktobra",
+               "novembra", "decembra"],
+        "et": ["jaanuari", "veebruari", "märtsi", "aprilli", "mai",
+               "juuni", "juuli", "augusti", "septembri", "oktoobri",
+               "novembri", "detsembri"],
+    }
+    for lang, months in sweeps.items():
+        assert len(months) == 12, lang
+        for m, name in enumerate(months, start=1):
+            s = f"1 {name} 1998"
+            dt = lenient_absolute_parse(s)
+            assert dt is not None and (dt.year, dt.month, dt.day) == (
+                1998, m, 1), (lang, s, dt)
+
+    # hr genitives (October is restricted: pl/cs "listopad" = November)
+    hr = ["siječnja", "veljače", "ožujka", "travnja", "svibnja",
+          "lipnja", "srpnja", "kolovoza", "rujna", "listopada",
+          "studenog", "prosinca"]
+    cfg_hr = DateParserConfig(languages=["hr"])
+    for m, name in enumerate(hr, start=1):
+        dt = lenient_absolute_parse(f"1 {name} 1998", cfg_hr)
+        assert dt is not None and dt.month == m, (name, dt)
+
+    # round-5 abbreviation forms (unrestricted)
+    abbrevs = [
+        ("3 Ιαν 2020", (2020, 1, 3)), ("3 μαΐ 2019", (2019, 5, 3)),
+        ("3 σεπτ 2018", (2018, 9, 3)), ("3 νοε 2018", (2018, 11, 3)),
+        # el nominative (archive-header form) with an explicit day
+        ("1 Ιανουάριος 2020", (2020, 1, 1)),
+        ("1 Αύγουστος 2015", (2015, 8, 1)),
+        ("5 яну 2021", (2021, 1, 5)), ("5 ное 2021", (2021, 11, 5)),
+        ("7 квіт 2020", (2020, 4, 7)), ("7 жовт 2020", (2020, 10, 7)),
+        ("24 серп 1991", (1991, 8, 24)),
+        ("9 maalis 2019", (2019, 3, 9)), ("9 marras 2019", (2019, 11, 9)),
+        ("2 saus 2018", (2018, 1, 2)), ("2 gruod 2018", (2018, 12, 2)),
+        ("4 jūn 2022", (2022, 6, 4)), ("4 jūl 2022", (2022, 7, 4)),
+        ("4 jaan 2022", (2022, 1, 4)), ("4 dets 2022", (2022, 12, 4)),
+        ("6 јан 2017", (2017, 1, 6)), ("6 дец 2017", (2017, 12, 6)),
+    ]
+    for s, ymd in abbrevs:
+        dt = lenient_absolute_parse(s)
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+    # prose-ambiguous stems stay behind the language restriction
+    for s in ["3 elo 2020", "3 loka 2020", "3 vas 2019", "3 bal 2019",
+              "3 avg 2020", "3 нов 2020", "3 lis 2019"]:
+        assert lenient_absolute_parse(s) is None, s
+    for s, langs, ymd in [
+        ("3 elo 2020", ["fi"], (2020, 8, 3)),
+        ("3 loka 2020", ["fi"], (2020, 10, 3)),
+        ("3 vas 2019", ["lt"], (2019, 2, 3)),
+        ("3 kov 2019", ["lt"], (2019, 3, 3)),
+        ("3 avg 2020", ["sr"], (2020, 8, 3)),
+        ("3 avg 2020", ["bs"], (2020, 8, 3)),
+        ("3 нов 2020", ["sr"], (2020, 11, 3)),
+        ("3 lis 2019", ["cs"], (2019, 11, 3)),
+    ]:
+        dt = lenient_absolute_parse(s, DateParserConfig(languages=langs))
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+
 def test_year_word_markers_skipped():
     """Locale year-word suffixes/prefixes (go-dateparser translation
     strip-tokens): the token rides along a complete d-month-y date and

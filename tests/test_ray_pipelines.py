@@ -2123,6 +2123,20 @@ def test_redirect_resolution_broadcast_join_parity(ray_session):
     assert fast == joined and len(fast) == 500
 
 
+def test_redirect_resolution_broadcast_guard(ray_session, monkeypatch):
+    """The broadcast re-attach raises loudly (skew_join convention) when
+    the materialized map exceeds broadcast_limit — i.e. when the
+    pre-checked doc count understated the map size."""
+    import go_htmldate_ray.sources.pages as pages_mod
+    from go_htmldate_ray.pipelines.extract_dates import redirect_resolution
+
+    # lie about the corpus size so the ≤limit branch is taken while the
+    # real map (500 rows at sf0.001) blows past the limit
+    monkeypatch.setattr(pages_mod, "count_documents", lambda sf: 5)
+    with pytest.raises(ValueError, match="broadcast map has 500 rows"):
+        redirect_resolution("/root/testdata/sf0.001", broadcast_limit=10)
+
+
 def test_budget_allocation_exact_and_vs_python(ray_session):
     """Cumulative-rounding apportionment: allocations sum to EXACTLY the
     budget, each host is within ±1 of its fractional share, and the
