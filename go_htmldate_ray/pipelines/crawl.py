@@ -45,6 +45,7 @@ import json
 import math
 import os
 import shutil
+import time
 from typing import Optional
 
 import pyarrow as pa
@@ -359,6 +360,7 @@ def _clear_wave_outputs(checkpoint_dir: str, wave: int) -> None:
         os.path.join(checkpoint_dir, f"frontier_{wave + 1}.parquet"),
         os.path.join(checkpoint_dir, f"frontier_{wave + 1}"),
         os.path.join(checkpoint_dir, f"seen_delta_{wave}.json"),
+        os.path.join(checkpoint_dir, f"robots_delta_{wave}.json"),
     ):
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
@@ -634,19 +636,36 @@ def crawl(
                 raise FileNotFoundError(
                     f"crawl checkpoint missing {dp} (and no legacy seen.json loaded)"
                 )
-        robots_ckpt = json.loads(
-            open(os.path.join(checkpoint_dir, "robots.json")).read()
-        )
-        if "rules" in robots_ckpt and "delays" in robots_ckpt:
-            rules_map, delays_map = robots_ckpt["rules"], robots_ckpt["delays"]
-        else:  # legacy layout: a bare host → rules dict, no delays
-            rules_map, delays_map = robots_ckpt, None
-        ray.get(
-            robots.load.remote(
-                {h: [tuple(r) for r in rules] for h, rules in rules_map.items()},
-                delays_map,
+        # Robots state: legacy full dump (if present) first, then the
+        # per-wave deltas of manifested waves.  Robots is a cache —
+        # hosts missing after replay are simply re-resolved — so unlike
+        # the seen set a gap here never needs a loud failure.
+        robots_full = os.path.join(checkpoint_dir, "robots.json")
+        if os.path.exists(robots_full):
+            robots_ckpt = json.loads(open(robots_full).read())
+            if "rules" in robots_ckpt and "delays" in robots_ckpt:
+                rules_map, delays_map = robots_ckpt["rules"], robots_ckpt["delays"]
+            else:  # legacy layout: a bare host → rules dict, no delays
+                rules_map, delays_map = robots_ckpt, None
+            ray.get(
+                robots.load.remote(
+                    {h: [tuple(r) for r in rules] for h, rules in rules_map.items()},
+                    delays_map,
+                )
             )
-        )
+        for w in range(start_wave):
+            rp = os.path.join(checkpoint_dir, f"robots_delta_{w}.json")
+            if os.path.exists(rp):
+                delta = json.loads(open(rp).read())
+                ray.get(
+                    robots.load.remote(
+                        {
+                            h: [tuple(r) for r in rules]
+                            for h, rules in delta["rules"].items()
+                        },
+                        delta["delays"],
+                    )
+                )
     else:
         pq.write_table(
             _frontier_table(seeds, 0, 0),
@@ -689,6 +708,18 @@ def crawl(
     stats = {"waves": 0, "fetched": 0, "robots_denied": 0, "dedup_dropped": 0}
     lineage: list[dict] = []
 
+    # Per-phase wall-clock accumulators (seconds, summed across waves) —
+    # the wave fixed-cost profile.  Cheap (a perf_counter pair per phase
+    # per wave) and always on, so a slow crawl bench can be read directly
+    # from stats["phase_seconds"] instead of re-instrumenting.
+    phase_seconds: dict[str, float] = {}
+    stats["phase_seconds"] = phase_seconds
+
+    def _tick(key: str, t0: float) -> float:
+        now = time.perf_counter()
+        phase_seconds[key] = phase_seconds.get(key, 0.0) + (now - t0)
+        return now
+
     _EMPTY_VISITED = pa.table(
         {
             "url": pa.array([], pa.string()),
@@ -724,6 +755,12 @@ def crawl(
                 remote_cls.remote(sf_dir, **(fetcher_kwargs or {}))
                 for _ in range(n_actors)
             )
+        # Fixed 64-row slices: an A/B sweep (floors 8/16/64, warm pool,
+        # quiet box) showed per-future dispatch overhead outweighs the
+        # extra actor parallelism smaller slices buy — fetch-phase wall
+        # time was lowest at 64 (2.0-2.5s vs 2.8-3.1s at 8/16 for the
+        # sf0.1 crawl bench).  Per-page extract is ~0.5ms, so a 64-row
+        # slice amortizes the ~ms dispatch cost to <3%.
         futs = [
             fetch_pool[(i // 64) % len(fetch_pool)].__call__.remote(tbl.slice(i, 64))
             for i in range(0, tbl.num_rows, 64)
@@ -733,6 +770,7 @@ def crawl(
     def run_wave_local(t: pa.Table) -> tuple[pa.Table, list[pa.Table]]:
         """Driver-side wave ops for small frontiers: the same dedup → seen →
         robots → politeness semantics, pure pyarrow, no cluster shuffles."""
+        tp = time.perf_counter()
         idx = pa.compute.sort_indices(
             t,
             sort_keys=[
@@ -747,12 +785,14 @@ def crawl(
         keep = [i for i, h in enumerate(hashes) if i == 0 or h != hashes[i - 1]]
         stats["dedup_dropped"] += t.num_rows - len(keep)
         t = t.take(pa.array(keep, pa.int64()))
+        tp = _tick("dedup", tp)
 
         # READ-ONLY membership check; marking happens only for handled
         # rows (denied / fetched) so politeness-deferred rows survive to
         # the next wave instead of being dropped as "seen but unfetched".
         flags = seen.contains(t.column("url_hash").to_pylist())
         t = t.filter(pa.array([not f for f in flags], pa.bool_()))
+        tp = _tick("seen", tp)
 
         hosts = t.column("host").to_pylist()
         rules = ray.get(robots.get_rules.remote(sorted(set(hosts))))
@@ -763,10 +803,13 @@ def crawl(
         stats["robots_denied"] += keep_r.count(False)
         keep_arr = pa.array(keep_r, pa.bool_())
         # robots verdicts are permanent: mark denied rows seen
-        seen.check_and_add(
+        # (fire-and-forget: per-actor ordering sequences these inserts
+        # before any later contains/drain from this driver)
+        seen.add(
             t.filter(pa.compute.invert(keep_arr)).column("url_hash").to_pylist()
         )
         t = t.filter(keep_arr)
+        tp = _tick("robots", tp)
 
         if priority_fn is not None:
             t = t.append_column(
@@ -798,9 +841,12 @@ def crawl(
         defer_arr = pa.array(defer, pa.bool_())
         fetch_now = t.filter(pa.compute.invert(defer_arr))
         deferred_tbl = t.filter(defer_arr).drop_columns(["fetch_rank"])
-        # only rows actually fetched become "seen"
-        seen.check_and_add(fetch_now.column("url_hash").to_pylist())
-        return local_fetch(fetch_now), [deferred_tbl.select(FRONTIER_SCHEMA.names)]
+        # only rows actually fetched become "seen" (fire-and-forget)
+        seen.add(fetch_now.column("url_hash").to_pylist())
+        tp = _tick("politeness", tp)
+        out = local_fetch(fetch_now), [deferred_tbl.select(FRONTIER_SCHEMA.names)]
+        _tick("fetch", tp)
+        return out
 
     # Anonymous per-crawl actor: stats are reset every wave, so there is
     # no cross-call state to name — and a named get_if_exists handle races
@@ -994,6 +1040,7 @@ def crawl(
             # attempt first — the final visited glob reads both layouts.)
             _clear_wave_outputs(checkpoint_dir, wave)
             visited_tbl, deferred_parts = run_wave_local(pq.read_table(frontier_path))
+            tw = time.perf_counter()
             visited_tbl = visited_tbl.append_column(
                 "wave", pa.array([wave] * visited_tbl.num_rows, pa.int64())
             )
@@ -1027,23 +1074,28 @@ def crawl(
                 os.path.join(checkpoint_dir, f"frontier_{wave + 1}.parquet"),
             )
             n_fetched = visited_tbl.num_rows
+            _tick("links_io", tw)
         else:
+            tw = time.perf_counter()
             n_fetched, _ = run_wave_dataset(frontier_path, wave)
+            _tick("dataset_wave", tw)
 
         # Checkpoint: per-wave seen DELTA + robots + manifest (atomic
         # rename).  Only the keys this wave added are written — I/O per
         # wave ∝ wave size; resume replays the deltas of manifested waves.
+        tw = time.perf_counter()
         open(
             os.path.join(checkpoint_dir, f"seen_delta_{wave}.json"), "w"
         ).write(json.dumps(seen.drain_deltas()))
-        open(os.path.join(checkpoint_dir, "robots.json"), "w").write(
-            json.dumps(
-                {
-                    "rules": ray.get(robots.all_rules.remote()),
-                    "delays": ray.get(robots.all_delays.remote()),
-                }
-            )
-        )
+        # robots checkpoint is a per-wave DELTA too (hosts first resolved
+        # this wave): re-serializing the FULL rules table every wave is
+        # O(total hosts) I/O at a fixed point in every wave — wrong shape
+        # for a 10^10-URL frontier.  Resume replays deltas (plus a legacy
+        # full robots.json if present); a missing robots delta is safe,
+        # robots is a cache and unresolved hosts simply re-fetch.
+        open(
+            os.path.join(checkpoint_dir, f"robots_delta_{wave}.json"), "w"
+        ).write(json.dumps(ray.get(robots.drain_delta.remote())))
         lineage.append(
             {
                 "wave": wave,
@@ -1057,6 +1109,7 @@ def crawl(
         tmp = manifest_path + ".tmp"
         open(tmp, "w").write(json.dumps({"next_wave": wave + 1, "lineage": lineage}))
         os.replace(tmp, manifest_path)
+        _tick("checkpoint", tw)
 
         stats["waves"] += 1
         stats["fetched"] += n_fetched

@@ -175,6 +175,10 @@ class RobotsCache:
         self.http_base = http_base.rstrip("/") if http_base else None
         self.timeout = timeout
         self.agent = agent
+        # hosts resolved since the last drain — the per-wave checkpoint
+        # unit (mirrors SeenShard.delta: I/O ∝ new hosts per wave, not
+        # total hosts ever seen)
+        self._delta_hosts: set[str] = set()
 
     def _robots_text(self, host: str) -> str:
         if self.http_base is None:
@@ -202,6 +206,7 @@ class RobotsCache:
             # crawler by name gets its specific group honored
             self.rules[host] = parse_robots(text, agent=self.agent)
             self.delays[host] = parse_crawl_delay(text)
+            self._delta_hosts.add(host)
 
     def get_rules(self, hosts: list[str]) -> dict[str, list[tuple[str, str]]]:
         for host in hosts:
@@ -218,6 +223,17 @@ class RobotsCache:
 
     def all_delays(self) -> dict[str, float]:
         return dict(self.delays)
+
+    def drain_delta(self) -> dict:
+        """Rules/delays for hosts resolved since the previous drain.
+        Checkpointing dumps ONLY this per wave — at crawl scale the full
+        robots table (millions of hosts) must never be re-serialized
+        every wave."""
+        hosts, self._delta_hosts = self._delta_hosts, set()
+        return {
+            "rules": {h: self.rules[h] for h in sorted(hosts)},
+            "delays": {h: self.delays[h] for h in sorted(hosts)},
+        }
 
     def load(
         self,

@@ -114,6 +114,19 @@ class SeenSet:
         """Batch membership-test-and-insert, preserving input order."""
         return self._sharded_call("check_and_add", hashes)
 
+    def add(self, hashes: list[int]) -> None:
+        """Fire-and-forget insert: shard-partition and submit WITHOUT
+        waiting for results.  Safe whenever the caller discards the
+        membership booleans: Ray orders calls per (caller, actor), so a
+        later ``contains``/``drain_deltas`` from the same driver observes
+        these inserts.  Saves one blocking RPC fan-out per call site —
+        ~2 of the 3 seen-set barriers every crawl wave."""
+        by_shard: dict[int, list[int]] = {}
+        for h in hashes:
+            by_shard.setdefault(h % self.n_shards, []).append(h)
+        for s, hs in by_shard.items():
+            self.shards[s].check_and_add.remote(hs)
+
     def contains(self, hashes: list[int]) -> list[bool]:
         """Read-only batch membership test, preserving input order."""
         return self._sharded_call("contains", hashes)
@@ -125,13 +138,16 @@ class SeenSet:
             s = h % self.n_shards
             by_shard.setdefault(s, []).append(h)
             positions.setdefault(s, []).append(pos)
-        futures = {
-            s: getattr(self.shards[s], method).remote(hs)
-            for s, hs in by_shard.items()
-        }
+        shard_ids = list(by_shard)
+        # ONE ray.get over all shard futures — a per-shard get loop costs
+        # n_shards sequential RPC round-trips per call (measured ~1s of an
+        # sf0.1 crawl's 4.5s wall in the seen phase)
+        results = ray.get(
+            [getattr(self.shards[s], method).remote(by_shard[s]) for s in shard_ids]
+        )
         out = [False] * len(hashes)
-        for s, fut in futures.items():
-            for pos, flag in zip(positions[s], ray.get(fut)):
+        for s, flags in zip(shard_ids, results):
+            for pos, flag in zip(positions[s], flags):
                 out[pos] = flag
         return out
 
