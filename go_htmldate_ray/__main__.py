@@ -67,6 +67,12 @@ def main(argv=None) -> int:
     p_curate.add_argument("--min-words", type=int, default=15)
     p_curate.add_argument("--sem-threshold", type=float, default=0.5)
     p_curate.add_argument("--n-shards", type=int, default=8)
+    p_curate.add_argument(
+        "--backfill",
+        action="store_true",
+        help="synthesize feature-hashed embeddings for docs missing a "
+        "row (flagged synthetic) instead of fail-closed dropping them",
+    )
 
     p_crawl = sub.add_parser("crawl", help="run the frontier crawl scheduler")
     p_crawl.add_argument("sf_dir")
@@ -164,6 +170,7 @@ def main(argv=None) -> int:
             min_words=args.min_words,
             sem_threshold=args.sem_threshold,
             n_shards=args.n_shards,
+            backfill=args.backfill,
         )
         print(json.dumps(report))
         return 0

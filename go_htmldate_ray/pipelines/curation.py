@@ -123,6 +123,7 @@ def curate_to_jsonl(
     sem_threshold: float = 0.5,
     n_shards: int = 8,
     n_clusters: int = 8,
+    backfill: bool = False,
 ):
     """The full curation funnel as one callable (the CLI ``curate``
     command and ``examples/curate_corpus.py`` both run this): Gopher
@@ -148,8 +149,12 @@ def curate_to_jsonl(
     positionally identifies a document's embedding row.  A document
     WITHOUT an embedding row has no SemDeDup evidence and **fails** the
     semantic stage (its ``s`` flag never fires) — silently exporting
-    unvetted docs would defeat the dedup guarantee.  Run embedding
-    backfill first if full coverage is required.
+    unvetted docs would defeat the dedup guarantee.  ``backfill=True``
+    closes the coverage gap instead of dropping: missing docs get a
+    deterministic feature-hashed text embedding
+    (:func:`~go_htmldate_ray.stages.similarity.backfill_embeddings`,
+    flagged synthetic) so they enter SemDeDup like any other row; the
+    report carries ``n_backfilled`` for auditing.
 
     Returns the sink report plus the per-stage keep counts.
     """
@@ -163,6 +168,16 @@ def curate_to_jsonl(
 
     docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet")
+
+    n_backfilled = 0
+    if backfill:
+        from ..stages.similarity import backfill_embeddings
+
+        # vec_id==doc_id contract ⇒ emb ids ⊆ doc ids, so the miss count
+        # is the row-count difference (parquet-metadata cheap)
+        n_backfilled = max(0, docs.count() - emb.count())
+        if n_backfilled:
+            emb = backfill_embeddings(docs, emb)
 
     def _flag_table(ids: pa.ChunkedArray | pa.Array, which: str, vals=None) -> pa.Table:
         n = len(ids)
@@ -238,4 +253,5 @@ def curate_to_jsonl(
     report["n_exact"] = int(totals["sum(e)"] or 0)
     report["n_semdedup"] = int(totals["sum(s)"] or 0)
     report["n_kept"] = int(totals["sum(keep)"] or 0)
+    report["n_backfilled"] = n_backfilled
     return report

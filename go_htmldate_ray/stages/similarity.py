@@ -1377,3 +1377,78 @@ def scalar_quantize(ds, *, levels: int = 255):
     return ds.select_columns(["vec_id", "embedding"]).map_batches(
         quantize, batch_format="pyarrow"
     )
+
+
+# --- Embedding backfill (curation-funnel coverage) ----------------------------
+
+
+def backfill_embeddings(docs, emb, *, dim: int | None = None, seed: int = 11):
+    """Synthesize deterministic embeddings for documents MISSING a row in
+    ``emb`` so full-coverage curation runs (pipelines/curation.py's
+    vec_id==doc_id contract) never silently drop embedding-less docs.
+
+    Missing docs are found with one :func:`~.joins.anti_join` (docs whose
+    doc_id has no vec_id match); each gets a feature-hashed text embedding
+    (Weinberger et al. 2009: crc32-bucketed tokens with a ±1 sign hash,
+    L2-normalized) in the SAME dimensionality as the real rows, flagged
+    ``synthetic=1`` — downstream consumers can audit or re-embed them.
+
+    ``dim`` defaults to the real table's dimensionality, read from ONE
+    row (bounded driver op); pass it explicitly when ``emb`` may be
+    empty.  Cost ∝ missing rows (the anti-join ships the corpus text
+    through one bucketed shuffle; synthesis itself touches only the
+    misses).  Returns (vec_id, embedding, synthetic) — real rows ride
+    through unchanged with synthetic=0.
+    """
+    import zlib
+
+    from .joins import anti_join
+
+    if dim is None:
+        first = emb.select_columns(["embedding"]).take(1)
+        if not first:
+            raise ValueError(
+                "backfill_embeddings: embedding table is empty — pass dim="
+            )
+        dim = len(first[0]["embedding"])
+
+    missing = anti_join(
+        docs.select_columns(["doc_id", "text"]),
+        emb.select_columns(["vec_id"]),
+        on="doc_id",
+        right_on="vec_id",
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        out = np.zeros((len(ids), dim), dtype=np.float32)
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            for tok in (text or "").split():
+                b = tok.encode("utf-8", "replace")
+                h = zlib.crc32(b)
+                sign = 1.0 if zlib.crc32(b, seed) & 1 else -1.0
+                out[i, h % dim] += sign
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    list(out), pa.list_(pa.float32())
+                ),
+                "synthetic": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+            }
+        )
+
+    def passthrough(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+                "embedding": batch.column("embedding"),
+                "synthetic": pa.array([0] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        passthrough, batch_format="pyarrow"
+    ).union(missing.map_batches(synth, batch_format="pyarrow"))

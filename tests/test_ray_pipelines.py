@@ -3014,6 +3014,74 @@ def test_curate_to_jsonl_funnel(tmp_path):
     assert rep2["rows_written"] == 0 and rep2["shards_skipped"] == [0, 1, 2, 3]
 
 
+def test_backfill_embeddings_and_curate_coverage(tmp_path):
+    """An embedding-less doc is dropped by the fail-closed vec_id==doc_id
+    contract, but survives curation with backfill=True, flagged synthetic
+    and counted in the report (verdict item: the promised backfill path)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from go_htmldate_ray.pipelines.curation import curate_to_jsonl
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.sources.sink import read_jsonl_shards
+    from go_htmldate_ray.stages.similarity import backfill_embeddings
+
+    # sf-like dir whose embeddings table is missing the first 10 docs
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    docs_tbl = pq.read_table(f"{SF}/documents.parquet")
+    emb_tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    import pyarrow.compute as pc
+
+    pq.write_table(docs_tbl, f"{sf}/documents.parquet")
+    pq.write_table(
+        emb_tbl.filter(pc.greater_equal(emb_tbl.column("vec_id"), 10)),
+        f"{sf}/embeddings.parquet",
+    )
+
+    # unit: the backfilled table covers every doc, real rows unchanged,
+    # synthetic rows deterministic, unit-norm, and dim-matched
+    docs = read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    emb = read_parquet_clean(f"{sf}/embeddings.parquet")
+    filled = {r["vec_id"]: r for r in backfill_embeddings(docs, emb).take_all()}
+    assert len(filled) == docs_tbl.num_rows
+    dim = len(emb_tbl.column("embedding")[0])
+    synth = [r for r in filled.values() if r["synthetic"] == 1]
+    assert sorted(r["vec_id"] for r in synth) == list(range(10))
+    import numpy as np
+
+    for r in synth:
+        v = np.asarray(r["embedding"])
+        assert len(v) == dim
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    # real rows ride through bit-identical
+    assert filled[10]["synthetic"] == 0
+    assert filled[10]["embedding"] == emb_tbl.column("embedding")[10].as_py()
+    # determinism
+    again = {r["vec_id"]: r for r in backfill_embeddings(docs, emb).take_all()}
+    assert again[0]["embedding"] == filled[0]["embedding"]
+
+    # funnel: fail-closed without backfill, covered with it
+    rep_closed = curate_to_jsonl(sf, str(tmp_path / "closed"), n_shards=2)
+    rep_open = curate_to_jsonl(
+        sf, str(tmp_path / "open"), n_shards=2, backfill=True
+    )
+    assert rep_closed["n_backfilled"] == 0
+    assert rep_open["n_backfilled"] == 10
+    closed_ids = {
+        r["doc_id"] for r in read_jsonl_shards(str(tmp_path / "closed")).take_all()
+    }
+    open_ids = {
+        r["doc_id"] for r in read_jsonl_shards(str(tmp_path / "open")).take_all()
+    }
+    assert not (closed_ids & set(range(10)))  # fail-closed drops them all
+    recovered = open_ids & set(range(10))
+    assert recovered  # at least one missing doc survives via backfill
+    assert rep_open["n_kept"] >= rep_closed["n_kept"]
+
+
 def test_curate_to_jsonl_matches_driver_set_reference(tmp_path):
     """The scale-safe flag-row/join composition must produce BYTE-identical
     shards to the straightforward driver-side id-set intersection (the
