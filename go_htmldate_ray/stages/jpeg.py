@@ -1,29 +1,35 @@
-"""Baseline JPEG codec — pure numpy + stdlib, no codec libraries.
+"""JPEG codec (baseline + progressive) — pure numpy + stdlib.
 
-Implements the ITU-T T.81 baseline sequential process from the public
-spec: 8×8 block DCT, Annex-K quantization tables (libjpeg's quality
-scaling curve), Annex-K Huffman tables, JFIF container.  This retires
-the last stubbed image format in :mod:`multimodal` — the engine now
-decodes BMP, netpbm, PNG and baseline JPEG genuinely.
+Implements the ITU-T T.81 baseline sequential AND progressive DCT
+processes from the public spec: 8×8 block DCT, Annex-K quantization
+tables (libjpeg's quality scaling curve), Annex-K Huffman tables, JFIF
+container.  This retires the last stubbed image format in
+:mod:`multimodal` — the engine now decodes BMP, netpbm, PNG and JPEG
+(sequential and progressive) genuinely.
 
 Scope and honesty notes:
 
 * **Encoder** (:func:`encode_jpeg`): grayscale or RGB, 4:4:4 (no chroma
-  subsampling), fixed Annex-K Huffman tables, single interleaved scan,
-  no restart intervals.  Fully deterministic — identical input bytes in, identical
-  JPEG bytes out (the property the dedup pipelines rely on).  The DCT /
-  quantization path is vectorized over all blocks at once (one einsum);
-  only the entropy coder walks blocks in Python.
-* **Decoder** (:func:`decode_jpeg`): single-scan (interleaved) baseline
-  sequential JPEG — arbitrary sampling factors (4:2:0/4:2:2/4:4:4),
-  multiple DQT/DHT segments, DRI/RSTn restart markers.  Progressive
-  (SOF2), arithmetic coding, 12-bit precision AND multi-scan baseline
-  files (one scan per component) raise ``ValueError`` LOUDLY — a
-  partial decode would silently drop chroma.  Entropy decoding is a
-  per-coefficient Python loop — JPEG Huffman is inherently sequential —
-  so at scale this runs where every per-image kernel runs: inside an
-  actor-pool ``map_batches`` stage, one image per call, parallel across
-  the pool.
+  subsampling), no restart intervals.  ``progressive=True`` emits an
+  SOF2 stream with a libjpeg-style scan script (DC first + refinement,
+  spectrally-split luma AC, per-component chroma AC, AC refinement —
+  successive approximation Al=1→0 throughout); AC scans use a flat
+  8-bit custom Huffman table whose alphabet covers the EOBn run
+  symbols Annex K lacks.  Fully deterministic — identical input bytes
+  in, identical JPEG bytes out (the property the dedup pipelines rely
+  on).  The DCT / quantization path is vectorized over all blocks at
+  once (one einsum); only the entropy coder walks blocks in Python.
+* **Decoder** (:func:`decode_jpeg`): baseline sequential (SOF0/1) and
+  progressive (SOF2, spectral selection + successive approximation,
+  T.81 Annex G decoding incl. EOB runs) — arbitrary sampling factors
+  (4:2:0/4:2:2/4:4:4), multi-scan streams, multiple DQT/DHT segments,
+  DRI/RSTn restart markers.  Arithmetic coding, 12-bit precision, and
+  streams that leave a component without any DC scan raise
+  ``ValueError`` LOUDLY — a partial decode would silently drop chroma.
+  Entropy decoding is a per-coefficient Python loop — JPEG Huffman is
+  inherently sequential — so at scale this runs where every per-image
+  kernel runs: inside an actor-pool ``map_batches`` stage, one image
+  per call, parallel across the pool.
 
 JPEG is lossy: round-trips are verified by PSNR bound, not byte
 equality (the encoder's own bytes ARE byte-stable).
@@ -361,11 +367,31 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(img: np.ndarray, *, quality: int = 90) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF bytes.
+# Progressive AC scans need EOBn run symbols (0x10..0xE0) that the
+# Annex-K AC alphabets lack; a flat canonical table (every symbol 8
+# bits: 176 × 2⁻⁸ < 1 Kraft) trades compression for a full alphabet —
+# run 0..15 × size 0..10 covers EOB/EOBn, ZRL and every magnitude the
+# quality-scaled quantizers can produce.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
 
-    4:4:4 (no subsampling), Annex-K Huffman tables, deterministic
-    output.  Raises ``ValueError`` on non-uint8 / wrong-shape input.
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward ZERO
+    (T.81 G.1.1.1 — DC uses an arithmetic shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def encode_jpeg(img: np.ndarray, *, quality: int = 90, progressive: bool = False) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → JFIF bytes.
+
+    4:4:4 (no subsampling), deterministic output.  ``progressive=True``
+    emits an SOF2 stream with a libjpeg-style scan script — interleaved
+    DC first scan at Al=1 + DC refinement, spectrally-split luma AC
+    (1-5, 6-63) and whole-range chroma AC at Al=1, then per-component
+    AC refinement to Al=0 — exercising spectral selection, successive
+    approximation and EOB-run coding end to end.  Raises ``ValueError``
+    on non-uint8 / wrong-shape input.
     """
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects uint8 (h,w) or (h,w,3)")
@@ -403,7 +429,15 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 90) -> bytes:
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    seg(0xC0, bytes(sof))
+    seg(0xC2 if progressive else 0xC0, bytes(sof))
+
+    zz_per_comp = [_quantized_zigzag(p, q) for p, q in zip(planes, qtabs)]
+    n_blocks = zz_per_comp[0].shape[0]
+
+    if progressive:
+        _encode_progressive_scans(out, seg, zz_per_comp, gray)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     for tc, th, bits, vals in (
         (0, 0, _DC_LUM_BITS, _DC_LUM_VALS),
@@ -426,8 +460,6 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 90) -> bytes:
     dc_chrom = _build_huffman_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)
     ac_chrom = _build_huffman_codes(_AC_CHROM_BITS, _AC_CHROM_VALS)
 
-    zz_per_comp = [_quantized_zigzag(p, q) for p, q in zip(planes, qtabs)]
-    n_blocks = zz_per_comp[0].shape[0]
     writer = _BitWriter()
     prev = [0] * ncomp
     # 4:4:4 ⇒ one block per component per MCU, raster order
@@ -444,15 +476,207 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 90) -> bytes:
     return bytes(out)
 
 
+def _encode_progressive_scans(out: bytearray, seg, zz_per_comp, gray: bool) -> None:
+    """Emit the progressive scan script over precomputed quantized
+    zigzag blocks (T.81 Annex G encoding): successive approximation
+    Al=1 → 0 for both DC and AC, luma AC spectrally split."""
+    ncomp = len(zz_per_comp)
+    n_blocks = zz_per_comp[0].shape[0]
+
+    for tc, th, bits, vals in (
+        (0, 0, _DC_LUM_BITS, _DC_LUM_VALS),
+        (1, 0, _PROG_AC_BITS, _PROG_AC_VALS),
+    ) + (() if gray else ((0, 1, _DC_CHROM_BITS, _DC_CHROM_VALS),)):
+        seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+    dc_codes = [
+        _build_huffman_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ] + [_build_huffman_codes(_DC_CHROM_BITS, _DC_CHROM_VALS)] * (ncomp - 1)
+    ac_codes = _build_huffman_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> None:
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, ((0 if cid == 1 else 1) << 4) | 0])
+        body += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(body))
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    w = _BitWriter()
+    prev = [0] * ncomp
+    for bi in range(n_blocks):
+        for ci in range(ncomp):
+            v = int(zz_per_comp[ci][bi][0]) >> 1  # DC point transform: >>Al
+            s, bits = _magnitude(v - prev[ci])
+            code, length = dc_codes[ci][s]
+            w.write(code, length)
+            if s:
+                w.write(bits, s)
+            prev[ci] = v
+    w.flush()
+    out += w.buf
+
+    # --- AC first scans at Al=1: luma split 1-5 / 6-63, chroma 1-63 ---
+    bands = [(0, 1, 5), (0, 6, 63)] + [(ci, 1, 63) for ci in range(1, ncomp)]
+    for ci, ss, se in bands:
+        sos([ci + 1], ss, se, 0, 1)
+        w = _BitWriter()
+        _write_ac_first(w, ac_codes, zz_per_comp[ci], ss, se, 1)
+        w.flush()
+        out += w.buf
+
+    # --- DC refinement: Ah=1 → Al=0, interleaved, raw bits ---
+    sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    w = _BitWriter()
+    for bi in range(n_blocks):
+        for ci in range(ncomp):
+            w.write(int(zz_per_comp[ci][bi][0]) & 1, 1)
+    w.flush()
+    out += w.buf
+
+    # --- AC refinement scans: Ah=1 → Al=0, whole AC range per comp ---
+    for ci in range(ncomp):
+        sos([ci + 1], 1, 63, 1, 0)
+        w = _BitWriter()
+        _write_ac_refine(w, ac_codes, zz_per_comp[ci], 1, 63, 0)
+        w.flush()
+        out += w.buf
+
+
+def _write_ac_first(w: _BitWriter, ac_codes, blocks: np.ndarray,
+                    ss: int, se: int, al: int) -> None:
+    """AC first scan (T.81 G.1.2.2): run/size symbols over the point-
+    transformed band, zero blocks folded into EOB runs."""
+    eobrun = 0
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun
+        if not eobrun:
+            return
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        w.write(code, length)
+        if nbits:
+            w.write(eobrun - (1 << nbits), nbits)
+        eobrun = 0
+
+    for zz in blocks:
+        band = [_pt_ac(int(v), al) for v in zz[ss : se + 1]]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+            continue
+        emit_eobrun()
+        pos = 0
+        for idx in nz:
+            run = idx - pos
+            while run >= 16:
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                run -= 16
+            s, bits = _magnitude(band[idx])
+            if s > 10:
+                raise ValueError("jpeg: AC magnitude exceeds progressive alphabet")
+            code, length = ac_codes[(run << 4) | s]
+            w.write(code, length)
+            w.write(bits, s)
+            pos = idx + 1
+        if pos <= se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _write_ac_refine(w: _BitWriter, ac_codes, blocks: np.ndarray,
+                     ss: int, se: int, al: int) -> None:
+    """AC refinement scan (T.81 G.1.2.3), emitted as an exact mirror of
+    the decoder's coefficient walk: newly-visible coefficients (|t|=1)
+    as run/1 symbols counting only zero-HISTORY gaps, correction bits
+    for already-nonzero history interleaved exactly where the decoder's
+    walk passes them, EOB runs carrying the tail bits."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            w.write(code, length)
+            if nbits:
+                w.write(eobrun - (1 << nbits), nbits)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        eobrun = 0
+
+    for zz in blocks:
+        band = [_pt_ac(int(v), al) for v in zz[ss : se + 1]]
+        new_positions = [i for i, v in enumerate(band) if abs(v) == 1]
+        if not new_positions:
+            # no newly-visible coefficient: whole block joins the EOB
+            # run; its history correction bits queue behind the EOBn
+            eobrun += 1
+            pending.extend(abs(v) & 1 for v in band if abs(v) > 1)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+            continue
+        emit_eobrun()
+        i = 0  # the decoder's walk cursor
+        for npos in new_positions:
+            # zero-history gap between cursor and the new coefficient
+            gap = sum(1 for j in range(i, npos) if band[j] == 0)
+            while gap > 15:
+                # ZRL consumes 16 zeros; the decoder reads a correction
+                # bit at every nonzero it passes along the way, so the
+                # bits interleave positionally (flushing them all after
+                # the ZRL would desync around history beyond the 16th
+                # zero)
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                zeros = 0
+                while zeros < 16:
+                    if band[i] == 0:
+                        zeros += 1
+                    else:
+                        w.write(abs(band[i]) & 1, 1)
+                    i += 1
+                gap -= 16
+            code, length = ac_codes[(gap << 4) | 1]
+            w.write(code, length)
+            w.write(1 if band[npos] > 0 else 0, 1)
+            # walk to the placement position: correction bits for the
+            # nonzero history passed (zeros are covered by the run)
+            for j in range(i, npos):
+                if band[j] != 0:
+                    w.write(abs(band[j]) & 1, 1)
+            i = npos + 1
+        if i <= len(band) - 1:
+            # tail after the last new coefficient: the decoder is still
+            # mid-walk and needs an EOB to close the block
+            eobrun += 1
+            pending.extend(abs(v) & 1 for v in band[i:] if abs(v) > 1)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
 # --- decoder -----------------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JFIF/JPEG bytes → uint8 (h, w) or (h, w, 3).
+    """JFIF/JPEG bytes → uint8 (h, w) or (h, w, 3).
 
-    Handles arbitrary sampling factors (chroma upsampled by sample
-    repetition), multiple DQT/DHT segments, and DRI/RSTn restarts.
-    Progressive / arithmetic / 12-bit / multi-scan inputs raise
+    Baseline sequential (SOF0/1) and progressive (SOF2) processes:
+    multi-scan streams, spectral selection, successive approximation
+    (T.81 Annex G: DC/AC first + refinement scans, EOB runs), arbitrary
+    sampling factors (chroma upsampled by sample repetition), multiple
+    DQT/DHT segments, DRI/RSTn restarts.  Arithmetic / 12-bit inputs,
+    and streams that never give some component a DC scan, raise
     ``ValueError``.
     """
     if payload[:2] != b"\xff\xd8":
@@ -461,10 +685,185 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
     height = width = 0
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
     restart_interval = 0
+    progressive = False
+    saw_scan = False
     pos = 2
     n = len(payload)
-    scan_comps: list[dict] = []
+
+    def alloc_grids() -> None:
+        nonlocal hmax, vmax, mcus_x, mcus_y
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+        for c in comps:
+            c["bw"] = mcus_x * c["h"]  # MCU-padded block grid
+            c["bh"] = mcus_y * c["v"]
+            # non-interleaved (single-component scan) block grid
+            c["cw"] = -(-(-(-width * c["h"]) // hmax) // 8)
+            c["ch"] = -(-(-(-height * c["v"]) // vmax) // 8)
+            c["zz"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+            c["has_dc"] = False
+
+    def decode_scan(scomps: list[dict], ss: int, se: int, ah: int, al: int,
+                    start: int) -> int:
+        """Decode one scan\'s entropy data; returns the stream position of
+        the next marker.  Implements T.81 F.2 (sequential) and G.2
+        (progressive: first + refinement scans, EOB runs)."""
+        reader = _BitReader(payload, start)
+        eobrun = 0
+        for c in scomps:
+            c["pred"] = 0
+
+        def huff_decode(table: dict) -> int:
+            code = length = 0
+            while True:
+                code = (code << 1) | reader.read_bit()
+                length += 1
+                if length > 16:
+                    raise ValueError("jpeg: bad Huffman stream")
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+
+        def decode_unit_first(c: dict, zz: np.ndarray) -> None:
+            """DC+AC first pass over [ss..se] — baseline is the ss=0,
+            se=63, al=0 special case."""
+            nonlocal eobrun
+            k = ss
+            if k == 0:
+                sym = huff_decode(c["dc"])
+                diff = _extend(reader.read_bits(sym), sym) if sym else 0
+                c["pred"] += diff
+                zz[0] = c["pred"] << al
+                k = 1
+            if k > se:
+                return
+            if eobrun:
+                eobrun -= 1
+                return
+            while k <= se:
+                sym = huff_decode(c["ac"])
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += reader.read_bits(run)
+                        return
+                    k += 16
+                    continue
+                k += run
+                if k > se:
+                    raise ValueError("jpeg: AC index out of range")
+                zz[k] = _extend(reader.read_bits(size), size) << al
+                k += 1
+
+        def refine_nonzero(zz: np.ndarray, k: int, stop: int, p1: int) -> None:
+            """Correction bits for already-nonzero coefficients in
+            [k..stop] (the EOB-run branch of G.1.2.3)."""
+            while k <= stop:
+                if zz[k] != 0 and reader.read_bit():
+                    if (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else -p1
+                k += 1
+
+        def decode_unit_refine(c: dict, zz: np.ndarray) -> None:
+            """Refinement pass (ah > 0): DC appends one bit; AC walks
+            the zigzag interleaving newly-nonzero placements with
+            correction bits for old coefficients."""
+            nonlocal eobrun
+            p1 = 1 << al
+            if ss == 0:
+                if reader.read_bit():
+                    zz[0] |= p1
+                return
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = huff_decode(c["ac"])
+                    run, size = sym >> 4, sym & 0x0F
+                    val = 0
+                    if size == 0:
+                        if run != 15:
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += reader.read_bits(run)
+                            break
+                        # ZRL: pass 16 zero-history coefficients
+                    elif size == 1:
+                        val = p1 if reader.read_bit() else -p1
+                    else:
+                        raise ValueError("jpeg: bad AC refinement symbol")
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else -p1
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError("jpeg: AC refinement overrun")
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                refine_nonzero(zz, k, se, p1)
+                eobrun -= 1
+
+        decode_unit = decode_unit_refine if ah else decode_unit_first
+
+        interleaved = len(scomps) > 1
+        unit_count = 0
+
+        def maybe_restart() -> None:
+            nonlocal eobrun
+            if restart_interval and unit_count and unit_count % restart_interval == 0:
+                reader.skip_restart()
+                for c in scomps:
+                    c["pred"] = 0
+                eobrun = 0
+
+        try:
+            if interleaved:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        maybe_restart()
+                        for c in scomps:
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    decode_unit(
+                                        c,
+                                        c["zz"][my * c["v"] + by, mx * c["h"] + bx],
+                                    )
+                        unit_count += 1
+            else:
+                c = scomps[0]
+                for by in range(c["ch"]):
+                    for bx in range(c["cw"]):
+                        maybe_restart()
+                        decode_unit(c, c["zz"][by, bx])
+                        unit_count += 1
+        except _RestartMarker:
+            raise ValueError("jpeg: unexpected restart marker")
+
+        # resync: byte-align, then step over fill bytes / stray RSTn to
+        # the next real marker
+        reader.byte_align()
+        p = reader.pos
+        while p + 1 < n:
+            if payload[p] == 0xFF and payload[p + 1] not in (0x00, 0xFF):
+                if 0xD0 <= payload[p + 1] <= 0xD7:
+                    p += 2
+                    continue
+                return p
+            p += 1
+        raise ValueError("jpeg: truncated stream")
 
     while pos < n:
         if payload[pos] != 0xFF:
@@ -507,11 +906,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 huff[(tc, th)] = _build_huffman_decoder(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(body) < 6 or len(body) < 6 + 3 * body[5]:
                 raise ValueError("jpeg: truncated stream")
             if body[0] != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
+            progressive = marker == 0xC2
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -521,116 +921,75 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline sequential supported")
+            if height and width:
+                alloc_grids()
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: only baseline sequential and progressive supported"
+            )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("jpeg: truncated stream")
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if not comps or height == 0 or width == 0:
+                raise ValueError("jpeg: SOS before SOF")
             if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("jpeg: truncated stream")
             ns = body[0]
-            scan_comps = []
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline ignores spectral bytes
+            else:
+                if (ss == 0) != (se == 0) or se > 63 or se < ss:
+                    raise ValueError("jpeg: bad progressive spectral range")
+                if ss > 0 and ns != 1:
+                    raise ValueError("jpeg: progressive AC scan must be single-component")
+            scomps = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si : 3 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cs)
-                scan_comps.append(
-                    {**comp, "dc": huff[(0, tt >> 4)], "ac": huff[(1, tt & 0x0F)]}
-                )
-            pos += seglen
-            break
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError("jpeg: scan names unknown component")
+                needs_dc = ss == 0 and ah == 0
+                needs_ac = se > 0
+                if needs_dc:
+                    if (0, tt >> 4) not in huff:
+                        raise ValueError("jpeg: missing DC Huffman table")
+                    comp["dc"] = huff[(0, tt >> 4)]
+                    comp["has_dc"] = True
+                if needs_ac:
+                    if (1, tt & 0x0F) not in huff:
+                        raise ValueError("jpeg: missing AC Huffman table")
+                    comp["ac"] = huff[(1, tt & 0x0F)]
+                scomps.append(comp)
+            pos = decode_scan(scomps, ss, se, ah, al, pos + seglen)
+            saw_scan = True
+            continue
         pos += seglen
-    else:
-        raise ValueError("jpeg: no scan found")
 
-    if not scan_comps or height == 0 or width == 0:
+    if not saw_scan or height == 0 or width == 0:
         raise ValueError("jpeg: incomplete headers")
-    if len(scan_comps) != len(comps):
-        # legal per T.81 (one scan per component) but decoding only the
-        # first scan would silently return luma-only pixels
-        raise ValueError("jpeg: multi-scan baseline not supported")
-
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-
-    for c in scan_comps:
-        c["bw"] = mcus_x * c["h"]  # blocks per row
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
-        c["pred"] = 0
-
-    reader = _BitReader(payload, pos)
-
-    def decode_block(c: dict) -> np.ndarray:
-        zz = np.zeros(64, dtype=np.int32)
-        # DC
-        code, length = 0, 0
-        while True:
-            code = (code << 1) | reader.read_bit()
-            length += 1
-            if length > 16:
-                raise ValueError("jpeg: bad Huffman stream")
-            sym = c["dc"].get((length, code))
-            if sym is not None:
-                break
-        diff = _extend(reader.read_bits(sym), sym) if sym else 0
-        c["pred"] += diff
-        zz[0] = c["pred"]
-        # AC
-        k = 1
-        while k < 64:
-            code, length = 0, 0
-            while True:
-                code = (code << 1) | reader.read_bit()
-                length += 1
-                if length > 16:
-                    raise ValueError("jpeg: bad Huffman stream")
-                sym = c["ac"].get((length, code))
-                if sym is not None:
-                    break
-            run, size = sym >> 4, sym & 0x0F
-            if size == 0:
-                if run == 15:
-                    k += 16
-                    continue
-                break  # EOB
-            k += run
-            if k > 63:
-                raise ValueError("jpeg: AC index out of range")
-            zz[k] = _extend(reader.read_bits(size), size)
-            k += 1
-        return zz
-
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.skip_restart()
-                for c in scan_comps:
-                    c["pred"] = 0
-            try:
-                for c in scan_comps:
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            zz = decode_block(c)
-                            full = np.zeros(64, dtype=np.float64)
-                            full[_ZIGZAG] = zz
-                            blk = full.reshape(8, 8) * qtabs[c["tq"]]
-                            pix = _DCT_C.T @ blk @ _DCT_C + 128.0
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            c["coef"][y0 : y0 + 8, x0 : x0 + 8] = pix
-            except _RestartMarker:
-                raise ValueError("jpeg: unexpected restart marker")
-            mcu_count += 1
+    missing = [c["id"] for c in comps if not c["has_dc"]]
+    if missing:
+        # legal per T.81 to scan components separately, but a stream that
+        # ENDS with undecoded components must fail loudly, not silently
+        # return partial pixels
+        raise ValueError(
+            f"jpeg: multi-scan stream left components {missing} undecoded"
+        )
 
     planes = []
-    for c in scan_comps:
-        p = c["coef"]
-        # upsample by repetition to full MCU-grid resolution, then crop
+    for c in comps:
+        if c["tq"] not in qtabs:
+            raise ValueError("jpeg: missing quantization table")
+        # vectorized dequantize + inverse DCT over every block at once
+        full = np.zeros((c["bh"], c["bw"], 64), dtype=np.float64)
+        full[:, :, _ZIGZAG] = c["zz"]
+        blk = full.reshape(c["bh"], c["bw"], 8, 8) * qtabs[c["tq"]]
+        pix = np.einsum("ji,xyjk,kl->xyil", _DCT_C, blk, _DCT_C) + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)

@@ -717,7 +717,9 @@ def synth_family_png(family: int, *, width: int = 9, height: int = 7) -> bytes:
     return encode_png(img, row_filters=[0, 1, 2, 3, 4])
 
 
-def synth_family_jpeg(family: int, *, width: int = 9, height: int = 7) -> bytes:
+def synth_family_jpeg(
+    family: int, *, width: int = 9, height: int = 7, progressive: bool = False
+) -> bytes:
     """Planted-truth JPEG for the JPEG-codec dedup oracle.  dHash bits
     must survive the LOSSY round trip, so the pixel design guarantees it
     by margin: even columns are a fixed 128 reference, odd columns are
@@ -736,7 +738,7 @@ def synth_family_jpeg(family: int, *, width: int = 9, height: int = 7) -> bytes:
     img = np.repeat(gray[:, :, None], 3, axis=2)
     from .jpeg import encode_jpeg
 
-    return encode_jpeg(img, quality=95)
+    return encode_jpeg(img, quality=95, progressive=progressive)
 
 
 def image_dhash_dedup(sf_dir: str, *, n_families: int = 41, image_format: str = "bmp"):
@@ -754,12 +756,22 @@ def image_dhash_dedup(sf_dir: str, *, n_families: int = 41, image_format: str = 
     join over the same column."""
     from ray.data.aggregate import Count, Min
 
-    synth = {
-        "bmp": synth_family_bmp,
-        "png": synth_family_png,
-        "jpeg": synth_family_jpeg,
-        "gif": synth_family_gif,
-    }[image_format]
+    if image_format == "jpeg":
+        # odd docs get a PROGRESSIVE (SOF2) stream of the same pixels:
+        # the decoder's Annex-G path runs inside the oracle-checked
+        # query, and the pixel-replaying SQL oracle is format-blind
+        def synth(i: int) -> bytes:
+            return synth_family_jpeg(i % n_families, progressive=bool(i & 1))
+    else:
+        base_synth = {
+            "bmp": synth_family_bmp,
+            "png": synth_family_png,
+            "gif": synth_family_gif,
+        }[image_format]
+
+        def synth(i: int) -> bytes:
+            return base_synth(i % n_families)
+
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def to_media(batch: pa.Table) -> pa.Table:
@@ -767,9 +779,7 @@ def image_dhash_dedup(sf_dir: str, *, n_families: int = 41, image_format: str = 
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "payload": pa.array(
-                    [synth(i % n_families) for i in ids], pa.binary()
-                ),
+                "payload": pa.array([synth(i) for i in ids], pa.binary()),
             }
         )
 

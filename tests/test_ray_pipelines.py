@@ -3714,18 +3714,23 @@ def test_jpeg_decoder_420_sampling_and_restarts():
     assert np.all(img2 == 128)
 
 
-def test_jpeg_decoder_rejects_non_baseline():
+def test_jpeg_decoder_rejects_invalid_streams():
     import pytest as _pytest
 
     from go_htmldate_ray.stages.jpeg import decode_jpeg, encode_jpeg
     import numpy as np
 
     good = bytearray(encode_jpeg(np.full((8, 8), 99, np.uint8)))
-    # flip SOF0 -> SOF2 (progressive)
+    # flipping SOF0 -> SOF2 leaves a full-spectrum (Ss=0, Se=63) scan,
+    # which is illegal under progressive rules (Ss=0 requires Se=0)
     i = good.find(b"\xff\xc0")
     prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
-    with _pytest.raises(ValueError, match="baseline"):
+    with _pytest.raises(ValueError, match="progressive"):
         decode_jpeg(prog)
+    # lossless / arithmetic SOF markers still reject loudly
+    loss = bytes(good[:i]) + b"\xff\xc3" + bytes(good[i + 2 :])
+    with _pytest.raises(ValueError, match="only baseline"):
+        decode_jpeg(loss)
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
     with _pytest.raises((ValueError, IndexError)):
@@ -3907,6 +3912,44 @@ def test_jpeg_restart_with_stuffed_pad_and_fill_bytes():
     assert np.all(decode_jpeg(stuffed) == 128)
     filled = base[:i] + b"\xff" + base[i:]
     assert np.all(decode_jpeg(filled) == 128)
+
+
+def test_jpeg_progressive_roundtrip():
+    """SOF2 encode→decode: DC first+refinement, spectrally-split AC with
+    successive approximation (Al=1→0), EOB runs and ZRL — the decoded
+    pixels must equal the BASELINE decode of the same coefficients
+    exactly (both reconstruct the identical quantized DCT data)."""
+    import numpy as np
+
+    from go_htmldate_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 256, (8, 8)).astype(np.uint8),        # 1 block gray
+        rng.randint(0, 256, (24, 33)).astype(np.uint8),      # padded gray
+        rng.randint(0, 256, (17, 20, 3)).astype(np.uint8),   # padded color
+        rng.randint(0, 256, (64, 48, 3)).astype(np.uint8),
+        np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (48, 1)),  # EOB runs
+        np.full((40, 40, 3), 128, np.uint8),                 # pure EOB runs
+    ]
+    for img in cases:
+        stream = encode_jpeg(img, quality=90, progressive=True)
+        # really progressive: SOF2 present, multiple SOS segments
+        assert b"\xff\xc2" in stream and stream.count(b"\xff\xda") >= 4
+        assert np.array_equal(
+            decode_jpeg(stream), decode_jpeg(encode_jpeg(img, quality=90))
+        ), img.shape
+    # deterministic bytes (the dedup contract)
+    assert encode_jpeg(cases[3], progressive=True) == encode_jpeg(
+        cases[3], progressive=True
+    )
+    # dHash-family planted margin holds for progressive streams too
+    from go_htmldate_ray.stages.multimodal import dhash64, synth_family_jpeg
+
+    for fam in range(0, 37, 5):
+        prog = decode_jpeg(synth_family_jpeg(fam, progressive=True))
+        base = decode_jpeg(synth_family_jpeg(fam))
+        assert dhash64(prog) == dhash64(base)
 
 
 def test_jpeg_multiscan_rejected_loudly():
