@@ -341,6 +341,49 @@ LOCALE_MONTHS: dict[str, dict[str, int]] = {
         "september": 9, "septembri": 9, "oktoober": 10, "oktoobri": 10,
         "november": 11, "novembri": 11, "detsember": 12, "detsembri": 12,
     },
+    # round-5 completion batch: the last five go-dateparser base
+    # languages without a table (gd/ky/se/ug/yo) — with these every
+    # base language of the external library's data set is covered.
+    "gd": {
+        # Scottish Gaelic; articles ("an", "am") and the "t-" prefix
+        # tokenize away, so the bare nouns carry the month
+        "faoilleach": 1, "gearran": 2, "màrt": 3, "giblean": 4,
+        "cèitean": 5, "ògmhios": 6, "iuchar": 7, "lùnastal": 8,
+        "sultain": 9, "dàmhair": 10, "samhain": 11, "dùbhlachd": 12,
+    },
+    "ky": {
+        # Kyrgyz civil months are the Russian loans (go-dateparser's ky
+        # data); duplicated under the ky key so languages=["ky"] works
+        "январь": 1, "января": 1, "февраль": 2, "февраля": 2,
+        "март": 3, "марта": 3, "апрель": 4, "апреля": 4, "май": 5,
+        "мая": 5, "июнь": 6, "июня": 6, "июль": 7, "июля": 7,
+        "август": 8, "августа": 8, "сентябрь": 9, "сентября": 9,
+        "октябрь": 10, "октября": 10, "ноябрь": 11, "ноября": 11,
+        "декабрь": 12, "декабря": 12,
+    },
+    "se": {
+        # Northern Sami, nominative + genitive (-mánnu / -mánu)
+        "ođđajagimánnu": 1, "ođđajagimánu": 1, "guovvamánnu": 2,
+        "guovvamánu": 2, "njukčamánnu": 3, "njukčamánu": 3,
+        "cuoŋománnu": 4, "cuoŋománu": 4, "miessemánnu": 5,
+        "miessemánu": 5, "geassemánnu": 6, "geassemánu": 6,
+        "suoidnemánnu": 7, "suoidnemánu": 7, "borgemánnu": 8,
+        "borgemánu": 8, "čakčamánnu": 9, "čakčamánu": 9,
+        "golggotmánnu": 10, "golggotmánu": 10, "skábmamánnu": 11,
+        "skábmamánu": 11, "juovlamánnu": 12, "juovlamánu": 12,
+    },
+    "ug": {
+        # Uyghur (Arabic script Russian loans)
+        "يانۋار": 1, "فېۋرال": 2, "مارت": 3, "ئاپرېل": 4, "ماي": 5,
+        "ئىيۇن": 6, "ئىيۇل": 7, "ئاۋغۇست": 8, "سېنتەبىر": 9,
+        "ئۆكتەبىر": 10, "نويابىر": 11, "دېكابىر": 12,
+    },
+    "yo": {
+        # Yoruba; the "oṣù" month-marker is a skip word
+        "ṣẹ́rẹ́": 1, "èrèlè": 2, "ẹrẹ̀nà": 3, "ìgbé": 4, "ẹ̀bibi": 5,
+        "òkúdu": 6, "agẹmọ": 7, "ògún": 8, "owewe": 9, "ọ̀wàrà": 10,
+        "bélú": 11, "ọ̀pẹ̀": 12,
+    },
     "ca": {
         "gener": 1, "febrer": 2, "març": 3, "abril": 4, "maig": 5,
         "juny": 6, "juliol": 7, "agost": 8, "setembre": 9,
@@ -894,6 +937,11 @@ _SKIP_WORDS = frozenset({
     "án", "én", "jén", "ján",  # hu: "május 3-án", "június 1-jén"
     "го",  # ru/uk/bg: "14-го мая"
     "go", "ego",  # pl: "14-go maja"
+    # round-5 completion batch markers
+    "oṣù", "osù", "ọdún",  # yo: "oṣù ṣẹ́rẹ́", "ọdún 2021" year word
+    "t",  # gd: "an t-Ògmhios" tokenizes to an/t/ògmhios
+    "жылы", "жыл",  # ky year word: "2021-жылы 31-август"
+    "يىلى", "يىل",  # ug year word
 })
 _TIME_OF_DAY = re.compile(r"\d{1,2}:\d{2}(?::\d{2})?(?:\.\d+)?")
 # Combining marks (category Mn/Mc) are not matched by the \w letter

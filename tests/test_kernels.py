@@ -682,6 +682,55 @@ def test_locale_months_round5_depth():
         assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
 
 
+def test_locale_months_round5_completion():
+    """gd/ky/se/ug/yo — the last five go-dateparser base languages —
+    plus the invariant that EVERY base language of the external
+    library's data set now has a month table (or an equivalent regex /
+    base-table path).  This closes the long-carried P4 locale-breadth
+    partial at the base-language level."""
+    from go_htmldate_ray.functions.constants import MONTH_NUMBER
+    from go_htmldate_ray.functions.patterns import (
+        _LOCALE_MONTH_ABBREVS_RESTRICTED,
+        LOCALE_MONTHS,
+        lenient_absolute_parse,
+    )
+
+    cases = [
+        ("1 am faoilleach 1998", (1998, 1, 1)),      # gd + article skip
+        ("6 an t-ògmhios 2019", (2019, 6, 6)),       # gd t- prefix split
+        ("11 an t-samhain 2018", (2018, 11, 11)),
+        ("31 август 1991 жылы", (1991, 8, 31)),      # ky + year word
+        ("3 ođđajagimánu 2021", (2021, 1, 3)),       # se genitive
+        ("9 čakčamánnu 2019", (2019, 9, 9)),         # se nominative
+        ("1 ئۆكتەبىر 1955 يىلى", (1955, 10, 1)),      # ug + year word
+        ("1 oṣù ṣẹ́rẹ́ 2021", (2021, 1, 1)),           # yo + month marker
+        ("12 oṣù ọ̀pẹ̀ 2019", (2019, 12, 12)),
+    ]
+    for s, ymd in cases:
+        dt = lenient_absolute_parse(s)
+        assert dt is not None and (dt.year, dt.month, dt.day) == ymd, s
+
+    # go-dateparser's base-language set (its data/ directory; regional
+    # variants like en-GB collapse to these)
+    dateparser_langs = set(
+        "af am ar az be bg bn bs ca cs cy da de el en eo es et eu fa fi "
+        "fil fr fy ga gd gl gu he hi hr ht hu hy id is it ja ka kk km kn "
+        "ko ky lb lo lt lv mg mk ml mn mr ms mt my nb ne nl nn no pa pl "
+        "ps pt ro ru rw se si sk sl so sq sr sv sw ta te tg th tk tl tr "
+        "tt ug uk ur uz vi yo zh".split()
+    )
+    have = set(LOCALE_MONTHS) | set(_LOCALE_MONTH_ABBREVS_RESTRICTED)
+    have |= {"en", "de", "fr", "tr", "id"}  # constants.MONTH_NUMBER base
+    have |= {"zh", "ja", "ko", "vi", "mn"}  # CJK/marker regex paths
+    if "tl" in have:
+        have |= {"fil"}
+    if "no" in have:
+        have |= {"nb", "nn"}
+    assert MONTH_NUMBER  # base table non-empty
+    missing = sorted(dateparser_langs - have)
+    assert not missing, f"go-dateparser base languages uncovered: {missing}"
+
+
 def test_year_word_markers_skipped():
     """Locale year-word suffixes/prefixes (go-dateparser translation
     strip-tokens): the token rides along a complete d-month-y date and
