@@ -382,6 +382,53 @@ def test_checkpoint_resume_equivalence(tmp_path):
     assert stats["seen_total"] == full_stats["seen_total"]
 
 
+def test_resume_from_legacy_robots_checkpoint(tmp_path):
+    """Checkpoints written before the per-wave robots deltas carried ONE
+    full robots.json — resume must still load it (and a checkpoint with
+    NO robots state at all must also resume: robots is a cache, missing
+    hosts re-resolve deterministically)."""
+    import glob
+    import json as _json
+    import os
+
+    from go_htmldate_ray.pipelines.crawl import crawl
+
+    full_rows, _ = _run()
+
+    ckpt = str(tmp_path / "ckpt-legacy")
+    crawl(SF, namespace=_ns(), max_waves=3, checkpoint_dir=ckpt)
+    # fold the per-wave deltas into the legacy full-dump layout
+    rules: dict = {}
+    delays: dict = {}
+    for p in sorted(glob.glob(os.path.join(ckpt, "robots_delta_*.json"))):
+        d = _json.loads(open(p).read())
+        rules.update(d["rules"])
+        delays.update(d["delays"])
+        os.remove(p)
+    assert rules  # the crawl resolved hosts
+    open(os.path.join(ckpt, "robots.json"), "w").write(
+        _json.dumps({"rules": rules, "delays": delays})
+    )
+    visited, _ = crawl(
+        SF, namespace=_ns(), max_waves=40, checkpoint_dir=ckpt, resume=True
+    )
+    assert sorted(r["url"] for r in visited.take_all()) == sorted(
+        r["url"] for r in full_rows
+    )
+
+    # no robots state at all: still resumes (cache re-fills)
+    ckpt2 = str(tmp_path / "ckpt-none")
+    crawl(SF, namespace=_ns(), max_waves=3, checkpoint_dir=ckpt2)
+    for p in glob.glob(os.path.join(ckpt2, "robots_delta_*.json")):
+        os.remove(p)
+    visited2, _ = crawl(
+        SF, namespace=_ns(), max_waves=40, checkpoint_dir=ckpt2, resume=True
+    )
+    assert sorted(r["url"] for r in visited2.take_all()) == sorted(
+        r["url"] for r in full_rows
+    )
+
+
 def test_resume_across_actor_loss(tmp_path):
     """Resume must rebuild seen/robots state from the checkpoint files even
     when the actors are gone (fresh namespace = simulated restart)."""
