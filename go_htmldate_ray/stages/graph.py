@@ -35,6 +35,7 @@ def pagerank(
     damping_den: int = 100,
     n_buckets: int | None = None,
     seed_col: str | None = None,
+    small_graph_limit: int = 5_000_000,
     _extra_vectors: list | None = None,
 ):
     """(nodes: ``id``, edges: ``src``/``dst``) → Dataset (doc_id,
@@ -53,11 +54,31 @@ def pagerank(
     in-edge transfers; the per-seed base divides by the SEED count.
     The extra cost over plain PageRank is one ``sum()`` pass over the
     node set — the iteration loop is unchanged.
+
+    ``small_graph_limit``: graphs whose node+edge count fits under it
+    (light int64 rows) skip the per-round bucketed join + keyed-Sum
+    exchanges and replay the SAME integer arithmetic in one numpy task
+    on the driver — bit-exact (pytest parity gate), because below this
+    size the synchronous-barrier fixed cost dominates every round.
+    Above the bound the bucketed loop is the scale path.
     """
     import ray.data
     from ray.data.aggregate import Sum
 
     from .joins import hash_join
+
+    # Pin the (light, int64) node/edge relations once: count(), the
+    # outdegree pass, the fast-path collect and every join round would
+    # otherwise RE-EXECUTE the upstream lineage (often a full link
+    # extraction) per consumption.  (Re-materializing an already
+    # materialized dataset round-trips every block through a task —
+    # measured seconds of pure scheduling on many-tiny-block graphs.)
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(nodes, MaterializedDataset):
+        nodes = nodes.materialize()
+    if not isinstance(edges, MaterializedDataset):
+        edges = edges.materialize()
 
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -147,6 +168,77 @@ def pagerank(
     if _extra_vectors:
         vecs = list(_extra_vectors)
     names = [v[0] for v in vecs]
+
+    n_edges_ct = edges.count()
+    if 0 < n_nodes + n_edges_ct <= small_graph_limit:
+        # Bounded single-task fast path (same hybrid pattern as
+        # connected_components / redirect_resolution): collect the LIGHT
+        # int64 node/edge rows once and replay the identical integer
+        # power iteration in numpy — bit-exact vs the distributed loop
+        # (parity-gated in pytest), with zero per-round barriers.
+        import ray as _ray
+
+        # raw to_arrow_refs on the MATERIALIZED inputs is free; any
+        # select_columns / map_batches here would spin up a streaming
+        # execution (~1s fixed cost) just to project light rows the
+        # driver is about to hold anyway — project in Arrow instead
+        nt = pa.concat_tables(_ray.get(nodes.to_arrow_refs()))
+        et = pa.concat_tables(_ray.get(edges.to_arrow_refs()))
+
+        def col64(t: pa.Table, name: str) -> np.ndarray:
+            return (
+                t.column(name)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+
+        ids = col64(nt, "id")
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order]
+        nn = len(ids_sorted)
+        src = col64(et, "src")
+        dst = col64(et, "dst")
+
+        def locate(vals: np.ndarray):
+            idx = np.searchsorted(ids_sorted, vals)
+            safe = np.minimum(idx, nn - 1)
+            return safe, ids_sorted[safe] == vals
+
+        si, si_ok = locate(src)
+        di, di_ok = locate(dst)
+        # edges from phantom srcs never join a rank row; edges to
+        # phantom dsts contribute mass the real-node filter drops
+        e_si = si[si_ok]
+        e_di = di[si_ok]
+        e_di_ok = di_ok[si_ok]
+        outdeg = np.bincount(e_si, minlength=nn).astype(np.int64)
+
+        out_cols: dict = {"id": pa.array(ids_sorted, pa.int64())}
+        denom = damping_den * outdeg
+        for name, vbase, vr0, vseed in vecs:
+            if vseed is not None:
+                seedm = col64(nt, vseed)[order]
+                base_vec = vbase * seedm
+                r = vr0 * seedm
+            else:
+                base_vec = np.full(nn, vbase, np.int64)
+                r = np.full(nn, vr0, np.int64)
+            for _ in range(iters):
+                contrib = (r[e_si] * damping_num) // denom[e_si]
+                acc = np.zeros(nn, np.int64)
+                np.add.at(acc, e_di[e_di_ok], contrib[e_di_ok])
+                r = base_vec + acc
+            out_cols[name] = pa.array(r, pa.int64())
+
+        tbl = pa.table(out_cols)
+        if _extra_vectors:
+            return ray.data.from_arrow(tbl)
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": tbl.column("id"), "rank_units": tbl.column("c0")}
+            )
+        )
 
     def node_rows(use_r0: bool, marker: int):
         def f(batch: pa.Table) -> pa.Table:

@@ -1166,6 +1166,48 @@ def test_cap_per_group_vs_python(ray_session):
     assert len(all_rows) == n
 
 
+def test_pagerank_small_graph_fast_path_parity(ray_session):
+    """The bounded driver fast path replays the distributed loop's
+    integer arithmetic BIT-EXACTLY — plain, seeded (TrustRank) and
+    multi-vector modes — on a graph with phantom srcs/dsts (ids outside
+    the node set) and dangling nodes."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from go_htmldate_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(3)
+    n, m = 400, 2500
+    nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(n), pa.int64()),
+                "seed": pa.array((np.arange(n) % 7 == 0).astype(np.int64)),
+            }
+        )
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(rng.randint(0, n + 20, m), pa.int64()),
+                "dst": pa.array(rng.randint(0, n + 20, m), pa.int64()),
+            }
+        )
+    )
+
+    def run(**kw):
+        return {
+            r["doc_id"]: r["rank_units"]
+            for r in pagerank(nodes, edges, iters=5, **kw).take_all()
+        }
+
+    assert run() == run(small_graph_limit=0)  # plain
+    assert run(seed_col="seed") == run(
+        seed_col="seed", small_graph_limit=0
+    )  # TrustRank
+
+
 def test_pagerank_vs_python_reference(ray_session):
     """Integer fixed-point PageRank matches a single-process reference on
     a graph with a dangling node (mass dropped) and a node with no
