@@ -501,7 +501,7 @@ def resolve_pointers(
     )
 
 
-def hits(nodes, edges, *, iters: int = 2, scale_shift: int = 1, base_shift: int = 20, n_buckets: int | None = None):
+def hits(nodes, edges, *, iters: int = 2, scale_shift: int = 1, base_shift: int = 20, n_buckets: int | None = None, small_graph_limit: int = 5_000_000):
     """Integer-exact HITS hubs/authorities (Kleinberg 1999, "Authoritative
     sources in a hyperlinked environment") over a (src, dst) edge set:
 
@@ -532,6 +532,16 @@ def hits(nodes, edges, *, iters: int = 2, scale_shift: int = 1, base_shift: int 
 
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+
+    # pin the light inputs once (see pagerank) and take the bounded
+    # single-task fast path for small graphs — bit-exact parity gated
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(nodes, MaterializedDataset):
+        nodes = nodes.materialize()
+    if not isinstance(edges, MaterializedDataset):
+        edges = edges.materialize()
+
     n_nodes = nodes.count()
     if n_nodes == 0:
         return ray.data.from_arrow(
@@ -543,6 +553,58 @@ def hits(nodes, edges, *, iters: int = 2, scale_shift: int = 1, base_shift: int 
                 }
             )
         )
+
+    if 0 < n_nodes + edges.count() <= small_graph_limit:
+        import ray as _ray
+
+        nt = pa.concat_tables(_ray.get(nodes.to_arrow_refs()))
+        et = pa.concat_tables(_ray.get(edges.to_arrow_refs()))
+
+        def col64(t: pa.Table, name: str) -> np.ndarray:
+            return (
+                t.column(name)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+
+        ids_sorted = np.sort(col64(nt, "id"), kind="stable")
+        nn = len(ids_sorted)
+        src = col64(et, "src")
+        dst = col64(et, "dst")
+
+        def locate(vals: np.ndarray):
+            idx = np.searchsorted(ids_sorted, vals)
+            safe = np.minimum(idx, nn - 1)
+            return safe, ids_sorted[safe] == vals
+
+        si, si_ok = locate(src)
+        di, di_ok = locate(dst)
+        # only edges with BOTH endpoints in the node set move mass:
+        # phantom-src edges never join a rank row, phantom-dst mass is
+        # dropped by the marker filter — identical to the loop below
+        m = si_ok & di_ok
+        es, ed = si[m], di[m]
+
+        hvec = np.full(nn, 1 << base_shift, np.int64)
+        avec = np.zeros(nn, np.int64)
+        for _ in range(iters):
+            avec = np.zeros(nn, np.int64)
+            np.add.at(avec, ed, hvec[es])
+            avec >>= scale_shift
+            hvec = np.zeros(nn, np.int64)
+            np.add.at(hvec, es, avec[ed])
+            hvec >>= scale_shift
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids_sorted, pa.int64()),
+                    "hub_units": pa.array(hvec, pa.int64()),
+                    "auth_units": pa.array(avec, pa.int64()),
+                }
+            )
+        )
+
     if n_buckets is None:
         n_buckets = adaptive_buckets(n_nodes)
     n_blocks = max(1, min(512, n_nodes // 2_000_000 + 1))

@@ -1207,6 +1207,17 @@ def test_pagerank_small_graph_fast_path_parity(ray_session):
         seed_col="seed", small_graph_limit=0
     )  # TrustRank
 
+    # HITS shares the hybrid: hubs/authorities bit-exact across paths
+    from go_htmldate_ray.stages.graph import hits
+
+    def run_hits(**kw):
+        return sorted(
+            (r["doc_id"], r["hub_units"], r["auth_units"])
+            for r in hits(nodes, edges, iters=2, **kw).take_all()
+        )
+
+    assert run_hits() == run_hits(small_graph_limit=0)
+
 
 def test_pagerank_vs_python_reference(ray_session):
     """Integer fixed-point PageRank matches a single-process reference on
