@@ -1,0 +1,65 @@
+"""Light-row final combine without a sort-based exchange.
+
+Ray Data's ``groupby().aggregate(...)`` is a sort-based all-to-all: every
+block is range-partitioned on the key and merged, which is the right shape
+when the grouped output is large.  For the *combiner-before-shuffle*
+pipelines in this package the per-block partials already collapse each
+block to at most ``|groups|`` light rows, so when ``|groups|`` is tiny
+(pricing flags, event types, grouping sets) the sort exchange moves a few
+hundred rows through two AllToAll operators — pure fixed overhead.  A
+measured A/B at sf0.1 (32 cpus, warm workers) on the TPC-H Q1 shape read
+0.54 s for ``repartition(1)`` + one merge task vs 1.1–1.9 s for
+``groupby().aggregate().sort()`` on identical partials.
+
+:func:`tree_combine` replaces that exchange with a repartition of the
+light rows into one (or ``fanin`` then one) merge task running an
+ASSOCIATIVE reducer.  Everything stays inside the Dataset — no driver
+materialization — so the 100-TB story is unchanged: only
+``groups x blocks`` light rows ever move, and ``levels=2`` bounds the
+final merge's input to ``fanin`` pre-combined blocks when block counts
+reach the hundreds of thousands.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+
+
+def tree_combine(
+    ds,
+    combine_fn: Callable[[pa.Table], pa.Table],
+    *,
+    levels: int = 1,
+    fanin: int = 32,
+):
+    """Merge light partial rows with ``combine_fn`` instead of a sort
+    exchange.
+
+    ``combine_fn`` must be an associative per-table reducer over
+    already-partial rows (a ``pa.Table.group_by(...).aggregate`` of
+    sums / counts / mins / maxs): applied to any concatenation of
+    partial tables it yields rows of the same partial schema, and
+    applied to all rows it yields the final grouped table.  With
+    ``levels=1`` the reducer runs exactly once, so callers may fuse the
+    finalize step (rename / round / sort) into it; with ``levels=2`` it
+    runs twice per row path, so it must map the partial schema back to
+    the partial schema and finalization belongs in a separate
+    ``map_batches`` afterwards.
+
+    ``levels=1`` — one ``repartition(1)`` + a single merge task: right
+    when partial cardinality is ``groups x blocks`` with tiny
+    ``groups``.  ``levels=2`` — an intermediate ``repartition(fanin)``
+    + per-block pre-combine first: the at-scale shape once block counts
+    make a single concat of per-block partials meaningful.
+    """
+    if levels not in (1, 2):
+        raise ValueError(f"tree_combine: levels must be 1 or 2, got {levels}")
+    if levels == 2:
+        ds = ds.repartition(fanin).map_batches(
+            combine_fn, batch_format="pyarrow", batch_size=None
+        )
+    return ds.repartition(1).map_batches(
+        combine_fn, batch_format="pyarrow", batch_size=None
+    )

@@ -4195,3 +4195,63 @@ def test_host_boilerplate_host_col():
         assert got[(host, nav)]["per_mille"] == 500
     # unique body lines never flagged
     assert len(out) == 4
+
+
+def test_tree_combine_levels_agree_and_match_groupby():
+    """tree_combine levels=1 and levels=2 produce identical grouped sums,
+    and both equal the plain Ray groupby aggregate — the bit-exactness
+    contract the small-aggregate fast path rests on."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from go_htmldate_ray.stages.combine import tree_combine
+
+    rows = [
+        {"k": f"g{i % 5}", "part_sum": float(i), "part_count": i % 3 + 1}
+        for i in range(200)
+    ]
+    ds = ray.data.from_items(rows).repartition(8)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("k").aggregate(
+            [("part_sum", "sum"), ("part_count", "sum")]
+        )
+        return pa.table(
+            {
+                "k": t.column("k"),
+                "part_sum": t.column("part_sum_sum"),
+                "part_count": t.column("part_count_sum"),
+            }
+        )
+
+    def norm(rows_out):
+        return sorted(
+            (r["k"], r["part_sum"], int(r["part_count"])) for r in rows_out
+        )
+
+    one = norm(tree_combine(ds, combine).take_all())
+    two = norm(tree_combine(ds, combine, levels=2, fanin=3).take_all())
+    ref = norm(
+        {
+            "k": r["k"],
+            "part_sum": r["sum(part_sum)"],
+            "part_count": r["sum(part_count)"],
+        }
+        for r in ds.groupby("k").aggregate(Sum("part_sum"), Sum("part_count")).take_all()
+    )
+    assert one == two == ref
+    assert len(one) == 5
+
+
+def test_tree_combine_rejects_bad_levels():
+    import ray.data
+
+    from go_htmldate_ray.stages.combine import tree_combine
+
+    ds = ray.data.from_items([{"k": "a", "part_sum": 1.0, "part_count": 1}])
+    try:
+        tree_combine(ds, lambda b: b, levels=3)
+    except ValueError as e:
+        assert "levels" in str(e)
+    else:
+        raise AssertionError("levels=3 should raise")
