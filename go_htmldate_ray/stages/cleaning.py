@@ -715,6 +715,11 @@ def host_boilerplate_lines(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["host", "line_md5"])
         .aggregate(Sum("n"))
+        # pin the aggregate ONCE: both the doc-counter and line-row
+        # branches below consume it, and without this the lineage
+        # (parquet scan + partial + groupby) executes twice — the
+        # aggregate rows are far smaller than the input at any scale
+        .materialize()
     )
 
     # Split doc counters ('' key) from line rows INSIDE tasks, then one
