@@ -90,7 +90,9 @@ def new_docs_vs_snapshot(ds, *, snapshot_max_id: int = 100):
     block."""
     from .joins import anti_join
 
-    hashed = ds.map_batches(text_hash_batch, batch_format="pyarrow")
+    # pin the content-hash rows once: the today/snapshot branches below
+    # otherwise each re-execute the scan AND the full-text md5 pass
+    hashed = ds.map_batches(text_hash_batch, batch_format="pyarrow").materialize()
 
     def today(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.greater_equal(batch.column("doc_id"), snapshot_max_id))
@@ -953,7 +955,8 @@ def snapshot_diff(ds):
     runs nightly at corpus scale."""
     from .joins import hash_join
 
-    hashed = ds.map_batches(text_hash_batch, batch_format="pyarrow")
+    # pin once: current/previous branches otherwise re-run scan + md5
+    hashed = ds.map_batches(text_hash_batch, batch_format="pyarrow").materialize()
 
     def current(batch: pa.Table) -> pa.Table:
         return pa.table(

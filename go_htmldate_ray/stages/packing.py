@@ -40,6 +40,10 @@ def ordered_cumsum(ds, *, order_col: str, value_col: str, n_buckets: int = 64):
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
+    # pin the input once: the Min/Max aggregate, the per-bucket partial
+    # sums and the final grouped cumsum below are three separate
+    # executions, and all callers pass light rows by contract
+    ds = ds.materialize()
     stats = ds.aggregate(Min(order_col), Max(order_col))
     lo = stats.get(f"min({order_col})") if stats else None
     hi = stats.get(f"max({order_col})") if stats else None
