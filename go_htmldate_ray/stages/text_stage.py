@@ -808,30 +808,41 @@ def lang_doc_stats(ds):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("n"), Sum("tok"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "lang": b.column("lang"),
-                    "n_docs": b.column("sum(n)").cast(pa.int64()),
-                    "total_tokens": b.column("sum(tok)").cast(pa.int64()),
-                    "avg_tokens": pa.array(
-                        [
-                            round(t / n, 6)
-                            for t, n in zip(
-                                b.column("sum(tok)").to_pylist(),
-                                b.column("sum(n)").to_pylist(),
-                            )
-                        ],
-                        pa.float64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+    from .combine import tree_combine
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = b.group_by("lang").aggregate([("n", "sum"), ("tok", "sum")])
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "n": t.column("n_sum"),
+                "tok": t.column("tok_sum"),
+            }
         )
+
+    # ≤ a few dozen languages: one merge task beats the sort exchange
+    return tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), combine
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_docs": b.column("n").cast(pa.int64()),
+                "total_tokens": b.column("tok").cast(pa.int64()),
+                "avg_tokens": pa.array(
+                    [
+                        round(t / n, 6)
+                        for t, n in zip(
+                            b.column("tok").to_pylist(),
+                            b.column("n").to_pylist(),
+                        )
+                    ],
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -1229,18 +1240,29 @@ def lid_disagreement(ds):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["stop_lang", "script_lang"])
-        .aggregate(Sum("n"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "stop_lang": b.column("stop_lang"),
-                    "script_lang": b.column("script_lang"),
-                    "n_docs": b.column("sum(n)").cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+    from .combine import tree_combine
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = b.group_by(["stop_lang", "script_lang"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "stop_lang": t.column("stop_lang"),
+                "script_lang": t.column("script_lang"),
+                "n": t.column("n_sum"),
+            }
         )
+
+    # ≤ langs² light rows: one merge task beats the sort exchange
+    return tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), combine
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "stop_lang": b.column("stop_lang"),
+                "script_lang": b.column("script_lang"),
+                "n_docs": b.column("n").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
