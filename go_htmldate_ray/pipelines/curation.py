@@ -97,21 +97,24 @@ def curated_corpus_stats(
             }
         )
 
-    return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("pred_lang")
-        .aggregate(Sum("n"), Sum("k"), Sum("kt"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "pred_lang": b.column("pred_lang"),
-                    "n_docs": b.column("sum(n)").cast(pa.int64()),
-                    "n_kept": b.column("sum(k)").cast(pa.int64()),
-                    "kept_tokens": b.column("sum(kt)").cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    from ..stages.combine import combine_sum_by
+
+    # ≤ a few dozen languages: one merge task beats the sort exchange
+    return combine_sum_by(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["pred_lang"],
+        ["n", "k", "kt"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "pred_lang": b.column("pred_lang"),
+                "n_docs": b.column("n").cast(pa.int64()),
+                "n_kept": b.column("k").cast(pa.int64()),
+                "kept_tokens": b.column("kt").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
 

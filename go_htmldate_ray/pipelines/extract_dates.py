@@ -102,19 +102,20 @@ def date_year_histogram(sf_dir: str, *, skip_extensive_search: bool = True):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("year")
-        .aggregate(Sum("n"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "year": b.column("year"),
-                    "n_pages": b.column("sum(n)").cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    from ..stages.combine import combine_sum_by
+
+    # ≤ a few dozen distinct years: one merge task beats the sort exchange
+    return combine_sum_by(
+        ds.map_batches(partial, batch_format="pyarrow"), ["year"], ["n"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "year": b.column("year"),
+                "n_pages": b.column("n").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
 

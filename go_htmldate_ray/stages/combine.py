@@ -63,3 +63,19 @@ def tree_combine(
     return ds.repartition(1).map_batches(
         combine_fn, batch_format="pyarrow", batch_size=None
     )
+
+
+def combine_sum_by(ds_partials, keys: list[str], sum_cols: list[str], *, levels: int = 1):
+    """:func:`tree_combine` specialization for the common partial shape:
+    group by ``keys`` and sum ``sum_cols``, with output columns keeping
+    their input names — so the reducer maps the partial schema to
+    itself and is valid at either level."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        cols = {k: t.column(k) for k in keys}
+        for c in sum_cols:
+            cols[c] = t.column(f"{c}_sum")
+        return pa.table(cols)
+
+    return tree_combine(ds_partials, combine, levels=levels)

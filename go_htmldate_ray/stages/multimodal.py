@@ -1400,18 +1400,19 @@ def media_sniff_stats(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("format")
-        .aggregate(Sum("n"), Sum("px"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "format": b.column("format"),
-                    "n_media": b.column("sum(n)").cast(pa.int64()),
-                    "n_pixels": b.column("sum(px)").cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    from .combine import combine_sum_by
+
+    # a handful of media formats: one merge task beats the sort exchange
+    return combine_sum_by(
+        ds.map_batches(partial, batch_format="pyarrow"), ["format"], ["n", "px"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "format": b.column("format"),
+                "n_media": b.column("n").cast(pa.int64()),
+                "n_pixels": b.column("px").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
