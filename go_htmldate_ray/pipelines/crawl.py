@@ -1168,17 +1168,34 @@ def crawl_wave_counts(sf_dir: str, namespace: str = "crawlw"):
         politeness_budget=1000,
         max_waves=64,
     )
+    from ..stages.combine import combine_sum_by
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("wave").aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "wave": t.column("wave"),
+                "n": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    # ≤ max_waves keys: per-block partial counts + one merge task
+    # replace the full-row sort shuffle the generic groupby.count pays
     out = (
-        visited.groupby("wave")
-        .count()
+        combine_sum_by(
+            visited.map_batches(partial, batch_format="pyarrow"),
+            ["wave"],
+            ["n"],
+        )
         .map_batches(
             lambda b: pa.table(
                 {
                     "wave": b.column("wave"),
-                    "n_fetched": b.column("count()").cast(pa.int64()),
+                    "n_fetched": b.column("n").cast(pa.int64()),
                 }
             ),
             batch_format="pyarrow",
+            batch_size=None,
         )
         .materialize()
     )

@@ -86,17 +86,26 @@ def hll_registers(ds, *, col: str, p: int = 10):
             }
         )
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("bucket").aggregate(
-        Max("rho")
-    )
-    return agg.map_batches(
+    from .combine import tree_combine
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = b.group_by("bucket").aggregate([("rho", "max")])
+        return pa.table(
+            {"bucket": t.column("bucket"), "rho": t.column("rho_max")}
+        )
+
+    # ≤ 2^p register rows: one merge task beats the sort exchange
+    return tree_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), combine
+    ).map_batches(
         lambda b: pa.table(
             {
                 "bucket": b.column("bucket"),
-                "rho_max": b.column("max(rho)").cast(pa.int64()),
+                "rho_max": b.column("rho").cast(pa.int64()),
             }
         ),
         batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -158,20 +167,24 @@ def countmin_sketch(ds, *, col: str = "text", depth: int = 4, width: int = 256):
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["row_id", "col_id"])
-        .aggregate(Sum("c"))
+    from .combine import combine_sum_by
+
+    # ≤ depth×width counter cells: one merge task beats the sort exchange
+    agg = combine_sum_by(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["row_id", "col_id"],
+        ["c"],
     )
     return agg.map_batches(
         lambda b: pa.table(
             {
                 "row_id": b.column("row_id"),
                 "col_id": b.column("col_id"),
-                "counter": b.column("sum(c)").cast(pa.int64()),
+                "counter": b.column("c").cast(pa.int64()),
             }
         ),
         batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -327,19 +340,22 @@ def heavy_hitters(
             }
         )
 
-    exact = (
-        ds.map_batches(recount, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("c"))
+    from .combine import combine_sum_by
+
+    # candidate keys already fit a broadcast set: one merge task beats
+    # the sort exchange for the exact recount rollup
+    exact = combine_sum_by(
+        ds.map_batches(recount, batch_format="pyarrow"), ["token"], ["c"]
     )
     return exact.map_batches(
         lambda b: pa.table(
             {
                 "token": b.column("token"),
-                "n": b.column("sum(c)").cast(pa.int64()),
+                "n": b.column("c").cast(pa.int64()),
             }
         ).filter(pc.greater_equal(pc.field("n"), threshold)),
         batch_format="pyarrow",
+        batch_size=None,
     )
 
 
