@@ -483,6 +483,9 @@ def embedding_dup_pairs_lsh(
     candidates = banded.groupby("shuffle_bucket").map_groups(
         lambda g: _bucket_candidates(g, strict=strict), batch_format="pyarrow"
     )
+    # join mode consumes norm_bin twice (both attach sides): pin the
+    # packed bytes once instead of re-running the per-row pack pass
+    norm_bin = norm_bin.materialize()
     # Cross-band duplicate pairs share vec_a → they co-locate on the
     # first lookup-join's key and dedupe there (no extra shuffle).
     with_a = attach_payload(

@@ -94,7 +94,10 @@ def suffix_array(
     def rebase(mat):
         return ray.data.from_arrow_refs(mat.to_arrow_refs())
 
-    state = ds.map_batches(char_rows, batch_format="pyarrow")
+    # pin the char-explosion once: count() plus round 1's two join sides
+    # otherwise re-run the doc→per-char expansion three times before the
+    # loop's own per-round materialize takes over
+    state = ds.map_batches(char_rows, batch_format="pyarrow").materialize()
     n_rows = state.count()
     if n_rows == 0:
         return ray.data.from_arrow(
