@@ -388,6 +388,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": lambda sf: sampling.dataset_split(
             _docs(sf).select_columns(["doc_id", "lang"]), seed=11
         ),
+        # Leakage-safe variant: md5(seed:source) decides ONCE per group,
+        # so a site's near-duplicate pages can never straddle train and
+        # eval.  Output is per-(split, source) doc counts — each source
+        # appearing under exactly one split IS the leakage guarantee.
+        "source_split_counts": lambda sf: _source_split_counts(sf),
         # Distributed BPE merge training (arXiv:1508.07909): corpus ->
         # weighted word-vocab dataset, then per merge round one light
         # pair-count shuffle + per-block argmax + stateless merge apply.
@@ -796,6 +801,7 @@ _DRIVER_ROTATION: tuple = (
     "golden_corpus_dates",
     "crawl_reachable",
     # never sampled in r1-r4 driver artifacts
+    "source_split_counts",
     "spotsigs_pairs",
     "char_entropy",
     "lid_disagreement",
@@ -905,6 +911,46 @@ def _embedding_dup_pairs_lsh(sf_dir):
     return _typed_df(
         embedding_dup_pairs_lsh(aug, threshold=0.9, hot_buckets="error"),
         {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
+    )
+
+
+def _source_split_counts(sf_dir):
+    import pyarrow as pa
+
+    from go_htmldate_ray.sources.io import read_parquet_clean
+    from go_htmldate_ray.stages import sampling
+    from go_htmldate_ray.stages.combine import combine_sum_by
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    labeled = sampling.grouped_split(docs, group_col="source", seed=11)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.group_by(["split", "source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "split": t.column("split"),
+                "source": t.column("source"),
+                "n": t.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    # (split, source) cardinality == |sources|: one merge task suffices
+    return combine_sum_by(
+        labeled.map_batches(partial, batch_format="pyarrow"),
+        ["split", "source"],
+        ["n"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "split": b.column("split"),
+                "source": b.column("source"),
+                "n_docs": b.column("n").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -3192,6 +3238,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, lang,
                          ('0x' || substr(md5('11:' || doc_id), 1, 16))::UBIGINT >> 1 AS h
                   FROM documents)""",
+        # stages/sampling.py::grouped_split — md5(seed:source) decides
+        # once per GROUP (leakage-safe split); same byte rule as above.
+        "source_split_counts": f"""
+            SELECT CASE WHEN h < {int(0.8 * (1 << 63))}::UBIGINT THEN 'train'
+                        WHEN h < {int(0.9 * (1 << 63))}::UBIGINT THEN 'val'
+                        ELSE 'test' END AS split,
+                   source, count(*)::BIGINT AS n_docs
+            FROM (SELECT source,
+                         ('0x' || substr(md5('11:' || source), 1, 16))::UBIGINT >> 1 AS h
+                  FROM documents)
+            GROUP BY split, source""",
         # stages/packing.py::pack_sequences — exact-integer window
         # cumsum reproduces the distributed range-bucket prefix sum.
         "packed_sequences": r"""

@@ -99,6 +99,48 @@ def dataset_split(
 
     return ds.map_batches(f, batch_format="pyarrow")
 
+
+def grouped_split(
+    ds,
+    *,
+    group_col: str,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    seed: int = 11,
+):
+    """Leakage-safe train/val/test split: EVERY row of a group
+    (host / domain / source) lands in the same split — md5(seed:group)
+    decides once per group, so near-duplicate pages from one site can
+    never straddle train and eval (the contamination mode a per-row
+    split like :func:`dataset_split` permits).  Deterministic across
+    reruns and shard retries; no shuffle, streams batch-by-batch.
+
+    Note the fractions are honored in expectation over GROUPS, not
+    rows — a skewed group carries all its rows with it, which is the
+    point."""
+    if (
+        len(fractions) != 2
+        or min(fractions) < 0
+        or fractions[0] + fractions[1] > 1
+    ):
+        raise ValueError(
+            f"fractions must be two non-negative values summing to <= 1, "
+            f"got {fractions!r}"
+        )
+    t_train = int(fractions[0] * _HALF_RANGE)
+    t_val = int((fractions[0] + fractions[1]) * _HALF_RANGE)
+
+    def f(batch: pa.Table) -> pa.Table:
+        labels = []
+        for g in batch.column(group_col).to_pylist():
+            u = _keep_hash(seed, g)
+            labels.append(
+                "train" if u < t_train else "val" if u < t_val else "test"
+            )
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def cap_per_group(
     ds,
     *,

@@ -4255,3 +4255,33 @@ def test_tree_combine_rejects_bad_levels():
         assert "levels" in str(e)
     else:
         raise AssertionError("levels=3 should raise")
+
+
+def test_grouped_split_is_leakage_safe():
+    """grouped_split: every row of a group lands in one split, labels are
+    deterministic in (seed, group), and bad fractions raise."""
+    import ray.data
+
+    from go_htmldate_ray.stages.sampling import grouped_split
+
+    rows = [
+        {"doc_id": i, "source": f"src{i % 7}"} for i in range(210)
+    ]
+    ds = ray.data.from_items(rows).repartition(6)
+    out = grouped_split(ds, group_col="source", seed=11).take_all()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_group.values())
+    assert set().union(*by_group.values()) <= {"train", "val", "test"}
+    # deterministic rerun
+    out2 = grouped_split(ds, group_col="source", seed=11).take_all()
+    assert sorted((r["doc_id"], r["split"]) for r in out) == sorted(
+        (r["doc_id"], r["split"]) for r in out2
+    )
+    try:
+        grouped_split(ds, group_col="source", fractions=(0.9, 0.2))
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("fractions summing > 1 should raise")
