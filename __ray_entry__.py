@@ -393,6 +393,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # eval.  Output is per-(split, source) doc counts — each source
         # appearing under exactly one split IS the leakage guarantee.
         "source_split_counts": lambda sf: _source_split_counts(sf),
+        # Contamination audit: MinHash near-dup pairs straddling the
+        # per-row split — the measurement that motivates grouped_split.
+        "split_contamination": lambda sf: _split_contamination(sf),
         # Distributed BPE merge training (arXiv:1508.07909): corpus ->
         # weighted word-vocab dataset, then per merge round one light
         # pair-count shuffle + per-block argmax + stateless merge apply.
@@ -802,6 +805,7 @@ _DRIVER_ROTATION: tuple = (
     "crawl_reachable",
     # never sampled in r1-r4 driver artifacts
     "source_split_counts",
+    "split_contamination",
     "spotsigs_pairs",
     "char_entropy",
     "lid_disagreement",
@@ -911,6 +915,22 @@ def _embedding_dup_pairs_lsh(sf_dir):
     return _typed_df(
         embedding_dup_pairs_lsh(aug, threshold=0.9, hot_buckets="error"),
         {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"},
+    )
+
+
+def _split_contamination(sf_dir):
+    from go_htmldate_ray.pipelines.curation import split_contamination
+
+    # hot_buckets="error": the SQL oracle enumerates every band
+    # collision, so a star-sampled fixture must fail loudly here
+    return split_contamination(_docs_table(sf_dir), hot_buckets="error")
+
+
+def _docs_table(sf_dir):
+    from go_htmldate_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
 
@@ -3442,6 +3462,24 @@ SELECT chunk_md5, count(*)::BIGINT AS n_occurrences,
        count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM c GROUP BY 1 HAVING count(*) > 1""",
         "minhash_dedup_pairs": _minhash_sql(),
+        # pipelines/curation.py::split_contamination — the same pair set
+        # as minhash_dedup_pairs, labeled with dataset_split's md5 rule
+        # and rolled up per (split_a, split_b).
+        "split_contamination": f"""
+            WITH pairs AS (SELECT * FROM ({_minhash_sql()}) q)
+            SELECT
+              CASE WHEN ha < {int(0.8 * (1 << 63))}::UBIGINT THEN 'train'
+                   WHEN ha < {int(0.9 * (1 << 63))}::UBIGINT THEN 'val'
+                   ELSE 'test' END AS split_a,
+              CASE WHEN hb < {int(0.8 * (1 << 63))}::UBIGINT THEN 'train'
+                   WHEN hb < {int(0.9 * (1 << 63))}::UBIGINT THEN 'val'
+                   ELSE 'test' END AS split_b,
+              count(*)::BIGINT AS n_pairs
+            FROM (SELECT doc_a, doc_b,
+                         ('0x' || substr(md5('11:' || doc_a), 1, 16))::UBIGINT >> 1 AS ha,
+                         ('0x' || substr(md5('11:' || doc_b), 1, 16))::UBIGINT >> 1 AS hb
+                  FROM pairs)
+            GROUP BY split_a, split_b""",
         "near_dup_clusters": _near_dup_clusters_sql(),
         "near_dup_keep": _near_dup_keep_sql(),
         # Composition of the gopher_quality, lang_id, and near_dup_keep

@@ -258,3 +258,71 @@ def curate_to_jsonl(
     report["n_kept"] = int(totals["sum(keep)"] or 0)
     report["n_backfilled"] = n_backfilled
     return report
+
+
+def split_contamination(
+    ds,
+    *,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    seed: int = 11,
+    **lsh_kwargs,
+):
+    """Near-duplicate contamination audit across a train/val/test split:
+    → (split_a, split_b, n_pairs) — how many MinHash near-dup pairs
+    straddle split boundaries under the per-row
+    :func:`~go_htmldate_ray.stages.sampling.dataset_split` rule.  An
+    off-diagonal (train, test) count > 0 is exactly the eval-leakage a
+    per-row split permits and :func:`~go_htmldate_ray.stages.sampling.
+    grouped_split` prevents — this is the measurement that motivates
+    switching.
+
+    Shape: the banded LSH pair pipeline (its exchanges dominate), then a
+    stateless per-batch label map (the split is a pure md5 function of
+    doc_id — no join to attach it) and a tiny combine over ≤ 9 label
+    pairs."""
+    from ..stages.combine import combine_sum_by
+    from ..stages.dedup import minhash_lsh_pairs
+    from ..stages.sampling import _HALF_RANGE, _keep_hash
+
+    t_train = int(fractions[0] * _HALF_RANGE)
+    t_val = int((fractions[0] + fractions[1]) * _HALF_RANGE)
+
+    def label(i: int) -> str:
+        u = _keep_hash(seed, i)
+        return "train" if u < t_train else "val" if u < t_val else "test"
+
+    pairs = minhash_lsh_pairs(ds, **lsh_kwargs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for a, b in zip(
+            batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+        ):
+            counts[(label(a), label(b))] += 1
+        ka = [k[0] for k in counts]
+        kb = [k[1] for k in counts]
+        return pa.table(
+            {
+                "split_a": pa.array(ka, pa.string()),
+                "split_b": pa.array(kb, pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return combine_sum_by(
+        pairs.map_batches(partial, batch_format="pyarrow"),
+        ["split_a", "split_b"],
+        ["n"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "split_a": b.column("split_a"),
+                "split_b": b.column("split_b"),
+                "n_pairs": b.column("n").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -4285,3 +4285,39 @@ def test_grouped_split_is_leakage_safe():
         pass
     else:
         raise AssertionError("fractions summing > 1 should raise")
+
+
+def test_split_contamination_labels_and_totals():
+    """split_contamination: totals equal the minhash pair count and each
+    label pair follows the dataset_split md5 rule."""
+    import ray.data
+
+    from go_htmldate_ray.pipelines.curation import split_contamination
+    from go_htmldate_ray.stages.dedup import minhash_lsh_pairs
+    from go_htmldate_ray.stages.sampling import _HALF_RANGE, _keep_hash
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(30):
+        # planted near-dup families of 3 sharing identical text
+        rows.append({"doc_id": i, "text": f"{base} family{i // 3}"})
+    ds = ray.data.from_items(rows).repartition(4)
+    out = split_contamination(ds, hot_buckets="error").take_all()
+    n_pairs = minhash_lsh_pairs(ds, hot_buckets="error").count()
+    assert sum(r["n_pairs"] for r in out) == n_pairs > 0
+
+    def label(i):
+        u = _keep_hash(11, i)
+        return (
+            "train"
+            if u < int(0.8 * _HALF_RANGE)
+            else "val" if u < int(0.9 * _HALF_RANGE) else "test"
+        )
+
+    from collections import Counter
+
+    expect = Counter()
+    for r in minhash_lsh_pairs(ds, hot_buckets="error").take_all():
+        expect[(label(r["doc_a"]), label(r["doc_b"]))] += 1
+    got = {(r["split_a"], r["split_b"]): r["n_pairs"] for r in out}
+    assert got == dict(expect)
